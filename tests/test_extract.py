@@ -1,0 +1,82 @@
+"""Extraction invariant tests (BASELINE.json input_hint: byte-identical
+extracted text per url) + deterministic pages generation."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from wikipedia_wikidata_ray.sources.pages_gen import (
+    build_pages_batch,
+    derive_geo,
+    derive_outlinks,
+    ensure_pages_parquet,
+)
+from wikipedia_wikidata_ray.stages.extract import HtmlExtractor
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages():
+    return pq.read_table(ensure_pages_parquet(SF))
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+def test_generation_deterministic(docs):
+    n = docs.num_rows
+    a = build_pages_batch(docs.slice(0, 100), n)
+    b = build_pages_batch(docs.slice(0, 100), n)
+    assert a.equals(b)
+
+
+def test_extracted_text_byte_identical(pages, docs):
+    ex = HtmlExtractor()(pages)
+    assert ex.column("text").to_pylist() == docs.column("text").to_pylist()
+    # re-extracting is stable (pure function of html)
+    ex2 = HtmlExtractor()(pages)
+    assert ex.equals(ex2)
+
+
+def test_extract_escaping_roundtrip(docs):
+    # pages whose text contains html-special chars still round-trip
+    import pyarrow as pa
+
+    tricky = pa.table(
+        {
+            "doc_id": pa.array([123], type=pa.int64()),
+            "text": ['a < b & "c" > d &amp; <div id="content">x</div>'],
+            "lang": ["en"],
+        }
+    )
+    page = build_pages_batch(tricky, 1000)
+    ex = HtmlExtractor()(page)
+    assert ex.column("text").to_pylist() == tricky.column("text").to_pylist()
+
+
+def test_geo_derivation_matches_extraction(pages, docs):
+    ex = HtmlExtractor()(pages)
+    doc_id = ex.column("doc_id").to_numpy()
+    lat, lon, has_geo = derive_geo(doc_id)
+    got_lat = ex.column("lat").to_numpy(zero_copy_only=False)
+    got_lon = ex.column("lon").to_numpy(zero_copy_only=False)
+    assert (ex.column("has_geo").to_numpy(zero_copy_only=False) == has_geo).all()
+    m = has_geo
+    # repr-formatted floats parse back to the exact same float64
+    assert np.array_equal(got_lat[m], lat[m])
+    assert np.array_equal(got_lon[m], lon[m])
+
+
+def test_outlinks(pages, docs):
+    ol = HtmlExtractor("outlinks")(pages)
+    n = docs.num_rows
+    assert ol.num_rows == 3 * n
+    src = ol.column("src_doc_id").to_numpy()
+    tgt = ol.column("target_doc_id").to_numpy()
+    want = derive_outlinks(np.arange(n), n)
+    # pages are generated in doc order and extraction preserves row order
+    assert np.array_equal(src.reshape(n, 3)[:, 0], np.arange(n))
+    assert np.array_equal(tgt.reshape(n, 3), want)

@@ -1,0 +1,169 @@
+"""Geo primitive tests: S2, hexgrid, tiles, STRtree, PIP, kNN.
+
+Strategy per FIXTURES.md §4: spatial operators are checked against
+slow-but-obvious single-process oracles (brute-force loops)."""
+
+import numpy as np
+import pytest
+
+from wikipedia_wikidata_ray.geo import hexgrid, s2, tiles
+from wikipedia_wikidata_ray.geo.knn import GridKNN
+from wikipedia_wikidata_ray.geo.pip import points_in_polygon
+from wikipedia_wikidata_ray.geo.strtree import STRtree
+
+RNG = np.random.default_rng(42)
+
+
+class TestS2:
+    def test_lookup_tables_are_inverse(self):
+        for o in range(4):
+            for p in range(256):
+                e = int(s2._LOOKUP_IJ[(p << 2) + o])
+                e2 = int(s2._LOOKUP_POS[((e >> 2) << 2) + o])
+                assert e2 >> 2 == p and (e2 & 3) == (e & 3)
+
+    def test_hilbert_roundtrip(self):
+        lat = RNG.uniform(-89.9, 89.9, 10000)
+        lng = RNG.uniform(-180, 180, 10000)
+        face, u, v = s2.latlng_to_face_uv(lat, lng)
+        i = s2._ij_from_st(s2._st_from_uv(u))
+        j = s2._ij_from_st(s2._st_from_uv(v))
+        leaf = s2.cell_id_from_face_ij(face, i, j)
+        f2, i2, j2 = s2.face_ij_from_cell_id(leaf)
+        assert (f2 == face).all() and (i2 == i).all() and (j2 == j).all()
+
+    def test_leaf_center_close(self):
+        lat = RNG.uniform(-80, 80, 1000)
+        lng = RNG.uniform(-179, 179, 1000)
+        leaf = s2.latlng_to_cell(lat, lng)
+        clat, clng = s2.cell_to_latlng(leaf)
+        assert np.abs(clat - lat).max() < 1e-5
+        assert np.abs(clng - lng).max() < 1e-4
+
+    def test_faces(self):
+        cases = [((0, 0), 0), ((0, 90), 1), ((90, 0), 2),
+                 ((0, 179.99), 3), ((0, -90), 4), ((-90, 0), 5)]
+        for (la, ln), want in cases:
+            f, _, _ = s2.latlng_to_face_uv(np.array([la]), np.array([ln]))
+            assert int(f[0]) == want
+
+    def test_hierarchy_prefix(self):
+        lat = RNG.uniform(-80, 80, 500)
+        lng = RNG.uniform(-179, 179, 500)
+        c10 = s2.latlng_to_cell(lat, lng, 10)
+        c16 = s2.latlng_to_cell(lat, lng, 16)
+        # the level-10 ancestor of the level-16 cell equals direct encoding
+        assert (s2.parent_at_level(c16, 10) == c10).all()
+
+    def test_nearby_points_share_coarse_cell(self):
+        c1 = s2.latlng_to_cell(np.array([48.85]), np.array([2.35]), 10)
+        c2 = s2.latlng_to_cell(np.array([48.851]), np.array([2.351]), 10)
+        assert c1[0] == c2[0]
+
+
+class TestHexgrid:
+    def test_center_within_radius(self):
+        lat = RNG.uniform(-85, 85, 2000)
+        lon = RNG.uniform(-180, 180, 2000)
+        for res in (5, 7, 9):
+            c = hexgrid.latlng_to_cell(lat, lon, res)
+            clat, clng = hexgrid.cell_to_latlng(c)
+            d = np.sqrt((clat - lat) ** 2 + (clng - lon) ** 2)
+            assert (d <= hexgrid.cell_size(res) * 1.0001).all()
+
+    def test_pack_roundtrip(self):
+        q = RNG.integers(-100000, 100000, 1000)
+        r = RNG.integers(-100000, 100000, 1000)
+        q2, r2, res = hexgrid.unpack(hexgrid.pack(q, r, 9))
+        assert (q2 == q).all() and (r2 == r).all() and (res == 9).all()
+
+    def test_parent_mostly_agrees_with_direct(self):
+        lat = RNG.uniform(-85, 85, 5000)
+        lon = RNG.uniform(-180, 180, 5000)
+        c9 = hexgrid.latlng_to_cell(lat, lon, 9)
+        agree = (hexgrid.cell_to_parent(c9, 5) == hexgrid.latlng_to_cell(lat, lon, 5)).mean()
+        assert agree > 0.95  # hex hierarchies are approximate (like H3)
+
+    def test_neighbors_and_kring(self):
+        c = hexgrid.latlng_to_cell(np.array([10.0]), np.array([10.0]), 6)[0]
+        nb = hexgrid.neighbors(int(c))
+        assert len(set(nb.tolist())) == 6 and c not in nb
+        ring1 = hexgrid.k_ring(int(c), 1)
+        assert len(ring1) == 7 and c in ring1
+
+
+class TestTiles:
+    def test_known_tile(self):
+        x, y = tiles.latlng_to_tile(np.array([48.8566]), np.array([2.3522]), 12)
+        assert (int(x[0]), int(y[0])) == (2074, 1409)  # central Paris, z12
+
+    def test_point_within_tile_bounds(self):
+        lat = RNG.uniform(-84, 84, 1000)
+        lon = RNG.uniform(-179, 179, 1000)
+        x, y = tiles.latlng_to_tile(lat, lon, 10)
+        for i in range(0, 1000, 97):
+            lat_min, lat_max, lon_min, lon_max = tiles.tile_bounds(int(x[i]), int(y[i]), 10)
+            assert lon_min <= lon[i] < lon_max + 1e-9
+            assert lat_min - 1e-9 <= lat[i] <= lat_max + 1e-9
+
+
+class TestSTRtree:
+    def test_vs_brute_force(self):
+        lo = RNG.uniform(0, 100, (300, 2))
+        boxes = np.concatenate([lo, lo + RNG.uniform(1, 10, (300, 2))], axis=1)
+        tree = STRtree(boxes)
+        for _ in range(100):
+            x, y = RNG.uniform(-5, 115, 2)
+            got = np.sort(tree.query_point(x, y))
+            want = np.nonzero(
+                (boxes[:, 0] <= x) & (boxes[:, 1] <= y)
+                & (boxes[:, 2] >= x) & (boxes[:, 3] >= y)
+            )[0]
+            assert (got == want).all()
+
+    def test_empty(self):
+        tree = STRtree(np.empty((0, 4)))
+        assert len(tree.query_point(0, 0)) == 0
+
+
+class TestPIP:
+    def test_square(self):
+        rx = np.array([0, 10, 10, 0, 0.0])
+        ry = np.array([0, 0, 10, 10, 0.0])
+        inside = points_in_polygon(
+            np.array([5, 15, 0.5, -1, 9.99]), np.array([5, 5, 9.5, 5, 0.01]), rx, ry
+        )
+        assert inside.tolist() == [True, False, True, False, True]
+
+    def test_concave(self):
+        # L-shape
+        rx = np.array([0, 4, 4, 2, 2, 0, 0.0])
+        ry = np.array([0, 0, 2, 2, 4, 4, 0.0])
+        inside = points_in_polygon(
+            np.array([1, 3, 3, 1]), np.array([1, 1, 3, 3]), rx, ry
+        )
+        assert inside.tolist() == [True, True, False, True]
+
+
+class TestGridKNN:
+    @pytest.mark.parametrize("cell_deg", [2.0, 10.0])
+    def test_vs_brute_force(self, cell_deg):
+        P = 400
+        plat = RNG.uniform(-80, 80, P)
+        plon = RNG.uniform(-179, 179, P)
+        pid = np.arange(P) * 3  # non-contiguous ids
+        idx = GridKNN(plat, plon, pid, cell_deg=cell_deg)
+        qlat = RNG.uniform(-80, 80, 200)
+        qlon = RNG.uniform(-179, 179, 200)
+        qi, gp, gd, gr = idx.query(qlat, qlon, 5)
+        assert len(qi) == 200 * 5
+        for t in range(0, 200, 23):
+            d = np.sqrt((plat - qlat[t]) ** 2 + (plon - qlon[t]) ** 2)
+            want = pid[np.lexsort((pid, d))[:5]]
+            mine = gp[qi == t][np.argsort(gr[qi == t])]
+            assert (mine == want).all()
+
+    def test_fewer_places_than_k(self):
+        idx = GridKNN(np.array([0.0]), np.array([0.0]), np.array([7]))
+        qi, gp, gd, gr = idx.query(np.array([1.0]), np.array([1.0]), 5)
+        assert len(gp) == 1 and gp[0] == 7

@@ -1,0 +1,58 @@
+"""Engine configuration.
+
+Replaces the reference's env-var + config-file surface
+(``complete_run.sh:22-27``, ``lib/languages.py:4-12``,
+``config/languages.txt``) with one typed config object.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# The reference ships 39 languages (config/languages.txt:2-40). We keep the
+# same list as the default language universe; fixture data uses a subset.
+DEFAULT_LANGUAGES: tuple[str, ...] = (
+    "ar", "bg", "ca", "cs", "da", "de", "en", "es", "eo", "eu", "fa", "fr",
+    "gl", "hu", "id", "it", "ja", "ko", "lt", "ms", "nl", "nn", "no", "pl",
+    "pt", "ro", "ru", "sk", "sl", "sr", "sv", "tr", "uk", "vi", "vo", "war",
+    "zh", "ceb", "he",
+)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Typed engine configuration (SURVEY.md §2.H).
+
+    Attributes mirror the knobs that matter at 100 TB scale:
+
+    - ``hex_resolutions``: hierarchical hex-cell resolutions computed per
+      point (north rule: res 5..9).
+    - ``s2_level``: S2 cell level for the ``s2_cell`` column.
+    - ``tile_zoom``: slippy-tile zoom for raster/vector tile assignment.
+    - ``salt_fanout``: number of sub-buckets a hot key is split into during
+      salted two-stage aggregation (SURVEY.md §2.I7).
+    - ``hot_cell_threshold``: rows-per-key above which a key counts as hot.
+    - ``pip_pool`` / ``knn_pool``: actor-pool sizes for the stateful spatial
+      stages (SURVEY.md §2.C4/C5).
+    - ``batch_size_*``: map_batches batch sizes; ``html`` is a wide binary
+      column so the extract stage uses a smaller batch.
+    """
+
+    languages: tuple[str, ...] = DEFAULT_LANGUAGES
+    hex_resolutions: tuple[int, ...] = (5, 6, 7, 8, 9)
+    s2_level: int = 16
+    tile_zoom: int = 12
+    salt_fanout: int = 16
+    hot_cell_threshold: int = 50_000
+    pip_pool: int = 4
+    knn_pool: int = 4
+    knn_k: int = 5
+    batch_size_extract: int = 1024
+    batch_size_default: int = 8192
+
+    def language_set(self) -> frozenset[str]:
+        return frozenset(self.languages)
+
+
+DEFAULT_CONFIG = EngineConfig()
