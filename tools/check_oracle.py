@@ -1,0 +1,91 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+and its oracle_sql() side-by-side at a given sf, compare row-count, schema
+(column names), and order-insensitive value equality.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+import ray
+
+
+def to_pandas(obj):
+    if hasattr(obj, "to_pandas"):
+        try:
+            return obj.to_pandas()
+        except TypeError:
+            return obj.to_pandas()
+    return obj
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    names = sys.argv[2:] or list(qs)
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name in names:
+        res = to_pandas(qs[name](sf_dir))
+        if name not in oracles:
+            print(f"{name}: rows={len(res)} (no oracle — rows-only)")
+            continue
+        want = con.execute(oracles[name]).fetchdf()
+        a, b = canon(res), canon(want)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_rows = len(a) == len(b)
+        ok_vals = False
+        if ok_cols and ok_rows:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                              check_exact=True)
+                ok_vals = True
+            except AssertionError as err:
+                msg = str(err).splitlines()[0]
+        if ok_cols and ok_rows and ok_vals:
+            print(f"{name}: OK rows={len(a)}")
+        else:
+            failures += 1
+            print(f"{name}: FAIL cols_match={ok_cols} rows {len(a)} vs {len(b)}")
+            if not ok_cols:
+                print("   ray:", list(a.columns), "\n   sql:", list(b.columns))
+            elif ok_rows and not ok_vals:
+                print("   ", msg)
+                diff = (a != b) & ~(a.isna() & b.isna())
+                bad = diff.any(axis=1)
+                print(a[bad].head(3))
+                print(b[bad].head(3))
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

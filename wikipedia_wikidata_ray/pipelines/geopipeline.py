@@ -1,0 +1,118 @@
+"""Flagship pipeline: extract → encode → spatial-join → tile
+(BASELINE.json metric: "pages/sec end-to-end extract→H3-encode→
+spatial-join→tile").
+
+Every stage is a streaming ``Dataset`` transform; nothing materializes the
+full page set. Stage shapes (SURVEY.md §7):
+
+  read_parquet(pages, columns pruned)
+    → map_batches(HtmlExtractor, actor pool)        # I1, wide html column
+    → map_batches(encode_batch)                      # I2/I3/I6, stateless
+    → map_batches(PIPJoiner, actor pool, ray.put polygons)   # I4
+    → map_batches(KNNJoiner, actor pool, ray.put places)     # I5
+    → partial-agg tile groupby                       # I6 + I7 skew-safe
+
+The small sides (polygon set ~77 rings, places ~2k rows) are broadcast
+once via ``ray.put`` and fetched once per actor in ``__init__`` — never
+re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..geo.knn import KNNJoiner
+from ..geo.pip import PIPJoiner, PolygonSet
+from ..sources.admin_fixtures import admin_polygons_table, places_dict
+from ..sources.pages_gen import ensure_pages_parquet
+from ..stages.extract import HtmlExtractor
+from ..stages.geocode import encode_batch
+from ..stages.salted import partial_count
+
+
+def load_pages(sf_dir: str, parallelism: int | None = None) -> Dataset:
+    """pages Dataset for an sf dir (generating the parquet if absent)."""
+    path = ensure_pages_parquet(sf_dir)
+    return rd.read_parquet(path)
+
+
+def extract(pages: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, emit: str = "extracted") -> Dataset:
+    """HTML → EXTRACTED rows (or outlink edges). Actor pool because the
+    compiled patterns + per-actor buffers amortize across batches; batch
+    size kept small — ``html`` is a wide binary column."""
+    return pages.map_batches(
+        HtmlExtractor,
+        fn_constructor_args=(emit,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size_extract,
+        concurrency=(2, 8),
+        num_cpus=1,
+    )
+
+
+def geocode(extracted: Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> Dataset:
+    return extracted.map_batches(
+        lambda b: encode_batch(b, cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size_default,
+    )
+
+
+def pip_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, polygons=None) -> Dataset:
+    polys = PolygonSet.from_arrow(polygons if polygons is not None else admin_polygons_table())
+    ref = ray.put(polys)
+    ds = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_args=(ref, 0, "admin_code"),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size_default,
+        concurrency=(2, cfg.pip_pool),
+        num_cpus=1,
+    )
+    return ds.map_batches(
+        PIPJoiner,
+        fn_constructor_args=(ref, 1, "metro_code"),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size_default,
+        concurrency=(2, cfg.pip_pool),
+        num_cpus=1,
+    )
+
+
+def knn_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, key_cols=("doc_id",)) -> Dataset:
+    ref = ray.put(places_dict())
+    return ds.map_batches(
+        KNNJoiner,
+        fn_constructor_args=(ref, cfg.knn_k, tuple(key_cols)),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size_default,
+        concurrency=(2, cfg.knn_pool),
+        num_cpus=1,
+    )
+
+
+def tile_aggregate(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> Dataset:
+    """Per-tile page counts. Combiner pre-aggregation keeps megacity tiles
+    from overloading one reducer (SURVEY.md §2.I7)."""
+    import pyarrow.compute as pc
+
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(["tile_x", "tile_y"]),
+        batch_format="pyarrow",
+    )
+    return partial_count(geo, ["tile_x", "tile_y"], out="n_pages")
+
+
+def flagship(sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG) -> Dataset:
+    """End-to-end: pages → extract → encode → PIP → tile aggregate.
+
+    Returns the per-tile aggregate (small, stable schema) — the consuming
+    step for smoke checks; bench.py additionally drives the kNN branch.
+    """
+    pages = load_pages(sf_dir)
+    ex = extract(pages, cfg)
+    enc = geocode(ex, cfg)
+    joined = pip_join(enc, cfg)
+    return tile_aggregate(joined, cfg)

@@ -1,0 +1,321 @@
+"""Driver-facing query callables + their exact DuckDB oracle SQL.
+
+Every pages-pipeline query is oracle-checkable because the pages table is
+derived from ``documents`` with closed-form arithmetic
+(sources/pages_gen.py docstring = the contract). The SQL strings below
+replicate that arithmetic over the pre-registered ``documents`` view.
+
+Float-matching policy: coordinates/distances are produced by identical
+IEEE-754 operation sequences on both sides (bitwise-equal); importance is
+rounded to 9 dp on both sides because ln() differs by ulps between numpy
+and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..config import DEFAULT_CONFIG
+from ..stages.salted import partial_count, partial_sum
+from . import geopipeline as gp
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (the pages-derivation contract in SQL form)
+
+SQL_GEO_CTE = """
+geo AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 10 < 3 THEN
+      (CASE doc_id % 5 WHEN 0 THEN 35.6895 WHEN 1 THEN 40.7127
+            WHEN 2 THEN 51.5072 WHEN 3 THEN -23.5505 ELSE 28.6139 END)
+      + ((doc_id * 37) % 2001 - 1000) / 10000.0
+    ELSE ((doc_id * 7919) % 1600001) / 10000.0 - 80.0 END AS lat,
+    CASE WHEN doc_id % 10 < 3 THEN
+      (CASE doc_id % 5 WHEN 0 THEN 139.6917 WHEN 1 THEN -74.0059
+            WHEN 2 THEN -0.1275 WHEN 3 THEN -46.6333 ELSE 77.209 END)
+      + ((doc_id * 61) % 2001 - 1000) / 10000.0
+    ELSE ((doc_id * 104729) % 3600001) / 10000.0 - 180.0 END AS lon
+  FROM documents WHERE doc_id % 10 < 7
+)
+"""
+
+SQL_LINKS_CTE = """
+n AS (SELECT COUNT(*) AS c FROM documents),
+links AS (
+  SELECT doc_id AS src, lang AS src_lang,
+         (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, lang, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, lang, doc_id % 2 FROM documents
+)
+"""
+
+
+def _geotagged(sf_dir: str) -> Dataset:
+    cfg = DEFAULT_CONFIG
+    return gp.geocode(gp.extract(gp.load_pages(sf_dir), cfg), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Q: extract_text — the byte-identical invariant, oracle-checked
+
+
+def q_extract_text(sf_dir: str) -> Dataset:
+    ex = gp.extract(gp.load_pages(sf_dir))
+    return ex.select_columns(["url", "text"])
+
+
+SQL_EXTRACT_TEXT = """
+SELECT 'https://' || lang || '.example.org/wiki/Doc_' || doc_id AS url,
+       text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_counts — extract → encode → per-tile aggregation (I6 + I7)
+
+
+def q_tile_counts(sf_dir: str) -> Dataset:
+    return gp.tile_aggregate(_geotagged(sf_dir))
+
+
+SQL_TILE_COUNTS = f"""
+WITH {SQL_GEO_CTE}
+SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+       CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                  / 2.0 * 4096) AS INTEGER) AS tile_y,
+       COUNT(*) AS n_pages
+FROM geo
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: admin_counts — PIP join against the level-0 rectangle grid (I4/D11)
+
+
+def q_admin_counts(sf_dir: str) -> Dataset:
+    ds = gp.pip_join(_geotagged(sf_dir))
+
+    def keep_geo(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("has_geo")).select(["admin_code"])
+
+    ds = ds.map_batches(keep_geo, batch_format="pyarrow")
+    return partial_count(ds, ["admin_code"], out="n_pages")
+
+
+SQL_ADMIN_COUNTS = f"""
+WITH {SQL_GEO_CTE}
+SELECT CASE WHEN lon >= 180.0 OR lat >= 90.0 THEN NULL
+            ELSE 'A' || CAST(CAST(FLOOR((lat + 90.0) / 30.0) AS INTEGER) AS VARCHAR)
+                 || '_' || CAST(CAST(FLOOR((lon + 180.0) / 30.0) AS INTEGER) AS VARCHAR)
+       END AS admin_code,
+       COUNT(*) AS n_pages
+FROM geo
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: metro_counts — PIP against hexagon metros (half-plane oracle)
+
+
+def q_metro_counts(sf_dir: str) -> Dataset:
+    ds = gp.pip_join(_geotagged(sf_dir))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("has_geo")).select(["metro_code"])
+
+    return partial_count(ds.map_batches(keep, batch_format="pyarrow"),
+                         ["metro_code"], out="n_pages")
+
+
+def _metro_case_sql() -> str:
+    from ..sources.admin_fixtures import METRO_RADIUS_DEG
+    from ..sources.pages_gen import MEGACITIES
+
+    r = METRO_RADIUS_DEG
+    cases = []
+    for i, (clat, clon) in enumerate(MEGACITIES):
+        cond = (
+            f"ABS(lat - ({clat!r})) <= {r!r} * SQRT(3.0) / 2.0"
+            f" AND ABS(SQRT(3.0) * (lon - ({clon!r})) + (lat - ({clat!r}))) <= {r!r} * SQRT(3.0)"
+            f" AND ABS(SQRT(3.0) * (lon - ({clon!r})) - (lat - ({clat!r}))) <= {r!r} * SQRT(3.0)"
+        )
+        cases.append(f"WHEN {cond} THEN 'M{i}'")
+    return "CASE " + " ".join(cases) + " ELSE NULL END"
+
+
+SQL_METRO_COUNTS = f"""
+WITH {SQL_GEO_CTE}
+SELECT {_metro_case_sql()} AS metro_code,
+       COUNT(*) AS n_pages
+FROM geo
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: knn_places — kNN place matching (I5/D12)
+
+
+def q_knn_places(sf_dir: str) -> Dataset:
+    return gp.knn_join(_geotagged(sf_dir))
+
+
+SQL_KNN_PLACES = f"""
+WITH {SQL_GEO_CTE},
+places AS (
+  SELECT place_id,
+         ((place_id * 9973) % 1600001) / 10000.0 - 80.0 AS plat,
+         ((place_id * 99991) % 3600001) / 10000.0 - 180.0 AS plon
+  FROM range(2000) t(place_id)
+),
+scored AS (
+  SELECT g.doc_id, p.place_id,
+         SQRT((p.plat - g.lat) * (p.plat - g.lat)
+              + (p.plon - g.lon) * (p.plon - g.lon)) AS knn_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY g.doc_id
+           ORDER BY (p.plat - g.lat) * (p.plat - g.lat)
+                    + (p.plon - g.lon) * (p.plon - g.lon), p.place_id
+         ) AS rnk
+  FROM geo g CROSS JOIN places p
+)
+SELECT doc_id, place_id, CAST(rnk AS INTEGER) AS knn_rank, knn_dist
+FROM scored WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: importance — reference scoring semantics over web pages (E1-E5)
+
+
+def q_importance(sf_dir: str) -> Dataset:
+    cfg = DEFAULT_CONFIG
+    pages = gp.load_pages(sf_dir)
+    links = gp.extract(pages, cfg, emit="outlinks")
+    # E1/E2: in-link counts per (target, source language) — combiner first
+    counts = partial_count(links, ["target_doc_id", "src_lang"], out="cnt")
+
+    # page side: lang + geo flag per doc (the article table analog)
+    articles = gp.extract(pages, cfg).select_columns(["doc_id", "lang", "has_geo"])
+
+    joined = counts.join(
+        articles, "inner", num_partitions=8,
+        on=("target_doc_id",), right_on=("doc_id",),
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        same = pc.equal(t.column("src_lang"), t.column("lang"))
+        cnt = t.column("cnt")
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("target_doc_id"),
+                "langcount_p": pc.if_else(same, cnt, zero),
+                "othercount_p": pc.if_else(same, zero, cnt),
+                "geo_flag": pc.cast(t.column("has_geo"), pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(split, batch_format="pyarrow")
+    agg = parts.groupby("doc_id").aggregate(
+        Sum("langcount_p", alias_name="langcount"),
+        Sum("othercount_p", alias_name="othercount"),
+        Sum("geo_flag", alias_name="_geo"),
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        total = pc.add(t.column("langcount"), t.column("othercount"))
+        return t.append_column("totalcount", total)
+
+    # small per-doc aggregate reused twice (max + scoring) → pin it once
+    # instead of re-executing the extract+join upstream (reference analog:
+    # the materialized wikipedia_article_full table)
+    agg = agg.map_batches(totals, batch_format="pyarrow").materialize()
+
+    # E4: global max(totalcount) over geotagged docs → broadcast scalar
+    maxt = (
+        agg.map_batches(
+            lambda t: t.filter(pc.greater(t.column("_geo"), 0)).select(["totalcount"]),
+            batch_format="pyarrow",
+        )
+        .max("totalcount")
+    )
+    log_maxt = math.log(maxt)
+
+    # E5: GREATEST(LN(total)/LN(max), 1e-10), rounded to 9 dp (float policy)
+    def score(t: pa.Table) -> pa.Table:
+        total = t.column("totalcount").to_numpy().astype(np.float64)
+        imp = np.maximum(np.log(total) / log_maxt, 1e-10)
+        out = t.drop_columns(["_geo"])
+        return out.append_column("importance", pa.array(np.round(imp, 9)))
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+SQL_IMPORTANCE = f"""
+WITH {SQL_LINKS_CTE},
+counts AS (
+  SELECT l.tgt AS doc_id,
+         COUNT(*) FILTER (WHERE l.src_lang = d.lang) AS langcount,
+         COUNT(*) FILTER (WHERE l.src_lang <> d.lang) AS othercount
+  FROM links l JOIN documents d ON d.doc_id = l.tgt
+  GROUP BY l.tgt
+),
+scored AS (
+  SELECT doc_id, langcount, othercount,
+         langcount + othercount AS totalcount
+  FROM counts
+),
+maxt AS (SELECT MAX(totalcount) AS m FROM scored WHERE doc_id % 10 < 7)
+SELECT doc_id, langcount, othercount, totalcount,
+       ROUND(GREATEST(LN(totalcount) / LN((SELECT m FROM maxt)), 1e-10), 9)
+         AS importance
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: language_counts — E6/D10 analog (per-language sizes)
+
+
+def q_language_counts(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return partial_count(docs, ["lang"], out="n_docs")
+
+
+SQL_LANGUAGE_COUNTS = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "tile_counts": q_tile_counts,
+    "admin_counts": q_admin_counts,
+    "metro_counts": q_metro_counts,
+    "knn_places": q_knn_places,
+    "importance": q_importance,
+    "language_counts": q_language_counts,
+}
+
+ORACLES = {
+    "extract_text": SQL_EXTRACT_TEXT,
+    "tile_counts": SQL_TILE_COUNTS,
+    "admin_counts": SQL_ADMIN_COUNTS,
+    "metro_counts": SQL_METRO_COUNTS,
+    "knn_places": SQL_KNN_PLACES,
+    "importance": SQL_IMPORTANCE,
+    "language_counts": SQL_LANGUAGE_COUNTS,
+}
