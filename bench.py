@@ -1,0 +1,135 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...}
+
+The flagship (extract→encode→PIP→tile) runs over a deterministic
+``multiplier × documents`` replicated pages corpus (default 40×; override
+with GRAFT_PAGES_MULT) so throughput and scaling are measurable — 5k raw
+docs finish in noise. Corpus generation is cached and untimed.
+
+``--scaling``: re-runs this script in fresh processes at num_cpus=8 and 32
+on the SAME input and reports both throughputs + scaling efficiency
+(= (t8/t32)/4). Evidence for the north rule's two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("GRAFT_PAGES_MULT", "40"))
+
+    from wikipedia_wikidata_ray.sources.pages_gen import ensure_bench_pages_parquet
+
+    pages_path = ensure_bench_pages_parquet(sf_dir, mult)  # cached, untimed
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from wikipedia_wikidata_ray.config import DEFAULT_CONFIG
+    from wikipedia_wikidata_ray.pipelines import geopipeline as gp
+    from wikipedia_wikidata_ray.pipelines.queries import q_importance
+
+    cfg = DEFAULT_CONFIG
+    timings: dict[str, float] = {}
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    rd.read_parquet(pages_path).count()
+
+    def pages_ds():
+        return rd.read_parquet(pages_path)
+
+    n_pages = pages_ds().count()
+
+    # --- headline: flagship extract → encode → PIP → tile ---------------
+    t0 = time.perf_counter()
+    tiles = gp.tile_aggregate(gp.pip_join(gp.geocode(gp.extract(pages_ds(), cfg), cfg), cfg), cfg)
+    n_tiles = tiles.count()
+    timings["flagship_extract_encode_pip_tile"] = time.perf_counter() - t0
+
+    # --- kNN place-matching branch ---------------------------------------
+    t0 = time.perf_counter()
+    kn = gp.knn_join(gp.geocode(gp.extract(pages_ds(), cfg), cfg), cfg)
+    kn_rows = kn.count()
+    timings["knn_places"] = time.perf_counter() - t0
+
+    # --- importance scoring (links shuffle + join + grouped sums) --------
+    t0 = time.perf_counter()
+    imp_rows = q_importance(sf_dir).count()
+    timings["importance"] = time.perf_counter() - t0
+
+    headline = timings["flagship_extract_encode_pip_tile"]
+    return {
+        "metric": "flagship extract→encode→PIP→tile wall sec on replicated pages corpus",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / headline, 1),
+        "rows": {"tiles": n_tiles, "knn": kn_rows, "importance": imp_rows},
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 vs 32, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_pages": r_hi["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

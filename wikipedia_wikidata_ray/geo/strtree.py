@@ -99,17 +99,61 @@ class STRtree:
         return self.order[nodes]
 
     def query_points(self, xs: np.ndarray, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Batch query → (point_idx, box_idx) candidate pairs.
+        """Batch query → (point_idx, box_idx) candidate pairs, fully
+        vectorized.
 
-        For small trees (< 4 levels) the per-point descent dominates; the
-        PIP stage therefore groups identical coarse cells before querying.
+        Small trees (≤ 512 boxes) use a dense broadcast containment test —
+        cheaper than any traversal at batch sizes in the thousands. Larger
+        trees use level-synchronous frontier expansion: one (point, node)
+        pair array per level, expanded with numpy repeats — no Python
+        per-point loop.
         """
-        pts, bxs = [], []
-        for p in range(len(xs)):
-            c = self.query_point(float(xs[p]), float(ys[p]))
-            if len(c):
-                pts.append(np.full(len(c), p, dtype=np.int64))
-                bxs.append(c)
-        if not pts:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        return np.concatenate(pts), np.concatenate(bxs)
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if self.n == 0 or len(xs) == 0:
+            return empty
+
+        if self.n <= 512:
+            # dense: (n_points, n_boxes) broadcast — vectorized end to end
+            b = self.boxes
+            hit = (
+                (b[None, :, 0] <= xs[:, None])
+                & (b[None, :, 1] <= ys[:, None])
+                & (b[None, :, 2] >= xs[:, None])
+                & (b[None, :, 3] >= ys[:, None])
+            )
+            p_idx, slot = np.nonzero(hit)
+            return p_idx, self.order[slot]
+
+        # frontier descent: start every point at every top-level node hit
+        top = len(self.levels) - 1
+        lvl = self.levels[top]
+        hit = (
+            (lvl[None, :, 0] <= xs[:, None])
+            & (lvl[None, :, 1] <= ys[:, None])
+            & (lvl[None, :, 2] >= xs[:, None])
+            & (lvl[None, :, 3] >= ys[:, None])
+        )
+        p_idx, nodes = np.nonzero(hit)
+        for d in range(top, -1, -1):
+            if len(nodes) == 0:
+                return empty
+            ranges = self.children[d][nodes]
+            counts = ranges[:, 1] - ranges[:, 0]
+            # expand each (point, node) pair to its children
+            child_idx = np.repeat(ranges[:, 0], counts) + (
+                np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            p_exp = np.repeat(p_idx, counts)
+            child = self.levels[d - 1] if d > 0 else self.boxes
+            seg = child[child_idx]
+            px = xs[p_exp]
+            py = ys[p_exp]
+            ok = (
+                (seg[:, 0] <= px) & (seg[:, 1] <= py)
+                & (seg[:, 2] >= px) & (seg[:, 3] >= py)
+            )
+            p_idx = p_exp[ok]
+            nodes = child_idx[ok]
+        return p_idx, self.order[nodes]

@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (north-rule suite).
+
+- ``BruteCosineTopK``: exact baseline — per batch, float64 cosine of the
+  batch's vectors against a broadcast candidate matrix (numpy matmul);
+  top-k by (similarity desc, id asc).
+- ``IVFCosineTopK``: the scale path — k-means-style inverted-file index
+  (centroids fit once driver-side, candidates bucketed per centroid);
+  each query probes ``nprobe`` nearest centroid buckets. Approximate;
+  recall measured against the brute baseline in tests.
+- ``embedding_neardup_pairs``: near-duplicate pairs (cosine ≥ threshold)
+  via the same broadcast matmul.
+
+The candidate matrix is broadcast once with ``ray.put`` and normalized in
+each actor's ``__init__``. At planet scale the matrix shards by IVF
+bucket; the per-actor structure is the per-shard index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _as_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix (zero-copy flat values)."""
+    arrs = []
+    for chunk in col.chunks:
+        flat = chunk.values.to_numpy(zero_copy_only=False)
+        arrs.append(flat.reshape(len(chunk), -1))
+    return np.concatenate(arrs).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteCosineTopK:
+    def __init__(self, candidates_ref, k: int = 5, exclude_self: bool = True):
+        import ray
+
+        cand = (
+            ray.get(candidates_ref)
+            if isinstance(candidates_ref, ray.ObjectRef)
+            else candidates_ref
+        )
+        self.ids = np.asarray(cand["vec_id"], dtype=np.int64)
+        self.matrix = _normalize(np.asarray(cand["matrix"], dtype=np.float64))
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = _normalize(_as_matrix(batch.column("embedding")))
+        qid = batch.column("vec_id").to_numpy()
+        sims = q @ self.matrix.T  # (B, N)
+        if self.exclude_self:
+            self_mask = qid[:, None] == self.ids[None, :]
+            sims = np.where(self_mask, -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        order = np.lexsort((self.ids[None, :].repeat(len(qid), 0), -sims), axis=1)[:, :k]
+        rows = np.arange(len(qid))[:, None]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(qid, k)),
+                "neighbor_id": pa.array(self.ids[order].ravel()),
+                "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int32), len(qid))),
+                "sim": pa.array(np.round(sims[rows, order].ravel(), 6)),
+            }
+        )
+
+
+class IVFCosineTopK:
+    """Inverted-file approximate top-k: probe the ``nprobe`` closest
+    centroid buckets only. Centroids/buckets built once per actor from the
+    broadcast candidate set."""
+
+    def __init__(self, candidates_ref, k: int = 5, n_centroids: int = 16,
+                 nprobe: int = 4, iters: int = 10, seed: int = 11,
+                 exclude_self: bool = True):
+        import ray
+
+        cand = (
+            ray.get(candidates_ref)
+            if isinstance(candidates_ref, ray.ObjectRef)
+            else candidates_ref
+        )
+        self.ids = np.asarray(cand["vec_id"], dtype=np.int64)
+        m = _normalize(np.asarray(cand["matrix"], dtype=np.float64))
+        self.matrix = m
+        self.k = k
+        self.nprobe = min(nprobe, n_centroids)
+        self.exclude_self = exclude_self
+
+        # deterministic spherical k-means (Lloyd on cosine)
+        rng = np.random.default_rng(seed)
+        cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+        for _ in range(iters):
+            assign = (m @ cent.T).argmax(axis=1)
+            for c in range(len(cent)):
+                sel = m[assign == c]
+                if len(sel):
+                    v = sel.sum(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        cent[c] = v / nv
+        self.centroids = cent
+        assign = (m @ cent.T).argmax(axis=1)
+        self.buckets = [np.nonzero(assign == c)[0] for c in range(len(cent))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = _normalize(_as_matrix(batch.column("embedding")))
+        qid = batch.column("vec_id").to_numpy()
+        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.nprobe]
+        out_q, out_n, out_r, out_s = [], [], [], []
+        for i in range(len(qid)):
+            cand_idx = np.concatenate([self.buckets[c] for c in probe[i]])
+            if len(cand_idx) == 0:
+                continue
+            sims = self.matrix[cand_idx] @ q[i]
+            ids = self.ids[cand_idx]
+            if self.exclude_self:
+                sims = np.where(ids == qid[i], -np.inf, sims)
+            k = min(self.k, len(cand_idx))
+            order = np.lexsort((ids, -sims))[:k]
+            out_q.append(np.full(k, qid[i], dtype=np.int64))
+            out_n.append(ids[order])
+            out_r.append(np.arange(1, k + 1, dtype=np.int32))
+            out_s.append(np.round(sims[order], 6))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "rank": pa.array(np.concatenate(out_r)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def load_candidates(sf_dir: str) -> dict:
+    """Driver-side: embeddings parquet → broadcastable {vec_id, matrix}."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return {
+        "vec_id": t.column("vec_id").to_numpy(),
+        "matrix": _as_matrix(t.column("embedding")),
+    }
+
+
+def ann_topk(ds: Dataset, candidates: dict, k: int = 5, variant: str = "brute",
+             **kw) -> Dataset:
+    import ray
+
+    ref = ray.put(candidates)
+    cls = BruteCosineTopK if variant == "brute" else IVFCosineTopK
+    return ds.map_batches(
+        cls,
+        fn_constructor_args=(ref,),
+        fn_constructor_kwargs=dict(k=k, **kw),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def embedding_neardup_pairs(ds: Dataset, candidates: dict, threshold: float = 0.95) -> Dataset:
+    """(vec_a < vec_b, sim) pairs with cosine ≥ threshold."""
+    import ray
+
+    ref = ray.put(candidates)
+
+    class PairFinder:
+        def __init__(self):
+            cand = ray.get(ref)
+            self.ids = np.asarray(cand["vec_id"], dtype=np.int64)
+            self.matrix = _normalize(np.asarray(cand["matrix"], dtype=np.float64))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q = _normalize(_as_matrix(batch.column("embedding")))
+            qid = batch.column("vec_id").to_numpy()
+            sims = q @ self.matrix.T
+            qi, ci = np.nonzero((sims >= threshold) & (qid[:, None] < self.ids[None, :]))
+            return pa.table(
+                {
+                    "vec_a": pa.array(qid[qi]),
+                    "vec_b": pa.array(self.ids[ci]),
+                    "sim": pa.array(np.round(sims[qi, ci], 6)),
+                }
+            )
+
+    return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=1024,
+                          concurrency=(1, 4))

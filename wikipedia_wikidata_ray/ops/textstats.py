@@ -1,0 +1,169 @@
+"""Text analysis operators for a training-data pipeline (north-rule
+"beyond the reference" suite): token counting, quality scoring, language
+ID, document fingerprinting.
+
+All run as ``map_batches`` stages; ``TextStats`` is a callable class so
+compiled regexes + the stopword set live once per actor
+(SURVEY.md §2.C actor-pool rule). Tokenization uses the simple pattern
+``[a-z0-9]+`` over lowercased text so the DuckDB oracle
+(``regexp_extract_all(lower(text), '[a-z0-9]+')`` — both engines are RE2)
+counts identically.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+# tiny fixed stopword set — mirrored verbatim in the SQL oracle
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "on", "for", "with")
+
+
+class TextStats:
+    """doc table → per-doc statistics.
+
+    Output columns (exact int/int double ratios — bitwise SQL-matchable):
+    ``doc_id, n_tokens, n_chars_text, n_stopwords, stop_ratio, uniq_ratio,
+    mean_token_len``.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(TOKEN_PATTERN)
+        self.stop = frozenset(STOPWORDS)
+
+    def tokens(self, text: str) -> list[str]:
+        return self.tok.findall(text.lower())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        n_chars = np.zeros(n, dtype=np.int64)
+        n_stop = np.zeros(n, dtype=np.int64)
+        n_uniq = np.zeros(n, dtype=np.int64)
+        tok_chars = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = self.tokens(t)
+            n_tokens[i] = len(toks)
+            n_chars[i] = len(t)
+            n_stop[i] = sum(1 for w in toks if w in self.stop)
+            n_uniq[i] = len(set(toks))
+            tok_chars[i] = sum(len(w) for w in toks)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            stop_ratio = np.where(n_tokens > 0, n_stop / n_tokens, 0.0)
+            uniq_ratio = np.where(n_tokens > 0, n_uniq / n_tokens, 0.0)
+            mean_len = np.where(n_tokens > 0, tok_chars / n_tokens, 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_tokens": pa.array(n_tokens),
+                "n_chars_text": pa.array(n_chars),
+                "n_stopwords": pa.array(n_stop),
+                "stop_ratio": pa.array(stop_ratio),
+                "uniq_ratio": pa.array(uniq_ratio),
+                "mean_token_len": pa.array(mean_len),
+            }
+        )
+
+
+def _stable_hash64(token: str) -> int:
+    """Deterministic 64-bit token hash (crc32 of token and its reverse) —
+    process-independent, unlike Python ``hash``."""
+    b = token.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+
+
+class SimHasher:
+    """64-bit SimHash fingerprints over token hashes.
+
+    Near-identical documents differ in few bits → hamming-ball grouping by
+    16-bit bands finds near-dup candidates (ops/dedup.py)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok = re.compile(TOKEN_PATTERN)
+
+    def simhash(self, text: str) -> int:
+        toks = self.tok.findall(text.lower())
+        if not toks:
+            return 0
+        hashes = np.fromiter(
+            (_stable_hash64(w) for w in toks), dtype=np.uint64, count=len(toks)
+        )
+        bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        return int((weights[acc > 0]).sum(dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        hashes = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "simhash": pa.array(hashes),
+            }
+        )
+
+
+def fit_langid_profiles(texts: list[str], langs: list[str], top: int = 300) -> dict[str, dict[str, float]]:
+    """Per-language character-trigram frequency profiles (classic n-gram
+    langid heuristic — Cavnar & Trenkle style). Driver-side fit over a
+    small sample; the result is broadcast to LangId actors."""
+    from collections import Counter, defaultdict
+
+    counters: dict[str, Counter] = defaultdict(Counter)
+    for t, l in zip(texts, langs):
+        s = " " + re.sub(r"\s+", " ", t.lower()) + " "
+        counters[l].update(s[i : i + 3] for i in range(len(s) - 2))
+    profiles = {}
+    for l, c in counters.items():
+        total = sum(c.values()) or 1
+        profiles[l] = {g: n / total for g, n in c.most_common(top)}
+    return profiles
+
+
+class LangId:
+    """Trigram-profile language classifier (actor-pool stage; profiles
+    broadcast once via ray.put)."""
+
+    def __init__(self, profiles_ref, text_col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        self.profiles = (
+            ray.get(profiles_ref)
+            if isinstance(profiles_ref, ray.ObjectRef)
+            else profiles_ref
+        )
+        self.langs = sorted(self.profiles)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ws = re.compile(r"\s+")
+
+    def predict(self, text: str) -> str:
+        s = " " + self.ws.sub(" ", text.lower()) + " "
+        grams = [s[i : i + 3] for i in range(len(s) - 2)]
+        best_lang, best_score = self.langs[0], -1.0
+        for l in self.langs:
+            p = self.profiles[l]
+            score = sum(p.get(g, 0.0) for g in grams)
+            if score > best_score:
+                best_lang, best_score = l, score
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "pred_lang": pa.array([self.predict(t) for t in texts], type=pa.string()),
+            }
+        )

@@ -33,6 +33,16 @@ from ..stages.geocode import encode_batch
 from ..stages.salted import partial_count
 
 
+def _pool_max(floor: int = 4) -> int:
+    """Actor-pool upper bound scaled to the session's CPU budget — pools
+    must grow with cluster size or added nodes sit idle."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", floor))
+    except Exception:
+        cpus = floor
+    return max(floor, cpus)
+
+
 def load_pages(sf_dir: str, parallelism: int | None = None) -> Dataset:
     """pages Dataset for an sf dir (generating the parquet if absent)."""
     path = ensure_pages_parquet(sf_dir)
@@ -48,7 +58,7 @@ def extract(pages: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, emit: str = "ext
         fn_constructor_args=(emit,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_extract,
-        concurrency=(2, 8),
+        concurrency=(1, _pool_max()),
         num_cpus=1,
     )
 
@@ -68,7 +78,7 @@ def pip_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, polygons=None) -> 
         fn_constructor_args=(ref, 0, "admin_code"),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_default,
-        concurrency=(2, cfg.pip_pool),
+        concurrency=(1, _pool_max()),
         num_cpus=1,
     )
     return ds.map_batches(
@@ -76,7 +86,7 @@ def pip_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, polygons=None) -> 
         fn_constructor_args=(ref, 1, "metro_code"),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_default,
-        concurrency=(2, cfg.pip_pool),
+        concurrency=(1, _pool_max()),
         num_cpus=1,
     )
 
@@ -88,7 +98,7 @@ def knn_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, key_cols=("doc_id"
         fn_constructor_args=(ref, cfg.knn_k, tuple(key_cols)),
         batch_format="pyarrow",
         batch_size=cfg.batch_size_default,
-        concurrency=(2, cfg.knn_pool),
+        concurrency=(1, _pool_max()),
         num_cpus=1,
     )
 

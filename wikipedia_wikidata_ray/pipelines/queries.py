@@ -299,6 +299,41 @@ SQL_LANGUAGE_COUNTS = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY l
 
 
 # ---------------------------------------------------------------------------
+# Q: page_importance_export — the full reference output pipeline
+# (F3/D8/D9/F8/E6/D10/F1; see pipelines/wikimedia.py)
+
+
+def q_page_importance_export(sf_dir: str) -> Dataset:
+    from .wikimedia import q_page_importance_export as impl
+
+    return impl(sf_dir)
+
+
+def _sql_page_importance_export() -> str:
+    from .wikimedia import SQL_PAGE_IMPORTANCE_EXPORT_BODY
+
+    return (
+        "WITH "
+        + SQL_LINKS_CTE.strip().lstrip()
+        + """,
+counts AS (
+  SELECT l.tgt AS doc_id,
+         COUNT(*) FILTER (WHERE l.src_lang = d.lang) AS langcount,
+         COUNT(*) FILTER (WHERE l.src_lang <> d.lang) AS othercount
+  FROM links l JOIN documents d ON d.doc_id = l.tgt
+  GROUP BY l.tgt
+),
+scored AS (
+  SELECT doc_id, langcount, othercount, langcount + othercount AS totalcount
+  FROM counts
+),
+maxt AS (SELECT MAX(totalcount) AS m FROM scored WHERE doc_id % 10 < 7),
+"""
+        + SQL_PAGE_IMPORTANCE_EXPORT_BODY
+    )
+
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "extract_text": q_extract_text,
@@ -308,7 +343,14 @@ QUERIES = {
     "knn_places": q_knn_places,
     "importance": q_importance,
     "language_counts": q_language_counts,
+    "page_importance_export": q_page_importance_export,
 }
+
+from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
+from .trainingdata import TRAININGDATA_ORACLES, TRAININGDATA_QUERIES  # noqa: E402
+
+QUERIES.update(RELATIONAL_QUERIES)
+QUERIES.update(TRAININGDATA_QUERIES)
 
 ORACLES = {
     "extract_text": SQL_EXTRACT_TEXT,
@@ -318,4 +360,8 @@ ORACLES = {
     "knn_places": SQL_KNN_PLACES,
     "importance": SQL_IMPORTANCE,
     "language_counts": SQL_LANGUAGE_COUNTS,
+    "page_importance_export": _sql_page_importance_export(),
 }
+
+ORACLES.update(RELATIONAL_ORACLES)
+ORACLES.update(TRAININGDATA_ORACLES)

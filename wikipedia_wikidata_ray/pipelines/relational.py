@@ -1,0 +1,428 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables.
+
+Each query maps a reference operator shape (SURVEY.md §2.D/E/F) onto the
+provided tables so the driver's DuckDB gate exercises the engine's joins,
+aggregations, sorts, dedups and set ops:
+
+- D1-style inner hash join .............. customer_order_counts
+- D2-style multi-join + grouped sum ..... nation_revenue
+- D8 semi-join .......................... customers_with_orders
+- D9 anti-join .......................... customers_without_orders
+- E1/E2 grouped aggregation ............. pricing_summary, segment_stats
+- windowed (streaming-shaped) aggregate . events_hourly
+- F1/F7 global sort + limit ............. top_orders
+- F4 exact dedup ........................ distinct_flag_status
+- F5 first-wins per key ................. first_order_per_customer
+
+Float policy: money columns are exact at 2 decimals in the test data, so
+sums are computed in integer cents (exact, order-independent — safe for
+the driver's value hash) and divided by 100.0 only at the end; the SQL
+oracles do the identical integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.salted import partial_count
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray) -> pa.Array:
+    """Exact integer cents from a 2-dp double column."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str) -> Dataset:
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        disc_price = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)
+        )
+        out = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "price_c": price_c,
+                "disc_price_c4": disc_price,  # cents × 100
+            }
+        )
+        # combiner: collapse to one row per key per batch before the shuffle
+        g = out.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_c", "sum"), ("disc_price_c4", "sum"),
+             ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "price_c", "disc_price_c4", "cnt"]
+        )
+
+    agg = li.map_batches(prep, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_c", alias_name="_pc"),
+        Sum("disc_price_c4", alias_name="_dp"),
+        Sum("cnt", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": t.column("sum_qty"),
+                "sum_base_price": pc.divide(
+                    pc.cast(t.column("_pc"), pa.float64()), pa.scalar(100.0)
+                ),
+                "sum_disc_price": pc.divide(
+                    pc.cast(t.column("_dp"), pa.float64()), pa.scalar(10000.0)
+                ),
+                "count_order": t.column("count_order"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders(sf_dir: str) -> Dataset:
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    return orders.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(100)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_customer_order_counts(sf_dir: str) -> Dataset:
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = partial_count(orders, ["o_custkey"], out="n_orders")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = counts.join(cust, "inner", num_partitions=4,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "n_orders": t.column("n_orders"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_nation_revenue(sf_dir: str) -> Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_c4": pc.multiply(
+                    price_c, pc.subtract(pa.scalar(100, type=pa.int64()), disc_c)
+                ),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = li.join(orders, "inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = j1.join(cust, "inner", num_partitions=4,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    # nation is 25 rows → broadcast lookup, no shuffle (SURVEY.md §2.D4)
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([nmap[k] for k in nk], type=pa.string()),
+                "rev_c4": t.column("rev_c4"),
+            }
+        )
+
+    agg = (
+        j2.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c4", alias_name="_r"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t.column("n_name"),
+                "revenue": pc.divide(pc.cast(t.column("_r"), pa.float64()),
+                                     pa.scalar(10000.0)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_customers_without_orders(sf_dir: str) -> Dataset:
+    """Anti-join D9 shape: customers with no order above 300k (plain
+    "no orders" is empty in this data — an empty Dataset also loses its
+    schema, so the filtered variant keeps the check meaningful)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0)))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return cust.join(big, "left_anti", num_partitions=4,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+ANTI JOIN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) o
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_customers_with_orders(sf_dir: str) -> Dataset:
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return cust.join(orders, "left_semi", num_partitions=4,
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+SEMI JOIN orders o ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_first_order_per_customer(sf_dir: str) -> Dataset:
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        # F5 with a DEFINED deterministic rule (earliest date, then lowest
+        # key) — the reference's DISTINCT ON here is unstable
+        # (steps/wikidata_process.sh:51-66, SURVEY.md §2.F5)
+        return g.sort_values(["o_orderdate", "o_orderkey"]).head(1)
+
+    return orders.groupby("o_custkey").map_groups(first, batch_format="pandas")
+
+
+SQL_FIRST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str) -> Dataset:
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        hour = pc.multiply(pc.divide(us, pa.scalar(3_600_000_000)),
+                           pa.scalar(3_600_000_000))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(hour, pa.timestamp("us")),
+                "value_c": _cents(t.column("value")),
+                "value": t.column("value"),
+            }
+        )
+
+    agg = ev.map_batches(prep, batch_format="pyarrow").groupby(
+        ["event_type", "hour"]
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_c", alias_name="_sv"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": t.column("hour"),
+                "n_events": t.column("n_events"),
+                "sum_value": pc.divide(pc.cast(t.column("_sv"), pa.float64()),
+                                       pa.scalar(100.0)),
+                "min_value": t.column("min_value"),
+                "max_value": t.column("max_value"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type, DATE_TRUNC('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_segment_stats(sf_dir: str) -> Dataset:
+    cust = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "bal_c": _cents(t.column("c_acctbal")),
+            }
+        )
+
+    agg = cust.map_batches(prep, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(Count(alias_name="n_customers"), Sum("bal_c", alias_name="_b"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_customers": t.column("n_customers"),
+                "sum_acctbal": pc.divide(pc.cast(t.column("_b"), pa.float64()),
+                                         pa.scalar(100.0)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SEGMENT_STATS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_flag_status(sf_dir: str) -> Dataset:
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    dedup = partial_count(li, ["l_returnflag", "l_linestatus"], out="_c")
+    return dedup.select_columns(["l_returnflag", "l_linestatus"])
+
+
+SQL_DISTINCT_FLAG_STATUS = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+RELATIONAL_QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "customer_order_counts": q_customer_order_counts,
+    "nation_revenue": q_nation_revenue,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders": q_customers_with_orders,
+    "first_order_per_customer": q_first_order_per_customer,
+    "events_hourly": q_events_hourly,
+    "segment_stats": q_segment_stats,
+    "distinct_flag_status": q_distinct_flag_status,
+}
+
+RELATIONAL_ORACLES = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_orders": SQL_TOP_ORDERS,
+    "customer_order_counts": SQL_CUSTOMER_ORDER_COUNTS,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
+    "first_order_per_customer": SQL_FIRST_ORDER_PER_CUSTOMER,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "segment_stats": SQL_SEGMENT_STATS,
+    "distinct_flag_status": SQL_DISTINCT_FLAG_STATUS,
+}

@@ -1,0 +1,279 @@
+"""Training-data pipeline queries: dedup, text analysis, similarity search
+(north-rule "beyond the reference" suite; first-class per the brief).
+
+Dedup queries run over a **dup-augmented** corpus derived from
+``documents`` with closed-form arithmetic (so the DuckDB oracle can build
+the identical corpus): every doc with ``doc_id % 5 == 0`` gains an exact
+copy at ``doc_id + N``. Same pattern for embeddings (``vec_id % 10 == 0``
+→ copy at ``vec_id + N``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..ops.ann import ann_topk, embedding_neardup_pairs, load_candidates
+from ..ops.dedup import exact_dedup, minhash_lsh_pairs
+from ..ops.textstats import STOPWORDS, LangId, SimHasher, TextStats, fit_langid_profiles
+
+# ---------------------------------------------------------------------------
+# dup-augmented corpora (closed-form, SQL-replicable)
+
+
+def _augmented_docs(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def dup(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = t.filter(pa.array(ids % 5 == 0))
+        shifted = keep.set_column(
+            0, "doc_id", pc.add(keep["doc_id"], pa.scalar(n, type=pa.int64()))
+        )
+        return pa.concat_tables([t, shifted])
+
+    return docs.map_batches(dup, batch_format="pyarrow")
+
+
+SQL_DOCS2_CTE = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT COUNT(*) FROM documents), text
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def _augmented_embeddings(sf_dir: str) -> Dataset:
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+
+    def dup(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        keep = t.filter(pa.array(ids % 10 == 0))
+        shifted = keep.set_column(
+            0, "vec_id", pc.add(keep["vec_id"], pa.scalar(n, type=pa.int64()))
+        )
+        return pa.concat_tables([t, shifted])
+
+    return emb.map_batches(dup, batch_format="pyarrow")
+
+
+def _augmented_candidates(sf_dir: str) -> dict:
+    cand = load_candidates(sf_dir)
+    n = len(cand["vec_id"])
+    sel = cand["vec_id"] % 10 == 0
+    return {
+        "vec_id": np.concatenate([cand["vec_id"], cand["vec_id"][sel] + n]),
+        "matrix": np.concatenate([cand["matrix"], cand["matrix"][sel]]),
+    }
+
+
+SQL_EMB2_CTE = """
+emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT COUNT(*) FROM embeddings), embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: doc_stats — token counting + quality features (oracle-checked)
+
+
+def q_doc_stats(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(TextStats, batch_format="pyarrow", concurrency=(1, 8))
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+SQL_DOC_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, LENGTH(text) AS n_chars_text,
+         regexp_extract_all(LOWER(text), '[a-z0-9]+') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       LEN(tk) AS n_tokens,
+       n_chars_text,
+       LEN(list_filter(tk, x -> x IN ({_STOP_SQL}))) AS n_stopwords,
+       CASE WHEN LEN(tk) > 0
+            THEN CAST(LEN(list_filter(tk, x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                 / LEN(tk) ELSE 0.0 END AS stop_ratio,
+       CASE WHEN LEN(tk) > 0
+            THEN CAST(LEN(list_distinct(tk)) AS DOUBLE) / LEN(tk)
+            ELSE 0.0 END AS uniq_ratio,
+       CASE WHEN LEN(tk) > 0
+            THEN CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE)
+                 / LEN(tk) ELSE 0.0 END AS mean_token_len
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: exact_dup_groups — hash-partitioned exact dedup (oracle-checked)
+
+
+def q_exact_dup_groups(sf_dir: str) -> Dataset:
+    return exact_dedup(_augmented_docs(sf_dir))
+
+
+SQL_EXACT_DUP_GROUPS = f"""
+WITH {SQL_DOCS2_CTE}
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM docs2 GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: exact_dup_pairs_lsh — MinHash-LSH candidates verified down to exact
+# duplicates (oracle: text self-join). Identical texts always share every
+# band hash, so LSH recall on exact dups is 1.0 — the oracle is exact.
+
+
+def q_exact_dup_pairs_lsh(sf_dir: str) -> Dataset:
+    docs = _augmented_docs(sf_dir)
+    texts = {}
+    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
+    pairs = minhash_lsh_pairs(docs, texts, threshold=1.0)
+
+    # jaccard==1.0 on shingle sets can in principle differ from string
+    # equality; verify equality exactly via the broadcast text map
+    texts_ref = ray.put(texts)
+
+    class EqVerify:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_pylist()
+            b = t.column("doc_b").to_pylist()
+            keep = [self.texts[x] == self.texts[y] for x, y in zip(a, b)]
+            return t.filter(pa.array(keep)).select(["doc_a", "doc_b"])
+
+    return pairs.map_batches(EqVerify, batch_format="pyarrow", concurrency=(1, 2))
+
+
+SQL_EXACT_DUP_PAIRS = f"""
+WITH {SQL_DOCS2_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM docs2 a JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: near_dup_pairs_minhash — full MinHash-LSH near-dup detection
+# (threshold 0.8; rows-only — near-dup sets are not SQL-expressible)
+
+
+def q_near_dup_pairs_minhash(sf_dir: str) -> Dataset:
+    docs = _augmented_docs(sf_dir)
+    texts = {}
+    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
+    return minhash_lsh_pairs(docs, texts, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Q: simhash_fingerprints / langid (rows-only; determinism in pytest)
+
+
+def q_simhash_fingerprints(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def q_langid_predictions(sf_dir: str) -> Dataset:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    profiles = fit_langid_profiles(
+        t.column("text").to_pylist()[:2000], t.column("lang").to_pylist()[:2000]
+    )
+    ref = ray.put(profiles)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        LangId, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: ann_topk — brute-force cosine top-k (oracle: list_cosine_similarity)
+
+
+def q_ann_topk(sf_dir: str) -> Dataset:
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_topk(emb, load_candidates(sf_dir), k=5, variant="brute")
+
+
+SQL_ANN_TOPK = """
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS s,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id
+         ) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, ROUND(s, 6) AS sim
+FROM scored WHERE rnk <= 5
+"""
+
+
+def q_ann_topk_ivf(sf_dir: str) -> Dataset:
+    """Approximate IVF variant (rows-only; recall vs brute in pytest)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_topk(emb, load_candidates(sf_dir), k=5, variant="ivf")
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding_neardups — cosine ≥ 0.999 pairs over augmented embeddings
+
+
+def q_embedding_neardups(sf_dir: str) -> Dataset:
+    emb = _augmented_embeddings(sf_dir)
+    out = embedding_neardup_pairs(emb, _augmented_candidates(sf_dir), threshold=0.999)
+    return out.select_columns(["vec_a", "vec_b"])
+
+
+SQL_EMBEDDING_NEARDUPS = f"""
+WITH {SQL_EMB2_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.999
+"""
+
+
+TRAININGDATA_QUERIES = {
+    "doc_stats": q_doc_stats,
+    "exact_dup_groups": q_exact_dup_groups,
+    "exact_dup_pairs_lsh": q_exact_dup_pairs_lsh,
+    "near_dup_pairs_minhash": q_near_dup_pairs_minhash,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "langid_predictions": q_langid_predictions,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "embedding_neardups": q_embedding_neardups,
+}
+
+TRAININGDATA_ORACLES = {
+    "doc_stats": SQL_DOC_STATS,
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "exact_dup_pairs_lsh": SQL_EXACT_DUP_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_neardups": SQL_EMBEDDING_NEARDUPS,
+}

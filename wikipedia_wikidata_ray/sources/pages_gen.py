@@ -147,6 +147,49 @@ def build_pages_batch(batch: pa.Table, n_docs: int) -> pa.Table:
     )
 
 
+def ensure_bench_pages_parquet(sf_dir: str, multiplier: int = 40) -> str:
+    """Replicated pages corpus for benchmarking: ``multiplier × n_docs``
+    pages with ``doc_id ∈ [0, K·N)`` and text recycled from
+    ``documents[doc_id % N]``. Same closed-form geo/link arithmetic over the
+    full doc_id range, so skew (megacities, hot link targets) scales with
+    the corpus. Deterministic; cached under /tmp (untimed fixture step)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/wwr_pages/{tag}_x{multiplier}/pages"
+    if os.path.exists(out):
+        return out
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    n = docs.num_rows
+    total = n * multiplier
+    texts = docs.column("text")
+    langs = docs.column("lang")
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    # many files → parallel read tasks (a single file serializes the read
+    # stage and starves every downstream operator)
+    n_shards = 32
+    step = 8192
+    shard_edges = np.linspace(0, total, n_shards + 1, dtype=np.int64)
+    for s in range(n_shards):
+        writer = pq.ParquetWriter(f"{tmp}/part-{s:05d}.parquet", PAGES)
+        for off in range(shard_edges[s], shard_edges[s + 1], step):
+            ids = np.arange(off, min(off + step, int(shard_edges[s + 1])), dtype=np.int64)
+            base = pa.array(ids % n)
+            chunk = pa.Table.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pc.cast(pc.take(texts, base), pa.string()),
+                    pc.cast(pc.take(langs, base), pa.string()),
+                ],
+                names=["doc_id", "text", "lang"],
+            )
+            writer.write_table(build_pages_batch(chunk, total), row_group_size=step)
+        writer.close()
+    os.replace(tmp, out)
+    return out
+
+
 def pages_path_for(sf_dir: str) -> str:
     """Cache location for the generated pages parquet of one sf dir."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"

@@ -62,13 +62,9 @@ def add_salt(ds: Dataset, salt_from: str, fanout: int, col: str = "_salt") -> Da
     id), NOT the hot key itself."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        v = batch.column(salt_from)
-        h = pc.cast(v, pa.int64(), safe=False)
-        salt = pc.cast(
-            pc.bit_wise_and(pc.multiply_checked(h, pa.scalar(2654435761, type=pa.int64())), pa.scalar((1 << 31) - 1, type=pa.int64())),
-            pa.int64(),
-        )
-        return batch.append_column(col, pc.mod(salt, pa.scalar(fanout, type=pa.int64())))
+        v = np.asarray(batch.column(salt_from).to_numpy(zero_copy_only=False), dtype=np.int64)
+        salt = ((v * np.int64(2654435761)) & np.int64((1 << 31) - 1)) % fanout
+        return batch.append_column(col, pa.array(salt.astype(np.int64)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
