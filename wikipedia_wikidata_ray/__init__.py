@@ -19,3 +19,11 @@ Design rules (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+# Engine-wide Ray Data context tuning (polars sort path). Import-time is the
+# one hook every entry point (driver-imported __ray_entry__, bench.py,
+# tests) shares; idempotent and Ray-init-free.
+from .config import tune_data_context as _tune  # noqa: E402
+
+_tune()
+del _tune

@@ -105,24 +105,67 @@ class PIPJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        out = np.full(len(batch), None, dtype=object)
-        assigned = np.zeros(len(batch), dtype=bool)
-        valid = ~(np.isnan(lat) | np.isnan(lon))
-        if valid.any():
-            vi = np.nonzero(valid)[0]
-            p_idx, b_idx = self.polys.tree.query_points(lon[vi], lat[vi])
-            # exact test per candidate polygon, vectorized over its points;
-            # np.unique ascends → lowest polygon id wins (deterministic)
-            for poly in np.unique(b_idx):
-                sel = p_idx[b_idx == poly]
-                hit = points_in_polygon(
-                    lon[vi[sel]],
-                    lat[vi[sel]],
-                    self.polys.rings_x[poly],
-                    self.polys.rings_y[poly],
-                )
-                t = vi[sel[hit]]
-                fresh = t[~assigned[t]]
-                out[fresh] = self.polys.codes[poly]
-                assigned[fresh] = True
-        return batch.append_column(self.out_col, pa.array(out, type=pa.string()))
+        return batch.append_column(
+            self.out_col, assign_codes(self.polys, lon, lat)
+        )
+
+
+def assign_codes(polys: PolygonSet, lon: np.ndarray, lat: np.ndarray) -> pa.Array:
+    """Vectorized PIP assignment of one polygon set over point arrays."""
+    out = np.full(len(lon), None, dtype=object)
+    assigned = np.zeros(len(lon), dtype=bool)
+    valid = ~(np.isnan(lat) | np.isnan(lon))
+    if valid.any():
+        vi = np.nonzero(valid)[0]
+        p_idx, b_idx = polys.tree.query_points(lon[vi], lat[vi])
+        # exact test per candidate polygon, vectorized over its points;
+        # np.unique ascends → lowest polygon id wins (deterministic)
+        for poly in np.unique(b_idx):
+            sel = p_idx[b_idx == poly]
+            hit = points_in_polygon(
+                lon[vi[sel]],
+                lat[vi[sel]],
+                polys.rings_x[poly],
+                polys.rings_y[poly],
+            )
+            t = vi[sel[hit]]
+            fresh = t[~assigned[t]]
+            out[fresh] = polys.codes[poly]
+            assigned[fresh] = True
+    return pa.array(out, type=pa.string())
+
+
+class PIPMultiJoiner:
+    """One actor-pool stage assigning SEVERAL admin levels per batch
+    (e.g. ``admin_code`` from level 0 + ``metro_code`` from level 1) — one
+    actor pool instead of one per level, so cold-start cost and batch
+    (de)serialization are paid once.
+
+    ``specs`` is a tuple of ``(level, out_col)``; the per-level
+    ``PolygonSet`` subsets are carved out once per actor in ``__init__``.
+    """
+
+    def __init__(self, polygons_ref, specs: tuple[tuple[int, str], ...]):
+        polys = (
+            ray.get(polygons_ref)
+            if isinstance(polygons_ref, ray.ObjectRef)
+            else polygons_ref
+        )
+        self.joiners: list[tuple[PolygonSet, str]] = []
+        for level, out_col in specs:
+            keep = polys.levels == level
+            idx = np.nonzero(keep)[0]
+            sub = PolygonSet(
+                list(polys.codes[idx]),
+                polys.levels[idx],
+                [polys.rings_x[i] for i in idx],
+                [polys.rings_y[i] for i in idx],
+            )
+            self.joiners.append((sub, out_col))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        for sub, out_col in self.joiners:
+            batch = batch.append_column(out_col, assign_codes(sub, lon, lat))
+        return batch

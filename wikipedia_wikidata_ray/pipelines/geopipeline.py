@@ -6,10 +6,10 @@ Every stage is a streaming ``Dataset`` transform; nothing materializes the
 full page set. Stage shapes (SURVEY.md §7):
 
   read_parquet(pages, columns pruned)
-    → map_batches(HtmlExtractor, actor pool)        # I1, wide html column
+    → map_batches(extract_batch)                     # I1, stateless tasks
     → map_batches(encode_batch)                      # I2/I3/I6, stateless
-    → map_batches(PIPJoiner, actor pool, ray.put polygons)   # I4
-    → map_batches(KNNJoiner, actor pool, ray.put places)     # I5
+    → map_batches(PIPMultiJoiner, actor pool, ray.put polygons)  # I4
+    → map_batches(KNNJoiner, actor pool, ray.put places)         # I5
     → partial-agg tile groupby                       # I6 + I7 skew-safe
 
 The small sides (polygon set ~77 rings, places ~2k rows) are broadcast
@@ -25,10 +25,10 @@ from ray.data import Dataset
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..geo.knn import KNNJoiner
-from ..geo.pip import PIPJoiner, PolygonSet
+from ..geo.pip import PIPMultiJoiner, PolygonSet
 from ..sources.admin_fixtures import admin_polygons_table, places_dict
 from ..sources.pages_gen import ensure_pages_parquet
-from ..stages.extract import HtmlExtractor
+from ..stages.extract import extract_batch, outlinks_batch
 from ..stages.geocode import encode_batch
 from ..stages.salted import partial_count
 
@@ -50,16 +50,17 @@ def load_pages(sf_dir: str, parallelism: int | None = None) -> Dataset:
 
 
 def extract(pages: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, emit: str = "extracted") -> Dataset:
-    """HTML → EXTRACTED rows (or outlink edges). Actor pool because the
-    compiled patterns + per-actor buffers amortize across batches; batch
-    size kept small — ``html`` is a wide binary column."""
+    """HTML → EXTRACTED rows (or outlink edges).
+
+    Stateless Arrow-kernel transform → task-based ``map_batches``
+    (SURVEY.md §4: stateless parse stages are tasks, not actor pools — no
+    pool ramp-up, parallelism = cluster width immediately). Batch size kept
+    moderate because ``html`` is a wide binary column."""
+    fn = outlinks_batch if emit == "outlinks" else extract_batch
     return pages.map_batches(
-        HtmlExtractor,
-        fn_constructor_args=(emit,),
+        fn,
         batch_format="pyarrow",
         batch_size=cfg.batch_size_extract,
-        concurrency=(1, _pool_max()),
-        num_cpus=1,
     )
 
 
@@ -70,36 +71,54 @@ def geocode(extracted: Dataset, cfg: EngineConfig = DEFAULT_CONFIG) -> Dataset:
     )
 
 
+# Per-worker-process state memo for task-mode stateful stages: an index is
+# built at most once per (worker, broadcast-ref) — the task-based twin of
+# actor-pool __init__ state (see EngineConfig.spatial_stage_mode).
+_WORKER_STATE: dict = {}
+
+
+def _stateful_stage(ds: Dataset, cfg: EngineConfig, builder_cls, ctor_args: tuple, memo_key: str) -> Dataset:
+    if cfg.spatial_stage_mode == "actors":
+        return ds.map_batches(
+            builder_cls,
+            fn_constructor_args=ctor_args,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size_default,
+            concurrency=(1, _pool_max()),
+            num_cpus=1,
+        )
+
+    def fn(batch):
+        st = _WORKER_STATE.get(memo_key)
+        if st is None:
+            st = _WORKER_STATE[memo_key] = builder_cls(*ctor_args)
+        return st(batch)
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", batch_size=cfg.batch_size_default
+    )
+
+
 def pip_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, polygons=None) -> Dataset:
+    """Both admin levels (country rectangle grid → ``admin_code``, metro
+    hexagons → ``metro_code``) in ONE stateful stage: STRtrees built once
+    per worker/actor from a single ``ray.put`` broadcast ref."""
     polys = PolygonSet.from_arrow(polygons if polygons is not None else admin_polygons_table())
     ref = ray.put(polys)
-    ds = ds.map_batches(
-        PIPJoiner,
-        fn_constructor_args=(ref, 0, "admin_code"),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size_default,
-        concurrency=(1, _pool_max()),
-        num_cpus=1,
-    )
-    return ds.map_batches(
-        PIPJoiner,
-        fn_constructor_args=(ref, 1, "metro_code"),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size_default,
-        concurrency=(1, _pool_max()),
-        num_cpus=1,
+    specs = ((0, "admin_code"), (1, "metro_code"))
+    return _stateful_stage(
+        ds, cfg, PIPMultiJoiner, (ref, specs), memo_key=f"pip-{ref.hex()}"
     )
 
 
 def knn_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, key_cols=("doc_id",)) -> Dataset:
     ref = ray.put(places_dict())
-    return ds.map_batches(
+    return _stateful_stage(
+        ds,
+        cfg,
         KNNJoiner,
-        fn_constructor_args=(ref, cfg.knn_k, tuple(key_cols)),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size_default,
-        concurrency=(1, _pool_max()),
-        num_cpus=1,
+        (ref, cfg.knn_k, tuple(key_cols)),
+        memo_key=f"knn-{ref.hex()}-{cfg.knn_k}-{key_cols}",
     )
 
 

