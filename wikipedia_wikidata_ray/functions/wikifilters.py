@@ -1,0 +1,130 @@
+"""Vectorized re-implementations of the reference's per-record filters
+(SURVEY.md §2.B1-B6) as pure Arrow batch functions.
+
+Inputs are the positional string tables produced by
+``sources/mysqldump.py`` (columns ``f0..fN`` — the reference pipes
+``mysqldump_to_csv.py`` output into each ``bin/filter_*.py``). Outputs are
+typed Arrow tables. Byte-exact parity with the reference's CSV goldens is
+exercised in tests/test_wikifilters.py via ``functions/textio.py``
+formatting.
+
+Semantics replicated exactly (each cites the reference implementation):
+
+- ``filter_page``        bin/filter_page.py:28-37
+- ``filter_redirect``    bin/filter_redirect.py:27-36 (also linktarget)
+- ``filter_langlinks``   bin/filter_langlinks.py:26-40 (LINE-based: the
+  reference splits the raw csv line on the first 2 commas and passes
+  quoting through verbatim — no CSV parse)
+- ``filter_geo_tags``    bin/filter_wikidata_geo_tags.py:28-53
+- ``filter_wikidata_page``  bin/filter_wikidata_page.py:32-41
+- ``filter_ips``         bin/filter_wikidata_wb_items_per_site.py:33-44
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textio import round5
+
+
+def _nonempty(col) -> pa.Array:
+    return pc.not_equal(pc.utf8_length(col), 0)
+
+
+def filter_page(t: pa.Table) -> pa.Table:
+    """(f0=page_id, f1=page_namespace, f2=page_title) →
+    (page_id:int64, page_title:string). Keep ns=='0'; strip ``\\r``; drop
+    empty titles."""
+    t = t.filter(pc.equal(t["f1"], "0"))
+    title = pc.replace_substring(t["f2"], "\r", "")
+    keep = _nonempty(title)
+    return pa.table(
+        {
+            "page_id": pc.cast(pc.filter(t["f0"], keep), pa.int64()),
+            "page_title": pc.filter(title, keep),
+        }
+    )
+
+
+def filter_redirect(t: pa.Table) -> pa.Table:
+    """Same shape/semantics as filter_page (the reference reuses one
+    script for ``redirect`` and ``linktarget``, bin/filter_redirect.py:13-18)."""
+    out = filter_page(t)
+    return out.rename_columns(["id", "title"])
+
+
+def filter_langlinks_lines(lines, languages: frozenset[str]) -> pa.Table:
+    """Raw csv lines → (ll_title, ll_from:int64, ll_lang). Split on the
+    FIRST 2 commas only (titles may contain commas; quotes pass through
+    verbatim); keep ll_lang ∈ languages; title ``' '``→``'_'``."""
+    import pandas as pd
+
+    s = pd.Series(lines if not isinstance(lines, (pa.Array, pa.ChunkedArray)) else lines.to_pandas(), dtype="object")
+    s = s.str.rstrip("\r\n").str.replace("\r", "", regex=False)
+    parts = s.str.split(",", n=2, expand=True)
+    keep = parts[1].isin(languages) & parts[2].notna()
+    parts = parts[keep]
+    return pa.table(
+        {
+            "ll_title": pa.array(parts[2].str.replace(" ", "_", regex=False), type=pa.string()),
+            "ll_from": pa.array(parts[0].astype(np.int64)),
+            "ll_lang": pa.array(parts[1], type=pa.string()),
+        }
+    )
+
+
+def filter_geo_tags(t: pa.Table) -> pa.Table:
+    """(f1=gt_page_id, f2=gt_globe, f3=gt_primary, f4=gt_lat, f5=gt_lon) →
+    (gt_page_id:int64, gt_lat:float64, gt_lon:float64). Keep earth+primary;
+    drop (0,0) and out-of-bounds; round to 5 dp (banker's rounding, same as
+    Python round())."""
+    t = t.filter(
+        pc.and_(pc.equal(t["f2"], "earth"), pc.equal(t["f3"], "1"))
+    )
+    lat = pc.cast(t["f4"], pa.float64()).to_numpy(zero_copy_only=False)
+    lon = pc.cast(t["f5"], pa.float64()).to_numpy(zero_copy_only=False)
+    keep = ~((lat == 0) & (lon == 0))
+    keep &= (lat >= -90) & (lat <= 90) & (lon >= -180) & (lon <= 180)
+    return pa.table(
+        {
+            "gt_page_id": pc.cast(pc.filter(t["f1"], pa.array(keep)), pa.int64()),
+            "gt_lat": pa.array(round5(lat[keep])),
+            "gt_lon": pa.array(round5(lon[keep])),
+        }
+    )
+
+
+def filter_wikidata_page(t: pa.Table) -> pa.Table:
+    """(f0=page_id, f1=ns, f2=title) → (page_id:int64, page_title). Keep
+    ns=='0' AND title startswith 'Q' (titles are QIDs)."""
+    t = t.filter(
+        pc.and_(pc.equal(t["f1"], "0"), pc.starts_with(t["f2"], "Q"))
+    )
+    return pa.table(
+        {
+            "page_id": pc.cast(t["f0"], pa.int64()),
+            "page_title": pc.cast(t["f2"], pa.string()),
+        }
+    )
+
+
+def filter_ips(t: pa.Table, languages: frozenset[str]) -> pa.Table:
+    """(f1=ips_item_id, f2=ips_site_id, f3=ips_site_page) →
+    (item_id:int64, site_id, title). Strip ``\\r``; drop empty; site with
+    ALL 'wiki' substrings removed must be ∈ languages (the reference's
+    str.replace removes every occurrence — replicated exactly)."""
+    title = pc.replace_substring(t["f3"], "\r", "")
+    lang = pc.replace_substring(t["f2"], "wiki", "")
+    keep = pc.and_(
+        _nonempty(title),
+        pc.is_in(lang, value_set=pa.array(sorted(languages), type=pa.string())),
+    )
+    return pa.table(
+        {
+            "item_id": pc.cast(pc.filter(t["f1"], keep), pa.int64()),
+            "site_id": pc.cast(pc.filter(t["f2"], keep), pa.string()),
+            "title": pc.filter(title, keep),
+        }
+    )

@@ -348,9 +348,11 @@ QUERIES = {
 
 from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 from .trainingdata import TRAININGDATA_ORACLES, TRAININGDATA_QUERIES  # noqa: E402
+from .wikiprocess import WIKIPROCESS_ORACLES, WIKIPROCESS_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TRAININGDATA_QUERIES)
+QUERIES.update(WIKIPROCESS_QUERIES)
 
 ORACLES = {
     "extract_text": SQL_EXTRACT_TEXT,
@@ -365,3 +367,4 @@ ORACLES = {
 
 ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TRAININGDATA_ORACLES)
+ORACLES.update(WIKIPROCESS_ORACLES)
