@@ -1,0 +1,50 @@
+"""A6 sorted-TSV sink: ordered parts, header, byte-exact float repr."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikipedia_wikidata_ray.pipelines.export import (
+    export_wikimedia_importance,
+    read_tsv_concat,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def exported(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tsv"))
+    export_wikimedia_importance(SF, out)
+    return read_tsv_concat(out)
+
+
+def test_header_and_shape(exported):
+    lines = exported.splitlines()
+    assert lines[0] == "language\ttype\ttitle\timportance"
+    assert len(lines) > 1
+    assert all(line.count("\t") == 3 for line in lines[1:])
+
+
+def test_float_repr_round_trips(exported):
+    for line in exported.splitlines()[1:]:
+        imp = line.rsplit("\t", 1)[1]
+        # shortest-repr invariant: formatting the parsed value reproduces
+        # the exact bytes (reference: str(float) in its py filters)
+        assert repr(float(imp)) == imp
+
+
+def test_rows_sorted_articles_before_redirects(exported):
+    rows = [line.split("\t") for line in exported.splitlines()[1:]]
+    # within one language, all 'a' rows precede all 'r' rows, titles
+    # ascending within a type (steps/output.sh:118-124 order)
+    by_lang: dict[str, list[list[str]]] = {}
+    for r in rows:
+        by_lang.setdefault(r[0], []).append(r)
+    assert len(by_lang) >= 2
+    for lang_rows in by_lang.values():
+        types = [r[1] for r in lang_rows]
+        assert types == sorted(types)  # 'a' < 'r'
+        for t in ("a", "r"):
+            titles = [r[2] for r in lang_rows if r[1] == t]
+            assert titles == sorted(titles)
