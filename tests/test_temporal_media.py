@@ -1,0 +1,116 @@
+"""Unit tests: as-of join semantics and multimodal stage plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from wikipedia_wikidata_ray.ops.asof import asof_join
+from wikipedia_wikidata_ray.ops.multimodal import (
+    MAGIC,
+    FakeCodec,
+    FrameSampler,
+    MediaFeaturizer,
+)
+
+
+def _ts(*seconds):
+    return pa.array(
+        np.array(seconds, dtype="datetime64[s]").astype("datetime64[us]")
+    )
+
+
+def test_asof_basic(ray_session):
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3]),
+                "ts": _ts(100, 50, 100, 100),
+                "lv": pa.array([10.0, 11.0, 12.0, 13.0]),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2]),
+                "ts": _ts(60, 90, 200),
+                "rid": pa.array([7, 8, 9]),
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, key="k", ts="ts", tie_col="rid", right_value_cols=["rid"])
+        .to_pandas()
+        .sort_values(["k", "ts"], ignore_index=True)
+    )
+    # k=1 @50 → no click ≤ 50 → null; k=1 @100 → rid 8 (ts90 beats ts60)
+    # k=2 @100 → right is at 200 (future) → null; k=3 → no right rows
+    assert np.isnan(out["asof_rid"][0])
+    assert out["asof_rid"][1] == 8
+    assert np.isnan(out["asof_rid"][2])
+    assert np.isnan(out["asof_rid"][3])
+
+
+def test_asof_equal_ts_inclusive(ray_session):
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1]), "ts": _ts(100), "lv": pa.array([1.0])})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1]), "ts": _ts(100), "rid": pa.array([5])})
+    )
+    out = asof_join(
+        left, right, key="k", ts="ts", tie_col="rid", right_value_cols=["rid"]
+    ).to_pandas()
+    assert out["asof_rid"].tolist() == [5]  # ≤ is inclusive
+
+
+def _payload(did: int, w: int, h: int) -> bytes:
+    i = np.arange(w * h, dtype=np.int64)
+    px = ((did * 31 + i * 7) % 256).astype(np.uint8)
+    return MAGIC + w.to_bytes(2, "little") + h.to_bytes(2, "little") + px.tobytes()
+
+
+def test_fake_codec_roundtrip():
+    img, w, h = FakeCodec().decode(_payload(3, 16, 8))
+    assert (w, h) == (16, 8)
+    assert img.shape == (8, 16)
+    assert img[0, 0] == (3 * 31) % 256
+
+
+def test_codec_rejects_real_media():
+    with pytest.raises(NotImplementedError, match="image codec"):
+        FakeCodec().decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_media_featurizer_batch():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2]),
+            "kind": pa.array(["image", "image"]),
+            "payload": pa.array(
+                [_payload(1, 32, 16), _payload(2, 64, 24)], type=pa.large_binary()
+            ),
+        }
+    )
+    out = MediaFeaturizer(target=8)(batch)
+    assert out.column("width").to_pylist() == [32, 64]
+    assert len(out.column("thumb")[0].as_py()) == 64  # 8×8 mean-pooled
+    # mean is exact: integer sums below 2^53
+    i = np.arange(32 * 16)
+    assert out.column("mean_px")[0].as_py() == ((1 * 31 + i * 7) % 256).mean()
+
+
+def test_frame_sampler_stride():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7]),
+            "kind": pa.array(["video"]),
+            "payload": pa.array([_payload(7, 16, 56)], type=pa.large_binary()),
+        }
+    )
+    out = FrameSampler(stride=4)(batch)
+    # 56 rows → 7 frames of 8 rows → sampled frames 0 and 4
+    assert out.column("frame_no").to_pylist() == [0, 4]

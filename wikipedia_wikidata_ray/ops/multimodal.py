@@ -1,0 +1,166 @@
+"""Multimodal (image/audio/video-as-binary) processing stages.
+
+Media payloads are opaque ``large_binary`` columns with typed metadata —
+the engine treats decode/resize/feature-extract/frame-sample as
+actor-pool ``map_batches`` stages over small batches (wide binary rows).
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked deterministic stand-in (``FakeCodec``) for a real decoder
+(PIL/ffmpeg would drop in behind the same interface via ``codec=``);
+the Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real and oracle-tested.
+
+Synthetic media contract (closed-form from doc_id, SQL-replicable):
+- width  = 32 + (doc_id % 5) * 16
+- height = 24 + (doc_id % 3) * 16
+- pixel[i] = (doc_id * 31 + i * 7) % 256   for i in [0, width*height)
+- payload  = b"FAKEIMG!" + width:uint16le + height:uint16le + pixels
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+MAGIC = b"FAKEIMG!"
+_HDR = len(MAGIC) + 4
+
+
+def media_table_for(sf_dir: str) -> Dataset:
+    """Deterministic media fixture derived from ``documents`` (schema:
+    doc_id, kind, payload:large_binary)."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        payloads = []
+        for did in ids:
+            w = 32 + (did % 5) * 16
+            h = 24 + (did % 3) * 16
+            i = np.arange(w * h, dtype=np.int64)
+            px = ((did * 31 + i * 7) % 256).astype(np.uint8)
+            payloads.append(
+                MAGIC
+                + int(w).to_bytes(2, "little")
+                + int(h).to_bytes(2, "little")
+                + px.tobytes()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "kind": pa.array(["image"] * len(ids), type=pa.string()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(gen, batch_format="pyarrow")
+
+
+class FakeCodec:
+    """Deterministic stand-in decoder. A real deployment passes a codec
+    object exposing ``decode(payload) -> (np.ndarray, w, h)`` built on
+    PIL/ffmpeg — loaded once per actor in ``MediaFeaturizer.__init__``."""
+
+    def decode(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        if not payload.startswith(MAGIC):
+            raise NotImplementedError(
+                "real image decoding requires an image codec (PIL/ffmpeg) "
+                "not present in this container; payload is not FAKEIMG"
+            )
+        w = int.from_bytes(payload[len(MAGIC) : len(MAGIC) + 2], "little")
+        h = int.from_bytes(payload[len(MAGIC) + 2 : _HDR], "little")
+        px = np.frombuffer(payload, dtype=np.uint8, offset=_HDR, count=w * h)
+        return px.reshape(h, w), w, h
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode → mean-pool resize → feature vector.
+
+    State (the codec, potentially a model) is constructed once per actor;
+    batches stay small because payload rows are wide (the same block-size
+    discipline as the ``html`` column)."""
+
+    def __init__(self, codec=None, target: int = 8):
+        self.codec = codec or FakeCodec()
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        widths = np.empty(len(batch), dtype=np.int32)
+        heights = np.empty(len(batch), dtype=np.int32)
+        means = np.empty(len(batch), dtype=np.float64)
+        thumbs: list[np.ndarray] = []
+        for j, payload in enumerate(batch["payload"].to_pylist()):
+            img, w, h = self.codec.decode(payload)
+            widths[j], heights[j] = w, h
+            means[j] = img.mean()
+            # mean-pool resize to t×t (crop to a multiple of t — the
+            # deterministic-resize contract)
+            ch, cw = (h // t) * t, (w // t) * t
+            pooled = (
+                img[:ch, :cw]
+                .reshape(t, ch // t, t, cw // t)
+                .mean(axis=(1, 3))
+            )
+            thumbs.append(pooled.reshape(-1).astype(np.float32))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": pa.array(widths),
+                "height": pa.array(heights),
+                "mean_px": pa.array(means),
+                "thumb": pa.array(
+                    [x.tolist() for x in thumbs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def media_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 256) -> Dataset:
+    return media_table_for(sf_dir).map_batches(
+        MediaFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class FrameSampler:
+    """Video analog: payload = concatenation of fixed-size frames; emit
+    every ``stride``-th frame as its own row (flat_map-style expansion
+    inside map_batches). Plumbing-real; frame decode shares FakeCodec."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codec = FakeCodec()
+        ids, frame_no, frame_mean = [], [], []
+        for j, payload in enumerate(batch["payload"].to_pylist()):
+            img, w, h = codec.decode(payload)
+            # treat each row-band of 8 lines as one "frame"
+            n_frames = h // 8
+            for k in range(0, n_frames, self.stride):
+                ids.append(batch["doc_id"][j].as_py())
+                frame_no.append(k)
+                frame_mean.append(float(img[k * 8 : (k + 1) * 8].mean()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "frame_no": pa.array(frame_no, type=pa.int32()),
+                "frame_mean": pa.array(frame_mean, type=pa.float64()),
+            }
+        )
+
+
+def frame_samples(sf_dir: str, stride: int = 4) -> Dataset:
+    return media_table_for(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_args=(stride,),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )

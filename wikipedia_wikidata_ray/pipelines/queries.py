@@ -348,11 +348,13 @@ QUERIES = {
 
 from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 from .trainingdata import TRAININGDATA_ORACLES, TRAININGDATA_QUERIES  # noqa: E402
+from .temporal_media import TEMPORAL_MEDIA_ORACLES, TEMPORAL_MEDIA_QUERIES  # noqa: E402
 from .wikiprocess import WIKIPROCESS_ORACLES, WIKIPROCESS_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TRAININGDATA_QUERIES)
 QUERIES.update(WIKIPROCESS_QUERIES)
+QUERIES.update(TEMPORAL_MEDIA_QUERIES)
 
 ORACLES = {
     "extract_text": SQL_EXTRACT_TEXT,
@@ -368,3 +370,4 @@ ORACLES = {
 ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TRAININGDATA_ORACLES)
 ORACLES.update(WIKIPROCESS_ORACLES)
+ORACLES.update(TEMPORAL_MEDIA_ORACLES)

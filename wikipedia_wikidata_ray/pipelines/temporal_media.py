@@ -1,0 +1,120 @@
+"""Temporal (as-of join) + multimodal queries with DuckDB oracles.
+
+- ``events_asof_click``: for every purchase event, the same user's most
+  recent click at-or-before it (ops/asof.py custom operator).
+- ``media_features`` / ``media_frame_samples``: the multimodal actor-pool
+  stages of ops/multimodal.py; the deterministic FakeCodec payload
+  contract makes decode/resize/frame-sample SQL-replicable (pixel sums of
+  ≤5376 ints are exact in float64 on both sides — bitwise-equal means).
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..ops.asof import asof_join
+from ..ops.multimodal import frame_samples, media_features
+
+
+def q_events_asof_click(sf_dir: str) -> Dataset:
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    purchases = events.filter(
+        expr="event_type == 'purchase'"
+    ).drop_columns(["event_type"])
+    clicks = events.filter(expr="event_type == 'click'").drop_columns(
+        ["event_type"]
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        tie_col="event_id",
+        right_value_cols=["event_id", "value"],
+    )
+
+
+SQL_EVENTS_ASOF_CLICK = """
+WITH purchases AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'
+),
+matched AS (
+  SELECT p.event_id, p.ts, p.user_id, p.value,
+         c.event_id AS asof_event_id, c.value AS asof_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT event_id, ts, user_id, value, asof_event_id, asof_value
+FROM matched WHERE rn = 1
+UNION ALL
+SELECT p.event_id, p.ts, p.user_id, p.value, NULL, NULL
+FROM purchases p
+WHERE NOT EXISTS (
+  SELECT 1 FROM clicks c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+)
+"""
+
+
+def q_media_features(sf_dir: str) -> Dataset:
+    return media_features(sf_dir).select_columns(
+        ["doc_id", "width", "height", "mean_px"]
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH dims AS (
+  SELECT doc_id,
+         32 + (doc_id % 5) * 16 AS width,
+         24 + (doc_id % 3) * 16 AS height
+  FROM documents
+)
+SELECT d.doc_id, d.width, d.height,
+       AVG((d.doc_id * 31 + i.i * 7) % 256) AS mean_px
+FROM dims d, range(0, 5376) i(i)
+WHERE i.i < d.width * d.height
+GROUP BY 1, 2, 3
+"""
+
+
+def q_media_frame_samples(sf_dir: str) -> Dataset:
+    return frame_samples(sf_dir, stride=4)
+
+
+SQL_MEDIA_FRAME_SAMPLES = """
+WITH dims AS (
+  SELECT doc_id,
+         32 + (doc_id % 5) * 16 AS width,
+         24 + (doc_id % 3) * 16 AS height
+  FROM documents
+)
+SELECT d.doc_id, k.k AS frame_no,
+       AVG((d.doc_id * 31 + (k.k * 8 * d.width + j.j) * 7) % 256) AS frame_mean
+FROM dims d, range(0, 7) k(k), range(0, 768) j(j)
+WHERE k.k % 4 = 0
+  AND k.k < d.height // 8
+  AND j.j < 8 * d.width
+GROUP BY 1, 2
+"""
+
+
+TEMPORAL_MEDIA_QUERIES = {
+    "events_asof_click": q_events_asof_click,
+    "media_features": q_media_features,
+    "media_frame_samples": q_media_frame_samples,
+}
+
+TEMPORAL_MEDIA_ORACLES = {
+    "events_asof_click": SQL_EVENTS_ASOF_CLICK,
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_frame_samples": SQL_MEDIA_FRAME_SAMPLES,
+}
