@@ -1,0 +1,75 @@
+"""Determinism at any parallelism (SURVEY.md §5 item (e)): the same
+pipeline at block-parallelism 1 vs 8 produces identical (order-insensitive)
+results — the engine's deterministic rules (F5 tie-break, edge-safe
+merges, salted aggregation) must not depend on block layout."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from wikipedia_wikidata_ray.config import DEFAULT_CONFIG
+from wikipedia_wikidata_ray.pipelines import geopipeline as gp
+from wikipedia_wikidata_ray.sources.pages_gen import ensure_pages_parquet
+from wikipedia_wikidata_ray.stages.salted import (
+    merge_group_sums,
+    partial_count,
+    salted_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _tiles_at(parallelism: int) -> pd.DataFrame:
+    cfg = DEFAULT_CONFIG
+    pages = rd.read_parquet(
+        ensure_pages_parquet(SF), override_num_blocks=parallelism
+    )
+    ds = gp.tile_aggregate(
+        gp.pip_join(gp.geocode(gp.extract(pages, cfg), cfg), cfg), cfg
+    )
+    return _canon(ds.to_pandas())
+
+
+def test_flagship_block_layout_invariant(ray_session):
+    pd.testing.assert_frame_equal(_tiles_at(1), _tiles_at(8))
+
+
+def test_merge_group_sums_block_layout_invariant(ray_session):
+    docs1 = rd.read_parquet(f"{SF}/documents.parquet", override_num_blocks=1)
+    docs8 = rd.read_parquet(f"{SF}/documents.parquet", override_num_blocks=8)
+    a = _canon(partial_count(docs1, ["lang"], out="n").to_pandas())
+    b = _canon(partial_count(docs8, ["lang"], out="n").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    # salted two-stage agrees with the plain path
+    c = _canon(
+        salted_count(
+            docs8.map_batches(lambda t: t.select(["lang", "doc_id"]), batch_format="pyarrow"),
+            ["lang"],
+            salt_from="doc_id",
+            fanout=8,
+            out="n",
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_merge_num_blocks_param_invariant(ray_session):
+    docs = rd.read_parquet(f"{SF}/documents.parquet", override_num_blocks=8)
+
+    def counts(nmb):
+        part = docs.map_batches(
+            lambda t: t.group_by(["lang"]).aggregate([([], "count_all")]).rename_columns(["lang", "n"]),
+            batch_format="pyarrow",
+        )
+        return _canon(
+            merge_group_sums(part, ["lang"], ["n"], num_merge_blocks=nmb).to_pandas()
+        )
+
+    pd.testing.assert_frame_equal(counts(1), counts(13))

@@ -118,3 +118,38 @@ TEMPORAL_MEDIA_ORACLES = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_frame_samples": SQL_MEDIA_FRAME_SAMPLES,
 }
+
+
+def q_event_sessions(sf_dir: str) -> Dataset:
+    from ..ops.windows import sessionize
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return sessionize(events, gap_minutes=30)
+
+
+SQL_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTES THEN 1 ELSE 0 END
+           AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM g
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["event_sessions"] = q_event_sessions
+TEMPORAL_MEDIA_ORACLES["event_sessions"] = SQL_EVENT_SESSIONS

@@ -175,9 +175,8 @@ def salted_count(ds: Dataset, keys: list[str], salt_from: str, fanout: int = 16,
     Count is expressed as Sum of ones so both stages use the same algebraic
     aggregate (stable arrow types across ray versions)."""
 
-    def ones(batch: pa.Table) -> pa.Table:
-        return batch.append_column("_ones", pa.array(np.ones(len(batch), dtype=np.int64)))
-
-    salted = add_salt(ds.map_batches(ones, batch_format="pyarrow"), salt_from, fanout)
-    stage1 = salted.groupby(keys + ["_salt"]).aggregate(Sum("_ones", alias_name=out))
-    return stage1.groupby(keys).aggregate(Sum(out, alias_name=out))
+    salted = add_salt(ds, salt_from, fanout)
+    stage1 = partial_count(salted, keys + ["_salt"], out=out)
+    return merge_group_sums(
+        stage1.drop_columns(["_salt"]), keys, [out]
+    )
