@@ -52,7 +52,7 @@ def run_bench() -> dict:
 
     from wikipedia_wikidata_ray.config import DEFAULT_CONFIG
     from wikipedia_wikidata_ray.pipelines import geopipeline as gp
-    from wikipedia_wikidata_ray.pipelines.queries import q_importance
+    from wikipedia_wikidata_ray.pipelines.queries import importance_pipeline
 
     import gc
 
@@ -90,9 +90,11 @@ def run_bench() -> dict:
     timings["knn_places"] = time.perf_counter() - t0
 
     # --- importance scoring (links shuffle + join + grouped sums) --------
+    # runs over the SAME replicated corpus (3 links/page → 3M edges at 1M
+    # pages) so the D2-analog shuffle is measured at scale
     gc.collect()
     t0 = time.perf_counter()
-    imp_rows = q_importance(sf_dir).count()
+    imp_rows = importance_pipeline(pages_ds).count()
     timings["importance"] = time.perf_counter() - t0
 
     headline = timings["flagship_extract_encode_pip_tile"]

@@ -20,10 +20,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 from ..config import DEFAULT_CONFIG
-from ..stages.salted import partial_count, partial_sum
+from ..stages.salted import merge_group_sums, partial_count
 from . import geopipeline as gp
 
 # ---------------------------------------------------------------------------
@@ -201,17 +200,53 @@ FROM scored WHERE rnk <= 5
 
 
 def q_importance(sf_dir: str) -> Dataset:
-    cfg = DEFAULT_CONFIG
-    pages = gp.load_pages(sf_dir)
-    links = gp.extract(pages, cfg, emit="outlinks")
-    # E1/E2: in-link counts per (target, source language) — combiner first
+    return importance_pipeline(lambda: gp.load_pages(sf_dir))
+
+
+def _fold_links_broadcast(links: Dataset, articles: Dataset, n_docs: int) -> Dataset:
+    """Map-side fold of link edges against a broadcast dense article map
+    (doc_id ∈ [0, n_docs) → int8 lang code + geo bit; ~2 bytes/doc, so even
+    20M articles ship as one ~40 MB ray.put object fetched once per node).
+    Emits per-batch partial sums keyed by doc_id."""
+    pdf = articles.to_pandas()
+    vocab = sorted(pdf["lang"].unique())
+    code = {l: i for i, l in enumerate(vocab)}
+    arr_lang = np.full(n_docs, -1, dtype=np.int8)
+    arr_lang[pdf["doc_id"].to_numpy()] = pdf["lang"].map(code).to_numpy(dtype=np.int8)
+    arr_geo = np.zeros(n_docs, dtype=bool)
+    arr_geo[pdf["doc_id"].to_numpy()] = pdf["has_geo"].to_numpy()
+    import ray as _ray
+
+    ref = _ray.put((pa.array(vocab, type=pa.string()), arr_lang, arr_geo))
+
+    def fold(t: pa.Table) -> pa.Table:
+        vocab_arr, lang_map, geo_map = _ray.get(ref)
+        tgt = t["target_doc_id"].to_numpy(zero_copy_only=False)
+        src_code = pc.index_in(t["src_lang"], value_set=vocab_arr).to_numpy(
+            zero_copy_only=False
+        )
+        same = lang_map[tgt] == src_code
+        partial = pa.table(
+            {
+                "doc_id": pa.array(tgt),
+                "langcount": pa.array(same.astype(np.int64)),
+                "othercount": pa.array((~same).astype(np.int64)),
+                "_geo": pa.array(geo_map[tgt].astype(np.int64)),
+            }
+        )
+        g = partial.group_by(["doc_id"]).aggregate(
+            [("langcount", "sum"), ("othercount", "sum"), ("_geo", "sum")]
+        )
+        return g.rename_columns(["doc_id", "langcount", "othercount", "_geo"])
+
+    return links.map_batches(fold, batch_format="pyarrow")
+
+
+def _fold_links_shuffle(links: Dataset, articles: Dataset, num_partitions: int) -> Dataset:
+    """Shuffle-join fold for article sides too large to broadcast."""
     counts = partial_count(links, ["target_doc_id", "src_lang"], out="cnt")
-
-    # page side: lang + geo flag per doc (the article table analog)
-    articles = gp.extract(pages, cfg).select_columns(["doc_id", "lang", "has_geo"])
-
     joined = counts.join(
-        articles, "inner", num_partitions=8,
+        articles, "inner", num_partitions=num_partitions,
         on=("target_doc_id",), right_on=("doc_id",),
     )
 
@@ -222,18 +257,47 @@ def q_importance(sf_dir: str) -> Dataset:
         return pa.table(
             {
                 "doc_id": t.column("target_doc_id"),
-                "langcount_p": pc.if_else(same, cnt, zero),
-                "othercount_p": pc.if_else(same, zero, cnt),
-                "geo_flag": pc.cast(t.column("has_geo"), pa.int64()),
+                "langcount": pc.if_else(same, cnt, zero),
+                "othercount": pc.if_else(same, zero, cnt),
+                "_geo": pc.cast(t.column("has_geo"), pa.int64()),
             }
         )
 
-    parts = joined.map_batches(split, batch_format="pyarrow")
-    agg = parts.groupby("doc_id").aggregate(
-        Sum("langcount_p", alias_name="langcount"),
-        Sum("othercount_p", alias_name="othercount"),
-        Sum("geo_flag", alias_name="_geo"),
-    )
+    return joined.map_batches(split, batch_format="pyarrow")
+
+
+def importance_pipeline(pages_fn, num_partitions: int | None = None) -> Dataset:
+    """E1-E5/D2 scoring over any pages source (``pages_fn() -> Dataset``).
+
+    ``num_partitions`` sizes the join shuffle; defaults to half the
+    cluster CPUs (floor 8)."""
+    import ray as _ray
+
+    cfg = DEFAULT_CONFIG
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 16)) // 2)
+        except Exception:
+            num_partitions = 8
+    pages = pages_fn()
+    links = gp.extract(pages, cfg, emit="outlinks")
+    # page side: lang + geo flag per doc (the article table analog)
+    articles = gp.extract(pages, cfg).select_columns(["doc_id", "lang", "has_geo"])
+
+    # D2 reshape, two physical plans with identical semantics:
+    # (a) article side broadcastable (it is per-doc metadata — int8 lang
+    #     code + geo bit ≈ 2 bytes/doc): dense-array map-side lookup inside
+    #     the link fold, ONE shuffle total (the per-doc merge);
+    # (b) too big to broadcast: pre-count per (target, src_lang), hash join
+    #     to articles, then the per-doc merge (three shuffles).
+    n_articles = pages.count()
+    if n_articles <= 20_000_000:
+        parts = _fold_links_broadcast(links, articles, n_articles)
+    else:
+        parts = _fold_links_shuffle(links, articles, num_partitions)
+    agg = merge_group_sums(
+        parts, ["doc_id"], ["langcount", "othercount", "_geo"]
+    ).rename_columns(["doc_id", "langcount", "othercount", "_geo"])
 
     def totals(t: pa.Table) -> pa.Table:
         total = pc.add(t.column("langcount"), t.column("othercount"))
