@@ -201,3 +201,23 @@ def test_golden_pagelinks_count_byte_exact():
     }
     want_lines = set(_read("filter_pagelinks.test1expected.txt").splitlines())
     assert got_lines == want_lines
+
+
+def test_csv_gz_source_roundtrip(ray_session, tmp_path):
+    """A5-analog gz-CSV intermediate: headerless positional schema."""
+    import gzip
+
+    import pyarrow as pa
+
+    from wikipedia_wikidata_ray.sources.csvgz import read_csv_gz
+
+    p = tmp_path / "part.csv.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write('1,Title_A\n2,"Title,B"\n')
+    ds = read_csv_gz(
+        str(p), ["page_id", "page_title"],
+        {"page_id": pa.int64(), "page_title": pa.string()},
+    )
+    out = ds.to_pandas().sort_values("page_id", ignore_index=True)
+    assert out["page_id"].tolist() == [1, 2]
+    assert out["page_title"].tolist() == ["Title_A", "Title,B"]

@@ -9,7 +9,7 @@ grid cell are answered together, so megacity skew (many queries in one
 cell) *helps* instead of hurting.
 
 Metric: Euclidean in degrees on (lat, lon) — documented engine semantics,
-replicated exactly by the DuckDB oracle (cross join + row_number窗口). At
+replicated exactly by the DuckDB oracle (cross join + row_number). At
 planet scale the same operator runs cell-partitioned (partition pages and
 places by coarse hex cell + neighbor ring, SURVEY.md §2.D12); the grid
 index inside each actor is the per-partition structure.

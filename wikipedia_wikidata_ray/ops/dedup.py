@@ -252,3 +252,51 @@ def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text") -> 
         pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
+
+
+class RawNgramJaccard:
+    """Exact RAW character-n-gram Jaccard per candidate pair — unlike
+    JaccardVerifier this uses unhashed substrings, making it
+    SQL-replicable (DuckDB substr over a positions range). Texts broadcast
+    once per worker via ray.put (same assumption as JaccardVerifier)."""
+
+    def __init__(self, texts_ref, n: int = 3):
+        import ray
+
+        self.texts = (
+            ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        )
+        self.n = n
+        self._cache: dict[int, set] = {}
+
+    def _grams(self, did: int) -> set:
+        s = self._cache.get(did)
+        if s is None:
+            t = self.texts[did]
+            n = self.n
+            s = {t[i : i + n] for i in range(len(t) - n + 1)}
+            self._cache[did] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa, sb = self._grams(int(a[i])), self._grams(int(b[i]))
+            union = len(sa | sb)
+            jac[i] = (len(sa & sb) / union) if union else 0.0
+        return batch.append_column("jaccard", pa.array(jac))
+
+
+def ngram_jaccard_pairs(pairs: Dataset, texts: dict[int, str], n: int = 3) -> Dataset:
+    """(doc_a, doc_b) pairs → + exact raw n-gram jaccard column."""
+    import ray
+
+    ref = ray.put(texts)
+    return pairs.map_batches(
+        RawNgramJaccard,
+        fn_constructor_args=(ref, n),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -277,3 +277,59 @@ TRAININGDATA_ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "embedding_neardups": SQL_EMBEDDING_NEARDUPS,
 }
+
+
+def q_ngram_jaccard(sf_dir: str) -> Dataset:
+    """Exact raw char-3-gram Jaccard over the deterministic pair set
+    (a, a + N//2) — the n-gram-Jaccard dedup primitive, oracle-checked
+    (division of int counts → bitwise-equal floats)."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    n = len(texts)
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ids = ids[ids < n // 2]
+        return pa.table(
+            {"doc_a": pa.array(ids), "doc_b": pa.array(ids + n // 2)}
+        )
+
+    pairs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(mk_pairs, batch_format="pyarrow")
+    return ngram_jaccard_pairs(pairs, texts, n=3)
+
+
+SQL_NGRAM_JACCARD = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+grams AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, CAST(i.i AS INT), 3) AS g
+  FROM documents d, range(1, 1001) i(i)
+  WHERE i.i <= length(d.text) - 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
+pairs AS (
+  SELECT doc_id AS doc_a, doc_id + (SELECT c // 2 FROM n) AS doc_b
+  FROM documents WHERE doc_id < (SELECT c // 2 FROM n)
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CASE WHEN sa.ng + sb.ng - COALESCE(i.ni, 0) = 0 THEN 0.0
+            ELSE COALESCE(i.ni, 0) * 1.0
+                 / (sa.ng + sb.ng - COALESCE(i.ni, 0)) END AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+TRAININGDATA_QUERIES["ngram_jaccard"] = q_ngram_jaccard
+TRAININGDATA_ORACLES["ngram_jaccard"] = SQL_NGRAM_JACCARD
