@@ -153,3 +153,66 @@ FROM s GROUP BY 1, 2
 
 TEMPORAL_MEDIA_QUERIES["event_sessions"] = q_event_sessions
 TEMPORAL_MEDIA_ORACLES["event_sessions"] = SQL_EVENT_SESSIONS
+
+
+def q_error_click_window(sf_dir: str) -> Dataset:
+    """Range join: for every error event, how many clicks the same user
+    made in the preceding 5 minutes (ops/rangejoin.py bucketized
+    inequality join)."""
+    from ..ops.rangejoin import preceding_window_count
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    errors = events.filter(expr="event_type == 'error'").drop_columns(["event_type"])
+    clicks = events.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    return preceding_window_count(
+        errors, clicks, key="user_id", ts="ts",
+        window_us=5 * 60 * 1_000_000, out="n_recent_clicks",
+    )
+
+
+SQL_ERROR_CLICK_WINDOW = """
+SELECT e.event_id, e.ts, e.user_id, COUNT(c.event_id) AS n_recent_clicks
+FROM events e
+LEFT JOIN events c
+  ON c.event_type = 'click' AND c.user_id = e.user_id
+ AND c.ts <= e.ts AND c.ts > e.ts - INTERVAL 5 MINUTES
+WHERE e.event_type = 'error'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_segment_median_balance(sf_dir: str) -> Dataset:
+    """Exact grouped median (percentile_disc 0.5 — lower-middle element),
+    via key-partitioned map_groups: the non-algebraic aggregate path."""
+    import numpy as np
+    import pyarrow as pa
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
+    )
+
+    def med(group: pa.Table) -> pa.Table:
+        v = np.sort(group["c_acctbal"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "c_mktsegment": [group["c_mktsegment"][0].as_py()],
+                "median_acctbal": [float(v[(len(v) - 1) // 2])],
+            }
+        )
+
+    return cust.groupby("c_mktsegment").map_groups(med, batch_format="pyarrow")
+
+
+SQL_SEGMENT_MEDIAN_BALANCE = """
+SELECT c_mktsegment,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS median_acctbal
+FROM customer GROUP BY 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["error_click_window"] = q_error_click_window
+TEMPORAL_MEDIA_ORACLES["error_click_window"] = SQL_ERROR_CLICK_WINDOW
+TEMPORAL_MEDIA_QUERIES["segment_median_balance"] = q_segment_median_balance
+TEMPORAL_MEDIA_ORACLES["segment_median_balance"] = SQL_SEGMENT_MEDIAN_BALANCE
