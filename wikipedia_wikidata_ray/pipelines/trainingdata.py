@@ -333,3 +333,31 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 
 TRAININGDATA_QUERIES["ngram_jaccard"] = q_ngram_jaccard
 TRAININGDATA_ORACLES["ngram_jaccard"] = SQL_NGRAM_JACCARD
+
+
+def q_hash_sample(sf_dir: str) -> Dataset:
+    """Deterministic 10% hash-sample of documents (the reproducible
+    sampling primitive a training-data pipeline needs — unlike
+    random_sample it is stable across runs/parallelism and
+    SQL-replicable): keep rows with doc_id * 2654435761 mod 2^31 mod 10
+    == 0 (Knuth multiplicative hash)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = (ids * np.int64(2654435761)) & np.int64((1 << 31) - 1)
+        return t.filter(pa.array(h % 10 == 0))
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ((doc_id * 2654435761) & 2147483647) % 10 = 0
+"""
+
+TRAININGDATA_QUERIES["hash_sample"] = q_hash_sample
+TRAININGDATA_ORACLES["hash_sample"] = SQL_HASH_SAMPLE
