@@ -97,6 +97,16 @@ def run_bench() -> dict:
     imp_rows = importance_pipeline(pages_ds).count()
     timings["importance"] = time.perf_counter() - t0
 
+    # --- full relational export (D8/D9 joins + union + E6/D10 + F1 sort) --
+    gc.collect()
+    from wikipedia_wikidata_ray.pipelines.wikimedia import export_pipeline
+
+    t0 = time.perf_counter()
+    # materialize: count() alone would shortcut the final global sort
+    exp = export_pipeline(pages_ds, n_pages).materialize()
+    exp_rows = exp.count()
+    timings["importance_export"] = time.perf_counter() - t0
+
     headline = timings["flagship_extract_encode_pip_tile"]
     return {
         "metric": "flagship extract→encode→PIP→tile wall sec on replicated pages corpus",
@@ -107,7 +117,12 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / headline, 1),
-        "rows": {"tiles": n_tiles, "knn": kn_rows, "importance": imp_rows},
+        "rows": {
+            "tiles": n_tiles,
+            "knn": kn_rows,
+            "importance": imp_rows,
+            "export": exp_rows,
+        },
     }
 
 

@@ -55,10 +55,14 @@ def flagship_checkpointed(
 ) -> Dataset:
     """Resumable flagship: returns the merged per-tile counts; all heavy
     work is checkpointed per shard under ``out_dir``."""
+    from ..sources.catalog import catalog_parquet_dir
+
+    # A1-style admission: every input file must be complete and readable
     files = [
-        os.path.join(pages_dir, f)
-        for f in sorted(os.listdir(pages_dir))
-        if f.endswith(".parquet")
+        f.path
+        for f in catalog_parquet_dir(
+            pages_dir, expect_schema_names=["url", "html", "lang"]
+        )
     ]
     run = CheckpointedRun(
         out_dir, pipeline="flagship_tiles", config_fingerprint=config_fingerprint(cfg)

@@ -266,11 +266,15 @@ def _fold_links_shuffle(links: Dataset, articles: Dataset, num_partitions: int) 
     return joined.map_batches(split, batch_format="pyarrow")
 
 
-def importance_pipeline(pages_fn, num_partitions: int | None = None) -> Dataset:
+def importance_pipeline(pages_fn, num_partitions: int | None = None,
+                        articles: Dataset | None = None) -> Dataset:
     """E1-E5/D2 scoring over any pages source (``pages_fn() -> Dataset``).
 
     ``num_partitions`` sizes the join shuffle; defaults to half the
-    cluster CPUs (floor 8)."""
+    cluster CPUs (floor 8). ``articles`` optionally supplies an already
+    extracted (doc_id, lang, has_geo) Dataset so callers composing several
+    pipelines extract each page once (SURVEY.md §1.2: materialize only
+    where a stage is reused)."""
     import ray as _ray
 
     cfg = DEFAULT_CONFIG
@@ -282,7 +286,10 @@ def importance_pipeline(pages_fn, num_partitions: int | None = None) -> Dataset:
     pages = pages_fn()
     links = gp.extract(pages, cfg, emit="outlinks")
     # page side: lang + geo flag per doc (the article table analog)
-    articles = gp.extract(pages, cfg).select_columns(["doc_id", "lang", "has_geo"])
+    if articles is None:
+        articles = gp.extract(pages, cfg).select_columns(["doc_id", "lang", "has_geo"])
+    else:
+        articles = articles.select_columns(["doc_id", "lang", "has_geo"])
 
     # D2 reshape, two physical plans with identical semantics:
     # (a) article side broadcastable (it is per-doc metadata — int8 lang

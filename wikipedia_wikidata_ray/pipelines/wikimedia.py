@@ -39,17 +39,30 @@ from ..stages.salted import partial_count
 from . import geopipeline as gp
 
 
-def _articles(sf_dir: str) -> Dataset:
+def _join_partitions() -> int:
+    try:
+        import ray
+
+        return max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+    except Exception:
+        return 8
+
+
+def _articles(pages_fn, meta: Dataset | None = None) -> Dataset:
     """Scored, geotagged article rows: (language, type='a', title,
-    importance, ref_doc_id)."""
-    from .queries import q_importance
+    importance, ref_doc_id). ``meta`` optionally supplies the shared
+    extracted page metadata (doc_id, lang, title, has_geo)."""
+    from .queries import importance_pipeline
 
     cfg = DEFAULT_CONFIG
-    meta = gp.extract(gp.load_pages(sf_dir), cfg).select_columns(
-        ["doc_id", "lang", "title", "has_geo"]
+    if meta is None:
+        meta = gp.extract(pages_fn(), cfg).select_columns(
+            ["doc_id", "lang", "title", "has_geo"]
+        )
+    imp = importance_pipeline(pages_fn, articles=meta).select_columns(
+        ["doc_id", "importance"]
     )
-    imp = q_importance(sf_dir).select_columns(["doc_id", "importance"])
-    joined = imp.join(meta, "inner", num_partitions=8, on=("doc_id",))
+    joined = imp.join(meta, "inner", num_partitions=_join_partitions(), on=("doc_id",))
 
     def shape(t: pa.Table) -> pa.Table:
         t = t.filter(t.column("has_geo"))
@@ -66,11 +79,12 @@ def _articles(sf_dir: str) -> Dataset:
     return joined.map_batches(shape, batch_format="pyarrow")
 
 
-def _redirects_raw(sf_dir: str) -> Dataset:
+def _redirects_raw(pages_fn, n_docs: int, meta: Dataset | None = None) -> Dataset:
     """(language, from_title, target_title) per the derivation contract."""
     cfg = DEFAULT_CONFIG
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    meta = gp.extract(gp.load_pages(sf_dir), cfg).select_columns(["doc_id", "lang"])
+    if meta is None:
+        meta = gp.extract(pages_fn(), cfg)
+    meta = meta.select_columns(["doc_id", "lang"])
 
     def derive(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy()
@@ -93,7 +107,19 @@ def _redirects_raw(sf_dir: str) -> Dataset:
 
 
 def q_page_importance_export(sf_dir: str) -> Dataset:
-    articles = _articles(sf_dir).materialize()  # reused 3× (join/anti/union)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return export_pipeline(lambda: gp.load_pages(sf_dir), n_docs)
+
+
+def export_pipeline(pages_fn, n_docs: int) -> Dataset:
+    """Full output pipeline (F3/D8/D9/F8/E6/D10/F1) over any pages source.
+
+    Page metadata is extracted ONCE and pinned — it feeds the importance
+    article side, the article join, and the redirect derivation."""
+    meta = gp.extract(pages_fn(), DEFAULT_CONFIG).select_columns(
+        ["doc_id", "lang", "title", "has_geo"]
+    ).materialize()
+    articles = _articles(pages_fn, meta).materialize()  # reused 3× (join/anti/union)
 
     art_keyed = articles.map_batches(
         lambda t: pa.table(
@@ -109,8 +135,8 @@ def q_page_importance_export(sf_dir: str) -> Dataset:
 
     # D8: redirect target must exist as kept article (inner join ≡ semi +
     # fetch of the target's importance, exactly output.sh:62-71)
-    red = _redirects_raw(sf_dir).join(
-        art_keyed, "inner", num_partitions=8,
+    red = _redirects_raw(pages_fn, n_docs, meta).join(
+        art_keyed, "inner", num_partitions=_join_partitions(),
         on=("language", "target_title"), right_on=("a_language", "a_title"),
     )
 
@@ -127,23 +153,26 @@ def q_page_importance_export(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
     )
 
-    # D9: anti-join — articles win over redirects on (language, title)
+    # D9: anti-join — articles win over redirects on (language, title).
+    # Materialized: the union below is consumed twice (E6 sizes + final
+    # output) and the redirect subgraph re-extracts pages — pin the small
+    # result instead of running that subgraph twice.
     red = red.join(
-        art_keyed, "left_anti", num_partitions=8,
+        art_keyed, "left_anti", num_partitions=_join_partitions(),
         on=("language", "title"), right_on=("a_language", "a_title"),
-    )
+    ).materialize()
 
     unioned = articles.union(red)
 
     # E6 + D10: per-language sizes of the FINAL table, broadcast back
     sizes = partial_count(unioned.select_columns(["language"]), ["language"], out="lang_size")
     size_map = {r["language"]: r["lang_size"] for r in sizes.take_all()}
+    key_arr = pa.array(sorted(size_map), type=pa.string())
+    val_arr = pa.array([size_map[k.as_py()] for k in key_arr], type=pa.int64())
 
     def add_size(t: pa.Table) -> pa.Table:
-        langs = t.column("language").to_pylist()
-        return t.append_column(
-            "lang_size", pa.array([size_map[l] for l in langs], type=pa.int64())
-        )
+        idx = pc.index_in(t.column("language"), value_set=key_arr)
+        return t.append_column("lang_size", pc.take(val_arr, idx))
 
     out = unioned.map_batches(add_size, batch_format="pyarrow")
 
