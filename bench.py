@@ -75,12 +75,29 @@ def run_bench() -> dict:
         return rd.read_parquet(pages_path)
 
     n_pages = pages_ds().count()
+    # --scaling subprocesses time ONLY the headline (efficiency is defined
+    # on it); the full bench runs every section
+    headline_only = os.environ.get("GRAFT_BENCH_ONLY") == "flagship"
 
     # --- headline: flagship extract → encode → PIP → tile ---------------
     t0 = time.perf_counter()
     tiles = gp.tile_aggregate(gp.pip_join(gp.geocode(gp.extract(pages_ds(), cfg), cfg), cfg), cfg)
     n_tiles = tiles.count()
     timings["flagship_extract_encode_pip_tile"] = time.perf_counter() - t0
+
+    if headline_only:
+        headline = timings["flagship_extract_encode_pip_tile"]
+        return {
+            "metric": "flagship extract→encode→PIP→tile wall sec on replicated pages corpus",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "n_pages": n_pages,
+            "pages_per_sec": round(n_pages / headline, 1),
+            "rows": {"tiles": n_tiles},
+        }
 
     # --- kNN place-matching branch ---------------------------------------
     gc.collect()  # release prior pipeline's object refs before timing
@@ -128,7 +145,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="flagship")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

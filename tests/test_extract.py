@@ -80,3 +80,14 @@ def test_outlinks(pages, docs):
     # pages are generated in doc order and extraction preserves row order
     assert np.array_equal(src.reshape(n, 3)[:, 0], np.arange(n))
     assert np.array_equal(tgt.reshape(n, 3), want)
+
+
+def test_config_env_override(monkeypatch):
+    """Reference parity: LANGUAGES env overrides the 39-language default
+    (tests/run.sh:3-13)."""
+    from wikipedia_wikidata_ray.config import DEFAULT_LANGUAGES, EngineConfig
+
+    assert len(EngineConfig().languages) == 39 == len(DEFAULT_LANGUAGES)
+    monkeypatch.setenv("LANGUAGES", "de,fr,it,en")
+    assert EngineConfig.from_env().languages == ("de", "fr", "it", "en")
+    assert EngineConfig.from_env(languages=("xx",)).languages == ("xx",)

@@ -62,6 +62,19 @@ class EngineConfig:
     def language_set(self) -> frozenset[str]:
         return frozenset(self.languages)
 
+    @classmethod
+    def from_env(cls, **overrides) -> "EngineConfig":
+        """Reference-compatible env surface: ``LANGUAGES=de,fr,it,en``
+        overrides the language universe (lib/languages.py:4-6,
+        tests/run.sh:9-13); explicit kwargs win over env."""
+        import os
+
+        if "languages" not in overrides and os.environ.get("LANGUAGES"):
+            overrides["languages"] = tuple(
+                s for s in os.environ["LANGUAGES"].split(",") if s
+            )
+        return cls(**overrides)
+
 
 DEFAULT_CONFIG = EngineConfig()
 
