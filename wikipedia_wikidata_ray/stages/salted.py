@@ -85,6 +85,12 @@ def merge_group_sums(
     def presort(t: pa.Table) -> pa.Table:
         for i, k in enumerate(keys):
             c = t[k]
+            if pa.types.is_null(c.type):
+                raise TypeError(
+                    f"merge_group_sums: key column {k!r} has untyped null "
+                    "Arrow type (usually an all-null block inferred from "
+                    "pandas) — declare an explicit schema upstream"
+                )
             t = t.append_column(vcols[i], pc.cast(pc.is_valid(c), pa.int8()))
             fill = pa.scalar("", type=c.type) if pa.types.is_string(c.type) or pa.types.is_large_string(c.type) else pa.scalar(0, type=c.type)
             t = t.append_column(scols[i], pc.fill_null(c, fill))
