@@ -71,8 +71,13 @@ def run_bench() -> dict:
 
     rd.range(num_cpus * 4).map_batches(_warm, batch_size=1).count()
 
+    from wikipedia_wikidata_ray.pipelines.geopipeline import EXTRACT_COLUMNS
+
     def pages_ds():
-        return rd.read_parquet(pages_path)
+        # prune at the read: the stored `text`/`warc_ts` columns are dead
+        # weight for every benchmarked pipeline (extraction re-derives text
+        # from html)
+        return rd.read_parquet(pages_path, columns=EXTRACT_COLUMNS)
 
     n_pages = pages_ds().count()
     # --scaling subprocesses time ONLY the headline (efficiency is defined

@@ -43,10 +43,18 @@ def _pool_max(floor: int = 4) -> int:
     return max(floor, cpus)
 
 
-def load_pages(sf_dir: str, parallelism: int | None = None) -> Dataset:
-    """pages Dataset for an sf dir (generating the parquet if absent)."""
+EXTRACT_COLUMNS = ["url", "html", "lang"]
+
+
+def load_pages(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    """pages Dataset for an sf dir (generating the parquet if absent).
+
+    Defaults to the columns the extract stage consumes — ``text`` and
+    ``warc_ts`` never leave storage unless asked for (prune-at-the-read:
+    the stored ``text`` column is the golden for tests, not a pipeline
+    input; extraction re-derives it from ``html``)."""
     path = ensure_pages_parquet(sf_dir)
-    return rd.read_parquet(path)
+    return rd.read_parquet(path, columns=columns or EXTRACT_COLUMNS)
 
 
 def extract(pages: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, emit: str = "extracted") -> Dataset:
