@@ -53,7 +53,7 @@ def test_failure_then_resume(pages_dir, tmp_path):
         return good(files)
 
     with pytest.raises(RuntimeError, match="injected"):
-        run.run(shards, failing)
+        run.run(shards, failing, max_concurrent=1)
 
     # exactly the first two shards committed, each with a valid manifest
     lineage = run.lineage()
@@ -65,7 +65,7 @@ def test_failure_then_resume(pages_dir, tmp_path):
 
     # resume: completed shards skipped, the rest computed
     mtime_before = os.path.getmtime(os.path.join(out, "shard=0", "_MANIFEST.json"))
-    results = run.run(shards, good)
+    results = run.run(shards, good, max_concurrent=1)
     assert [r.skipped for r in results] == [True, True, False, False]
     assert os.path.getmtime(
         os.path.join(out, "shard=0", "_MANIFEST.json")

@@ -15,8 +15,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# runnable from anywhere: the package lives at the repo root (ray job
+# submit ships the working dir; this mirrors that layout)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

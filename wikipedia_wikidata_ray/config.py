@@ -93,3 +93,25 @@ def tune_data_context() -> None:
         ctx.use_polars_sort = True
     except Exception:
         pass
+
+    # Workaround for a Ray 2.49 bug: path_util._is_http_filesystem catches
+    # only ModuleNotFoundError, but when two driver THREADS create Datasets
+    # concurrently (our concurrent checkpoint shards) the fsspec http
+    # import (aiohttp absent here) surfaces as a plain ImportError
+    # ("cannot import name 'HTTPFileSystem'") and crashes the read. Wrap it
+    # to treat any ImportError as "not an http filesystem".
+    try:
+        from ray.data.datasource import path_util as _pu
+
+        if getattr(_pu._is_http_filesystem, "__name__", "") != "_safe_is_http":
+            _orig = _pu._is_http_filesystem
+
+            def _safe_is_http(fs):
+                try:
+                    return _orig(fs)
+                except ImportError:
+                    return False
+
+            _pu._is_http_filesystem = _safe_is_http
+    except Exception:
+        pass

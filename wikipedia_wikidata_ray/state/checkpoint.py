@@ -156,15 +156,39 @@ class CheckpointedRun:
         self,
         shards: Sequence[Sequence[str]],
         pipeline_fn: Callable[[Sequence[str]], Dataset],
+        max_concurrent: int = 4,
     ) -> list[ShardResult]:
-        """Execute all shards, skipping completed ones. Shards run
-        sequentially on the driver — each shard's Dataset pipeline is
-        internally parallel across the cluster, and at scale shards are
-        sized so one shard saturates it."""
-        return [
-            self.run_shard(i, files, pipeline_fn)
-            for i, files in enumerate(shards)
-        ]
+        """Execute all shards, skipping completed ones.
+
+        Up to ``max_concurrent`` shard pipelines run at once (driver
+        threads; each is an independent Ray Data streaming pipeline, so
+        while one shard is in its shuffle tail another keeps the cluster's
+        map slots busy). Failure isolation stays per-shard: one failing
+        shard doesn't roll back committed ones. The first exception is
+        re-raised after in-flight shards finish."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        results: list[ShardResult | None] = [None] * len(shards)
+        if max_concurrent <= 1:
+            return [
+                self.run_shard(i, files, pipeline_fn)
+                for i, files in enumerate(shards)
+            ]
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futs = {
+                pool.submit(self.run_shard, i, files, pipeline_fn): i
+                for i, files in enumerate(shards)
+            }
+            first_err: Exception | None = None
+            for fut in list(futs):
+                try:
+                    results[futs[fut]] = fut.result()
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    if first_err is None:
+                        first_err = e
+            if first_err is not None:
+                raise first_err
+        return [r for r in results if r is not None]
 
     # -- consumption --------------------------------------------------------
 
