@@ -6,6 +6,20 @@ Dedup queries run over a **dup-augmented** corpus derived from
 the identical corpus): every doc with ``doc_id % 5 == 0`` gains an exact
 copy at ``doc_id + N``. Same pattern for embeddings (``vec_id % 10 == 0``
 → copy at ``vec_id + N``).
+
+Four queries are deliberately rows-only (no ``oracle_sql`` entry — the
+driver records the weaker check):
+
+- ``near_dup_pairs_minhash`` / ``simhash_fingerprints``: outputs depend on
+  md5-derived permutation/bit hashes — replicating 64-bit hash arithmetic
+  in SQL would test DuckDB's bit ops, not the operator. The exact-Jaccard
+  side of the same machinery IS oracle-checked (``exact_dup_pairs_lsh``
+  verifies LSH candidates against true Jaccard 1.0; ``ngram_jaccard``
+  checks raw-shingle similarity in SQL).
+- ``langid_predictions``: model scoring (n-gram profile cosine) —
+  the genuinely-non-SQL category named in the driver brief.
+- ``ann_topk_ivf``: approximate by design (IVF probes a centroid subset);
+  its exact twin ``ann_topk`` is oracle-checked.
 """
 
 from __future__ import annotations
