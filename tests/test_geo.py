@@ -167,3 +167,54 @@ class TestGridKNN:
         idx = GridKNN(np.array([0.0]), np.array([0.0]), np.array([7]))
         qi, gp, gd, gr = idx.query(np.array([1.0]), np.array([1.0]), 5)
         assert len(gp) == 1 and gp[0] == 7
+
+
+class TestPartitionedKNN:
+    def test_matches_broadcast_joiner(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from wikipedia_wikidata_ray.config import DEFAULT_CONFIG
+        from wikipedia_wikidata_ray.geo.knn_partitioned import knn_join_partitioned
+        from wikipedia_wikidata_ray.pipelines import geopipeline as gp
+        from wikipedia_wikidata_ray.sources.admin_fixtures import places_dict
+
+        cfg = DEFAULT_CONFIG
+        geo = gp.geocode(
+            gp.extract(gp.load_pages("/root/testdata/sf0.001"), cfg), cfg
+        ).materialize()
+        a = gp.knn_join(geo, cfg).to_pandas()
+        b = knn_join_partitioned(geo, places_dict(), k=cfg.knn_k).to_pandas()
+
+        def canon(df):
+            return df[["doc_id", "place_id", "knn_rank", "knn_dist"]].sort_values(
+                ["doc_id", "knn_rank"], ignore_index=True
+            )
+
+        pd.testing.assert_frame_equal(canon(a), canon(b))
+
+    def test_fallback_pass_fires_with_tiny_cells(self, ray_session):
+        """Force the exactness bound to fail (cells far smaller than the
+        k-NN radius) — the fallback pass must still deliver exact results."""
+        import pandas as pd
+
+        from wikipedia_wikidata_ray.config import DEFAULT_CONFIG
+        from wikipedia_wikidata_ray.geo.knn_partitioned import knn_join_partitioned
+        from wikipedia_wikidata_ray.pipelines import geopipeline as gp
+        from wikipedia_wikidata_ray.sources.admin_fixtures import places_dict
+
+        cfg = DEFAULT_CONFIG
+        geo = gp.geocode(
+            gp.extract(gp.load_pages("/root/testdata/sf0.001"), cfg), cfg
+        ).materialize()
+        a = gp.knn_join(geo, cfg).to_pandas()
+        b = knn_join_partitioned(
+            geo, places_dict(), k=cfg.knn_k, cell_deg=1.0
+        ).to_pandas()
+
+        def canon(df):
+            return df[["doc_id", "place_id", "knn_rank", "knn_dist"]].sort_values(
+                ["doc_id", "knn_rank"], ignore_index=True
+            )
+
+        pd.testing.assert_frame_equal(canon(a), canon(b))

@@ -171,6 +171,17 @@ def q_knn_places(sf_dir: str) -> Dataset:
     return gp.knn_join(_geotagged(sf_dir))
 
 
+def q_knn_places_partitioned(sf_dir: str) -> Dataset:
+    """Same result as knn_places via the cell-partitioned scale path
+    (geo/knn_partitioned.py) — shares the knn_places SQL oracle."""
+    from ..geo.knn_partitioned import knn_join_partitioned
+    from ..sources.admin_fixtures import places_dict
+
+    return knn_join_partitioned(
+        _geotagged(sf_dir), places_dict(), k=DEFAULT_CONFIG.knn_k
+    )
+
+
 SQL_KNN_PLACES = f"""
 WITH {SQL_GEO_CTE},
 places AS (
@@ -412,6 +423,7 @@ QUERIES = {
     "admin_counts": q_admin_counts,
     "metro_counts": q_metro_counts,
     "knn_places": q_knn_places,
+    "knn_places_partitioned": q_knn_places_partitioned,
     "importance": q_importance,
     "language_counts": q_language_counts,
     "page_importance_export": q_page_importance_export,
@@ -433,6 +445,7 @@ ORACLES = {
     "admin_counts": SQL_ADMIN_COUNTS,
     "metro_counts": SQL_METRO_COUNTS,
     "knn_places": SQL_KNN_PLACES,
+    "knn_places_partitioned": SQL_KNN_PLACES,
     "importance": SQL_IMPORTANCE,
     "language_counts": SQL_LANGUAGE_COUNTS,
     "page_importance_export": _sql_page_importance_export(),
