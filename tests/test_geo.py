@@ -218,3 +218,26 @@ class TestPartitionedKNN:
             )
 
         pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+class TestPartitionedPIP:
+    def test_matches_broadcast_joiner(self, ray_session):
+        import pandas as pd
+
+        from wikipedia_wikidata_ray.config import DEFAULT_CONFIG
+        from wikipedia_wikidata_ray.geo.pip_partitioned import pip_join_partitioned
+        from wikipedia_wikidata_ray.pipelines import geopipeline as gp
+        from wikipedia_wikidata_ray.sources.admin_fixtures import admin_polygons_table
+
+        cfg = DEFAULT_CONFIG
+        geo = gp.geocode(
+            gp.extract(gp.load_pages("/root/testdata/sf0.001"), cfg), cfg
+        ).materialize()
+        a = gp.pip_join(geo, cfg).to_pandas()
+        # small cells force polygons to replicate across many cells
+        b = pip_join_partitioned(
+            geo, admin_polygons_table(), cell_deg=15.0
+        ).to_pandas()
+        cols = list(a.columns)
+        canon = lambda df: df[cols].sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(canon(a), canon(b))

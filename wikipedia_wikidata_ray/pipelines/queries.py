@@ -124,6 +124,22 @@ GROUP BY 1
 """
 
 
+def q_admin_counts_partitioned(sf_dir: str) -> Dataset:
+    """Same result as admin_counts via the cell-partitioned PIP scale path
+    (geo/pip_partitioned.py) — shares the admin_counts SQL oracle."""
+    from ..geo.pip_partitioned import pip_join_partitioned
+    from ..sources.admin_fixtures import admin_polygons_table
+
+    ds = pip_join_partitioned(_geotagged(sf_dir), admin_polygons_table())
+
+    def keep_geo(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("has_geo")).select(["admin_code"])
+
+    return partial_count(
+        ds.map_batches(keep_geo, batch_format="pyarrow"), ["admin_code"], out="n_pages"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: metro_counts — PIP against hexagon metros (half-plane oracle)
 
@@ -421,6 +437,7 @@ QUERIES = {
     "extract_text": q_extract_text,
     "tile_counts": q_tile_counts,
     "admin_counts": q_admin_counts,
+    "admin_counts_partitioned": q_admin_counts_partitioned,
     "metro_counts": q_metro_counts,
     "knn_places": q_knn_places,
     "knn_places_partitioned": q_knn_places_partitioned,
@@ -443,6 +460,7 @@ ORACLES = {
     "extract_text": SQL_EXTRACT_TEXT,
     "tile_counts": SQL_TILE_COUNTS,
     "admin_counts": SQL_ADMIN_COUNTS,
+    "admin_counts_partitioned": SQL_ADMIN_COUNTS,
     "metro_counts": SQL_METRO_COUNTS,
     "knn_places": SQL_KNN_PLACES,
     "knn_places_partitioned": SQL_KNN_PLACES,
