@@ -13,7 +13,6 @@ counts identically.
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -74,10 +73,13 @@ class TextStats:
 
 
 def _stable_hash64(token: str) -> int:
-    """Deterministic 64-bit token hash (crc32 of token and its reverse) —
-    process-independent, unlike Python ``hash``."""
-    b = token.encode("utf-8")
-    return (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+    """Deterministic 64-bit token hash: first 8 bytes of md5, big-endian —
+    process-independent (unlike Python ``hash``) AND SQL-replicable
+    (DuckDB: ``CAST('0x' || SUBSTR(md5(tok),1,16) AS UBIGINT)``), which is
+    what makes the simhash fingerprints oracle-checkable."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
 
 class SimHasher:

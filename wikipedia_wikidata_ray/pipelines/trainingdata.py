@@ -10,12 +10,12 @@ copy at ``doc_id + N``. Same pattern for embeddings (``vec_id % 10 == 0``
 Four queries are deliberately rows-only (no ``oracle_sql`` entry — the
 driver records the weaker check):
 
-- ``near_dup_pairs_minhash`` / ``simhash_fingerprints``: outputs depend on
-  md5-derived permutation/bit hashes — replicating 64-bit hash arithmetic
-  in SQL would test DuckDB's bit ops, not the operator. The exact-Jaccard
-  side of the same machinery IS oracle-checked (``exact_dup_pairs_lsh``
-  verifies LSH candidates against true Jaccard 1.0; ``ngram_jaccard``
-  checks raw-shingle similarity in SQL).
+- ``near_dup_pairs_minhash``: depends on minhash permutation arithmetic —
+  replicating it in SQL would test DuckDB's bit ops, not the operator.
+  The exact-Jaccard side of the same machinery IS oracle-checked
+  (``exact_dup_pairs_lsh`` verifies LSH candidates against true Jaccard
+  1.0; ``ngram_jaccard`` checks raw-shingle similarity in SQL), and
+  ``simhash_fingerprints`` is fully oracle-checked via md5 bit arithmetic.
 - ``langid_predictions``: model scoring (n-gram profile cosine) —
   the genuinely-non-SQL category named in the driver brief.
 - ``ann_topk_ivf``: approximate by design (IVF probes a centroid subset);
@@ -375,3 +375,33 @@ WHERE ((doc_id * 2654435761) & 2147483647) % 10 = 0
 
 TRAININGDATA_QUERIES["hash_sample"] = q_hash_sample
 TRAININGDATA_ORACLES["hash_sample"] = SQL_HASH_SAMPLE
+
+# simhash became oracle-checkable once the token hash moved to md5
+# (ops/textstats._stable_hash64): DuckDB replicates tokenization, the
+# 64-bit hash, per-bit vote sums, and fingerprint reassembly exactly.
+SQL_SIMHASH_FINGERPRINTS = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || SUBSTR(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT t.doc_id, b.j,
+         SUM(CASE WHEN (t.h >> CAST(b.j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th t, range(0, 64) b(j)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0
+                       THEN CAST(CAST(1 AS UBIGINT) << CAST(j AS INTEGER) AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash
+FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+TRAININGDATA_ORACLES["simhash_fingerprints"] = SQL_SIMHASH_FINGERPRINTS
