@@ -7,7 +7,7 @@ Replaces the reference's env-var + config-file surface
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 # The reference ships 39 languages (config/languages.txt:2-40). We keep the

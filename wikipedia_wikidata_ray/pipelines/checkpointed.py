@@ -10,7 +10,6 @@ the heavy per-page work is never repeated after a failure.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 import pyarrow.compute as pc

@@ -16,7 +16,7 @@ import os
 import pyarrow as pa
 from ray.data import Dataset
 
-from ..functions.textio import csv_minimal_quote, shortest_float_repr
+from ..functions.textio import shortest_float_repr
 
 
 def _format_row(values: list, float_cols: set[int]) -> str:

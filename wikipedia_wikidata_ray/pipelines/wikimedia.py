@@ -28,7 +28,6 @@ pipelines/queries.py SQL):
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq

@@ -20,7 +20,6 @@ Reference semantics cited per query:
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
