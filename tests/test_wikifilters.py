@@ -221,3 +221,23 @@ def test_csv_gz_source_roundtrip(ray_session, tmp_path):
     out = ds.to_pandas().sort_values("page_id", ignore_index=True)
     assert out["page_id"].tolist() == [1, 2]
     assert out["page_title"].tolist() == ["Title_A", "Title,B"]
+
+
+def test_wikidump_e2e_runs(ray_session):
+    """A3→B→C1→D2→D7→E5→D8/D9→F1 over real .sql.gz dump files: sorted
+    output, articles before redirects, importance in (0, 1]."""
+    from wikipedia_wikidata_ray.pipelines.wikidump import (
+        wikimedia_importance_from_dumps,
+    )
+    from wikipedia_wikidata_ray.sources.wikidump_gen import ensure_wikidumps
+
+    out = wikimedia_importance_from_dumps(
+        ensure_wikidumps("/root/testdata/sf0.001")
+    ).to_pandas()
+    assert len(out) > 100
+    assert set(out["type"]) == {"a", "r"}
+    assert out["importance"].between(1e-10, 1.0).all()
+    assert out["wikidata_id"].str.startswith("Q").all()
+    # F1 order: within a language block, 'a' rows precede 'r' rows
+    for _, g in out.groupby("language", sort=False):
+        assert g["type"].tolist() == sorted(g["type"])

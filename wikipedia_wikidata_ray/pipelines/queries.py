@@ -7,7 +7,7 @@ replicate that arithmetic over the pre-registered ``documents`` view.
 
 Float-matching policy: coordinates/distances are produced by identical
 IEEE-754 operation sequences on both sides (bitwise-equal); importance is
-rounded to 9 dp on both sides because ln() differs by ulps between numpy
+rounded to 10 dp on both sides because ln() differs by ulps between numpy
 and DuckDB.
 """
 
@@ -352,12 +352,12 @@ def importance_pipeline(pages_fn, num_partitions: int | None = None,
     )
     log_maxt = math.log(maxt)
 
-    # E5: GREATEST(LN(total)/LN(max), 1e-10), rounded to 9 dp (float policy)
+    # E5: GREATEST(LN(total)/LN(max), 1e-10), rounded to 10 dp (float policy)
     def score(t: pa.Table) -> pa.Table:
         total = t.column("totalcount").to_numpy().astype(np.float64)
         imp = np.maximum(np.log(total) / log_maxt, 1e-10)
         out = t.drop_columns(["_geo"])
-        return out.append_column("importance", pa.array(np.round(imp, 9)))
+        return out.append_column("importance", pa.array(np.round(imp, 10)))
 
     return agg.map_batches(score, batch_format="pyarrow")
 
@@ -378,7 +378,7 @@ scored AS (
 ),
 maxt AS (SELECT MAX(totalcount) AS m FROM scored WHERE doc_id % 10 < 7)
 SELECT doc_id, langcount, othercount, totalcount,
-       ROUND(GREATEST(LN(totalcount) / LN((SELECT m FROM maxt)), 1e-10), 9)
+       ROUND(GREATEST(LN(totalcount) / LN((SELECT m FROM maxt)), 1e-10), 10)
          AS importance
 FROM scored
 """
@@ -449,12 +449,14 @@ QUERIES = {
 from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 from .trainingdata import TRAININGDATA_ORACLES, TRAININGDATA_QUERIES  # noqa: E402
 from .temporal_media import TEMPORAL_MEDIA_ORACLES, TEMPORAL_MEDIA_QUERIES  # noqa: E402
+from .wikidump import SQL_WIKIDUMP_IMPORTANCE_EXPORT, q_wikidump_importance_export  # noqa: E402
 from .wikiprocess import WIKIPROCESS_ORACLES, WIKIPROCESS_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TRAININGDATA_QUERIES)
 QUERIES.update(WIKIPROCESS_QUERIES)
 QUERIES.update(TEMPORAL_MEDIA_QUERIES)
+QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
     "extract_text": SQL_EXTRACT_TEXT,
@@ -473,3 +475,4 @@ ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TRAININGDATA_ORACLES)
 ORACLES.update(WIKIPROCESS_ORACLES)
 ORACLES.update(TEMPORAL_MEDIA_ORACLES)
+ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT

@@ -185,7 +185,7 @@ def export_pipeline(pages_fn, n_docs: int) -> Dataset:
 SQL_PAGE_IMPORTANCE_EXPORT_BODY = """
 imp AS (
   SELECT doc_id,
-         ROUND(GREATEST(LN(totalcount) / LN((SELECT m FROM maxt)), 1e-10), 9)
+         ROUND(GREATEST(LN(totalcount) / LN((SELECT m FROM maxt)), 1e-10), 10)
            AS importance
   FROM scored
 ),
