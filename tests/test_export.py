@@ -48,3 +48,24 @@ def test_rows_sorted_articles_before_redirects(exported):
         for t in ("a", "r"):
             titles = [r[2] for r in lang_rows if r[1] == t]
             assert titles == sorted(titles)
+
+
+def test_wikidump_tsv_artifact(ray_session, tmp_path):
+    """Raw dumps → the reference's final TSV artifact, float repr exact."""
+    from wikipedia_wikidata_ray.pipelines.export import (
+        export_wikidump_importance,
+        read_tsv_concat,
+    )
+    from wikipedia_wikidata_ray.sources.wikidump_gen import ensure_wikidumps
+
+    out = str(tmp_path / "wikidump_tsv")
+    export_wikidump_importance(ensure_wikidumps("/root/testdata/sf0.001"), out)
+    text = read_tsv_concat(out)
+    lines = text.splitlines()
+    assert lines[0] == "language\ttype\ttitle\timportance\twikidata_id"
+    assert len(lines) > 100
+    for line in lines[1:]:
+        parts = line.split("\t")
+        assert len(parts) == 5
+        assert repr(float(parts[3])) == parts[3]
+        assert parts[4].startswith("Q")

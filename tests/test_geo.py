@@ -241,3 +241,27 @@ class TestPartitionedPIP:
         cols = list(a.columns)
         canon = lambda df: df[cols].sort_values("doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+def test_actor_pool_spatial_mode(ray_session):
+    """spatial_stage_mode='actors' (the heavy-state path) produces the
+    same results as the default task mode."""
+    import dataclasses
+
+    import pandas as pd
+
+    from wikipedia_wikidata_ray.config import DEFAULT_CONFIG
+    from wikipedia_wikidata_ray.pipelines import geopipeline as gp
+
+    cfg_tasks = DEFAULT_CONFIG
+    cfg_actors = dataclasses.replace(DEFAULT_CONFIG, spatial_stage_mode="actors")
+    geo = gp.geocode(
+        gp.extract(gp.load_pages("/root/testdata/sf0.001"), cfg_tasks), cfg_tasks
+    ).materialize()
+    canon = lambda df: df.sort_values("doc_id", ignore_index=True)
+    a = canon(gp.pip_join(geo, cfg_tasks).to_pandas())
+    b = canon(gp.pip_join(geo, cfg_actors).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    ka = canon(gp.knn_join(geo, cfg_tasks).to_pandas())
+    kb = canon(gp.knn_join(geo, cfg_actors).to_pandas())
+    pd.testing.assert_frame_equal(ka, kb)

@@ -93,3 +93,15 @@ def export_wikimedia_importance(sf_dir: str, out_dir: str) -> str:
         ["language", "type", "title", "importance"]
     )
     return export_tsv(ds, out_dir)
+
+
+def export_wikidump_importance(dump_dir: str, out_dir: str) -> str:
+    """The complete reference artifact from raw dumps: dump tree in,
+    sorted ``language/type/title/importance/wikidata_id`` TSV out
+    (steps/output.sh:113-128 analog over pipelines/wikidump.py)."""
+    from .wikidump import wikimedia_importance_from_dumps
+
+    ds = wikimedia_importance_from_dumps(dump_dir).select_columns(
+        ["language", "type", "title", "importance", "wikidata_id"]
+    )
+    return export_tsv(ds, out_dir)
