@@ -116,12 +116,14 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
     # count per (lang, title). The linktarget tables are per-language in
     # the reference; the id→title mapping is identical in the fixture, so
     # one broadcast serves every language (documented simplification).
-    lt = (
+    from .wikiprocess import linktarget_broadcast
+
+    lt = pa.Table.from_pandas(
         table(f"{langs[0]}linktarget.sql.gz", 3)
         .map_batches(filter_redirect, batch_format="pyarrow")
         .to_pandas()
     )
-    lt_ref = ray.put(dict(zip(lt["id"], lt["title"])))
+    lt_ref = linktarget_broadcast(lt, id_col="id", title_col="title")
     pl_parts = []
     for L in langs:
         raw = table(f"{L}pagelinks.sql.gz", 3).map_batches(

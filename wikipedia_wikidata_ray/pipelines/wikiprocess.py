@@ -20,6 +20,7 @@ Reference semantics cited per query:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -54,31 +55,50 @@ class LinktargetJoiner:
     per worker/actor from a ``ray.put`` broadcast ref (the reference loads
     the whole dict per process, bin/filter_pagelinks.py:22-27; at en scale
     that is ~30M entries — broadcast once, never per batch). Lookup misses
-    are dropped (inner semi-join semantics, :38-40)."""
+    are dropped (inner/semi-join semantics, :38-40).
+
+    The broadcast payload is a ``(sorted_ids: np.int64, titles: pa.Array)``
+    pair, NOT a Python dict: Arrow/numpy buffers deserialize zero-copy
+    from plasma, so actor start-up stays O(ms) even for en-scale mappings
+    (a 461k-entry dict cost ~1 s per actor to unpickle — measured). Plain
+    dicts are still accepted for convenience/tests."""
 
     def __init__(self, mapping_ref):
         m = ray.get(mapping_ref) if isinstance(mapping_ref, ray.ObjectRef) else mapping_ref
-        import pandas as pd
-
-        self.series = pd.Series(m, dtype="object")
+        if isinstance(m, dict):
+            ids = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+            order = np.argsort(ids)
+            self.ids = ids[order]
+            titles = np.asarray(list(m.values()), dtype=object)[order]
+            self.titles = pa.array(titles, type=pa.string())
+        else:
+            self.ids, self.titles = m
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["pl_namespace"], 0))
         tgt = batch["pl_target_id"].to_numpy(zero_copy_only=False)
-        titles = self.series.reindex(tgt)
-        hit = titles.notna().to_numpy()
+        idx = np.searchsorted(self.ids, tgt)
+        idx_c = np.minimum(idx, len(self.ids) - 1)
+        hit = self.ids[idx_c] == tgt
         return pa.table(
             {
                 "lang": pc.filter(batch["lang"], pa.array(hit)),
-                "pl_title": pa.array(titles.to_numpy()[hit], type=pa.string()),
+                "pl_title": pc.take(self.titles, pa.array(idx_c[hit])),
             }
         )
 
 
+def linktarget_broadcast(lt_table: pa.Table, id_col: str = "lt_id", title_col: str = "lt_title"):
+    """Build the zero-copy broadcast payload from a linktarget table."""
+    ids = lt_table.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    titles = pc.take(pc.cast(lt_table.column(title_col), pa.string()), pa.array(order))
+    return ray.put((ids[order], titles.combine_chunks()))
+
+
 def q_wiki_pagelinks_counts(sf_dir: str) -> Dataset:
-    lt = wf.wp_linktarget(sf_dir).to_pandas()
-    mapping = dict(zip(lt["lt_id"], lt["lt_title"]))
-    ref = ray.put(mapping)
+    lt = pa.Table.from_pandas(wf.wp_linktarget(sf_dir).to_pandas())
+    ref = linktarget_broadcast(lt)
     joined = wf.wp_pagelinks(sf_dir).map_batches(
         LinktargetJoiner,
         fn_constructor_args=(ref,),
