@@ -169,3 +169,55 @@ class LangId:
                 "pred_lang": pa.array([self.predict(t) for t in texts], type=pa.string()),
             }
         )
+
+
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007
+ROLL_WINDOW = 8
+
+
+class RollingFingerprinter:
+    """Rabin-Karp rolling-hash document fingerprints (the classic
+    content-fingerprinting primitive; winnowing-style selection reduced to
+    the global minimum window hash for a compact per-doc signature).
+
+    h(i) = Σ_{k<W} ord(c[i+k]) · B^(W-1-k) mod M over every W-char window;
+    emits per doc: number of windows, MIN window hash, and the count of
+    distinct window hashes. Pure integer arithmetic (B=257, M=1e9+7,
+    products < 2^63) — bitwise-replicable in SQL."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.pows = np.array(
+            [pow(ROLL_BASE, ROLL_WINDOW - 1 - k, ROLL_MOD) for k in range(ROLL_WINDOW)],
+            dtype=np.int64,
+        )
+
+    def doc_hashes(self, text: str) -> np.ndarray:
+        codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=len(text))
+        n = len(codes) - ROLL_WINDOW + 1
+        if n <= 0:
+            return np.empty(0, dtype=np.int64)
+        # windows as a strided view → vectorized mod-sum
+        win = np.lib.stride_tricks.sliding_window_view(codes, ROLL_WINDOW)
+        return (win * self.pows[None, :]).sum(axis=1) % ROLL_MOD
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n_windows = np.zeros(len(texts), dtype=np.int64)
+        fp_min = np.zeros(len(texts), dtype=np.int64)
+        n_distinct = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = self.doc_hashes(t)
+            n_windows[i] = len(h)
+            fp_min[i] = h.min() if len(h) else -1
+            n_distinct[i] = len(np.unique(h))
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_windows": pa.array(n_windows),
+                "fp_min": pa.array(fp_min),
+                "n_distinct_windows": pa.array(n_distinct),
+            }
+        )

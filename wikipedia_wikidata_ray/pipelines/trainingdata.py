@@ -405,3 +405,45 @@ SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash
 FROM documents d LEFT JOIN fp f USING (doc_id)
 """
 TRAININGDATA_ORACLES["simhash_fingerprints"] = SQL_SIMHASH_FINGERPRINTS
+
+
+def q_rolling_fingerprints(sf_dir: str) -> Dataset:
+    from ..ops.textstats import RollingFingerprinter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        RollingFingerprinter, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+SQL_ROLLING_FINGERPRINTS = """
+WITH pows AS (
+  SELECT * FROM (VALUES
+    (0, CAST(13163680 AS BIGINT)), (1, CAST(805498697 AS BIGINT)),
+    (2, CAST(154885210 AS BIGINT)), (3, CAST(362470373 AS BIGINT)),
+    (4, CAST(16974593 AS BIGINT)), (5, CAST(66049 AS BIGINT)),
+    (6, CAST(257 AS BIGINT)), (7, CAST(1 AS BIGINT))
+  ) AS t(k, p)
+),
+win AS (
+  SELECT d.doc_id, i.i,
+         SUM(ascii(substr(d.text, CAST(i.i + ks.k AS INT), 1)) * ks.p)
+           % 1000000007 AS h
+  FROM documents d, range(1, 2000) i(i), pows ks
+  WHERE i.i <= length(d.text) - 7
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_windows, MIN(h) AS fp_min,
+         COUNT(DISTINCT h) AS n_distinct_windows
+  FROM win GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_windows, 0) AS n_windows,
+       COALESCE(a.fp_min, -1) AS fp_min,
+       COALESCE(a.n_distinct_windows, 0) AS n_distinct_windows
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+TRAININGDATA_QUERIES["rolling_fingerprints"] = q_rolling_fingerprints
+TRAININGDATA_ORACLES["rolling_fingerprints"] = SQL_ROLLING_FINGERPRINTS
