@@ -31,8 +31,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
+    ncpu = int(os.environ.get("CHECK_CPUS", "8"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
