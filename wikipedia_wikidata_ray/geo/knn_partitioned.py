@@ -45,13 +45,17 @@ def knn_join_partitioned(
     k: int = 5,
     key_cols: tuple[str, ...] = ("doc_id",),
     cell_deg: float | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Exact k nearest places per geotagged query row.
 
     Output: ``key_cols + (place_id, knn_rank, knn_dist)`` — identical
     content to ``geopipeline.knn_join`` at any parallelism.
     """
+    from ..stages.salted import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
     plat = np.asarray(places["lat"], dtype=np.float64)
     plon = np.asarray(places["lon"], dtype=np.float64)
     pid = np.asarray(places["place_id"], dtype=np.int64)

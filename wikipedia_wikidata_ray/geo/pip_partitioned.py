@@ -32,11 +32,15 @@ def pip_join_partitioned(
     polygons: pa.Table,
     specs: tuple[tuple[int, str], ...] = ((0, "admin_code"), (1, "metro_code")),
     cell_deg: float = 30.0,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Adds one code column per ``(level, out_col)`` spec; identical output
     to the broadcast ``PIPMultiJoiner`` at any parallelism."""
 
+    from ..stages.salted import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
     codes = polygons.column("admin_code").to_pylist()
     levels = polygons.column("level").to_numpy()
     rings_x = [np.asarray(r, dtype=np.float64) for r in polygons.column("ring_lon").to_pylist()]

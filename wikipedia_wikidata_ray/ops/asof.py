@@ -25,12 +25,16 @@ def asof_join(
     ts: str,
     tie_col: str,
     right_value_cols: list[str],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """For every left row, attach the right row with the greatest
     ``ts`` ≤ left ``ts`` within the same ``key`` group (nulls when no such
     row). Exact at any parallelism."""
 
+    from ..stages.salted import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
     l_tag = left.map_batches(
         lambda t: t.append_column("_side", pa.array(np.zeros(len(t), dtype=np.int8))),
         batch_format="pyarrow",

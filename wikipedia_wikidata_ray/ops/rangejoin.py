@@ -29,11 +29,15 @@ def preceding_window_count(
     ts: str,
     window_us: int,
     out: str = "n_matches",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """For each left row: count of right rows with the same ``key`` and
     ``r.ts ∈ (l.ts - window, l.ts]``. Left schema + ``out`` column."""
 
+    from ..stages.salted import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
     w = np.int64(window_us)
 
     def tag_left(t: pa.Table) -> pa.Table:

@@ -24,11 +24,15 @@ def sessionize(
     ts: str = "ts",
     value_col: str = "value",
     gap_minutes: int = 30,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Collapse each key's event stream into sessions separated by gaps
     > ``gap_minutes``. Output: one row per session with ordinal
     ``session_no`` (1-based per key), start/end, count and value sum."""
+    from ..stages.salted import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
     gap_us = np.timedelta64(gap_minutes * 60_000_000, "us")
 
     def fn(group: pa.Table) -> pa.Table:

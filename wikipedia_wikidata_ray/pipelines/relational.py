@@ -29,7 +29,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..stages.salted import partial_count
+from ..stages.salted import partial_count, default_partitions
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
@@ -139,7 +139,7 @@ def q_customer_order_counts(sf_dir: str) -> Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey"])
     counts = partial_count(orders, ["o_custkey"], out="n_orders")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = counts.join(cust, "inner", num_partitions=4,
+    joined = counts.join(cust, "inner", num_partitions=default_partitions(),
                          on=("o_custkey",), right_on=("c_custkey",))
     return joined.map_batches(
         lambda t: pa.table(
@@ -180,10 +180,10 @@ def q_nation_revenue(sf_dir: str) -> Dataset:
 
     li = li.map_batches(rev, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    j1 = li.join(orders, "inner", num_partitions=8,
+    j1 = li.join(orders, "inner", num_partitions=default_partitions(),
                  on=("l_orderkey",), right_on=("o_orderkey",))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    j2 = j1.join(cust, "inner", num_partitions=4,
+    j2 = j1.join(cust, "inner", num_partitions=default_partitions(),
                  on=("o_custkey",), right_on=("c_custkey",))
 
     # nation is 25 rows → broadcast lookup, no shuffle (SURVEY.md §2.D4)
@@ -245,7 +245,7 @@ def q_customers_without_orders(sf_dir: str) -> Dataset:
         .select(["o_custkey"]),
         batch_format="pyarrow",
     )
-    return cust.join(big, "left_anti", num_partitions=4,
+    return cust.join(big, "left_anti", num_partitions=default_partitions(),
                      on=("c_custkey",), right_on=("o_custkey",))
 
 
@@ -259,7 +259,7 @@ ANTI JOIN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) o
 def q_customers_with_orders(sf_dir: str) -> Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    return cust.join(orders, "left_semi", num_partitions=4,
+    return cust.join(orders, "left_semi", num_partitions=default_partitions(),
                      on=("c_custkey",), right_on=("o_custkey",))
 
 

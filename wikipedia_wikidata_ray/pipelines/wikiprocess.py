@@ -27,7 +27,7 @@ import ray
 from ray.data import Dataset
 
 from ..sources import wiki_fixtures as wf
-from ..stages.salted import partial_count
+from ..stages.salted import default_partitions, partial_count
 
 # F5/D4 broadcast level map — NON-injective so the tie-break is exercised
 # (T2 and T3 share level 3; T1 and T4 share level 2).
@@ -128,7 +128,7 @@ def q_wiki_redirect_resolve(sf_dir: str) -> Dataset:
     j = red.join(
         page,
         "inner",
-        num_partitions=8,
+        num_partitions=default_partitions(),
         on=("lang", "rd_from"),
         right_on=("lang", "page_id"),
     )
@@ -162,7 +162,7 @@ def q_wiki_geo_enrich(sf_dir: str) -> Dataset:
     j = geo.join(
         page,
         "left_outer",
-        num_partitions=8,
+        num_partitions=default_partitions(),
         on=("gt_page_id",),
         right_on=("page_id",),
     ).select_columns(["gt_page_id", "gt_lat", "gt_lon", "page_title"])
@@ -268,7 +268,7 @@ def q_wiki_sitelinks_join(sf_dir: str) -> Dataset:
     j = items.join(
         wf.wb_items_per_site(sf_dir),
         "inner",
-        num_partitions=8,
+        num_partitions=default_partitions(),
         on=("item_id",),
         right_on=("ips_item_id",),
     )
@@ -311,7 +311,7 @@ def q_wiki_article_full(sf_dir: str) -> Dataset:
             batch_format="pyarrow",
         ),
         "left_outer",
-        num_partitions=8,
+        num_partitions=default_partitions(),
         on=("language", "title"),
         right_on=("w_language", "w_title"),
     ).select_columns(["language", "title", "item"])
@@ -338,7 +338,7 @@ def q_wiki_article_full(sf_dir: str) -> Dataset:
     out = enriched.join(
         geo,
         "left_outer",
-        num_partitions=8,
+        num_partitions=default_partitions(),
         on=("item_id",),
         right_on=("g_page_id",),
     )

@@ -186,3 +186,17 @@ def salted_count(ds: Dataset, keys: list[str], salt_from: str, fanout: int = 16,
     return merge_group_sums(
         stage1.drop_columns(["_salt"]), keys, [out]
     )
+
+
+def default_partitions(lo: int = 2, hi: int = 16) -> int:
+    """Shuffle/join partition count scaled to the session: cpus // 2
+    clamped to [lo, hi]. Small sessions (4-CPU test fixtures) deadlocked
+    with fixed large partition counts — every wide op should size itself
+    from the cluster, never a constant."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus // 2))
