@@ -73,3 +73,31 @@ def test_merge_num_blocks_param_invariant(ray_session):
         )
 
     pd.testing.assert_frame_equal(counts(1), counts(13))
+
+
+def test_extreme_skew_exactness(ray_session):
+    """I7: one key holding 99% of rows — partial combine and explicit
+    salting both stay exact (the megacity/hot-title regime)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 50_000
+    keys = np.where(np.arange(n) % 100 == 0, np.arange(n) % 7, -1)  # 99% key=-1
+    tables = [
+        pa.table({"k": keys[s: s + 5000], "rid": np.arange(s, min(s + 5000, n))})
+        for s in range(0, n, 5000)
+    ]
+    ds = rd.from_arrow(tables)
+    got = _canon(partial_count(ds, ["k"], out="n").to_pandas())
+    import pandas as pd
+
+    want = _canon(
+        pd.DataFrame({"k": keys}).groupby("k").size().rename("n").reset_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got_salted = _canon(
+        salted_count(ds, ["k"], salt_from="rid", fanout=16, out="n").to_pandas()
+    )
+    pd.testing.assert_frame_equal(got_salted, want, check_dtype=False)
