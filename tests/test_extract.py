@@ -91,3 +91,31 @@ def test_config_env_override(monkeypatch):
     monkeypatch.setenv("LANGUAGES", "de,fr,it,en")
     assert EngineConfig.from_env().languages == ("de", "fr", "it", "en")
     assert EngineConfig.from_env(languages=("xx",)).languages == ("xx",)
+
+
+def test_warc_roundtrip(ray_session):
+    """WARC shard render → parse → byte-identical html + timestamps."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.sources.pages_gen import ensure_pages_parquet
+    from wikipedia_wikidata_ray.sources.warc import (
+        ensure_warc_fixture,
+        read_warc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    warc_dir = ensure_warc_fixture(sf)
+    got = (
+        read_warc(f"{warc_dir}/")
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    want = (
+        pq.read_table(ensure_pages_parquet(sf))
+        .select(["url", "warc_ts", "html"])
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    assert got["url"].tolist() == want["url"].tolist()
+    assert (got["warc_ts"] == want["warc_ts"]).all()
+    assert all(a == b for a, b in zip(got["html"], want["html"]))

@@ -447,3 +447,38 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 TRAININGDATA_QUERIES["rolling_fingerprints"] = q_rolling_fingerprints
 TRAININGDATA_ORACLES["rolling_fingerprints"] = SQL_ROLLING_FINGERPRINTS
+
+
+def q_warc_extract_text(sf_dir: str) -> Dataset:
+    """pages via the WARC container (Common-Crawl's actual input format,
+    sources/warc.py) → HTML extraction; shares extract_text's oracle
+    contract — proving the byte-identical invariant holds through the
+    WARC round-trip too."""
+    from ..sources.warc import ensure_warc_fixture, read_warc
+    from ..stages.extract import extract_batch
+
+    warc_dir = ensure_warc_fixture(sf_dir)
+    pages = read_warc(f"{warc_dir}/")
+
+    def add_lang(t: pa.Table) -> pa.Table:
+        # lang is the subdomain of the fixture url scheme
+        host = pc.split_pattern(t["url"], "https://", max_splits=1)
+        lang = pc.list_element(
+            pc.split_pattern(pc.list_element(host, 1), ".", max_splits=1), 0
+        )
+        return t.append_column("lang", pc.cast(lang, pa.string()))
+
+    ex = pages.map_batches(add_lang, batch_format="pyarrow").map_batches(
+        extract_batch, batch_format="pyarrow"
+    )
+    return ex.select_columns(["url", "text"])
+
+
+SQL_WARC_EXTRACT_TEXT = """
+SELECT 'https://' || lang || '.example.org/wiki/Doc_' || doc_id AS url,
+       text
+FROM documents
+"""
+
+TRAININGDATA_QUERIES["warc_extract_text"] = q_warc_extract_text
+TRAININGDATA_ORACLES["warc_extract_text"] = SQL_WARC_EXTRACT_TEXT
