@@ -101,3 +101,32 @@ def test_extreme_skew_exactness(ray_session):
         salted_count(ds, ["k"], salt_from="rid", fanout=16, out="n").to_pandas()
     )
     pd.testing.assert_frame_equal(got_salted, want, check_dtype=False)
+
+
+def test_ivf_recall_vs_exact(ray_session):
+    """Scale-path quality evidence: IVF (nprobe=4/16 centroids) recall@5
+    against the exact brute-force neighbors."""
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        TRAININGDATA_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = TRAININGDATA_QUERIES["ann_topk"](sf).to_pandas()
+    approx = TRAININGDATA_QUERIES["ann_topk_ivf"](sf).to_pandas()
+    e = exact.groupby("vec_id")["neighbor_id"].apply(set)
+    a = approx.groupby("vec_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index
+    ]
+    import numpy as np
+
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.6, mean_recall  # approximate, but not junk
+    # determinism: same run twice → identical output
+    approx2 = TRAININGDATA_QUERIES["ann_topk_ivf"](sf).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["vec_id", "rank"], ignore_index=True),
+        approx2.sort_values(["vec_id", "rank"], ignore_index=True),
+    )
