@@ -94,3 +94,118 @@ def test_merge_group_sums_matches_pandas(pairs, nblocks):
     want["s"] = want["s"].where(pd.notna(want["s"]), None)
     got["s"] = got["s"].where(pd.notna(got["s"]), None)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(  # left events: (key, ts-seconds)
+        st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+        min_size=1, max_size=60,
+    ),
+    st.lists(  # right events
+        st.tuples(st.integers(0, 4), st.integers(0, 10_000)),
+        min_size=0, max_size=60,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(left_rows, right_rows):
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.ops.asof import asof_join
+
+    # unique (key, ts) per side → tie-break-free comparison vs merge_asof
+    left_rows = sorted(set(left_rows))
+    right_rows = sorted(set(right_rows))
+    lt = pa.table(
+        {
+            "k": pa.array([r[0] for r in left_rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in left_rows], dtype="datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+            "lid": pa.array(range(len(left_rows)), type=pa.int64()),
+        }
+    )
+    rtbl = pa.table(
+        {
+            "k": pa.array([r[0] for r in right_rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in right_rows], dtype="datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+            "rid": pa.array(range(len(right_rows)), type=pa.int64()),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_arrow(lt),
+            rd.from_arrow(rtbl) if len(rtbl) else rd.from_arrow(rtbl.schema.empty_table()),
+            key="k", ts="ts", tie_col="rid", right_value_cols=["rid"],
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    ldf = lt.to_pandas().sort_values("ts", kind="stable", ignore_index=True)
+    rdf = rtbl.to_pandas().sort_values("ts", kind="stable", ignore_index=True)
+    if len(rdf):
+        want = pd.merge_asof(
+            ldf, rdf, on="ts", by="k", direction="backward", suffixes=("", "_r")
+        ).sort_values("lid", ignore_index=True)
+        want_rid = want["rid"]
+    else:
+        want = ldf.sort_values("lid", ignore_index=True)
+        want_rid = pd.Series([None] * len(want), dtype="float64")
+    assert got["asof_rid"].astype("float64").equals(want_rid.astype("float64"))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5_000), st.integers(0, 100)),
+        min_size=1, max_size=80,
+    ),
+    st.integers(1, 30),
+)
+def test_sessionize_matches_pandas(rows, gap_min):
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.ops.windows import sessionize
+
+    rows = sorted(set((k, t) for k, t, _ in rows))
+    vals = {kt: float(i % 17) for i, kt in enumerate(rows)}
+    t = pa.table(
+        {
+            "user_id": pa.array([k for k, _ in rows], type=pa.int64()),
+            "ts": pa.array(
+                np.array([s for _, s in rows], dtype="datetime64[s]").astype(
+                    "datetime64[us]"
+                )
+            ),
+            "value": pa.array([vals[kt] for kt in rows]),
+        }
+    )
+    got = (
+        sessionize(rd.from_arrow(t), gap_minutes=gap_min)
+        .to_pandas()
+        .sort_values(["user_id", "session_no"], ignore_index=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts"], ignore_index=True)
+    gap = pd.Timedelta(minutes=gap_min)
+    new = (df["ts"] - df.groupby("user_id")["ts"].shift()).gt(gap) | (
+        df.groupby("user_id")["ts"].shift().isna()
+    )
+    df["session_no"] = new.groupby(df["user_id"]).cumsum()
+    want = (
+        df.groupby(["user_id", "session_no"])
+        .agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        .reset_index()
+        .sort_values(["user_id", "session_no"], ignore_index=True)
+    )
+    want["sum_value"] = want["sum_value"].round(6)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
