@@ -1,0 +1,114 @@
+"""Dedup operator tests: join-based verification (no driver-side corpus
+materialization), vectorized MinHash equivalence, degenerate-bucket cap,
+and the fast exact_dedup merge path."""
+
+from __future__ import annotations
+
+import inspect
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from wikipedia_wikidata_ray.ops import dedup as dd
+
+
+def _docs_ds(texts: list[str]) -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog every day",
+    "the quick brown fox jumps over the lazy dog every night",
+    "completely different content about ray data pipelines here",
+    "the quick brown fox jumps over the lazy dog every day",  # exact dup of 0
+    "unrelated text on arrow tables and zero copy batches now",
+    "completely different content about ray data pipelines here",  # dup of 2
+]
+
+
+def test_exact_dedup_matches_pandas():
+    out = dd.exact_dedup(_docs_ds(CORPUS)).to_pandas()
+    want = (
+        pd.DataFrame({"doc_id": range(len(CORPUS)), "text": CORPUS})
+        .groupby("text")
+        .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        .reset_index(drop=True)
+    )
+    got = out.sort_values("doc_id", ignore_index=True)
+    want = want.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_lsh_pairs_join_verify():
+    """Join-based verification finds exactly the true near-dup pairs."""
+    pairs = dd.minhash_lsh_pairs(_docs_ds(CORPUS), threshold=0.8).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # exact dups (0,3) and (2,5); (0,1)/(1,3) are one-word-off near dups
+    assert (0, 3) in got and (2, 5) in got
+    for a, b in got:
+        h = dd.MinHasher()
+        sa = set(h.shingles(CORPUS[a]).tolist())
+        sb = set(h.shingles(CORPUS[b]).tolist())
+        assert len(sa & sb) / len(sa | sb) >= 0.8
+
+
+def test_verify_path_never_materializes_corpus_on_driver():
+    """The round-1 scale-killer (iter_batches → {doc_id: text} dict →
+    ray.put broadcast) must not return: the verify path carries text
+    through shuffle joins only. Static guard over the two modules that
+    held the pattern."""
+    from wikipedia_wikidata_ray.pipelines import trainingdata
+
+    for mod in (dd, trainingdata):
+        src = inspect.getsource(mod)
+        assert "iter_batches" not in src, f"{mod.__name__} pulls blocks to the driver"
+    # API-level guard: the verifiers take Datasets, not text dicts
+    assert "texts" not in inspect.signature(dd.minhash_lsh_pairs).parameters
+    assert "texts" not in inspect.signature(dd.ngram_jaccard_pairs).parameters
+
+
+def test_vectorized_signatures_match_scalar():
+    h = dd.MinHasher()
+    texts = CORPUS + ["", "one", "two words here"]
+    batch = h.signatures(texts)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(batch[i], h.signature(t))
+
+
+def test_degenerate_bucket_capped():
+    """A pathological duplicate cluster (every doc identical) must not
+    emit O(n²) pairs: above max_bucket_size the bucket emits star pairs
+    to the min id (documented approximation; exact dups are fully caught
+    by exact_dedup)."""
+    n = 600
+    texts = ["identical duplicate document body repeated verbatim"] * n
+    t0 = time.monotonic()
+    cands = dd.minhash_candidates(
+        _docs_ds(texts), max_bucket_size=100
+    ).to_pandas()
+    elapsed = time.monotonic() - t0
+    # star pairs: n-1 pairs, all anchored at doc 0 — not n*(n-1)/2
+    assert len(cands) == n - 1
+    assert (cands["doc_a"] == 0).all()
+    assert elapsed < 60
+
+
+def test_attach_pair_texts_empty_pairs():
+    docs = _docs_ds(CORPUS)
+    empty = rd.from_arrow(
+        pa.table({"doc_a": pa.array([], type=pa.int64()),
+                  "doc_b": pa.array([], type=pa.int64())})
+    )
+    out = dd.attach_pair_texts(empty, docs)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_a", "doc_b", "text_a", "text_b"}

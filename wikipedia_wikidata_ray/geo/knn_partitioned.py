@@ -147,9 +147,16 @@ def knn_join_partitioned(
                 ord2 = np.lexsort((cpid[part], d2[rows, part]), axis=1)
                 sel = part[rows, ord2]
                 dist = np.sqrt(d2[rows, sel])
-                # exact iff we had k candidates AND the k-th is inside the
-                # ring guarantee radius
-                ok = (nc >= k) & (dist[:, kk - 1] <= cell_deg)
+                # exact iff we had k candidates AND the k-th is strictly
+                # inside the ring guarantee radius: places outside the 3x3
+                # block are only guaranteed >= cell_deg away, so at exactly
+                # cell_deg a just-outside place with a smaller place_id
+                # could win the (dist, place_id) tie-break — boundary
+                # queries fall through to the exact fallback pass instead.
+                # (Equal-distance ties AT rank k among in-ring candidates
+                # are still broken identically to the broadcast joiner via
+                # the lexsort on (place_id, dist).)
+                ok = (nc >= k) & (dist[:, kk - 1] < cell_deg)
                 for c in key_cols:
                     keys_out[c].append(np.repeat(qs[c].to_numpy(zero_copy_only=False)[s:e], kk))
                 pids.append(cpid[sel].ravel())

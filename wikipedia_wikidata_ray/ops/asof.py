@@ -35,6 +35,16 @@ def asof_join(
 
     if num_partitions is None:
         num_partitions = default_partitions()
+    # resolve() reads tie_col from the unioned table; it survives the
+    # pad().select(union_names) projection only if it is a left column or
+    # listed in right_value_cols — validate here instead of a KeyError
+    # deep inside map_groups.
+    _l_names = left.schema().names
+    if tie_col not in _l_names and tie_col not in right_value_cols:
+        raise ValueError(
+            f"asof_join: tie_col {tie_col!r} must be a left column or "
+            f"included in right_value_cols (got {right_value_cols!r})"
+        )
     l_tag = left.map_batches(
         lambda t: t.append_column("_side", pa.array(np.zeros(len(t), dtype=np.int8))),
         batch_format="pyarrow",

@@ -1,8 +1,10 @@
 """Deduplication operators (north-rule training-data suite):
 
-- ``exact_dedup``: content-hash → hash-partitioned groupby → first-wins
-  (min doc_id). The canonical exact-dedup shape for 100 TB: only the
-  16-byte hash + id shuffle, never the text.
+- ``exact_dedup``: content-hash → per-batch combine → one merge shuffle →
+  first-wins (min doc_id). The canonical exact-dedup shape for 100 TB:
+  only the 16-byte hash + id shuffle, never the text, and the merge is
+  the engine's fast ``merge_group_aggs`` path (NOT Ray's
+  ``groupby().aggregate`` — measured 5-7× slower, CLAUDE.md rule).
 - ``minhash_lsh_pairs``: shingle → MinHash signature → banded LSH →
   ``groupby(band, band_hash)`` candidate generation → exact Jaccard
   verification. Classic MinHash-LSH (Broder; public algorithm).
@@ -11,8 +13,13 @@
 - ``embedding_neardup_pairs``: cosine near-duplicates over an embedding
   column (ops/ann.py does the top-k search variant).
 
-Hashing is crc32-based (process-independent); Python ``hash`` is salted
-per process and MUST NOT be used in any shuffle key.
+Verification joins text IN by pair id (``attach_pair_texts``): text moves
+through the shuffle only for candidate pairs — never the corpus. The
+round-1 design broadcast a driver-built {doc_id: text} dict, which
+materializes the whole corpus on the driver; that path is gone.
+
+Hashing is crc32/FNV-based (process-independent); Python ``hash`` is
+salted per process and MUST NOT be used in any shuffle key.
 """
 
 from __future__ import annotations
@@ -24,12 +31,15 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
 
+from ..stages.salted import default_partitions, merge_group_aggs, partial_count
 from .textstats import TOKEN_PATTERN
 
 _MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _content_hash_batch(text_col: str):
@@ -51,13 +61,24 @@ def exact_dedup(ds: Dataset, text_col: str = "text") -> Dataset:
 
     sha256 collisions are treated as impossible (documented assumption —
     the reference's exact dedup, SELECT DISTINCT at
-    steps/wikidata_process.sh:28, has the same semantics)."""
+    steps/wikidata_process.sh:28, has the same semantics). min and count
+    are both algebraic, so the whole reduction rides the fast
+    ``merge_group_aggs`` combine: per-batch pre-aggregation then ONE
+    range-partitioned merge of the (hash → min id, count) partials."""
     hashed = ds.map_batches(_content_hash_batch(text_col), batch_format="pyarrow")
-    return (
-        hashed.groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
-        .select_columns(["doc_id", "n_copies"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_copies", pa.array(np.ones(len(t), dtype=np.int64)))
+        g = t.group_by(["content_hash"]).aggregate(
+            [("doc_id", "min"), ("n_copies", "sum")]
+        )
+        return g.rename_columns(["content_hash", "doc_id", "n_copies"])
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow")
+    merged = merge_group_aggs(
+        partials, ["content_hash"], [("doc_id", "min"), ("n_copies", "sum")]
     )
+    return merged.select_columns(["doc_id", "n_copies"])
 
 
 class MinHasher:
@@ -65,7 +86,11 @@ class MinHasher:
 
     ``num_perm`` universal-hash permutations ``(a·x + b) mod p`` over
     crc32 shingle hashes; emits one (band_id, band_hash, doc_id) row per
-    band for the LSH groupby."""
+    band for the LSH groupby. The permutation/min math is vectorized
+    across the WHOLE batch (one (total_shingles × num_perm) matrix per
+    memory-bounded chunk, ``np.minimum.reduceat`` over per-doc segments),
+    and band hashes are a vectorized FNV fold — no per-doc Python beyond
+    tokenization."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 3,
                  text_col: str = "text", seed: int = 7):
@@ -99,38 +124,93 @@ class MinHasher:
         v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
         return v.min(axis=0)
 
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, batch-vectorized.
+
+        Chunked so the intermediate (shingles × perms) matrix stays
+        ~32 MB regardless of document length distribution."""
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        if n == 0:
+            return sigs
+        sh_list = [self.shingles(t) for t in texts]
+        counts = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
+        target = max(1, (1 << 22) // self.num_perm)  # shingle rows per chunk
+        start = 0
+        while start < n:
+            end = start + 1
+            tot = counts[start]
+            while end < n and tot + counts[end] <= target:
+                tot += counts[end]
+                end += 1
+            allsh = np.concatenate(sh_list[start:end])
+            offs = np.concatenate(([0], np.cumsum(counts[start:end])[:-1]))
+            v = (allsh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
+                _MERSENNE
+            )
+            sigs[start:end] = np.minimum.reduceat(v, offs, axis=0)
+            start = end
+        return sigs
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, bands) uint64 band keys: FNV-1a fold over each band's
+        signature rows (vectorized; equal band signatures ⇒ equal keys,
+        process-independent)."""
+        r = sigs.reshape(len(sigs), self.bands, self.rows_per_band)
+        h = np.full((len(sigs), self.bands), _FNV_OFFSET, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(self.rows_per_band):
+                h = (h ^ r[:, :, i]) * _FNV_PRIME
+        return h
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column(self.text_col).to_pylist()
         n = len(ids)
-        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        band_hashes = np.empty(n * self.bands, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sig = self.signature(t).reshape(self.bands, self.rows_per_band)
-            # stable band hash: crc32 over the band's signature bytes
-            for bnd in range(self.bands):
-                band_hashes[i * self.bands + bnd] = zlib.crc32(sig[bnd].tobytes())
+        sigs = self.signatures(texts)
+        band_hashes = self.band_hashes(sigs)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, self.bands)),
-                "band_id": pa.array(band_ids),
-                "band_hash": pa.array(band_hashes),
+                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(band_hashes.ravel()),
             }
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].to_numpy())
-    ids = np.unique(ids)
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+_EMPTY_PAIRS = {
+    "doc_a": pd.array([], dtype="int64"),
+    "doc_b": pd.array([], dtype="int64"),
+}
+
+
+def _bucket_pairs_fn(max_bucket_size: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        if len(ids) > max_bucket_size:
+            # degenerate bucket (e.g. one 10^6-doc duplicate cluster):
+            # all-pairs is O(n²) with no cap. Emit star pairs to the min
+            # id instead — O(n), preserves cluster connectivity for
+            # near-dup grouping; exact duplicates are independently and
+            # completely caught by exact_dedup. Documented approximation.
+            return pd.DataFrame(
+                {"doc_a": np.full(len(ids) - 1, ids[0]), "doc_b": ids[1:]}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    return fn
 
 
 def minhash_candidates(ds: Dataset, num_perm: int = 64, bands: int = 16,
-                       shingle: int = 3, text_col: str = "text") -> Dataset:
-    """LSH candidate pairs (doc_a < doc_b), deduplicated across bands."""
+                       shingle: int = 3, text_col: str = "text",
+                       max_bucket_size: int = 4096) -> Dataset:
+    """LSH candidate pairs (doc_a < doc_b), deduplicated across bands.
+
+    ``max_bucket_size`` bounds degenerate buckets (see _bucket_pairs_fn);
+    the cross-band pair dedup is a count-combine on the fast merge path."""
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
@@ -139,69 +219,105 @@ def minhash_candidates(ds: Dataset, num_perm: int = 64, bands: int = 16,
         concurrency=(1, 8),
     )
     pairs = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+        _bucket_pairs_fn(max_bucket_size), batch_format="pandas"
     )
     # a pair can surface in several bands → exact dedup of the pair key
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
+    return partial_count(pairs, ["doc_a", "doc_b"], out="_n").select_columns(
+        ["doc_a", "doc_b"]
     )
 
 
-class JaccardVerifier:
-    """Exact shingle-Jaccard for candidate pairs.
+def attach_pair_texts(pairs: Dataset, docs: Dataset, text_col: str = "text",
+                      num_partitions: int | None = None) -> Dataset:
+    """(doc_a, doc_b) pairs + docs(doc_id, text) → + (text_a, text_b) via
+    two hash shuffle joins. Text moves only for candidate pairs — never
+    the corpus — so verification scales with the number of candidates,
+    not corpus size (the 100-TB shape)."""
+    import ray.data as rd
 
-    Verification needs both texts per pair; the text lookup table is
-    broadcast via ray.put (fine while the candidate set's text footprint
-    fits a worker — at planet scale verification joins text in by doc_id
-    range instead; documented partitioning assumption)."""
-
-    def __init__(self, texts_ref, shingle: int = 3):
-        import ray
-
-        self.texts = (
-            ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+    if num_partitions is None:
+        num_partitions = default_partitions()
+    # Ray joins crash on empty/schema-less sides; an empty candidate set is
+    # a legitimate outcome (no duplicates found)
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        ttype = dict(zip(docs.schema().names, docs.schema().types))[text_col]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "text_a": pa.array([], type=ttype),
+                    "text_b": pa.array([], type=ttype),
+                }
+            )
         )
+
+    def prep(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id", text_col]).rename_columns(
+                [f"doc_{side}", f"text_{side}"]
+            )
+
+        return fn
+
+    out = pairs.join(
+        docs.map_batches(prep("a"), batch_format="pyarrow"),
+        "inner", num_partitions=num_partitions, on=("doc_a",),
+    )
+    return out.join(
+        docs.map_batches(prep("b"), batch_format="pyarrow"),
+        "inner", num_partitions=num_partitions, on=("doc_b",),
+    )
+
+
+class PairShingleJaccard:
+    """Exact shingle-Jaccard computed from the (text_a, text_b) columns
+    carried by each pair row — no side state, no broadcast."""
+
+    def __init__(self, shingle: int = 3):
         self.hasher = MinHasher(shingle=shingle)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy()
-        b = batch.column("doc_b").to_numpy()
-        jac = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            sa = set(self.hasher.shingles(self.texts[int(a[i])]).tolist())
-            sb = set(self.hasher.shingles(self.texts[int(b[i])]).tolist())
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        jac = np.empty(len(ta), dtype=np.float64)
+        for i in range(len(ta)):
+            sa = set(self.hasher.shingles(ta[i]).tolist())
+            sb = set(self.hasher.shingles(tb[i]).tolist())
             inter = len(sa & sb)
             union = len(sa | sb) or 1
             jac[i] = inter / union
         return batch.append_column("jaccard", pa.array(jac))
 
 
-def minhash_lsh_pairs(ds: Dataset, texts: dict[int, str], threshold: float = 0.8,
-                      **kw) -> Dataset:
-    """Candidates → exact-Jaccard verify → pairs with jaccard ≥ threshold."""
-    import ray
-
+def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.8,
+                      keep_texts: bool = False, **kw) -> Dataset:
+    """Candidates → join texts in by pair id → exact-Jaccard verify →
+    pairs with jaccard ≥ threshold. ``keep_texts=True`` retains the
+    joined text_a/text_b columns for downstream equality checks."""
+    text_col = kw.get("text_col", "text")
+    shingle = kw.get("shingle", 3)
     cands = minhash_candidates(ds, **kw)
-    ref = ray.put(texts)
-    verified = cands.map_batches(
-        JaccardVerifier,
-        fn_constructor_args=(ref,),
+    with_texts = attach_pair_texts(cands, ds, text_col=text_col)
+    verified = with_texts.map_batches(
+        PairShingleJaccard,
+        fn_constructor_kwargs=dict(shingle=shingle),
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
     thr = threshold
+    drop = [] if keep_texts else ["text_a", "text_b"]
 
     def keep(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(thr)))
+        t = t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(thr)))
+        return t.drop_columns(drop) if drop else t
 
     return verified.map_batches(keep, batch_format="pyarrow")
 
 
-def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text") -> Dataset:
+def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text",
+                  max_bucket_size: int = 4096) -> Dataset:
     """SimHash near-dup pairs: band by 4 × 16-bit chunks (any pair within
     hamming ≤ 3 of a 64-bit hash shares ≥1 identical 16-bit chunk —
     pigeonhole), verify hamming distance exactly."""
@@ -234,8 +350,14 @@ def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text") -> 
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({**_EMPTY_PAIRS, "hamming": pd.array([], dtype="int32")})
+        if len(ids) > max_bucket_size:
+            # same degenerate-bucket cap as the MinHash path: star pairs
+            # to the min id, verified for hamming like any other pair
+            ia = np.zeros(len(ids) - 1, dtype=np.int64)
+            ib = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(len(ids), k=1)
         x = hs[ia] ^ hs[ib]
         ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
         keep = ham <= max_hamming
@@ -248,55 +370,48 @@ def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text") -> 
         .groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    # cross-band dedup on the fast merge path (hamming identical per pair,
+    # min is a no-op combine that also dedups)
+    return merge_group_aggs(
+        pairs, ["doc_a", "doc_b"], [("hamming", "min")]
     )
 
 
 class RawNgramJaccard:
     """Exact RAW character-n-gram Jaccard per candidate pair — unlike
-    JaccardVerifier this uses unhashed substrings, making it
-    SQL-replicable (DuckDB substr over a positions range). Texts broadcast
-    once per worker via ray.put (same assumption as JaccardVerifier)."""
+    PairShingleJaccard this uses unhashed substrings, making it
+    SQL-replicable (DuckDB substr over a positions range). Texts arrive
+    as pair columns via attach_pair_texts (no broadcast)."""
 
-    def __init__(self, texts_ref, n: int = 3):
-        import ray
-
-        self.texts = (
-            ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
-        )
+    def __init__(self, n: int = 3):
         self.n = n
-        self._cache: dict[int, set] = {}
 
-    def _grams(self, did: int) -> set:
-        s = self._cache.get(did)
-        if s is None:
-            t = self.texts[did]
-            n = self.n
-            s = {t[i : i + n] for i in range(len(t) - n + 1)}
-            self._cache[did] = s
-        return s
+    def _grams(self, t: str) -> set:
+        n = self.n
+        return {t[i : i + n] for i in range(len(t) - n + 1)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy()
-        b = batch.column("doc_b").to_numpy()
-        jac = np.empty(len(a), dtype=np.float64)
-        for i in range(len(a)):
-            sa, sb = self._grams(int(a[i])), self._grams(int(b[i]))
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        jac = np.empty(len(ta), dtype=np.float64)
+        for i in range(len(ta)):
+            sa, sb = self._grams(ta[i]), self._grams(tb[i])
             union = len(sa | sb)
             jac[i] = (len(sa & sb) / union) if union else 0.0
         return batch.append_column("jaccard", pa.array(jac))
 
 
-def ngram_jaccard_pairs(pairs: Dataset, texts: dict[int, str], n: int = 3) -> Dataset:
-    """(doc_a, doc_b) pairs → + exact raw n-gram jaccard column."""
-    import ray
-
-    ref = ray.put(texts)
-    return pairs.map_batches(
+def ngram_jaccard_pairs(pairs: Dataset, docs: Dataset, n: int = 3,
+                        text_col: str = "text") -> Dataset:
+    """(doc_a, doc_b) pairs → + exact raw n-gram jaccard column (texts
+    joined in by pair id, never broadcast)."""
+    with_texts = attach_pair_texts(pairs, docs, text_col=text_col)
+    out = with_texts.map_batches(
         RawNgramJaccard,
-        fn_constructor_args=(ref, n),
+        fn_constructor_kwargs=dict(n=n),
         batch_format="pyarrow",
         concurrency=(1, 4),
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["text_a", "text_b"]), batch_format="pyarrow"
     )

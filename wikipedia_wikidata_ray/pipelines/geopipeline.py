@@ -99,6 +99,13 @@ def _stateful_stage(ds: Dataset, cfg: EngineConfig, builder_cls, ctor_args: tupl
     def fn(batch):
         st = _WORKER_STATE.get(memo_key)
         if st is None:
+            # one live index per stage kind: every pipeline construction
+            # creates a fresh ray.put ref, so long-lived workers would
+            # otherwise accumulate one index per run (looped benches, the
+            # oracle checker) with no eviction.
+            kind = memo_key.split("-", 1)[0]
+            for stale in [k for k in _WORKER_STATE if k.split("-", 1)[0] == kind]:
+                del _WORKER_STATE[stale]
             st = _WORKER_STATE[memo_key] = builder_cls(*ctor_args)
         return st(batch)
 

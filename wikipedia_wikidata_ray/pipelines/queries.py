@@ -234,17 +234,34 @@ def _fold_links_broadcast(links: Dataset, articles: Dataset, n_docs: int) -> Dat
     """Map-side fold of link edges against a broadcast dense article map
     (doc_id ∈ [0, n_docs) → int8 lang code + geo bit; ~2 bytes/doc, so even
     20M articles ship as one ~40 MB ray.put object fetched once per node).
-    Emits per-batch partial sums keyed by doc_id."""
-    pdf = articles.to_pandas()
-    vocab = sorted(pdf["lang"].unique())
-    code = {l: i for i, l in enumerate(vocab)}
-    arr_lang = np.full(n_docs, -1, dtype=np.int8)
-    arr_lang[pdf["doc_id"].to_numpy()] = pdf["lang"].map(code).to_numpy(dtype=np.int8)
-    arr_geo = np.zeros(n_docs, dtype=bool)
-    arr_geo[pdf["doc_id"].to_numpy()] = pdf["has_geo"].to_numpy()
+    Emits per-batch partial sums keyed by doc_id.
+
+    The dense arrays are assembled from the distributed article blocks
+    via ``to_arrow_refs`` — one execution of the article subgraph, and
+    each ``ray.get`` is a zero-copy plasma view (no driver-side pandas,
+    no Python string per row; the round-1 ``articles.to_pandas()`` pulled
+    ~60 B/row of Python objects through the driver heap). Driver work is
+    a vectorized index_in + int8 scatter per block."""
     import ray as _ray
 
-    ref = _ray.put((pa.array(vocab, type=pa.string()), arr_lang, arr_geo))
+    # ONE distributed execution; ray.get of each Arrow block is a
+    # zero-copy view into plasma, so the driver never copies the table —
+    # it only scatters int8 codes into the dense arrays.
+    blocks = [_ray.get(r) for r in articles.to_arrow_refs()]
+    vocab = sorted(
+        {v for t in blocks for v in pc.unique(t["lang"]).to_pylist()}
+    )
+    vocab_arr = pa.array(vocab, type=pa.string())
+    arr_lang = np.full(n_docs, -1, dtype=np.int8)
+    arr_geo = np.zeros(n_docs, dtype=bool)
+    for t in blocks:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        codes = pc.index_in(t["lang"], value_set=vocab_arr)
+        arr_lang[ids] = codes.to_numpy(zero_copy_only=False).astype(np.int8)
+        arr_geo[ids] = t["has_geo"].to_numpy(zero_copy_only=False)
+    del blocks
+
+    ref = _ray.put((vocab_arr, arr_lang, arr_geo))
 
     def fold(t: pa.Table) -> pa.Table:
         vocab_arr, lang_map, geo_map = _ray.get(ref)

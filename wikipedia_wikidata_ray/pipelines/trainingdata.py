@@ -157,26 +157,18 @@ FROM docs2 GROUP BY text
 
 def q_exact_dup_pairs_lsh(sf_dir: str) -> Dataset:
     docs = _augmented_docs(sf_dir)
-    texts = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
-    pairs = minhash_lsh_pairs(docs, texts, threshold=1.0)
-
+    # verification joins text IN by pair id (attach_pair_texts inside
+    # minhash_lsh_pairs) — no driver-side corpus materialization anywhere.
     # jaccard==1.0 on shingle sets can in principle differ from string
-    # equality; verify equality exactly via the broadcast text map
-    texts_ref = ray.put(texts)
+    # equality; the joined text_a/text_b columns make the equality check
+    # exact and local to each pair row.
+    pairs = minhash_lsh_pairs(docs, threshold=1.0, keep_texts=True)
 
-    class EqVerify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
+    def eq_verify(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("text_a"), t.column("text_b"))
+        return t.filter(keep).select(["doc_a", "doc_b"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t.column("doc_a").to_pylist()
-            b = t.column("doc_b").to_pylist()
-            keep = [self.texts[x] == self.texts[y] for x, y in zip(a, b)]
-            return t.filter(pa.array(keep)).select(["doc_a", "doc_b"])
-
-    return pairs.map_batches(EqVerify, batch_format="pyarrow", concurrency=(1, 2))
+    return pairs.map_batches(eq_verify, batch_format="pyarrow")
 
 
 SQL_EXACT_DUP_PAIRS = f"""
@@ -192,11 +184,7 @@ FROM docs2 a JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
 
 
 def q_near_dup_pairs_minhash(sf_dir: str) -> Dataset:
-    docs = _augmented_docs(sf_dir)
-    texts = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        texts.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
-    return minhash_lsh_pairs(docs, texts, threshold=0.8)
+    return minhash_lsh_pairs(_augmented_docs(sf_dir), threshold=0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -299,9 +287,7 @@ def q_ngram_jaccard(sf_dir: str) -> Dataset:
     (division of int counts → bitwise-equal floats)."""
     from ..ops.dedup import ngram_jaccard_pairs
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    n = len(texts)
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
     def mk_pairs(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -313,7 +299,8 @@ def q_ngram_jaccard(sf_dir: str) -> Dataset:
     pairs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(mk_pairs, batch_format="pyarrow")
-    return ngram_jaccard_pairs(pairs, texts, n=3)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(pairs, docs, n=3)
 
 
 SQL_NGRAM_JACCARD = """
@@ -434,7 +421,10 @@ win AS (
   GROUP BY 1, 2
 ),
 agg AS (
-  SELECT doc_id, COUNT(*) AS n_windows, MIN(h) AS fp_min,
+  -- h is HUGEINT (SUM % p); MIN stays HUGEINT -> Arrow decimal128, which
+  -- the driver's value-hash sees as a different physical type than the
+  -- Ray side's int64. CAST to BIGINT so both sides agree bitwise.
+  SELECT doc_id, COUNT(*) AS n_windows, CAST(MIN(h) AS BIGINT) AS fp_min,
          COUNT(DISTINCT h) AS n_distinct_windows
   FROM win GROUP BY 1
 )

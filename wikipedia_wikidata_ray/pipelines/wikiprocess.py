@@ -76,6 +76,15 @@ class LinktargetJoiner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["pl_namespace"], 0))
+        if len(self.ids) == 0:
+            # empty mapping → inner-join semantics drop every row (and
+            # searchsorted below would index -1 into an empty array)
+            return pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "pl_title": pa.array([], type=pa.string()),
+                }
+            )
         tgt = batch["pl_target_id"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(self.ids, tgt)
         idx_c = np.minimum(idx, len(self.ids) - 1)

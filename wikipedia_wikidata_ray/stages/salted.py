@@ -43,14 +43,18 @@ def _partial_sum_batch(keys: list[str], col: str, out: str):
     return fn
 
 
-def merge_group_sums(
+def merge_group_aggs(
     partials: Dataset,
     keys: list[str],
-    sum_cols: list[str],
+    agg_spec: list[tuple[str, str]],
     num_merge_blocks: int | None = None,
 ) -> Dataset:
-    """Exact distributed merge of per-batch partial sums, built ONLY on
-    Dataset primitives (``sort`` + ``map_batches`` + tiny ``union``).
+    """Exact distributed merge of per-batch partial aggregates, built ONLY
+    on Dataset primitives (``sort`` + ``map_batches`` + tiny ``union``).
+
+    ``agg_spec`` is ``[(col, fn), ...]`` with ``fn`` ∈ {"sum", "min",
+    "max"} — any commutative/associative combine the pyarrow group_by
+    kernel supports. ``merge_group_sums`` is the all-sums wrapper.
 
     Why not ``groupby().aggregate(Sum)``: Ray Data's aggregate pays a large
     per-block fixed cost in its shuffle (measured 6-7 s for a 400 K-row
@@ -72,6 +76,7 @@ def merge_group_sums(
     Exact for commutative/associative aggregates at any parallelism; every
     stage is retryable (no side-state), streaming, and shuffle-count = 1.
     """
+    agg_cols = [c for c, _ in agg_spec]
 
     # Ray's sort cannot range-partition on columns containing nulls (its
     # boundary search compares None with values). Sort on derived null-safe
@@ -101,12 +106,12 @@ def merge_group_sums(
             return pa.table(
                 {
                     **{k: t[k] for k in keys},
-                    **{c: t[c] for c in sum_cols},
+                    **{c: t[c] for c in agg_cols},
                     "_edge": pa.array([], type=pa.bool_()),
                 }
             )
-        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
-        g = g.rename_columns(keys + sum_cols)
+        g = t.group_by(keys).aggregate(agg_spec)
+        g = g.rename_columns(keys + agg_cols)
         first_last = t.select(keys).take([0, len(t) - 1])
         edge = np.zeros(len(g), dtype=bool)
         for j in range(2):
@@ -122,8 +127,8 @@ def merge_group_sums(
         return g.append_column("_edge", pa.array(edge))
 
     def combine_edges(t: pa.Table) -> pa.Table:
-        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
-        return g.rename_columns(keys + sum_cols)
+        g = t.group_by(keys).aggregate(agg_spec)
+        return g.rename_columns(keys + agg_cols)
 
     if num_merge_blocks is None:
         try:
@@ -148,6 +153,18 @@ def merge_group_sums(
         batch_format="pyarrow",
     ).repartition(1).map_batches(combine_edges, batch_format="pyarrow")
     return interior.union(edges)
+
+
+def merge_group_sums(
+    partials: Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    num_merge_blocks: int | None = None,
+) -> Dataset:
+    """All-sums merge (see merge_group_aggs for the algorithm)."""
+    return merge_group_aggs(
+        partials, keys, [(c, "sum") for c in sum_cols], num_merge_blocks
+    )
 
 
 def partial_count(ds: Dataset, keys: list[str], out: str = "count") -> Dataset:

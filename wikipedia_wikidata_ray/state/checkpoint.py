@@ -146,6 +146,20 @@ class CheckpointedRun:
         os.replace(tmp_dir, final_dir)  # commit point
         return ShardResult(shard_id, rows, False)
 
+    def _drop_orphan_shards(self, active_count: int) -> None:
+        """Remove committed shard dirs whose id falls outside the current
+        shard layout (id >= active_count). Without this, re-running into the
+        same out_dir with fewer shards silently merges stale shards from the
+        old layout into output_dataset()/lineage() — the exact staleness the
+        per-shard fingerprints exist to prevent."""
+        for d in os.listdir(self.out_dir):
+            if not d.startswith("shard="):
+                continue
+            sid = d[len("shard="):].split(".")[0]
+            if not sid.isdigit() or int(sid) < active_count:
+                continue
+            shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)
+
     def _manifest_rows(self, shard_id: int) -> int:
         with open(
             os.path.join(self._shard_dir(shard_id), MANIFEST_NAME), encoding="utf-8"
@@ -168,6 +182,7 @@ class CheckpointedRun:
         re-raised after in-flight shards finish."""
         from concurrent.futures import ThreadPoolExecutor
 
+        self._drop_orphan_shards(len(shards))
         results: list[ShardResult | None] = [None] * len(shards)
         if max_concurrent <= 1:
             return [
