@@ -136,6 +136,49 @@ def run_bench() -> dict:
     exp_rows = exp.count()
     timings["importance_export"] = time.perf_counter() - t0
 
+    # --- dedup suite: exact + MinHash-LSH near-dup over a near-dup-rich
+    # corpus (documents × GRAFT_DEDUP_MULT replicas, each replica's text
+    # mutated with a suffix so replicas are NEAR dups: every stage —
+    # vectorized signatures, banded LSH, join-based verify — does real work)
+    gc.collect()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from wikipedia_wikidata_ray.ops.dedup import exact_dedup, minhash_lsh_pairs
+
+    dmult = int(os.environ.get("GRAFT_DEDUP_MULT", "10"))
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(docs_path).num_rows
+
+    def replicate(t: pa.Table) -> pa.Table:
+        parts = [t]
+        for i in range(1, dmult):
+            ids = pc.add(t["doc_id"], pa.scalar(i * n_docs, type=pa.int64()))
+            suffix = pa.array([f" rep{i}"] * len(t))
+            txt = pc.binary_join_element_wise(t["text"], suffix, "")
+            parts.append(pa.table({"doc_id": ids, "text": txt}))
+        return pa.concat_tables(parts)
+
+    def dedup_docs():
+        # documents.parquet is ONE file → one block; repartition first so
+        # every downstream stage runs at cluster width, not parallelism 1
+        return (
+            rd.read_parquet(docs_path, columns=["doc_id", "text"])
+            .repartition(num_cpus)
+            .map_batches(replicate, batch_format="pyarrow")
+        )
+
+    t0 = time.perf_counter()
+    exact_rows = exact_dedup(dedup_docs()).count()
+    timings["exact_dedup"] = time.perf_counter() - t0
+
+    gc.collect()
+    t0 = time.perf_counter()
+    neardup_rows = minhash_lsh_pairs(dedup_docs(), threshold=0.8).count()
+    timings["near_dup_minhash"] = time.perf_counter() - t0
+
     headline = timings["flagship_extract_encode_pip_tile"]
     return {
         "metric": "flagship extract→encode→PIP→tile wall sec on replicated pages corpus",
@@ -146,12 +189,15 @@ def run_bench() -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_pages": n_pages,
+        "n_dedup_docs": n_docs * dmult,
         "pages_per_sec": round(n_pages / headline, 1),
         "rows": {
             "tiles": n_tiles,
             "knn": kn_rows,
             "importance": imp_rows,
             "export": exp_rows,
+            "exact_dedup_groups": exact_rows,
+            "near_dup_pairs": neardup_rows,
         },
     }
 

@@ -128,3 +128,62 @@ def test_manifest_is_lineage_complete(pages_dir, tmp_path):
     ):
         assert key in m
     assert all("bytes" in i for i in m["inputs"])
+
+
+def test_same_size_corruption_invalidates_shard(pages_dir, tmp_path):
+    """A byte-flipped (same-size) input must fail manifest admission and
+    force recompute — path+size fingerprints alone cannot see it."""
+    import shutil
+
+    src = _files(pages_dir)
+    data_dir = tmp_path / "inputs"
+    data_dir.mkdir()
+    files = []
+    for f in src:
+        dst = str(data_dir / os.path.basename(f))
+        shutil.copy(f, dst)
+        files.append(dst)
+
+    out = str(tmp_path / "ckpt5")
+    cfg = DEFAULT_CONFIG
+    shards = shard_files(files, 2)
+    run = CheckpointedRun(out, "flagship_tiles", config_fingerprint(cfg))
+    run.run(shards, _shard_pipeline(cfg))
+
+    # flip one byte mid-file in the first shard's first input (size unchanged)
+    victim = sorted(shards[0])[0]
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as f:
+        f.seek(size // 2)
+        b = f.read(1)
+        f.seek(size // 2)
+        f.write(bytes([b[0] ^ 0xFF]))
+    assert os.path.getsize(victim) == size
+
+    # admission check: the corrupted shard's manifest no longer matches its
+    # inputs (content digest diverges) → would be recomputed; the untouched
+    # shard still admits. (No actual recompute here — the flipped byte makes
+    # the parquet unreadable, which is the point: the OLD path+size
+    # fingerprint would have silently SKIPPED this shard.)
+    assert run.completed_manifest(0, shards[0]) is None
+    assert run.completed_manifest(1, shards[1]) is not None
+
+
+def test_orphan_shards_dropped_on_smaller_layout(pages_dir, tmp_path):
+    """Re-running into the same out_dir with fewer shards must not merge
+    stale shard dirs from the old layout into the output."""
+    out = str(tmp_path / "ckpt6")
+    cfg = DEFAULT_CONFIG
+    files = _files(pages_dir)
+    run = CheckpointedRun(out, "flagship_tiles", config_fingerprint(cfg))
+    run.run(shard_files(files, 4), _shard_pipeline(cfg))
+    rows_4 = run.output_dataset().count()
+
+    run.run(shard_files(files, 2), _shard_pipeline(cfg))
+    dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert sorted(dirs) == ["shard=0", "shard=1"]
+    # same logical output (tile aggregate is shard-count dependent in row
+    # grouping but the union of shard outputs covers the same pages; with
+    # orphans present rows would roughly double)
+    rows_2 = run.output_dataset().count()
+    assert rows_2 <= rows_4 * 1.1

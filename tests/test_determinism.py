@@ -130,3 +130,23 @@ def test_ivf_recall_vs_exact(ray_session):
         approx.sort_values(["vec_id", "rank"], ignore_index=True),
         approx2.sort_values(["vec_id", "rank"], ignore_index=True),
     )
+
+
+def test_ivf_partitioned_matches_broadcast(ray_session):
+    """The sharded-index IVF (candidates partitioned by centroid bucket,
+    queries routed by equality shuffle) returns exactly the broadcast
+    IVF's rows — same centroids (corpus < fit_sample), same probe sets,
+    same tie-breaks — at any parallelism."""
+    import pandas as pd
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        TRAININGDATA_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    broadcast = TRAININGDATA_QUERIES["ann_topk_ivf"](sf).to_pandas()
+    sharded = TRAININGDATA_QUERIES["ann_topk_ivf_partitioned"](sf).to_pandas()
+    canon = lambda df: df.sort_values(
+        ["vec_id", "rank"], ignore_index=True
+    ).astype({"rank": "int32"})
+    pd.testing.assert_frame_equal(canon(broadcast), canon(sharded))

@@ -69,3 +69,31 @@ def test_wikidump_tsv_artifact(ray_session, tmp_path):
         assert len(parts) == 5
         assert repr(float(parts[3])) == parts[3]
         assert parts[4].startswith("Q")
+
+
+def test_gzip_parts_round_trip(ray_session, tmp_path):
+    """compress=True writes .tsv.gz parts whose decompressed concat is
+    byte-identical to the uncompressed export (reference: pigz -9 single
+    artifact, steps/output.sh:126-128)."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from wikipedia_wikidata_ray.pipelines.export import export_tsv, read_tsv_concat
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "language": ["en", "de", "fr"],
+                "title": ["A", "B", "C"],
+                "importance": [0.5, 0.25, 1e-10],
+            }
+        )
+    )
+    plain = str(tmp_path / "plain")
+    gz = str(tmp_path / "gz")
+    export_tsv(ds, plain)
+    export_tsv(ds, gz, compress=True)
+    assert read_tsv_concat(plain) == read_tsv_concat(gz)
+    import os
+
+    assert any(f.endswith(".tsv.gz") for f in os.listdir(gz))

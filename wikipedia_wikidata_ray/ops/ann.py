@@ -71,10 +71,29 @@ class BruteCosineTopK:
         )
 
 
+def fit_centroids(m: np.ndarray, n_centroids: int = 16, iters: int = 10,
+                  seed: int = 11) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd on cosine) over an already
+    NORMALIZED matrix → (C, d) normalized centroids."""
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
 class IVFCosineTopK:
     """Inverted-file approximate top-k: probe the ``nprobe`` closest
     centroid buckets only. Centroids/buckets built once per actor from the
-    broadcast candidate set."""
+    broadcast candidate set (the scale path shards the index by bucket —
+    ``ann_topk_ivf_partitioned``)."""
 
     def __init__(self, candidates_ref, k: int = 5, n_centroids: int = 16,
                  nprobe: int = 4, iters: int = 10, seed: int = 11,
@@ -92,19 +111,7 @@ class IVFCosineTopK:
         self.k = k
         self.nprobe = min(nprobe, n_centroids)
         self.exclude_self = exclude_self
-
-        # deterministic spherical k-means (Lloyd on cosine)
-        rng = np.random.default_rng(seed)
-        cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
-        for _ in range(iters):
-            assign = (m @ cent.T).argmax(axis=1)
-            for c in range(len(cent)):
-                sel = m[assign == c]
-                if len(sel):
-                    v = sel.sum(axis=0)
-                    nv = np.linalg.norm(v)
-                    if nv > 0:
-                        cent[c] = v / nv
+        cent = fit_centroids(m, n_centroids, iters, seed)
         self.centroids = cent
         assign = (m @ cent.T).argmax(axis=1)
         self.buckets = [np.nonzero(assign == c)[0] for c in range(len(cent))]
@@ -163,6 +170,144 @@ def ann_topk(ds: Dataset, candidates: dict, k: int = 5, variant: str = "brute",
         batch_size=1024,
         concurrency=(1, 8),
         num_cpus=1,
+    )
+
+
+def ann_topk_ivf_partitioned(
+    queries: Dataset,
+    candidates: Dataset,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 10,
+    seed: int = 11,
+    fit_sample: int = 65536,
+    num_partitions: int | None = None,
+    exclude_self: bool = True,
+) -> Dataset:
+    """IVF top-k with a SHARDED index — the 100-TB path the broadcast
+    ``IVFCosineTopK`` documents but cannot be (it holds the full candidate
+    matrix per actor). Mirrors geo/knn_partitioned.py's shape:
+
+    1. centroids fit driver-side on a bounded sample (``fit_sample``
+       rows — the standard IVF training practice; when the corpus is
+       smaller than the sample the fit equals the broadcast variant's,
+       so results match it row-for-row) and broadcast (C × d, tiny);
+    2. every CANDIDATE routes to exactly its own centroid bucket;
+    3. every QUERY replicates to its ``nprobe`` nearest buckets;
+    4. one equality shuffle on the bucket id co-locates each query with
+       each probed shard; per bucket, vectorized brute-force top-k;
+    5. per-query merge of the ≤ nprobe × k partials (tiny groupby).
+
+    Partitioning assumption (custom-operator rule): one centroid bucket's
+    candidates fit a worker heap — size ``n_centroids`` so that
+    corpus/n_centroids does (at 10^10 vectors × 768 f32 that means
+    ~10^4-10^5 buckets; the bucket groupby is the only all-to-all and it
+    moves each candidate once and each query nprobe times)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from ..stages.salted import default_partitions
+
+    if num_partitions is None:
+        num_partitions = default_partitions()
+
+    # 1. fit on a bounded driver-side sample
+    samp = np.concatenate(
+        [
+            _as_matrix(t.column("embedding"))
+            for t in ray.get(candidates.limit(fit_sample).to_arrow_refs())
+            if len(t)
+        ]
+    )
+    cent = fit_centroids(_normalize(samp), n_centroids, iters, seed)
+    cent_ref = ray.put(cent)
+    nprobe = min(nprobe, len(cent))
+
+    def bucket_cands(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_as_matrix(t.column("embedding")))
+        b = (m @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+                "_side": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    def probe_queries(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = _normalize(_as_matrix(t.column("embedding")))
+        pr = np.argsort(-(q @ c.T), axis=1)[:, :nprobe].astype(np.int32)
+        n = len(t)
+        rep = pa.array(np.repeat(np.arange(n), nprobe))
+        return pa.table(
+            {
+                "bucket": pa.array(pr.ravel()),
+                "vec_id": pc.take(t["vec_id"], rep),
+                "embedding": pc.take(t["embedding"], rep),
+                "_side": pa.array(np.zeros(n * nprobe, dtype=np.int8)),
+            }
+        )
+
+    unioned = candidates.map_batches(bucket_cands, batch_format="pyarrow").union(
+        queries.map_batches(probe_queries, batch_format="pyarrow")
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        qmask = side == 0
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if not qmask.any() or qmask.all():
+            return empty
+        qt = group.filter(pa.array(qmask))
+        ct = group.filter(pa.array(~qmask))
+        q = _normalize(_as_matrix(qt.column("embedding")))
+        qid = qt["vec_id"].to_numpy(zero_copy_only=False)
+        cm = _normalize(_as_matrix(ct.column("embedding")))
+        cid = ct["vec_id"].to_numpy(zero_copy_only=False)
+        sims = q @ cm.T
+        if exclude_self:
+            sims = np.where(qid[:, None] == cid[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        order = np.lexsort((cid[None, :].repeat(len(qid), 0), -sims), axis=1)[:, :kk]
+        rows = np.arange(len(qid))[:, None]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(qid, kk)),
+                "neighbor_id": pa.array(cid[order].ravel()),
+                "sim": pa.array(sims[rows, order].ravel()),
+            }
+        )
+
+    partials = unioned.groupby("bucket", num_partitions=num_partitions).map_groups(
+        resolve, batch_format="pyarrow"
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        sim = group["sim"].to_numpy(zero_copy_only=False)
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim))[: min(k, len(group))]
+        kk = len(order)
+        return pa.table(
+            {
+                "vec_id": group["vec_id"].take(pa.array(order)),
+                "neighbor_id": pa.array(nid[order]),
+                "rank": pa.array(np.arange(1, kk + 1, dtype=np.int32)),
+                "sim": pa.array(np.round(sim[order], 6)),
+            }
+        )
+
+    return partials.groupby("vec_id", num_partitions=num_partitions).map_groups(
+        topk, batch_format="pyarrow"
     )
 
 

@@ -241,6 +241,17 @@ def q_ann_topk_ivf(sf_dir: str) -> Dataset:
     return ann_topk(emb, load_candidates(sf_dir), k=5, variant="ivf")
 
 
+def q_ann_topk_ivf_partitioned(sf_dir: str) -> Dataset:
+    """Sharded-index IVF (ops/ann.ann_topk_ivf_partitioned — the 100-TB
+    path: candidates partitioned by centroid bucket, queries routed via
+    an equality shuffle). Rows match q_ann_topk_ivf at this scale (same
+    centroids: corpus < fit_sample); equality asserted in pytest."""
+    from ..ops.ann import ann_topk_ivf_partitioned
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_topk_ivf_partitioned(emb, emb, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Q: embedding_neardups — cosine ≥ 0.999 pairs over augmented embeddings
 
@@ -269,6 +280,7 @@ TRAININGDATA_QUERIES = {
     "langid_predictions": q_langid_predictions,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_partitioned": q_ann_topk_ivf_partitioned,
     "embedding_neardups": q_embedding_neardups,
 }
 
@@ -392,6 +404,58 @@ SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash
 FROM documents d LEFT JOIN fp f USING (doc_id)
 """
 TRAININGDATA_ORACLES["simhash_fingerprints"] = SQL_SIMHASH_FINGERPRINTS
+
+
+def q_simhash_near_dups(sf_dir: str) -> Dataset:
+    """SimHash near-dup pairs over the dup-augmented corpus: 16-bit
+    pigeonhole banding + exact hamming ≤ 3 (ops/dedup.simhash_pairs).
+    Fully oracle-checked — the md5-based simhash is SQL-replicable and
+    DuckDB verifies the pair set with bit_count(xor(a, b)) over the
+    O(n²) self-join (exact at oracle scale; the Ray side never does
+    all-pairs)."""
+    from ..ops.dedup import simhash_pairs
+
+    return simhash_pairs(_augmented_docs(sf_dir), max_hamming=3)
+
+
+SQL_SIMHASH_NEAR_DUPS = f"""
+WITH {SQL_DOCS2_CTE},
+toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM docs2
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || SUBSTR(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT t.doc_id, b.j,
+         SUM(CASE WHEN (t.h >> CAST(b.j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th t, range(0, 64) b(j)
+  GROUP BY 1, 2
+),
+fp0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0
+                       THEN CAST(CAST(1 AS UBIGINT) << CAST(j AS INTEGER) AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS simhash
+  FROM bits GROUP BY 1
+),
+fp AS (
+  SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash
+  FROM docs2 d LEFT JOIN fp0 f USING (doc_id)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+"""
+
+TRAININGDATA_QUERIES["simhash_near_dups"] = q_simhash_near_dups
+TRAININGDATA_ORACLES["simhash_near_dups"] = SQL_SIMHASH_NEAR_DUPS
 
 
 def q_rolling_fingerprints(sf_dir: str) -> Dataset:

@@ -3,9 +3,12 @@ user journey of the reference repo — ``.sql.gz`` dumps in, the sorted
 ``wikimedia_importance`` table out — re-expressed Ray-Data-first.
 
 Composes (SURVEY.md §2): A3 dump parsing → B1/B2/B3 filters → C1
-broadcast-lookup pagelinks counting → E1 counts → D2 othercount reshape
-(one grouped sum replaces the reference's 39×39 UPDATE loop,
-steps/wikipedia_process.sh:52-71) → E3 totals → B5/B6/B8 wikidata prep →
+PER-LANGUAGE broadcast-lookup pagelinks counting (one id→title mapping
+per language, steps/wikipedia_sql2csv.sh:55-59) → E1 counts → D2
+othercount reshape (one grouped sum replaces the reference's 39×39
+UPDATE loop, steps/wikipedia_process.sh:52-71) → E3 totals → B5/B6/B8
+wikidata prep → D4/E7/F5 place-type→ont-level pick
+(steps/wikidata_process.sh:44-66) → D3/B4/D5 coordinate enrichment →
 D6 sitelinks → D7 enrichment → E4/E5 importance → D8/D9 redirect
 semi/anti joins → F8 union → E6/D10 language sizes → F1 global sort.
 
@@ -112,46 +115,43 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
     )
     pages = _cast_str(pages, ["lang", "page_title"]).materialize()  # reused by D1/D2/E3 joins
 
-    # C1 + E1: linktarget broadcast dict → pagelinks ns-filter + lookup +
-    # count per (lang, title). The linktarget tables are per-language in
-    # the reference; the id→title mapping is identical in the fixture, so
-    # one broadcast serves every language (documented simplification).
-    from .wikiprocess import linktarget_broadcast
+    # C1 + E1: PER-LANGUAGE linktarget broadcast → pagelinks ns-filter +
+    # lookup + count per (lang, title). The reference builds one id→title
+    # dict per language (steps/wikipedia_sql2csv.sh:55-59); mirroring
+    # that, each language's pagelinks stream is resolved against its own
+    # language's mapping (the fixture gives every language a distinct
+    # mapping, so a shared mapping would fail the oracle). Each payload
+    # is built from zero-copy plasma block views — no driver pandas pull.
+    from .wikiprocess import linktarget_broadcast_from_ds
 
-    lt = pa.Table.from_pandas(
-        table(f"{langs[0]}linktarget.sql.gz", 3)
-        .map_batches(filter_redirect, batch_format="pyarrow")
-        .to_pandas()
-    )
-    lt_ref = linktarget_broadcast(lt, id_col="id", title_col="title")
     pl_parts = []
     for L in langs:
+        lt_ref = linktarget_broadcast_from_ds(
+            table(f"{L}linktarget.sql.gz", 3).map_batches(
+                filter_redirect, batch_format="pyarrow"
+            ),
+            id_col="id",
+            title_col="title",
+        )
         raw = table(f"{L}pagelinks.sql.gz", 3).map_batches(
-            lambda t: pa.table(
+            lambda t, L=L: pa.table(
                 {
-                    "lang": pa.nulls(len(t), type=pa.string()),
+                    "lang": pa.array([L] * len(t), type=pa.string()),
                     "pl_namespace": pc.cast(t["f1"], pa.int64()),
                     "pl_target_id": pc.cast(t["f2"], pa.int64()),
                 }
             ),
             batch_format="pyarrow",
         )
-        raw = raw.map_batches(
-            lambda t, L=L: t.set_column(
-                0, "lang", pa.array([L] * len(t), type=pa.string())
-            ),
-            batch_format="pyarrow",
-        )
-        pl_parts.append(raw)
-    joined = _union(pl_parts).map_batches(
-        LinktargetJoiner,
-        fn_constructor_args=(lt_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, max(2, num_partitions // 2)),
-        num_cpus=1,
-    )
+        # task mode, not one actor pool per language: the mapping payload
+        # deserializes zero-copy from plasma, so constructing the joiner
+        # per batch is O(ms) and avoids langs × pool worker proliferation
+        def resolve(t: pa.Table, _ref=lt_ref) -> pa.Table:
+            return LinktargetJoiner(_ref)(t)
+
+        pl_parts.append(raw.map_batches(resolve, batch_format="pyarrow"))
     plcounts = _cast_str(
-        partial_count(joined, ["lang", "pl_title"], out="langcount"),
+        partial_count(_union(pl_parts), ["lang", "pl_title"], out="langcount"),
         ["lang", "pl_title"],
     ).materialize()
 
@@ -287,17 +287,91 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
                     pc.replace_substring(t["title"], " ", "_"), pa.string()
                 ),
                 "item": pc.cast(t["item"], pa.string()),
+                "item_id": t["item_id"],
             }
         ),
         batch_format="pyarrow",
     )
 
-    # (D3/B4 exercised: geo parse feeds the wikidata side; coordinates are
-    # not part of the reference's output table, so the join result is
-    # consumed for its row count discipline only at export time)
-    _geo = table("wikidata_geo_tags.sql.gz", 6).map_batches(
-        filter_geo_tags, batch_format="pyarrow"
+    # D4/E7/F5: place-type → ont-level pick per item (reference builds
+    # wikidata_places from the place dump and keeps MAX(ont_level) per
+    # item with a deterministic tie-break, steps/wikidata_process.sh:44-66)
+    from .wikiprocess import PLACE_TYPE_LEVELS
+
+    lvl_keys = sorted(PLACE_TYPE_LEVELS)
+    karr = pa.array(lvl_keys, type=pa.string())
+    varr = pa.array([PLACE_TYPE_LEVELS[k] for k in lvl_keys], type=pa.int64())
+
+    def add_level(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "item_id": pc.cast(t["f0"], pa.int64()),
+                "place_type": pc.cast(t["f1"], pa.string()),
+            }
+        )
+        lv = pc.take(varr, pc.index_in(t["place_type"], value_set=karr))
+        return t.append_column("ont_level", lv).filter(pc.is_valid(lv))
+
+    def pick(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("ont_level", "descending"), ("place_type", "ascending")],
+        )
+        return group.take(idx[:1])
+
+    pt_path = os.path.join(dump_dir, "wikidata_place_types.sql.gz")
+    picks = None
+    if os.path.exists(pt_path):
+        picks = (
+            table("wikidata_place_types.sql.gz", 2)
+            .map_batches(add_level, batch_format="pyarrow")
+            .groupby("item_id", num_partitions=num_partitions)
+            .map_groups(pick, batch_format="pyarrow")
+            .select_columns(["item_id", "place_type"])
+        )
+
+    # D3/B4 + D5: primary earth coordinates per item (5-dp float policy,
+    # functions/wikifilters.filter_geo_tags)
+    geo = (
+        table("wikidata_geo_tags.sql.gz", 6)
+        .map_batches(filter_geo_tags, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "g_item_id": pc.cast(t["gt_page_id"], pa.int64()),
+                    "lat": t["gt_lat"],
+                    "lon": t["gt_lon"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
+
+    if picks is not None:
+        wikidata_pages = wikidata_pages.join(
+            picks.map_batches(
+                lambda t: t.rename_columns(["p_item_id", "place_type"]),
+                batch_format="pyarrow",
+            ),
+            "left_outer",
+            num_partitions=num_partitions,
+            on=("item_id",),
+            right_on=("p_item_id",),
+        )
+    else:
+        wikidata_pages = wikidata_pages.map_batches(
+            lambda t: t.append_column(
+                "place_type", pa.nulls(len(t), type=pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    wikidata_pages = wikidata_pages.join(
+        geo,
+        "left_outer",
+        num_partitions=num_partitions,
+        on=("item_id",),
+        right_on=("g_item_id",),
+    ).select_columns(["w_language", "w_title", "item", "place_type", "lat", "lon"])
 
     # D7 enrichment + E4/E5 scoring
     artw = art.join(
@@ -327,6 +401,9 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
                 "title": t["title"],
                 "importance": pa.array(imp),
                 "wikidata_id": t["item"],
+                "place_type": pc.cast(t["place_type"], pa.string()),
+                "lat": pc.cast(t["lat"], pa.float64()),
+                "lon": pc.cast(t["lon"], pa.float64()),
             }
         )
 
@@ -371,6 +448,9 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
                 "a_title": t["title"],
                 "a_importance": t["importance"],
                 "a_item": t["wikidata_id"],
+                "a_place_type": t["place_type"],
+                "a_lat": t["lat"],
+                "a_lon": t["lon"],
             }
         ),
         batch_format="pyarrow",
@@ -389,6 +469,9 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
                 "title": t["from_title"],
                 "importance": t["a_importance"],
                 "wikidata_id": t["a_item"],
+                "place_type": t["a_place_type"],
+                "lat": t["a_lat"],
+                "lon": t["a_lon"],
             }
         ),
         batch_format="pyarrow",
@@ -439,6 +522,10 @@ def q_wikidump_importance_export(sf_dir: str) -> Dataset:
 
 SQL_WIKIDUMP_IMPORTANCE_EXPORT = """
 WITH n AS (SELECT COUNT(*) AS c FROM documents),
+lix AS (
+  SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT) AS li
+  FROM (SELECT DISTINCT lang FROM documents)
+),
 ranked AS (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS r,
@@ -458,8 +545,12 @@ edges AS (
   FROM tgt_ord t JOIN ranked rt ON rt.lang = t.lang AND rt.r = t.o
 ),
 plc AS (
-  SELECT lang, tgt, COUNT(*) AS langcount FROM edges
-  WHERE (src + tgt) % 4 = 0 AND tgt % 13 <> 0
+  -- per-language linktarget: language li keeps targets with
+  -- tgt % 13 != 0 AND (tgt + li) % 11 != 0 (sources/wikidump_gen.py)
+  SELECT e.lang, e.tgt, COUNT(*) AS langcount
+  FROM edges e JOIN lix x ON x.lang = e.lang
+  WHERE (e.src + e.tgt) % 4 = 0 AND e.tgt % 13 <> 0
+        AND (e.tgt + x.li) % 11 <> 0
   GROUP BY 1, 2
 ),
 oth AS (
@@ -479,13 +570,51 @@ artw AS (
   SELECT a.*, CASE WHEN a.doc_id % 3 <> 1 THEN 'Q' || a.doc_id END AS item
   FROM art a
 ),
+pt AS (
+  SELECT doc_id AS item_id, 'T' || (doc_id % 5) AS place_type
+  FROM documents WHERE doc_id % 4 <> 2
+  UNION ALL
+  SELECT doc_id, 'T' || ((doc_id*3+1) % 5)
+  FROM documents WHERE doc_id % 4 <> 2
+),
+ptl AS (
+  SELECT item_id, place_type,
+         CASE place_type WHEN 'T0' THEN 1 WHEN 'T1' THEN 2 WHEN 'T2' THEN 3
+              WHEN 'T3' THEN 3 ELSE 2 END AS ont_level
+  FROM pt
+),
+pick AS (
+  SELECT item_id, place_type FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY item_id ORDER BY ont_level DESC, place_type) AS rn
+    FROM ptl
+  ) WHERE rn = 1
+),
+geo AS (
+  SELECT doc_id AS item_id,
+    ROUND(CASE WHEN doc_id % 10 < 3 THEN
+      (CASE doc_id % 5 WHEN 0 THEN 35.6895 WHEN 1 THEN 40.7127
+            WHEN 2 THEN 51.5072 WHEN 3 THEN -23.5505 ELSE 28.6139 END)
+      + ((doc_id * 37) % 2001 - 1000) / 10000.0
+    ELSE ((doc_id * 7919) % 1600001) / 10000.0 - 80.0 END, 5) AS lat,
+    ROUND(CASE WHEN doc_id % 10 < 3 THEN
+      (CASE doc_id % 5 WHEN 0 THEN 139.6917 WHEN 1 THEN -74.0059
+            WHEN 2 THEN -0.1275 WHEN 3 THEN -46.6333 ELSE 77.209 END)
+      + ((doc_id * 61) % 2001 - 1000) / 10000.0
+    ELSE ((doc_id * 104729) % 3600001) / 10000.0 - 180.0 END, 5) AS lon
+  FROM documents WHERE doc_id % 10 < 7
+),
 maxt AS (SELECT MAX(totalcount) AS m FROM artw WHERE item IS NOT NULL),
 articles_out AS (
-  SELECT language, 'a' AS type, title,
-         ROUND(GREATEST(LN(totalcount) / LN((SELECT m FROM maxt)), 1e-10), 10)
+  SELECT a.language, 'a' AS type, a.title,
+         ROUND(GREATEST(LN(a.totalcount) / LN((SELECT m FROM maxt)), 1e-10), 10)
            AS importance,
-         item AS wikidata_id
-  FROM artw WHERE item IS NOT NULL
+         a.item AS wikidata_id,
+         p.place_type, g.lat, g.lon
+  FROM artw a
+  LEFT JOIN pick p ON p.item_id = a.doc_id
+  LEFT JOIN geo g ON g.item_id = a.doc_id
+  WHERE a.item IS NOT NULL
 ),
 redirects AS (
   SELECT a.lang AS language, 'Doc_' || a.doc_id AS from_title,
@@ -496,7 +625,7 @@ redirects AS (
 ),
 red_kept AS (
   SELECT r.language, 'r' AS type, r.from_title AS title,
-         a.importance, a.wikidata_id
+         a.importance, a.wikidata_id, a.place_type, a.lat, a.lon
   FROM redirects r
   JOIN articles_out a ON a.language = r.language AND a.title = r.to_title
   ANTI JOIN articles_out x ON x.language = r.language AND x.title = r.from_title
@@ -505,6 +634,7 @@ unioned AS (
   SELECT * FROM articles_out UNION ALL SELECT * FROM red_kept
 ),
 sizes AS (SELECT language, COUNT(*) AS lang_size FROM unioned GROUP BY 1)
-SELECT u.language, u.type, u.title, u.importance, u.wikidata_id, s.lang_size
+SELECT u.language, u.type, u.title, u.importance, u.wikidata_id,
+       u.place_type, u.lat, u.lon, s.lang_size
 FROM unioned u JOIN sizes s USING (language)
 """

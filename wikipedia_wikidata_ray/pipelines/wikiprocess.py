@@ -105,6 +105,23 @@ def linktarget_broadcast(lt_table: pa.Table, id_col: str = "lt_id", title_col: s
     return ray.put((ids[order], titles.combine_chunks()))
 
 
+def linktarget_broadcast_from_ds(lt_ds: Dataset, id_col: str = "id",
+                                 title_col: str = "title"):
+    """Broadcast payload straight from a Dataset — each ``ray.get`` of an
+    Arrow block ref is a zero-copy plasma view, so the mapping is sorted
+    and put without a driver pandas round-trip (the round-1 path pulled
+    the whole linktarget table through the driver heap as pandas)."""
+    tbls = [ray.get(r) for r in lt_ds.to_arrow_refs()]
+    tbls = [t for t in tbls if len(t)]
+    if not tbls:
+        return ray.put(
+            (np.empty(0, dtype=np.int64), pa.array([], type=pa.string()))
+        )
+    return linktarget_broadcast(
+        pa.concat_tables(tbls), id_col=id_col, title_col=title_col
+    )
+
+
 def q_wiki_pagelinks_counts(sf_dir: str) -> Dataset:
     lt = pa.Table.from_pandas(wf.wp_linktarget(sf_dir).to_pandas())
     ref = linktarget_broadcast(lt)

@@ -6,9 +6,14 @@ dump→importance pipeline (pipelines/wikidump.py) is DuckDB-oracle-checkable.
 
 Contract (N = documents row count; langs = distinct documents.lang):
 
-per language L (docs d with lang L):
+per language L (docs d with lang L; li = 0-based index of L in the sorted
+lang list):
 - {L}page:       (d, 0, 'Doc_<d>', 'x')  + noise rows (ns=1; empty title)
 - {L}linktarget: (t, 0, 'Doc_<t>') for ALL t in [0,N) with t % 13 != 0
+                 AND (t + li) % 11 != 0 — DISTINCT per language, so a
+                 pipeline that reuses one language's mapping for every
+                 language (the round-1 simplification) produces wrong
+                 counts and fails the oracle
 - {L}pagelinks:  6 edges per doc d of L, targeting SAME-LANGUAGE docs by
                  per-language ordinal r(d) (0-based doc_id rank within L,
                  C_L docs): ordinals (r*3+1), (r*5+2), r%2, (r*7+3),
@@ -22,6 +27,10 @@ per language L (docs d with lang L):
 
 wikidata (global):
 - wikidata_page: (d, 0, 'Q<d>') for d%3!=1  + non-Q noise
+- wikidata_place_types: for d%4!=2 two rows (d, 'T<d%5>') and
+  (d, 'T<(d*3+1)%5>') — feeds the D4/E7/F5 place-type→ont-level pick
+  (types overlap non-injectively with PLACE_TYPE_LEVELS so the
+  max-level + min-type tie-break is exercised)
 - wikidata_geo_tags: earth+primary rows for d%10<7 with the pages_gen
   coordinate contract (8-dp decimals)  + moon / non-primary / (0,0) / out-of-bounds
   noise rows (all dropped by B4)
@@ -81,13 +90,17 @@ def ensure_wikidumps(sf_dir: str) -> str:
             f.write("-- synthetic dump fixture\n")
             f.write(text)
 
-    lt_rows = [[t, 0, _q(f"Doc_{t}")] for t in range(n) if t % 13 != 0]
-    for L in lang_list:
+    for li, L in enumerate(lang_list):
         dl = by_lang[L]
         page = [[d, 0, _q(f"Doc_{d}"), _q("x")] for d in dl]
         page.append([900000, 1, _q("Talk:Noise'Page"), _q("x")])
         page.append([900001, 0, _q(""), _q("x")])
         write(f"{L}page.sql.gz", _render("page", page))
+        lt_rows = [
+            [t, 0, _q(f"Doc_{t}")]
+            for t in range(n)
+            if t % 13 != 0 and (t + li) % 11 != 0
+        ]
         write(f"{L}linktarget.sql.gz", _render("linktarget", lt_rows))
         dl = sorted(dl)
         cl = len(dl)
@@ -120,6 +133,13 @@ def ensure_wikidumps(sf_dir: str) -> str:
     wdp.append([900100, 0, _q("NotQ")])
     wdp.append([900101, 1, _q("Q900101")])
     write("wikidata_page.sql.gz", _render("page", wdp))
+
+    pt = []
+    for d in ids:
+        if d % 4 != 2:
+            pt.append([int(d), _q(f"T{d % 5}")])
+            pt.append([int(d), _q(f"T{(d * 3 + 1) % 5}")])
+    write("wikidata_place_types.sql.gz", _render("place_types", pt))
 
     lat, lon, has_geo = derive_geo(ids)
     geo = []

@@ -40,12 +40,42 @@ MANIFEST_NAME = "_MANIFEST.json"
 MANIFEST_SCHEMA_VERSION = 1
 
 
+_DIGEST_SAMPLE = 4 * 1024 * 1024
+
+
+def content_digest(path: str, sample_bytes: int = _DIGEST_SAMPLE) -> str:
+    """Content fingerprint of one input file (reference analog: the
+    md5-verified downloads, steps/wikipedia_download.sh:60-66).
+
+    Files up to 3×sample_bytes are hashed in full; larger files hash
+    (size, head, middle, tail) samples so a resume scan costs O(12 MB)
+    per file instead of re-reading 100 TB. Sampled hashing is a
+    documented tradeoff: it catches truncation, header/footer damage and
+    any corruption inside the sampled windows; full verification remains
+    the ingest step's job (A2 cached-verified ingest)."""
+    size = os.path.getsize(path)
+    h = hashlib.sha256()
+    h.update(str(size).encode())
+    with open(path, "rb") as f:
+        if size <= 3 * sample_bytes:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        else:
+            for ofs in (0, (size - sample_bytes) // 2, size - sample_bytes):
+                f.seek(ofs)
+                h.update(f.read(sample_bytes))
+    return h.hexdigest()[:16]
+
+
 def input_fingerprint(files: Sequence[str]) -> str:
-    """Deterministic digest of the exact input file set (path + size)."""
+    """Deterministic digest of the exact input file set (path + size +
+    content digest — a silently-corrupted same-size input invalidates
+    the shard and forces recompute)."""
     h = hashlib.sha256()
     for f in sorted(files):
         h.update(f.encode())
         h.update(str(os.path.getsize(f)).encode())
+        h.update(content_digest(f).encode())
     return h.hexdigest()[:16]
 
 
@@ -135,7 +165,8 @@ class CheckpointedRun:
             "engine_version": __version__,
             "shard_id": shard_id,
             "inputs": [
-                {"path": f, "bytes": os.path.getsize(f)} for f in sorted(files)
+                {"path": f, "bytes": os.path.getsize(f), "digest": content_digest(f)}
+                for f in sorted(files)
             ],
             "input_fingerprint": input_fingerprint(files),
             "config_fingerprint": self.config_fingerprint,
