@@ -150,3 +150,19 @@ def test_ivf_partitioned_matches_broadcast(ray_session):
         ["vec_id", "rank"], ignore_index=True
     ).astype({"rank": "int32"})
     pd.testing.assert_frame_equal(canon(broadcast), canon(sharded))
+
+
+def test_blocked_neardups_match_broadcast(ray_session):
+    """The blocked all-pairs near-dup path (no broadcast matrix) finds
+    exactly the broadcast variant's pair set."""
+    import pandas as pd
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        TRAININGDATA_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = TRAININGDATA_QUERIES["embedding_neardups"](sf).to_pandas()
+    b = TRAININGDATA_QUERIES["embedding_neardups_blocked"](sf).to_pandas()
+    canon = lambda df: df.sort_values(["vec_a", "vec_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(canon(a), canon(b))

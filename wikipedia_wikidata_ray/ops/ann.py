@@ -338,3 +338,75 @@ def embedding_neardup_pairs(ds: Dataset, candidates: dict, threshold: float = 0.
 
     return ds.map_batches(PairFinder, batch_format="pyarrow", batch_size=1024,
                           concurrency=(1, 4))
+
+
+def embedding_neardup_pairs_blocked(
+    left: Dataset,
+    threshold: float = 0.95,
+    num_blocks: int | None = None,
+) -> Dataset:
+    """EXACT cosine near-dup pairs WITHOUT any broadcast matrix — the
+    scale path for candidate sets too large for one ``ray.put`` object.
+
+    The dataset is split into B blocks; every unordered block pair
+    (i ≤ j) becomes one raw ray task computing the cross-block similarity
+    tile (numpy matmul) and emitting pairs ≥ threshold. Exact (same pair
+    set as ``embedding_neardup_pairs``) because every vector pair lands
+    in exactly one tile. This is the honest exact all-pairs shape —
+    O(n²/B²) per task, B(B+1)/2 tasks — raw tasks rather than a Dataset
+    op because the Dataset API has no cross join (custom-operator rule
+    path (c)). Approximate sub-quadratic alternatives (SRP-LSH banding)
+    trade recall; near-dup dedup pipelines that need exactness at
+    planet scale shard THIS by embedding-space region instead."""
+    import ray
+
+    if num_blocks is None:
+        try:
+            num_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            num_blocks = 4
+    blocks = left.repartition(num_blocks).to_arrow_refs()
+
+    @ray.remote(num_cpus=1)
+    def tile(a: pa.Table, b: pa.Table, same: bool) -> pa.Table:
+        ida = np.asarray(a["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        idb = np.asarray(b["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ma = _normalize(_as_matrix(a.column("embedding")))
+        mb = _normalize(_as_matrix(b.column("embedding")))
+        sims = ma @ mb.T
+        ii, jj = np.nonzero((sims >= threshold) & (ida[:, None] < idb[None, :]))
+        if not same:
+            # the reversed orientation (b's id < a's id) lives in this tile
+            ji, ij = np.nonzero((sims.T >= threshold) & (idb[:, None] < ida[None, :]))
+            va = np.concatenate([ida[ii], idb[ji]])
+            vb = np.concatenate([idb[jj], ida[ij]])
+            sv = np.concatenate([sims[ii, jj], sims.T[ji, ij]])
+        else:
+            va, vb, sv = ida[ii], idb[jj], sims[ii, jj]
+        return pa.table(
+            {
+                "vec_a": pa.array(va),
+                "vec_b": pa.array(vb),
+                "sim": pa.array(np.round(sv, 6)),
+            }
+        )
+
+    pending = [
+        tile.remote(blocks[i], blocks[j], i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    import ray.data as rd
+
+    tables = [t for t in ray.get(pending) if len(t)]
+    if not tables:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    return rd.from_arrow(pa.concat_tables(tables))

@@ -458,6 +458,54 @@ TRAININGDATA_QUERIES["simhash_near_dups"] = q_simhash_near_dups
 TRAININGDATA_ORACLES["simhash_near_dups"] = SQL_SIMHASH_NEAR_DUPS
 
 
+def q_embedding_neardups_blocked(sf_dir: str) -> Dataset:
+    """Exact near-dup pairs via the blocked all-pairs scale path (no
+    broadcast candidate matrix; ops/ann.embedding_neardup_pairs_blocked).
+    Shares the broadcast variant's oracle — the pair set is exact."""
+    from ..ops.ann import embedding_neardup_pairs_blocked
+
+    emb = _augmented_embeddings(sf_dir)
+    out = embedding_neardup_pairs_blocked(emb, threshold=0.999)
+    return out.select_columns(["vec_a", "vec_b"])
+
+
+TRAININGDATA_QUERIES["embedding_neardups_blocked"] = q_embedding_neardups_blocked
+TRAININGDATA_ORACLES["embedding_neardups_blocked"] = SQL_EMBEDDING_NEARDUPS
+
+
+# BPE-style pretokenizer count: the GPT-2 pretokenizer shape restricted to
+# an RE2-safe ASCII form (no lookahead — RE2 has none, and the SAME pattern
+# string must run in pyarrow's count_substring_regex AND DuckDB's
+# regexp_extract_all so the count is engine-exact on both sides).
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def q_token_counts_bpe(sf_dir: str) -> Dataset:
+    """Token counting with a BPE-ish pretokenizer regex (north-rule text
+    analysis suite) — fully vectorized: pyarrow count_substring_regex
+    (RE2) per batch, no Python loop."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], BPE_TOKEN_PATTERN)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS_BPE = f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text,
+            '{BPE_TOKEN_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+TRAININGDATA_QUERIES["token_counts_bpe"] = q_token_counts_bpe
+TRAININGDATA_ORACLES["token_counts_bpe"] = SQL_TOKEN_COUNTS_BPE
+
+
 def q_rolling_fingerprints(sf_dir: str) -> Dataset:
     from ..ops.textstats import RollingFingerprinter
 
