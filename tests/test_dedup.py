@@ -112,3 +112,66 @@ def test_attach_pair_texts_empty_pairs():
     out = dd.attach_pair_texts(empty, docs)
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_a", "doc_b", "text_a", "text_b"}
+
+
+def test_lsh_bucket_pairs_matches_bruteforce():
+    """Sort-based run-pair emission equals a brute-force per-bucket
+    pairing on randomized signature rows (including cross-block edge
+    buckets at small merge-block counts)."""
+    rng = np.random.default_rng(42)
+    n = 3000
+    sig_tbl = pa.table(
+        {
+            "doc_id": pa.array(rng.integers(0, 500, n, dtype=np.int64)),
+            "band_id": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+            "band_hash": pa.array(rng.integers(0, 60, n).astype(np.uint64)),
+        }
+    )
+    got = (
+        dd._lsh_bucket_pairs(rd.from_arrow(sig_tbl), 4096, num_merge_blocks=5)
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    df = sig_tbl.to_pandas()
+    want_rows = []
+    for (_, _), g in df.groupby(["band_id", "band_hash"]):
+        ids = np.unique(g["doc_id"].to_numpy())
+        ia, ib = np.triu_indices(len(ids), k=1)
+        want_rows.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
+    want = (
+        pd.concat(want_rows)
+        .drop_duplicates()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_merge_group_aggs_min_max_sum_matches_pandas():
+    from wikipedia_wikidata_ray.stages.salted import merge_group_aggs
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 200, n, dtype=np.int64)),
+            "v": pa.array(rng.integers(-1000, 1000, n, dtype=np.int64)),
+            "w": pa.array(rng.integers(0, 10, n, dtype=np.int64)),
+        }
+    )
+    got = (
+        merge_group_aggs(
+            rd.from_arrow(t).repartition(7),
+            ["k"],
+            [("v", "min"), ("w", "sum")],
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = (
+        t.to_pandas()
+        .groupby("k")
+        .agg(v=("v", "min"), w=("w", "sum"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -5,9 +5,10 @@
   only the 16-byte hash + id shuffle, never the text, and the merge is
   the engine's fast ``merge_group_aggs`` path (NOT Ray's
   ``groupby().aggregate`` — measured 5-7× slower, CLAUDE.md rule).
-- ``minhash_lsh_pairs``: shingle → MinHash signature → banded LSH →
-  ``groupby(band, band_hash)`` candidate generation → exact Jaccard
-  verification. Classic MinHash-LSH (Broder; public algorithm).
+- ``minhash_lsh_pairs``: shingle → MinHash signature → banded LSH
+  candidate generation (one range sort + vectorized run detection, NOT
+  groupby().map_groups) → exact Jaccard verification. Classic
+  MinHash-LSH (Broder; public algorithm).
 - ``simhash_pairs``: 64-bit SimHash → 16-bit band buckets → hamming
   verification.
 - ``embedding_neardup_pairs``: cosine near-duplicates over an embedding
@@ -29,7 +30,6 @@ import re
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -186,51 +186,73 @@ class MinHasher:
         )
 
 
-_EMPTY_PAIRS = {
-    "doc_a": pd.array([], dtype="int64"),
-    "doc_b": pd.array([], dtype="int64"),
-}
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 def _run_pairs(b: np.ndarray, h: np.ndarray, d: np.ndarray,
-               max_bucket_size: int) -> pa.Table:
+               max_bucket_size: int, values: np.ndarray | None = None,
+               max_hamming: int | None = None) -> pa.Table:
     """Pairs for every (band_id, band_hash) run in ALREADY-SORTED arrays
-    (vectorized run detection; small numpy per run)."""
+    (vectorized run detection; small numpy per run).
+
+    With ``values``/``max_hamming`` set, each doc row carries a 64-bit
+    fingerprint and only pairs with popcount(xor) ≤ max_hamming are
+    emitted, plus a ``hamming`` column (the SimHash verify)."""
+    with_ham = values is not None
+
+    def empty() -> pa.Table:
+        cols = {"doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64())}
+        if with_ham:
+            cols["hamming"] = pa.array([], type=pa.int32())
+        return pa.table(cols)
+
     if len(d) == 0:
-        return pa.table(
-            {"doc_a": pa.array([], type=pa.int64()),
-             "doc_b": pa.array([], type=pa.int64())}
-        )
+        return empty()
     new = np.empty(len(b), dtype=bool)
     new[0] = True
     new[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
     starts = np.flatnonzero(new)
     ends = np.append(starts[1:], len(b))
-    outs_a, outs_b = [], []
+    outs_a, outs_b, outs_h = [], [], []
     for s, e in zip(starts, ends):
-        ids = np.unique(d[s:e])
+        ids, idx = np.unique(d[s:e], return_index=True)
         if len(ids) < 2:
             continue
+        vals = values[s:e][idx] if with_ham else None
         if len(ids) > max_bucket_size:
-            outs_a.append(np.full(len(ids) - 1, ids[0]))
-            outs_b.append(ids[1:])
+            ia = np.zeros(len(ids) - 1, dtype=np.int64)
+            ib = np.arange(1, len(ids), dtype=np.int64)
         else:
             ia, ib = np.triu_indices(len(ids), k=1)
-            outs_a.append(ids[ia])
-            outs_b.append(ids[ib])
+        if with_ham:
+            ham = _popcount64(vals[ia] ^ vals[ib]).astype(np.int32)
+            keep = ham <= max_hamming
+            ia, ib, ham = ia[keep], ib[keep], ham[keep]
+            outs_h.append(ham)
+        outs_a.append(ids[ia])
+        outs_b.append(ids[ib])
     if not outs_a:
-        return pa.table(
-            {"doc_a": pa.array([], type=pa.int64()),
-             "doc_b": pa.array([], type=pa.int64())}
-        )
-    return pa.table(
-        {"doc_a": pa.array(np.concatenate(outs_a)),
-         "doc_b": pa.array(np.concatenate(outs_b))}
-    )
+        return empty()
+    cols = {"doc_a": pa.array(np.concatenate(outs_a)),
+            "doc_b": pa.array(np.concatenate(outs_b))}
+    if with_ham:
+        cols["hamming"] = pa.array(np.concatenate(outs_h))
+    return pa.table(cols)
 
 
 def _lsh_bucket_pairs(sigs: Dataset, max_bucket_size: int,
-                      num_merge_blocks: int | None = None) -> Dataset:
+                      num_merge_blocks: int | None = None,
+                      value_col: str | None = None,
+                      max_hamming: int | None = None) -> Dataset:
     """Candidate pairs from (doc_id, band_id, band_hash) signature rows via
     ONE range-partitioned sort + per-block vectorized run detection — NOT
     ``groupby().map_groups`` (measured 35 s vs ~4 s at 800 K rows / 80 K
@@ -264,11 +286,16 @@ def _lsh_bucket_pairs(sigs: Dataset, max_bucket_size: int,
 
     def emit_sorted(t: pa.Table) -> pa.Table:
         t = t.filter(pc.invert(t["_edge"]))
+        vals = (
+            t[value_col].to_numpy(zero_copy_only=False) if value_col else None
+        )
         return _run_pairs(
             t["band_id"].to_numpy(zero_copy_only=False),
             t["band_hash"].to_numpy(zero_copy_only=False),
             t["doc_id"].to_numpy(zero_copy_only=False),
             max_bucket_size,
+            values=vals,
+            max_hamming=max_hamming,
         )
 
     def emit_edges(t: pa.Table) -> pa.Table:
@@ -276,7 +303,11 @@ def _lsh_bucket_pairs(sigs: Dataset, max_bucket_size: int,
         h = t["band_hash"].to_numpy(zero_copy_only=False)
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         o = np.lexsort((d, h, b))  # block concat order is not guaranteed
-        return _run_pairs(b[o], h[o], d[o], max_bucket_size)
+        vals = (
+            t[value_col].to_numpy(zero_copy_only=False)[o] if value_col else None
+        )
+        return _run_pairs(b[o], h[o], d[o], max_bucket_size,
+                          values=vals, max_hamming=max_hamming)
 
     interior = marked.map_batches(emit_sorted, batch_format="pyarrow")
     edges = (
@@ -440,30 +471,13 @@ def simhash_pairs(ds: Dataset, max_hamming: int = 3, text_col: str = "text",
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({**_EMPTY_PAIRS, "hamming": pd.array([], dtype="int32")})
-        if len(ids) > max_bucket_size:
-            # same degenerate-bucket cap as the MinHash path: star pairs
-            # to the min id, verified for hamming like any other pair
-            ia = np.zeros(len(ids) - 1, dtype=np.int64)
-            ib = np.arange(1, len(ids), dtype=np.int64)
-        else:
-            ia, ib = np.triu_indices(len(ids), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
-        )
-
-    pairs = (
-        sims.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    # same sorted-run machinery as the MinHash path (no map_groups): the
+    # simhash value rides along and pairs are hamming-verified in place
+    pairs = _lsh_bucket_pairs(
+        sims.map_batches(explode, batch_format="pyarrow"),
+        max_bucket_size,
+        value_col="simhash",
+        max_hamming=max_hamming,
     )
     # cross-band dedup on the fast merge path (hamming identical per pair,
     # min is a no-op combine that also dedups)
