@@ -1,0 +1,134 @@
+"""Connected components, grouped top-k, and corpus-analysis query tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from wikipedia_wikidata_ray.ops.cc import connected_components
+from wikipedia_wikidata_ray.ops.topk import grouped_topk
+
+
+def _cc_brute(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def _run_cc(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n_nodes, dtype=np.int64))})
+    )
+    e = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], type=pa.int64()),
+                "dst": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+    )
+    out = connected_components(nodes, e).to_pandas()
+    assert len(out) == n_nodes
+    assert sorted(out["node"]) == list(range(n_nodes))
+    return dict(zip(out["node"], out["label"]))
+
+
+def test_cc_chain_and_isolates():
+    # one long chain (exercises pointer jumping), one triangle, isolates
+    edges = [(i, i + 1) for i in range(0, 30)]  # chain 0..30
+    edges += [(40, 41), (41, 42), (40, 42)]  # triangle
+    got = _run_cc(50, edges)
+    want = _cc_brute(50, edges)
+    assert got == want
+    assert got[30] == 0  # chain end reaches min id transitively
+    assert got[45] == 45  # isolate labels itself
+
+
+def test_cc_random_graphs_match_union_find():
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n = 60
+        m = rng.randint(10, 80)
+        edges = [tuple(sorted(rng.randint(0, n, 2))) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _run_cc(n, edges) == _cc_brute(n, edges)
+
+
+def test_cc_no_edges():
+    got = _run_cc(10, [])
+    assert got == {i: i for i in range(10)}
+
+
+def test_grouped_topk_matches_pandas_window():
+    rng = np.random.RandomState(3)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 37, n),
+            "v": rng.randint(0, 50, n).astype(float),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    # many ties in v → the unique id tie-break is load-bearing
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        grouped_topk(ds, ["k"], [("v", False), ("id", True)], k=3, rank_col="rn")
+        .to_pandas()
+        .sort_values(["k", "rn"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["v", "id"], ascending=[False, True]).groupby("k").head(3)
+    want = want.sort_values(["k", "v", "id"], ascending=[True, False, True])
+    want = want.assign(rn=want.groupby("k").cumcount() + 1)
+    want = want.sort_values(["k", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "id", "rn"]], want[["k", "v", "id", "rn"]], check_dtype=False
+    )
+
+
+def test_grouped_topk_group_smaller_than_k():
+    df = pd.DataFrame({"k": [1, 1, 2], "v": [5.0, 3.0, 9.0], "id": [0, 1, 2]})
+    got = (
+        grouped_topk(rd.from_pandas(df), ["k"], [("v", False), ("id", True)], k=3)
+        .to_pandas()
+        .sort_values(["k", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3  # all rows survive, no padding
+
+
+def test_quality_filter_subset_and_stats():
+    from wikipedia_wikidata_ray.pipelines.corpusops import q_quality_filter
+
+    out = q_quality_filter("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out["n_words"] >= 30).all() and (out["n_words"] <= 80).all()
+    assert (out["n_alpha"] >= 3 * out["n_words"]).all()
+    assert (out["n_stop"] >= 2).all()
+
+
+def test_vocab_topk_is_sorted_and_bounded():
+    from wikipedia_wikidata_ray.pipelines.corpusops import q_vocab_topk
+
+    out = q_vocab_topk("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 100
+    cnts = out["cnt"].to_numpy()
+    assert (cnts[:-1] >= cnts[1:]).all()  # descending counts
+    # within equal counts, token ascending
+    for c in np.unique(cnts):
+        toks = out.loc[out["cnt"] == c, "token"].tolist()
+        assert toks == sorted(toks)
+    assert all(" " in t for t in out["token"])  # bigrams

@@ -463,12 +463,14 @@ QUERIES = {
     "page_importance_export": q_page_importance_export,
 }
 
+from .corpusops import CORPUSOPS_ORACLES, CORPUSOPS_QUERIES  # noqa: E402
 from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 from .trainingdata import TRAININGDATA_ORACLES, TRAININGDATA_QUERIES  # noqa: E402
 from .temporal_media import TEMPORAL_MEDIA_ORACLES, TEMPORAL_MEDIA_QUERIES  # noqa: E402
 from .wikidump import SQL_WIKIDUMP_IMPORTANCE_EXPORT, q_wikidump_importance_export  # noqa: E402
 from .wikiprocess import WIKIPROCESS_ORACLES, WIKIPROCESS_QUERIES  # noqa: E402
 
+QUERIES.update(CORPUSOPS_QUERIES)
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TRAININGDATA_QUERIES)
 QUERIES.update(WIKIPROCESS_QUERIES)
@@ -488,6 +490,7 @@ ORACLES = {
     "page_importance_export": _sql_page_importance_export(),
 }
 
+ORACLES.update(CORPUSOPS_ORACLES)
 ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TRAININGDATA_ORACLES)
 ORACLES.update(WIKIPROCESS_ORACLES)

@@ -400,6 +400,33 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 """
 
 
+def q_top_orders_per_customer(sf_dir: str) -> Dataset:
+    """Per-group top-k (k=3, highest o_totalprice, o_orderkey tie-break)
+    — the ROW_NUMBER() window pattern as a distributed op: block-local
+    pre-prune bounds shuffle traffic to ≤ k rows/group/block
+    (ops/topk.grouped_topk)."""
+    from ..ops.topk import grouped_topk
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_topk(
+        orders,
+        keys=["o_custkey"],
+        order_by=[("o_totalprice", False), ("o_orderkey", True)],
+        k=3,
+        rank_col="rn",
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
 RELATIONAL_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -408,6 +435,7 @@ RELATIONAL_QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
     "first_order_per_customer": q_first_order_per_customer,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "events_hourly": q_events_hourly,
     "segment_stats": q_segment_stats,
     "distinct_flag_status": q_distinct_flag_status,
@@ -421,6 +449,7 @@ RELATIONAL_ORACLES = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "customers_with_orders": SQL_CUSTOMERS_WITH_ORDERS,
     "first_order_per_customer": SQL_FIRST_ORDER_PER_CUSTOMER,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "events_hourly": SQL_EVENTS_HOURLY,
     "segment_stats": SQL_SEGMENT_STATS,
     "distinct_flag_status": SQL_DISTINCT_FLAG_STATUS,
