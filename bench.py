@@ -59,8 +59,20 @@ def run_bench() -> dict:
     cfg = DEFAULT_CONFIG
     timings: dict[str, float] = {}
 
-    # warm the OS page cache so we measure compute + shuffle, not cold disk
-    rd.read_parquet(pages_path).count()
+    # warm the OS page cache so we measure compute + shuffle, not cold disk.
+    # NB: read_parquet().count() is metadata-only and touches no data pages —
+    # actually stream the file bytes (measured: cold cache costs up to 3×).
+    import glob
+
+    paths = (
+        sorted(glob.glob(os.path.join(pages_path, "*")))
+        if os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    for p in paths:
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     # warm the Ray worker pool (process spawn + package import is per-worker
     # one-time cost, not pipeline throughput): one tiny task per CPU slot
     from wikipedia_wikidata_ray.stages.extract import extract_batch as _wb

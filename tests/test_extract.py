@@ -41,6 +41,28 @@ def test_extracted_text_byte_identical(pages, docs):
     assert ex.equals(ex2)
 
 
+def test_meta_links_single_parse_equivalence(pages):
+    """meta_links_batch (one parse) ≡ extract_batch + outlinks_batch
+    (two parses) — the export/importance compositions rely on this."""
+    from wikipedia_wikidata_ray.stages.extract import (
+        extract_batch,
+        meta_links_batch,
+        outlinks_batch,
+        outlinks_flatten,
+    )
+
+    tbl = pages.select(["url", "html", "lang"])
+    ml = meta_links_batch(tbl)
+    ex = extract_batch(tbl)
+    for col in ("doc_id", "lang", "title", "has_geo"):
+        assert ml.column(col).equals(ex.column(col)), col
+    assert outlinks_flatten(ml).equals(outlinks_batch(tbl))
+    # empty batch degrades to an empty, schema-stable table
+    empty = meta_links_batch(tbl.slice(0, 0))
+    assert empty.num_rows == 0
+    assert outlinks_flatten(empty).num_rows == 0
+
+
 def test_extract_escaping_roundtrip(docs):
     # pages whose text contains html-special chars still round-trip
     import pyarrow as pa

@@ -311,14 +311,17 @@ def _fold_links_shuffle(links: Dataset, articles: Dataset, num_partitions: int) 
 
 
 def importance_pipeline(pages_fn, num_partitions: int | None = None,
-                        articles: Dataset | None = None) -> Dataset:
+                        articles: Dataset | None = None,
+                        links: Dataset | None = None,
+                        n_articles: int | None = None) -> Dataset:
     """E1-E5/D2 scoring over any pages source (``pages_fn() -> Dataset``).
 
     ``num_partitions`` sizes the join shuffle; defaults to half the
-    cluster CPUs (floor 8). ``articles`` optionally supplies an already
-    extracted (doc_id, lang, has_geo) Dataset so callers composing several
-    pipelines extract each page once (SURVEY.md §1.2: materialize only
-    where a stage is reused)."""
+    cluster CPUs (floor 8). ``articles`` / ``links`` / ``n_articles``
+    optionally supply already-derived inputs so callers composing several
+    pipelines parse each page once (export_pipeline extracts metadata and
+    edges in ONE html pass via ``meta_links_batch`` and feeds both here;
+    SURVEY.md §1.2: materialize only where a stage is reused)."""
     import ray as _ray
 
     cfg = DEFAULT_CONFIG
@@ -327,13 +330,31 @@ def importance_pipeline(pages_fn, num_partitions: int | None = None,
             num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 16)) // 2)
         except Exception:
             num_partitions = 8
-    pages = pages_fn()
-    links = gp.extract(pages, cfg, emit="outlinks")
-    # page side: lang + geo flag per doc (the article table analog)
-    if articles is None:
-        articles = gp.extract(pages, cfg).select_columns(["doc_id", "lang", "has_geo"])
+    pages = pages_fn() if (articles is None or links is None or n_articles is None) else None
+    if articles is None and links is None:
+        # standalone path: ONE html parse emits metadata + outlink lists,
+        # pinned once (tiny vs the html it replaces — ~50 B/doc + 8 B/link;
+        # re-parsing html for each side costs 2× the dominant stage)
+        from ..stages.extract import meta_links_batch, outlinks_flatten
+
+        combined = pages.map_batches(
+            meta_links_batch, batch_format="pyarrow",
+            batch_size=cfg.batch_size_extract,
+        ).materialize()
+        articles = combined.select_columns(["doc_id", "lang", "has_geo"])
+        links = combined.select_columns(
+            ["doc_id", "lang", "outlink_tgts"]
+        ).map_batches(outlinks_flatten, batch_format="pyarrow")
+        if n_articles is None:
+            n_articles = combined.count()
     else:
-        articles = articles.select_columns(["doc_id", "lang", "has_geo"])
+        if links is None:
+            links = gp.extract(pages, cfg, emit="outlinks")
+        # page side: lang + geo flag per doc (the article table analog)
+        if articles is None:
+            articles = gp.extract(pages, cfg).select_columns(["doc_id", "lang", "has_geo"])
+        else:
+            articles = articles.select_columns(["doc_id", "lang", "has_geo"])
 
     # D2 reshape, two physical plans with identical semantics:
     # (a) article side broadcastable (it is per-doc metadata — int8 lang
@@ -341,7 +362,8 @@ def importance_pipeline(pages_fn, num_partitions: int | None = None,
     #     the link fold, ONE shuffle total (the per-doc merge);
     # (b) too big to broadcast: pre-count per (target, src_lang), hash join
     #     to articles, then the per-doc merge (three shuffles).
-    n_articles = pages.count()
+    if n_articles is None:
+        n_articles = pages.count()
     if n_articles <= 20_000_000:
         parts = _fold_links_broadcast(links, articles, n_articles)
     else:

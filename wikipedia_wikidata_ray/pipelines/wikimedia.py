@@ -28,14 +28,22 @@ pipelines/queries.py SQL):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from ray.data import Dataset
 
 from ..config import DEFAULT_CONFIG
+from ..stages.extract import meta_links_batch, outlinks_flatten
 from ..stages.salted import partial_count
 from . import geopipeline as gp
+
+# Same bar as queries._fold_links_broadcast: per-doc metadata (int codes +
+# short title strings, ~40 B/doc) broadcasts comfortably to ~20M docs as a
+# single ray.put object fetched once per node; above it, every lookup in
+# this module falls back to the hash-join plan.
+BROADCAST_DOC_LIMIT = 20_000_000
 
 
 def _join_partitions() -> int:
@@ -110,11 +118,150 @@ def q_page_importance_export(sf_dir: str) -> Dataset:
     return export_pipeline(lambda: gp.load_pages(sf_dir), n_docs)
 
 
-def export_pipeline(pages_fn, n_docs: int) -> Dataset:
+def _np_keys(langs, titles) -> np.ndarray:
+    """(language, title) → fixed-width numpy bytes keys ('S' dtype).
+
+    memcmp order == Arrow byte order, so np.searchsorted/equality on these
+    keys reproduces the join's string-equality semantics exactly. '\\x1f'
+    (unit separator) cannot appear in titles (reference titles are
+    underscore-normalized printable text, bin/filter_page.py semantics)."""
+    joined = pc.binary_join_element_wise(
+        pc.cast(langs, pa.string()), pc.cast(titles, pa.string()), "\x1f"
+    )
+    return np.array(pc.cast(joined, pa.binary()).to_pylist(), dtype=np.bytes_)
+
+
+def _attach_meta_broadcast(imp: Dataset, meta: Dataset) -> Dataset:
+    """F3 article shaping without a shuffle (broadcast path).
+
+    The materialized per-doc metadata is assembled from its blocks as
+    zero-copy plasma views, sorted once by doc_id on the driver, and
+    ray.put once; each importance batch resolves (lang, title, has_geo)
+    with one vectorized np.searchsorted. Replaces a doc_id hash join that
+    measured ~20 s on 1M×1M rows (round-2 bench regression, BASELINE.md);
+    the join plan remains the > BROADCAST_DOC_LIMIT fallback."""
+    import ray as _ray
+
+    tbl = pa.concat_tables([_ray.get(r) for r in meta.to_arrow_refs()]).combine_chunks()
+    tbl = tbl.take(pc.sort_indices(tbl.column("doc_id"))).combine_chunks()
+    ref = _ray.put(
+        (
+            tbl.column("doc_id").to_numpy(),
+            tbl.column("lang").combine_chunks(),
+            tbl.column("title").combine_chunks(),
+            tbl.column("has_geo").combine_chunks(),
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids, langs, titles, geo = _ray.get(ref)
+        idx = pa.array(np.searchsorted(ids, t.column("doc_id").to_numpy()))
+        out = pa.table(
+            {
+                "language": pc.take(langs, idx),
+                "type": pa.array(["a"] * len(t), type=pa.string()),
+                "title": pc.take(titles, idx),
+                "importance": t.column("importance"),
+                "ref_doc_id": t.column("doc_id"),
+            }
+        )
+        return out.filter(pc.take(geo, idx))
+
+    return imp.map_batches(attach, batch_format="pyarrow", batch_size=65536)
+
+
+def _redirect_lookup_ref(articles: Dataset):
+    """Broadcast (language,title)-keyed article lookup: sorted bytes keys +
+    aligned importance/ref arrays, built from zero-copy block views."""
+    import ray as _ray
+
+    tbl = pa.concat_tables(
+        [_ray.get(r) for r in articles.to_arrow_refs()]
+    ).combine_chunks()
+    keys = _np_keys(tbl.column("language"), tbl.column("title"))
+    order = np.argsort(keys)
+    return _ray.put(
+        (
+            keys[order],
+            tbl.column("importance").to_numpy()[order],
+            tbl.column("ref_doc_id").to_numpy()[order],
+        )
+    )
+
+
+def _resolve_redirects_broadcast(red_raw: Dataset, lookup_ref) -> Dataset:
+    """D8 semi + D9 anti in one vectorized pass against the broadcast
+    article lookup: keep a redirect iff its target exists as an article
+    (fetching that article's importance/ref) AND its own (language,
+    from_title) does not collide with an article."""
+    import ray as _ray
+
+    def resolve(t: pa.Table) -> pa.Table:
+        keys, imp, refv = _ray.get(lookup_ref)
+        n = len(keys)
+        if n == 0 or len(t) == 0:
+            return pa.table(
+                {
+                    "language": pa.array([], type=pa.string()),
+                    "type": pa.array([], type=pa.string()),
+                    "title": pa.array([], type=pa.string()),
+                    "importance": pa.array([], type=pa.float64()),
+                    "ref_doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        tk = _np_keys(t.column("language"), t.column("target_title"))
+        fk = _np_keys(t.column("language"), t.column("from_title"))
+        ti = np.minimum(np.searchsorted(keys, tk), n - 1)
+        fi = np.minimum(np.searchsorted(keys, fk), n - 1)
+        keep = (keys[ti] == tk) & (keys[fi] != fk)
+        ti = ti[keep]
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "language": t.column("language").filter(mask),
+                "type": pa.array(["r"] * int(keep.sum()), type=pa.string()),
+                "title": t.column("from_title").filter(mask),
+                "importance": pa.array(imp[ti]),
+                "ref_doc_id": pa.array(refv[ti]),
+            }
+        )
+
+    return red_raw.map_batches(resolve, batch_format="pyarrow", batch_size=65536)
+
+
+def export_pipeline(pages_fn, n_docs: int,
+                    broadcast_limit: int = BROADCAST_DOC_LIMIT) -> Dataset:
     """Full output pipeline (F3/D8/D9/F8/E6/D10/F1) over any pages source.
 
-    Page metadata is extracted ONCE and pinned — it feeds the importance
-    article side, the article join, and the redirect derivation."""
+    Broadcast plan (n_docs ≤ broadcast_limit): ONE html parse emits
+    metadata + outlink lists (``meta_links_batch``), and the three
+    per-doc-keyed joins (importance⋈meta, D8, D9) become broadcast
+    searchsorted lookups — zero extra shuffles; only the importance merge
+    and the F1 sort move data. Above the limit: metadata is extracted once
+    and pinned, and the same semantics run as hash joins."""
+    from .queries import importance_pipeline
+
+    if n_docs <= broadcast_limit:
+        cfg = DEFAULT_CONFIG
+        combined = pages_fn().map_batches(
+            meta_links_batch, batch_format="pyarrow",
+            batch_size=cfg.batch_size_extract,
+        ).materialize()
+        meta = combined.drop_columns(["outlink_tgts"])
+        links = combined.select_columns(
+            ["doc_id", "lang", "outlink_tgts"]
+        ).map_batches(outlinks_flatten, batch_format="pyarrow")
+        imp = importance_pipeline(
+            pages_fn, articles=meta, links=links, n_articles=n_docs
+        ).select_columns(["doc_id", "importance"])
+        articles = _attach_meta_broadcast(imp, meta).materialize()
+        red = _resolve_redirects_broadcast(
+            _redirects_raw(pages_fn, n_docs, meta),
+            _redirect_lookup_ref(articles),
+        ).materialize()
+        unioned = articles.union(red)
+        return _finish_export(unioned)
+
     meta = gp.extract(pages_fn(), DEFAULT_CONFIG).select_columns(
         ["doc_id", "lang", "title", "has_geo"]
     ).materialize()
@@ -162,6 +309,10 @@ def export_pipeline(pages_fn, n_docs: int) -> Dataset:
     ).materialize()
 
     unioned = articles.union(red)
+    return _finish_export(unioned)
+
+
+def _finish_export(unioned: Dataset) -> Dataset:
 
     # E6 + D10: per-language sizes of the FINAL table, broadcast back
     sizes = partial_count(unioned.select_columns(["language"]), ["language"], out="lang_size")

@@ -48,6 +48,20 @@ OUTLINKS = pa.schema(
     ]
 )
 
+# Single-parse extraction for compositions that need BOTH per-page metadata
+# and the link edges (importance/export): one html parse emits the metadata
+# columns plus the outlink targets as a list column; OUTLINKS is recovered
+# by flattening (stages/extract.py:meta_links_batch / outlinks_flatten).
+META_LINKS = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("lang", pa.string()),
+        ("title", pa.string()),
+        ("has_geo", pa.bool_()),
+        ("outlink_tgts", pa.list_(pa.int64())),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Reference-shaped relational tables (FIXTURES.md §2). Per-language Postgres
 # tables become one table with an explicit ``lang`` column.

@@ -15,10 +15,11 @@ All hot-path work runs in Arrow C++ RE2 kernels (``pc.extract_regex``,
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..schemas import EXTRACTED, OUTLINKS
+from ..schemas import EXTRACTED, META_LINKS, OUTLINKS
 
 _ANCHOR_LIT = '<a href="/wiki/Doc_'
 _CONTENT_OPEN = '<div id="content">'
@@ -115,6 +116,58 @@ def outlinks_batch(batch: pa.Table) -> pa.Table:
             pc.take(src_id, pc.filter(parent, keep)),
             pc.take(langs, pc.filter(parent, keep)),
             pc.cast(pc.filter(tgt, keep), pa.int64()),
+        ],
+        schema=OUTLINKS,
+    )
+
+
+def meta_links_batch(batch: pa.Table) -> pa.Table:
+    """pages → META_LINKS: one html parse for metadata AND link targets.
+
+    Importance/export compositions consume both the per-page metadata
+    (doc_id, lang, title, has_geo) and the outlink edges; running
+    ``extract_batch`` + ``outlinks_batch`` parses every html document
+    twice. This emits both in one pass — the targets stay nested as a
+    ``list<int64>`` column so cardinality is one row per page, and
+    ``outlinks_flatten`` recovers the OUTLINKS edge table without
+    touching html again. Semantics are identical to the two-pass path
+    (same regexes/splits), asserted in tests/test_extract.py.
+    """
+    html = pc.cast(batch.column("html"), pa.large_string()).combine_chunks()
+    doc_id = pc.cast(
+        pc.struct_field(pc.extract_regex(batch.column("url"), _DOCID_RE), "id"),
+        pa.int64(),
+    )
+    title = pc.cast(pc.struct_field(pc.extract_regex(html, _TITLE_RE), "title"), pa.string())
+    has_geo = pc.is_valid(pc.struct_field(pc.extract_regex(html, _GEO_RE), "lat"))
+
+    pieces = pc.split_pattern(html, _ANCHOR_LIT)
+    parent = pc.list_parent_indices(pieces)
+    flat = pc.list_flatten(pieces)
+    tgt = pc.struct_field(pc.extract_regex(flat, r'^(?P<t>\d+)">'), "t")
+    keep = pc.is_valid(tgt)
+    par = pc.filter(parent, keep).to_numpy(zero_copy_only=False)
+    vals = pc.cast(pc.filter(tgt, keep), pa.int64())
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    counts = np.bincount(par, minlength=len(batch)) if len(par) else np.zeros(len(batch), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), vals)
+    return pa.Table.from_arrays(
+        [doc_id, pc.cast(batch.column("lang"), pa.string()), title, has_geo, lists],
+        schema=META_LINKS,
+    )
+
+
+def outlinks_flatten(t: pa.Table) -> pa.Table:
+    """META_LINKS → OUTLINKS (pure list flatten — no html parse)."""
+    lists = t.column("outlink_tgts")
+    parent = pc.list_parent_indices(lists)
+    return pa.Table.from_arrays(
+        [
+            pc.take(t.column("doc_id"), parent),
+            pc.take(t.column("lang"), parent),
+            pc.list_flatten(lists),
         ],
         schema=OUTLINKS,
     )
