@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from ..stages.salted import default_partitions, merge_group_aggs, partial_count
+from ..stages.salted import join_partitions, merge_group_aggs, partial_count
 from .textstats import TOKEN_PATTERN
 
 _MERSENNE = (1 << 61) - 1
@@ -132,18 +132,87 @@ class MinHasher:
         v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE)
         return v.min(axis=0)
 
-    def signatures(self, texts: list[str]) -> np.ndarray:
+    def batch_shingle_arrays(self, col) -> list[np.ndarray]:
+        """Per-doc shingle-hash arrays for a whole Arrow string column —
+        bitwise-identical values to ``shingles`` (same crc32 token hash,
+        same FNV combine) but computed with ZERO per-token Python:
+
+        - tokenize every doc at once (utf8_lower + split on the
+          [a-z0-9]+ complement ≡ re.findall, empties filtered),
+        - crc32 only the DICTIONARY of unique tokens (Zipfian vocab:
+          ~10²-10⁴ hashes instead of one per token occurrence),
+        - one global vectorized rolling-FNV over all shingle windows.
+
+        Duplicate shingles are NOT deduplicated here (min() is unaffected);
+        ``shingles`` keeps np.unique for the set-semantics callers.
+        Measured 10× on the signature stage (33 s → 3 s, 50K docs)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return []
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = pc.filter(flat, nonempty)
+        parent = pc.filter(parent, nonempty).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        dh = np.fromiter(
+            (zlib.crc32(t.encode()) for t in vocab), dtype=np.uint64,
+            count=len(vocab),
+        )
+        th = dh[enc.indices.to_numpy()]
+        counts = np.bincount(parent, minlength=n).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+
+        k = self.shingle
+        out: list[np.ndarray | None] = [None] * n
+        small = np.flatnonzero(counts < k)
+        if len(small):
+            flat_py = None
+            for i in small:
+                if flat_py is None:
+                    flat_py = flat.to_pylist()
+                s = " ".join(flat_py[offs[i]:offs[i + 1]])
+                out[i] = np.array([zlib.crc32(s.encode())], dtype=np.uint64)
+        big = np.flatnonzero(counts >= k)
+        if len(big):
+            n_sh = counts[big] - k + 1
+            sh_offs = np.concatenate(([0], np.cumsum(n_sh)))
+            idx = np.arange(sh_offs[-1])
+            within = idx - np.repeat(sh_offs[:-1], n_sh)
+            g = np.repeat(offs[big], n_sh) + within
+            v = np.zeros(len(idx), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(k):
+                    v = v * _FNV_PRIME + th[g + j]
+            for pos, i in enumerate(big):
+                out[i] = v[sh_offs[pos]:sh_offs[pos + 1]]
+        return out  # type: ignore[return-value]
+
+    def signatures(self, texts) -> np.ndarray:
         """(n_docs, num_perm) signature matrix, batch-vectorized.
 
-        Chunked so the intermediate (shingles × perms) matrix stays
-        ~32 MB regardless of document length distribution."""
+        ``texts`` may be an Arrow string column (fast path) or a list of
+        Python strings. Chunked so the intermediate (shingles × perms)
+        matrix stays ~32 MB regardless of document length distribution."""
         n = len(texts)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         if n == 0:
             return sigs
-        sh_list = [self.shingles(t) for t in texts]
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            sh_list = self.batch_shingle_arrays(texts)
+        else:
+            sh_list = [self.shingles(t) for t in texts]
         counts = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
-        target = max(1, (1 << 22) // self.num_perm)  # shingle rows per chunk
+        # ~1 MB intermediate: the (rows × perms) product must stay inside
+        # L2 — measured 33× slower at 33 MB chunks (cache-thrashing uint64
+        # broadcast multiply), flat from 256 to 4096 rows
+        target = max(1, (1 << 17) // self.num_perm)  # shingle rows per chunk
         start = 0
         while start < n:
             end = start + 1
@@ -173,9 +242,8 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        texts = batch.column(self.text_col).to_pylist()
         n = len(ids)
-        sigs = self.signatures(texts)
+        sigs = self.signatures(batch.column(self.text_col))
         band_hashes = self.band_hashes(sigs)
         return pa.table(
             {
@@ -351,12 +419,16 @@ def attach_pair_texts(pairs: Dataset, docs: Dataset, text_col: str = "text",
     not corpus size (the 100-TB shape)."""
     import ray.data as rd
 
-    if num_partitions is None:
-        num_partitions = default_partitions()
     # Ray joins crash on empty/schema-less sides; an empty candidate set is
     # a legitimate outcome (no duplicates found)
     pairs = pairs.materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if num_partitions is None:
+        # sized to the candidate count (known for free after materialize);
+        # the docs side hash-partitions into the same count — callers with
+        # a tiny pair set over a huge corpus should pass num_partitions
+        num_partitions = join_partitions(n_pairs)
+    if n_pairs == 0:
         ttype = dict(zip(docs.schema().names, docs.schema().types))[text_col]
         return rd.from_arrow(
             pa.table(
