@@ -120,6 +120,75 @@ def test_quality_filter_subset_and_stats():
     assert (out["n_stop"] >= 2).all()
 
 
+def test_corpus_curation_brute_force_equivalence():
+    """curate_corpus vs a plain-pandas reimplementation on a synthetic
+    corpus with cross-language exact dups (winner's own lang must win)."""
+    import re
+
+    from wikipedia_wikidata_ray.ops.textstats import STOPWORDS, TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.corpusops import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = []
+    for i in range(60):
+        # docs 0-39: pass the gate (35-45 words); 40-49: too short;
+        # 50-59: exact copies of 0-9 with a DIFFERENT lang
+        if i < 40:
+            text = base * 6 + f"tail{i % 7}"
+            lang = "en" if i % 2 == 0 else "de"
+        elif i < 50:
+            text = f"short {i}"
+            lang = "fr"
+        else:
+            j = i - 50
+            text = base * 6 + f"tail{j % 7}"
+            lang = "xx"
+        rows.append({"doc_id": i, "text": text, "lang": lang})
+    df = pd.DataFrame(rows)
+
+    got = (
+        curate_corpus(rd.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+    tok = re.compile(TOKEN_PATTERN)
+    feats = []
+    for r in rows:
+        tk = tok.findall(r["text"].lower())
+        n_words = len(tk)
+        n_alpha = sum(len(x) for x in tk)
+        n_stop = sum(x in STOPWORDS for x in tk)
+        if 30 <= n_words <= 80 and 3 * n_words <= n_alpha <= 8 * n_words and n_stop >= 2:
+            feats.append({**r, "n_words": n_words})
+    g = pd.DataFrame(feats)
+    keep = g.groupby("text")["doc_id"].min()
+    surv = g[g["doc_id"].isin(keep)]
+    want = (
+        surv.groupby("lang")
+        .agg(n_docs=("doc_id", "size"), total_words=("n_words", "sum"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the cross-lang copies (lang=xx, higher ids) must all be deduped away
+    assert "xx" not in set(got["lang"])
+
+
+def test_corpus_curation_empty_gate():
+    from wikipedia_wikidata_ray.pipelines.corpusops import curate_corpus
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["tiny", "also tiny"], "lang": ["en", "en"]}
+    )
+    out = curate_corpus(rd.from_pandas(df))
+    # Ray's to_pandas drops columns at 0 rows; assert on the Dataset schema
+    assert out.schema().names == ["lang", "n_docs", "total_words"]
+    assert out.count() == 0
+
+
 def test_vocab_topk_is_sorted_and_bounded():
     from wikipedia_wikidata_ray.pipelines.corpusops import q_vocab_topk
 

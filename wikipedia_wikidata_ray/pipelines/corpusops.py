@@ -15,9 +15,17 @@ brief; all three DuckDB-oracle-checked).
   char-3-gram Jaccard edges at ≥ 0.5 fed into distributed connected
   components (ops/cc.py, hash-to-min + pointer jumping); the oracle
   replicates the whole thing with a recursive CTE.
+- ``corpus_curation``: the end-to-end curation composition a training-data
+  user actually runs — quality gate → exact dedup (keep lowest doc_id per
+  identical text) → per-language document/token totals — over the
+  dup-augmented corpus. One pass computes gate features AND the content
+  hash, so raw text never leaves the first stage; only (hash, id, lang,
+  n_words) rows shuffle. Fully DuckDB-oracle-checked.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -28,7 +36,11 @@ from ray.data import Dataset
 
 from ..ops.cc import connected_components
 from ..ops.textstats import STOPWORDS, TOKEN_PATTERN
-from ..stages.salted import merge_group_sums
+from ..stages.salted import (
+    default_partitions,
+    merge_group_aggs,
+    merge_group_sums,
+)
 
 # ---------------------------------------------------------------------------
 # vocab_topk — word-bigram counts, global top-100
@@ -93,31 +105,40 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 100
 # quality_filter — Gopher-style gate in integer arithmetic
 
 
-def q_quality_filter(sf_dir: str) -> Dataset:
-    stop_set = pa.array(sorted(STOPWORDS), type=pa.string())
+_STOP_SET = pa.array(sorted(STOPWORDS), type=pa.string())
 
+
+def _gate_features(t: pa.Table):
+    """Vectorized Gopher-gate features for one Arrow batch: per-doc
+    (n_words, n_alpha, n_stop, passing) as numpy arrays. Integer
+    arithmetic only, so the DuckDB oracles match bitwise."""
+    lists = _token_lists(t["text"])
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy()
+    keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    parent = parent[keep]
+    flat = flat.filter(pa.array(keep))
+    ndocs = len(t)
+    n_words = np.bincount(parent, minlength=ndocs).astype(np.int64)
+    lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    n_alpha = np.bincount(parent, weights=lens, minlength=ndocs).astype(np.int64)
+    is_stop = pc.is_in(flat, value_set=_STOP_SET).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parent, weights=is_stop, minlength=ndocs).astype(np.int64)
+    passing = (
+        (n_words >= 30)
+        & (n_words <= 80)
+        & (n_alpha >= 3 * n_words)
+        & (n_alpha <= 8 * n_words)
+        & (n_stop >= 2)
+    )
+    return n_words, n_alpha, n_stop, passing
+
+
+def q_quality_filter(sf_dir: str) -> Dataset:
     def score(t: pa.Table) -> pa.Table:
-        lists = _token_lists(t["text"])
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy()
-        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
-        parent = parent[keep]
-        flat = flat.filter(pa.array(keep))
-        ndocs = len(t)
-        n_words = np.bincount(parent, minlength=ndocs).astype(np.int64)
-        lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
-        n_alpha = np.bincount(parent, weights=lens, minlength=ndocs).astype(np.int64)
-        is_stop = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
-        n_stop = np.bincount(parent, weights=is_stop, minlength=ndocs).astype(np.int64)
-        passing = (
-            (n_words >= 30)
-            & (n_words <= 80)
-            & (n_alpha >= 3 * n_words)
-            & (n_alpha <= 8 * n_words)
-            & (n_stop >= 2)
-        )
+        n_words, n_alpha, n_stop, passing = _gate_features(t)
         out = pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -229,14 +250,146 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_curation — gate → exact dedup → per-language totals, end to end
+
+
+def curate_corpus(docs: Dataset) -> Dataset:
+    """The composed curation pipeline over (doc_id, text, lang) rows:
+
+    1. one ``map_batches`` pass computes the Gopher gate features AND the
+       sha256 content hash of passing docs — raw text is dropped here, so
+       everything downstream shuffles only (hash, id, lang, n_words);
+    2. exact dedup keeps the LOWEST doc_id per identical text: per-batch
+       (content_hash → min doc_id) partials merged by
+       ``stages/salted.merge_group_aggs`` (one range-sort shuffle);
+    3. survivors semi-join back on doc_id (unique key, hash join) to
+       recover lang/n_words — identical texts may carry different langs,
+       so the winner's OWN lang must be looked up, not aggregated;
+    4. per-language totals ride the ``merge_group_sums`` combiner path.
+
+    At 100 TB: text moves zero times, the dedup shuffle carries 48 bytes/
+    row, and the semi-join is int64-keyed. Reference analog: the quality +
+    DISTINCT + per-language GROUP BY sequence of
+    steps/wikidata_process.sh:28-66, fused into one streaming plan."""
+
+    def gate_hash(t: pa.Table) -> pa.Table:
+        n_words, _, _, passing = _gate_features(t)
+        kept = t.filter(pa.array(passing))
+        texts = kept["text"].to_pylist()
+        h = [hashlib.sha256(x.encode("utf-8")).hexdigest()[:32] for x in texts]
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "lang": kept["lang"],
+                "n_words": pa.array(n_words[passing]),
+                "content_hash": pa.array(h, type=pa.string()),
+            }
+        )
+
+    gated = docs.map_batches(gate_hash, batch_format="pyarrow")
+    # the gate output is consumed twice (dedup partials + semi-join left
+    # side); pin it so the tokenize/hash pass runs once
+    gated = gated.materialize()
+    if gated.count() == 0:  # empty-side join guard (legitimate: strict gate)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "total_words": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["content_hash"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["content_hash", "doc_id"])
+
+    keep_ids = merge_group_aggs(
+        gated.map_batches(hash_partial, batch_format="pyarrow"),
+        ["content_hash"],
+        [("doc_id", "min")],
+    ).select_columns(["doc_id"])
+    surv = gated.join(
+        keep_ids,
+        "left_semi",
+        num_partitions=default_partitions(),
+        on=("doc_id",),
+    )
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_docs", pa.array(np.ones(len(t), dtype=np.int64)))
+        g = t.group_by(["lang"]).aggregate([("n_docs", "sum"), ("n_words", "sum")])
+        return g.rename_columns(["lang", "n_docs", "total_words"])
+
+    return merge_group_sums(
+        surv.map_batches(lang_partial, batch_format="pyarrow"),
+        ["lang"],
+        ["n_docs", "total_words"],
+    )
+
+
+def q_corpus_curation(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def dup(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = t.filter(pa.array(ids % 5 == 0))
+        shifted = keep.set_column(
+            0, "doc_id", pc.add(keep["doc_id"], pa.scalar(n, type=pa.int64()))
+        )
+        return pa.concat_tables([t, shifted])
+
+    return curate_corpus(docs.map_batches(dup, batch_format="pyarrow"))
+
+
+SQL_CORPUS_CURATION = f"""
+WITH docs2l AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT COUNT(*) FROM documents), text, lang
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT doc_id, lang, text,
+         regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+  FROM docs2l
+),
+s AS (
+  SELECT doc_id, lang, text, len(tk) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+              AS BIGINT) AS n_alpha,
+         len(list_filter(tk, x -> x IN ({_STOP_SQL}))) AS n_stop
+  FROM t
+),
+gated AS (
+  SELECT doc_id, lang, text, n_words FROM s
+  WHERE n_words BETWEEN 30 AND 80
+    AND n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
+    AND n_stop >= 2
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text)
+SELECT g.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(g.n_words) AS BIGINT) AS total_words
+FROM gated g SEMI JOIN keep k ON g.doc_id = k.doc_id
+GROUP BY g.lang
+"""
+
+
 CORPUSOPS_QUERIES = {
     "vocab_topk": q_vocab_topk,
     "quality_filter": q_quality_filter,
     "dup_clusters": q_dup_clusters,
+    "corpus_curation": q_corpus_curation,
 }
 
 CORPUSOPS_ORACLES = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "quality_filter": SQL_QUALITY_FILTER,
     "dup_clusters": SQL_DUP_CLUSTERS,
+    "corpus_curation": SQL_CORPUS_CURATION,
 }
