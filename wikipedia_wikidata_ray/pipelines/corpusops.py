@@ -380,11 +380,49 @@ GROUP BY g.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# hll_distinct_tokens — mergeable HyperLogLog registers per language
+
+
+def q_hll_distinct_tokens(sf_dir: str) -> Dataset:
+    """Per-language HLL registers (p=12) of the distinct-token set — the
+    mergeable-sketch alternative to an exact COUNT(DISTINCT) shuffle.
+    The query output IS the register state (pure integers, identical at
+    any parallelism); ``ops.sketch.hll_estimate`` turns it into the
+    cardinality estimate (accuracy pytest-checked)."""
+    from ..ops.sketch import hll_token_registers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return hll_token_registers(docs, group_cols=["lang"])
+
+
+SQL_HLL_DISTINCT_TOKENS = """
+WITH toks AS (
+  SELECT DISTINCT lang,
+         UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT lang, CAST(('0x' || SUBSTR(md5(tok), 1, 16)) AS UBIGINT) AS h
+  FROM toks
+),
+parts AS (
+  SELECT lang, CAST(h >> 52 AS BIGINT) AS bucket,
+         CAST(h & ((CAST(1 AS UBIGINT) << 52) - 1) AS BIGINT) AS w
+  FROM h
+)
+SELECT lang, bucket,
+       MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+FROM parts GROUP BY lang, bucket
+"""
+
+
 CORPUSOPS_QUERIES = {
     "vocab_topk": q_vocab_topk,
     "quality_filter": q_quality_filter,
     "dup_clusters": q_dup_clusters,
     "corpus_curation": q_corpus_curation,
+    "hll_distinct_tokens": q_hll_distinct_tokens,
 }
 
 CORPUSOPS_ORACLES = {
@@ -392,4 +430,5 @@ CORPUSOPS_ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "hll_distinct_tokens": SQL_HLL_DISTINCT_TOKENS,
 }
