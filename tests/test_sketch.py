@@ -70,6 +70,73 @@ def test_hll_estimate_accuracy():
         assert abs(est - vocab) / vocab < 0.05, (vocab, est)
 
 
+def _zipf_corpus(n_docs: int, vocab: int, seed: int) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    texts = []
+    for _ in range(n_docs):
+        ids = rng.zipf(1.3, 120) % vocab  # heavy head, long tail
+        texts.append(" ".join(f"w{i}" for i in ids))
+    return pd.DataFrame({"text": texts})
+
+
+def _hh_brute(df: pd.DataFrame, theta_denom: int) -> pd.DataFrame:
+    import re
+
+    cnt: dict[str, int] = {}
+    n = 0
+    for t in df["text"]:
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            cnt[w] = cnt.get(w, 0) + 1
+            n += 1
+    rows = [(k, v) for k, v in cnt.items() if v * theta_denom >= n]
+    return (
+        pd.DataFrame(rows, columns=["token", "cnt"])
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+
+
+def test_heavy_hitters_exact_vs_brute_pruned_path():
+    from wikipedia_wikidata_ray.ops.sketch import heavy_hitter_tokens
+
+    df = _zipf_corpus(400, 5000, seed=9)
+    got = (
+        heavy_hitter_tokens(
+            rd.from_pandas(df).repartition(6), theta_denom=500, capacity=2048
+        )
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _hh_brute(df, 500), check_dtype=False)
+    assert len(got) > 0
+
+
+def test_heavy_hitters_vacuous_bound_fallback():
+    from wikipedia_wikidata_ray.ops.sketch import heavy_hitter_tokens
+
+    # capacity 4 over many blocks → B >= N//theta: the exact-recount
+    # fallback must still produce the exact answer
+    df = _zipf_corpus(200, 3000, seed=13)
+    got = (
+        heavy_hitter_tokens(
+            rd.from_pandas(df).repartition(8), theta_denom=200, capacity=4
+        )
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _hh_brute(df, 200), check_dtype=False)
+
+
+def test_heavy_hitters_empty_input():
+    from wikipedia_wikidata_ray.ops.sketch import heavy_hitter_tokens
+
+    df = pd.DataFrame({"text": pd.array([], dtype="string")})
+    out = heavy_hitter_tokens(rd.from_pandas(df))
+    assert out.count() == 0
+
+
 def test_hll_grouped_matches_per_group_run():
     df = _corpus(120, 3000, seed=5)
     df["lang"] = np.where(df["doc_id"] % 2 == 0, "en", "de")

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from ..stages.salted import merge_group_aggs
+from ..stages.salted import merge_group_aggs, merge_group_sums
 from .textstats import _stable_hash64
 
 HLL_P = 12  # 4096 registers → ~1.6% standard error
@@ -120,3 +120,137 @@ def dense_registers(buckets: np.ndarray, rhos: np.ndarray, p: int = HLL_P) -> np
     out = np.zeros(1 << p, dtype=np.int64)
     np.maximum.at(out, buckets, rhos)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Two-pass Misra–Gries heavy hitters (exact output, sketch-bounded shuffle)
+
+_MG_TOTAL = "__total__"  # sentinels: '_' is outside the [a-z0-9]+ token
+_MG_BOUND = "__bound__"  # alphabet, so they can never collide with a token
+
+
+def _block_tokens(texts) -> pa.Array:
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    return pc.filter(flat, pc.not_equal(flat, ""))
+
+
+def heavy_hitter_tokens(
+    ds: Dataset,
+    text_col: str = "text",
+    theta_denom: int = 1000,
+    capacity: int = 4096,
+) -> Dataset:
+    """→ (token, cnt): EXACTLY the tokens with count·theta_denom ≥ N
+    (N = total token occurrences), found WITHOUT a full-vocabulary
+    shuffle (Misra & Gries 1982; the two-pass exact-recount variant):
+
+    pass 1 — per-block Misra–Gries summary of ``capacity`` counters
+      (value_counts, subtract the (capacity+1)-th largest count): at most
+      ``capacity`` (token, weight) rows leave each block, plus sentinel
+      rows carrying the block's token total and its MG undercount bound.
+      Summed via ``merge_group_sums``, the summary undercounts any token
+      by at most B = Σ per-block bounds, so every true heavy hitter has
+      merged weight ≥ N//theta_denom − B — the candidate filter. This is
+      the scale story: the full vocabulary (10⁹+ n-grams at 100 TB) never
+      moves, only capacity·n_blocks bounded summaries.
+    pass 2 — broadcast the (small, guaranteed-superset) candidate list,
+      exact-count ONLY candidates per block, merge, apply the exact
+      integer threshold. Output is deterministic and parallelism-
+      independent because pass 2 is exact; pass 1 only affects which
+      non-hitters get pruned early.
+
+    Degenerate fallback: if B ≥ N//theta_denom the bound is vacuous
+    (too many blocks for the capacity) — recount everything exactly
+    (correct, just unpruned); callers should raise ``capacity``."""
+    import ray
+    import ray.data as rd
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        flat = _block_tokens(t[text_col])
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "w": pa.array([], type=pa.int64())}
+            )
+        vc = pc.value_counts(flat)
+        toks, cnts = vc.field("values"), vc.field("counts").to_numpy().astype(np.int64)
+        if len(cnts) > capacity:
+            cstar = int(np.partition(cnts, -capacity - 1)[-capacity - 1])
+        else:
+            cstar = 0
+        keep = cnts > cstar
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [toks.filter(pa.array(keep)).cast(pa.string()),
+                     pa.array([_MG_TOTAL, _MG_BOUND], type=pa.string())]
+                ),
+                "w": pa.array(
+                    np.concatenate([cnts[keep] - cstar, [n, cstar]]), type=pa.int64()
+                ),
+            }
+        )
+
+    _sent = pa.array([_MG_TOTAL, _MG_BOUND], type=pa.string())
+    merged = merge_group_sums(
+        ds.map_batches(mg_partial, batch_format="pyarrow"), ["token"], ["w"]
+    ).materialize()
+    stats = {
+        r["token"]: r["w"]
+        for r in merged.map_batches(
+            lambda t: t.filter(pc.is_in(t["token"], value_set=_sent)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    n_total = int(stats.get(_MG_TOTAL, 0))
+    bound = int(stats.get(_MG_BOUND, 0))
+    thresh_est = n_total // theta_denom - bound
+    if n_total == 0:
+        return rd.from_arrow(
+            pa.table({"token": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+        )
+    if thresh_est >= 1:
+        cand_rows = merged.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["w"], pa.scalar(thresh_est)),
+                    pc.invert(pc.is_in(t["token"], value_set=_sent)),
+                )
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        cand_ref = ray.put(pa.array(sorted(r["token"] for r in cand_rows),
+                                    type=pa.string()))
+
+        def exact_partial(t: pa.Table) -> pa.Table:
+            flat = _block_tokens(t[text_col])
+            flat = pc.filter(flat, pc.is_in(flat, value_set=ray.get(cand_ref)))
+            vc = pc.value_counts(flat)
+            return pa.table(
+                {"token": vc.field("values").cast(pa.string()),
+                 "cnt": pc.cast(vc.field("counts"), pa.int64())}
+            )
+    else:  # vacuous bound — exact recount of everything (documented fallback)
+
+        def exact_partial(t: pa.Table) -> pa.Table:
+            vc = pc.value_counts(_block_tokens(t[text_col]))
+            return pa.table(
+                {"token": vc.field("values").cast(pa.string()),
+                 "cnt": pc.cast(vc.field("counts"), pa.int64())}
+            )
+
+    exact = merge_group_sums(
+        ds.map_batches(exact_partial, batch_format="pyarrow"), ["token"], ["cnt"]
+    )
+    return exact.map_batches(  # exact integer threshold
+        lambda t: t.filter(
+            pc.greater_equal(
+                pc.multiply(t["cnt"], pa.scalar(theta_denom, type=pa.int64())),
+                pa.scalar(n_total, type=pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+    )

@@ -417,12 +417,39 @@ FROM parts GROUP BY lang, bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# heavy_hitter_tokens — exact ≥0.1% tokens via two-pass Misra–Gries
+
+
+def q_heavy_hitter_tokens(sf_dir: str) -> Dataset:
+    """Tokens with count ≥ N/1000 — exact output, but found with the
+    Misra–Gries candidate sketch so the full vocabulary never shuffles
+    (ops/sketch.heavy_hitter_tokens)."""
+    from ..ops.sketch import heavy_hitter_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitter_tokens(docs, theta_denom=1000)
+
+
+SQL_HEAVY_HITTER_TOKENS = """
+WITH toks AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY token
+HAVING COUNT(*) * 1000 >= (SELECT n FROM tot)
+"""
+
+
 CORPUSOPS_QUERIES = {
     "vocab_topk": q_vocab_topk,
     "quality_filter": q_quality_filter,
     "dup_clusters": q_dup_clusters,
     "corpus_curation": q_corpus_curation,
     "hll_distinct_tokens": q_hll_distinct_tokens,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
 }
 
 CORPUSOPS_ORACLES = {
@@ -431,4 +458,5 @@ CORPUSOPS_ORACLES = {
     "dup_clusters": SQL_DUP_CLUSTERS,
     "corpus_curation": SQL_CORPUS_CURATION,
     "hll_distinct_tokens": SQL_HLL_DISTINCT_TOKENS,
+    "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
 }
