@@ -191,6 +191,45 @@ def run_bench() -> dict:
     neardup_rows = minhash_lsh_pairs(dedup_docs(), threshold=0.8).count()
     timings["near_dup_minhash"] = time.perf_counter() - t0
 
+    # --- corpus analysis: curation composition + sketches over the same
+    # replicated doc corpus (lang carried through for the per-lang stages)
+    from wikipedia_wikidata_ray.ops.sketch import (
+        heavy_hitter_tokens,
+        hll_token_registers,
+    )
+    from wikipedia_wikidata_ray.pipelines.corpusops import curate_corpus
+
+    def replicate_lang(t: pa.Table) -> pa.Table:
+        parts = [t]
+        for i in range(1, dmult):
+            ids = pc.add(t["doc_id"], pa.scalar(i * n_docs, type=pa.int64()))
+            suffix = pa.array([f" rep{i}"] * len(t))
+            txt = pc.binary_join_element_wise(t["text"], suffix, "")
+            parts.append(pa.table({"doc_id": ids, "text": txt, "lang": t["lang"]}))
+        return pa.concat_tables(parts)
+
+    def curation_docs():
+        return (
+            rd.read_parquet(docs_path, columns=["doc_id", "text", "lang"])
+            .repartition(num_cpus)
+            .map_batches(replicate_lang, batch_format="pyarrow")
+        )
+
+    gc.collect()
+    t0 = time.perf_counter()
+    curation_rows = curate_corpus(curation_docs()).materialize().count()
+    timings["corpus_curation"] = time.perf_counter() - t0
+
+    gc.collect()
+    t0 = time.perf_counter()
+    hh_rows = heavy_hitter_tokens(dedup_docs(), theta_denom=1000).materialize().count()
+    timings["heavy_hitters"] = time.perf_counter() - t0
+
+    gc.collect()
+    t0 = time.perf_counter()
+    hll_rows = hll_token_registers(dedup_docs()).materialize().count()
+    timings["hll_distinct"] = time.perf_counter() - t0
+
     headline = timings["flagship_extract_encode_pip_tile"]
     return {
         "metric": "flagship extract→encode→PIP→tile wall sec on replicated pages corpus",
@@ -210,6 +249,9 @@ def run_bench() -> dict:
             "export": exp_rows,
             "exact_dedup_groups": exact_rows,
             "near_dup_pairs": neardup_rows,
+            "curation_langs": curation_rows,
+            "heavy_hitters": hh_rows,
+            "hll_registers": hll_rows,
         },
     }
 
