@@ -230,6 +230,15 @@ def run_bench() -> dict:
     hll_rows = hll_token_registers(dedup_docs()).materialize().count()
     timings["hll_distinct"] = time.perf_counter() - t0
 
+    from wikipedia_wikidata_ray.pipelines.webtext import tfidf_top_terms
+
+    gc.collect()
+    t0 = time.perf_counter()
+    tfidf_rows = (
+        tfidf_top_terms(dedup_docs(), n_docs * dmult).materialize().count()
+    )
+    timings["tfidf_topk"] = time.perf_counter() - t0
+
     headline = timings["flagship_extract_encode_pip_tile"]
     return {
         "metric": "flagship extract→encode→PIP→tile wall sec on replicated pages corpus",
@@ -252,6 +261,7 @@ def run_bench() -> dict:
             "curation_langs": curation_rows,
             "heavy_hitters": hh_rows,
             "hll_registers": hll_rows,
+            "tfidf_topk": tfidf_rows,
         },
     }
 

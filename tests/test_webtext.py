@@ -1,0 +1,83 @@
+"""Webtext-curation op tests: URL host stats, decontamination, stratified
+sampling (pipelines/webtext.py). Driver tables at sf0.001 are the fixture;
+the oracle checker covers SQL parity at sf0.01 — these tests pin the
+operator-level invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from wikipedia_wikidata_ray.pipelines.webtext import (
+    EVAL_MOD,
+    GRAM_N,
+    _doc_gram_set,
+    q_decontaminate,
+    q_stratified_sample,
+    q_url_host_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_url_host_stats_partitions_pages_exactly():
+    out = q_url_host_stats(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    # every page lands in exactly one host bucket
+    assert out["n_pages"].sum() == n_docs
+    assert out["host"].is_unique
+    assert (out["tld"] == "org").all()
+    assert out["host"].str.endswith(".example.org").all()
+    assert (out["total_chars"] > 0).all()
+
+
+def test_doc_gram_set_short_text_and_dedup():
+    assert _doc_gram_set("a b c") == set()  # < GRAM_N tokens -> no grams
+    toks = " ".join(["w"] * (GRAM_N + 3))  # repeated gram collapses to one
+    assert _doc_gram_set(toks) == {" ".join(["w"] * GRAM_N)}
+
+
+def test_decontaminate_eval_docs_fully_flagged():
+    out = q_decontaminate(SF).to_pandas().set_index("doc_id").sort_index()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(out) == n_docs
+    ev = out.loc[[i for i in out.index if i % EVAL_MOD == 0]]
+    # an eval doc's grams ARE in the eval set: every gram hits
+    assert (ev["n_hit_grams"] == ev["n_grams"]).all()
+    assert (ev.loc[ev["n_grams"] > 0, "contaminated"]).all()
+    # flag is exactly n_hit > 0 everywhere
+    assert (out["contaminated"] == (out["n_hit_grams"] > 0)).all()
+    assert (out["n_hit_grams"] <= out["n_grams"]).all()
+
+
+def test_stratified_sample_deterministic_and_stratified():
+    a = q_stratified_sample(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = q_stratified_sample(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)  # pure hash arithmetic, no RNG
+    full = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    rates = (a["lang"].value_counts() / full["lang"].value_counts()).dropna()
+    # en keeps ~1/2, others ~1/4 (loose band: 50-doc strata at sf0.001)
+    assert 0.25 <= rates.get("en", 0.5) <= 0.75
+    non_en = rates.drop(index="en", errors="ignore")
+    assert ((non_en >= 0.05) & (non_en <= 0.55)).all()
+    # sampled rows are a subset of the input keyed identically
+    assert set(a["doc_id"]) <= set(full["doc_id"])
+
+
+def test_tfidf_top_terms_ranks_and_bounds():
+    from wikipedia_wikidata_ray.pipelines.webtext import TFIDF_K, q_tfidf_top_terms
+
+    out = q_tfidf_top_terms(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    per_doc = out.groupby("doc_id")
+    assert (per_doc.size() <= TFIDF_K).all()
+    # ranks are 1..k and ordered by (tfidf desc, token asc) within a doc
+    for _, g in per_doc:
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        key = list(zip(-g["tfidf"], g["token"]))
+        assert key == sorted(key)
+    # df bounds: 1 <= df <= N; a token in every doc scores exactly 0
+    assert out["df"].between(1, n_docs).all()
+    assert (out.loc[out["df"] == n_docs, "tfidf"] == 0.0).all()
+    assert (out["tfidf"] >= 0).all()

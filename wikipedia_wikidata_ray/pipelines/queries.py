@@ -489,6 +489,7 @@ from .corpusops import CORPUSOPS_ORACLES, CORPUSOPS_QUERIES  # noqa: E402
 from .relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 from .trainingdata import TRAININGDATA_ORACLES, TRAININGDATA_QUERIES  # noqa: E402
 from .temporal_media import TEMPORAL_MEDIA_ORACLES, TEMPORAL_MEDIA_QUERIES  # noqa: E402
+from .webtext import WEBTEXT_ORACLES, WEBTEXT_QUERIES  # noqa: E402
 from .wikidump import SQL_WIKIDUMP_IMPORTANCE_EXPORT, q_wikidump_importance_export  # noqa: E402
 from .wikiprocess import WIKIPROCESS_ORACLES, WIKIPROCESS_QUERIES  # noqa: E402
 
@@ -497,6 +498,7 @@ QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TRAININGDATA_QUERIES)
 QUERIES.update(WIKIPROCESS_QUERIES)
 QUERIES.update(TEMPORAL_MEDIA_QUERIES)
+QUERIES.update(WEBTEXT_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
@@ -517,4 +519,5 @@ ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TRAININGDATA_ORACLES)
 ORACLES.update(WIKIPROCESS_ORACLES)
 ORACLES.update(TEMPORAL_MEDIA_ORACLES)
+ORACLES.update(WEBTEXT_ORACLES)
 ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT

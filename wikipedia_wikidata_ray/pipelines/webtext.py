@@ -1,0 +1,391 @@
+"""Web-corpus curation queries over the Common-Crawl-style pages table:
+URL parsing + per-host aggregation, eval-set decontamination, and
+stratified sampling.
+
+These complete the webtext axis of the training-data suite (brief:
+"operations a large-scale training-data pipeline would need"). All three
+are closed-form over the driver's ``documents`` table (the pages corpus
+is derived from it deterministically, ``sources/pages_gen.py``), so every
+query here carries a full DuckDB oracle.
+
+Scale notes (SCALING.md has the full entries):
+
+- ``url_host_stats``: host parse is a single vectorized
+  ``pc.extract_regex`` over the url column; the aggregation is per-batch
+  partial sums merged by ``stages/salted.merge_group_sums`` — the hosts
+  key space is bounded (registered domains ≪ pages), only
+  (host, count, sum) partials shuffle, never a page row.
+- ``decontaminate``: the eval-benchmark side is SMALL by definition
+  (benchmarks are MBs; the corpus is the 100-TB side). Its distinct
+  n-grams are built distributedly, pulled once to the driver, and
+  broadcast via ``ray.put`` as a sorted numpy array; the corpus side
+  streams through a task ``map_batches`` doing a vectorized
+  ``np.isin``-style membership probe. Nothing corpus-sized moves.
+- ``stratified_sample``: pure per-row integer-hash arithmetic — a
+  stateless filter, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..ops.textstats import TOKEN_PATTERN
+from ..stages.salted import merge_group_sums
+from . import geopipeline as gp
+
+WEBTEXT_QUERIES: dict = {}
+WEBTEXT_ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# Q: url_host_stats — URL canonicalization + per-host (domain) aggregation
+#
+# The canonical webtext group-by: crawl curation reasons about quality,
+# dedup and licensing per registered domain. Reference analog: the
+# per-language (= per-wiki-host) size accounting in steps/output.sh.
+
+_URL_RE = r"^(?P<scheme>https?)://(?P<host>[^/]+)(?P<path>/.*)?$"
+
+
+def _host_partials(t: pa.Table) -> pa.Table:
+    """Per-batch (host, n_pages, total_chars) partials — vectorized parse,
+    no page row survives past this stage."""
+    parsed = pc.extract_regex(t.column("url"), _URL_RE)
+    host = pc.struct_field(parsed, "host")
+    chars = pc.utf8_length(t.column("text")).cast(pa.int64())
+    g = pa.table({"host": host, "chars": chars}).group_by("host").aggregate(
+        [("chars", "sum"), ("chars", "count")]
+    )
+    return pa.table(
+        {
+            "host": g.column("host"),
+            "n_pages": g.column("chars_count").cast(pa.int64()),
+            "total_chars": g.column("chars_sum").cast(pa.int64()),
+        }
+    )
+
+
+def _add_tld(t: pa.Table) -> pa.Table:
+    tld = pc.extract_regex(t.column("host"), r"(?P<tld>[^.]+)$")
+    return t.append_column("tld", pc.struct_field(tld, "tld"))
+
+
+def q_url_host_stats(sf_dir: str) -> Dataset:
+    ex = gp.extract(gp.load_pages(sf_dir)).select_columns(["url", "text"])
+    partials = ex.map_batches(_host_partials, batch_format="pyarrow")
+    merged = merge_group_sums(partials, ["host"], ["n_pages", "total_chars"])
+    return merged.map_batches(_add_tld, batch_format="pyarrow")
+
+
+SQL_URL_HOST_STATS = """
+WITH pages AS (
+  SELECT 'https://' || lang || '.example.org/wiki/Doc_' || doc_id AS url,
+         text
+  FROM documents
+),
+parsed AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, text FROM pages
+)
+SELECT host,
+       COUNT(*) AS n_pages,
+       -- SUM(BIGINT) is HUGEINT in DuckDB -> Arrow decimal128; cast so the
+       -- physical type matches the Ray side's int64 (round-1 lesson).
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       regexp_extract(host, '([^.]+)$', 1) AS tld
+FROM parsed GROUP BY 1
+"""
+
+WEBTEXT_QUERIES["url_host_stats"] = q_url_host_stats
+WEBTEXT_ORACLES["url_host_stats"] = SQL_URL_HOST_STATS
+
+
+# ---------------------------------------------------------------------------
+# Q: decontaminate — eval-benchmark n-gram overlap flagging
+#
+# Standard pre-training hygiene: drop/flag training documents that share
+# any word n-gram with the held-out eval set. Eval set here: documents
+# with doc_id % 23 == 0 (deterministic, SQL-replicable).
+
+GRAM_N = 5
+EVAL_MOD = 23
+
+_TOK = re.compile(TOKEN_PATTERN)
+
+# per-worker memo of the deserialized eval-gram array (one entry: every
+# pipeline construction makes a fresh ref; mirror geopipeline._WORKER_STATE
+# eviction so looped benches don't accumulate arrays).
+_EVAL_MEMO: dict = {}
+
+
+def _doc_gram_set(text: str) -> set:
+    toks = _TOK.findall(text.lower())
+    return {
+        " ".join(toks[i : i + GRAM_N]) for i in range(len(toks) - GRAM_N + 1)
+    }
+
+
+def _eval_gram_array(sf_dir: str) -> np.ndarray:
+    """Distinct n-grams of the eval slice, built distributedly; the
+    driver pulls only the (small, benchmark-sized) distinct-gram column."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        out: set = set()
+        for txt in t.filter(pa.array(ids % EVAL_MOD == 0)).column("text").to_pylist():
+            out |= _doc_gram_set(txt)
+        return pa.table({"g": pa.array(sorted(out), type=pa.string())})
+
+    uniq: set = set()
+    for b in grams_ds_iter(docs.map_batches(grams, batch_format="pyarrow")):
+        uniq.update(b)
+    return np.sort(np.asarray(list(uniq), dtype=object))
+
+
+def grams_ds_iter(ds: Dataset):
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        yield batch.column("g").to_pylist()
+
+
+class _Decontaminate:
+    """Flags corpus docs whose distinct grams intersect the eval set."""
+
+    def __init__(self, eval_ref):
+        key = eval_ref.hex()
+        arr = _EVAL_MEMO.get(key)
+        if arr is None:
+            _EVAL_MEMO.clear()
+            arr = _EVAL_MEMO[key] = set(ray.get(eval_ref).tolist())
+        self.eval_set = arr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_grams = np.empty(len(t), dtype=np.int64)
+        n_hit = np.empty(len(t), dtype=np.int64)
+        for i, txt in enumerate(t.column("text").to_pylist()):
+            gs = _doc_gram_set(txt)
+            n_grams[i] = len(gs)
+            n_hit[i] = len(gs & self.eval_set)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(n_grams),
+                "n_hit_grams": pa.array(n_hit),
+                "contaminated": pa.array(n_hit > 0),
+            }
+        )
+
+
+def q_decontaminate(sf_dir: str) -> Dataset:
+    eval_ref = ray.put(_eval_gram_array(sf_dir))
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _Decontaminate(eval_ref)(t)
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+  FROM documents
+),
+grams AS (
+  -- static range + filter: DuckDB's range() can't take lateral column
+  -- params; 8192 caps token count far above the fixture's ~300/doc
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{GRAM_N - 1}], ' ') AS g
+  FROM toks, range(1, 8192) r(i)
+  WHERE i <= len(t) - {GRAM_N - 1}
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit_grams
+  FROM grams WHERE g IN (SELECT g FROM eval_g) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(ng.n_grams, 0) AS n_grams,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN ng USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+WEBTEXT_QUERIES["decontaminate"] = q_decontaminate
+WEBTEXT_ORACLES["decontaminate"] = SQL_DECONTAMINATE
+
+
+# ---------------------------------------------------------------------------
+# Q: stratified_sample — per-language deterministic hash sampling
+#
+# Per-stratum rates (upsample the head language less): en keeps 1/2,
+# everything else 1/4. Knuth-hash arithmetic is identical int64 math on
+# both sides — exact row-set equality, no RNG.
+
+_HASH_MULT = 2654435761
+_HASH_MOD = 1 << 31
+_RATE_NUM = {"en": _HASH_MOD // 2}  # default: _HASH_MOD // 4
+_DEFAULT_NUM = _HASH_MOD // 4
+
+
+def _sample_batch(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_numpy().astype(np.int64)
+    h = (ids * np.int64(_HASH_MULT)) % np.int64(_HASH_MOD)
+    langs = t.column("lang").to_pylist()
+    thresh = np.fromiter(
+        (_RATE_NUM.get(lg, _DEFAULT_NUM) for lg in langs),
+        dtype=np.int64,
+        count=len(langs),
+    )
+    return t.filter(pa.array(h < thresh))
+
+
+def q_stratified_sample(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return docs.map_batches(_sample_batch, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * {_HASH_MULT}) % {_HASH_MOD}
+      < CASE WHEN lang = 'en' THEN {_HASH_MOD // 2} ELSE {_HASH_MOD // 4} END
+"""
+
+WEBTEXT_QUERIES["stratified_sample"] = q_stratified_sample
+WEBTEXT_ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Q: tfidf_top_terms — per-document top-3 TF-IDF terms
+#
+# Two-level aggregation: a global document-frequency pass over the corpus
+# (vocabulary-sized result, broadcast back) + per-doc term frequencies
+# (computed entirely in-batch — each doc is one row), then an exact
+# distributed per-group top-k. Float policy: identical IEEE op sequence
+# (tf * ln(N/df)) rounded to 10 dp on BOTH sides (the importance-score
+# precedent, pipelines/queries.py:399).
+#
+# Scale: the tf table is materialized once at its genuine reuse point
+# (feeds both the df count and the scoring pass); df is vocabulary-sized
+# (≪ corpus — bounded by distinct tokens) so it broadcasts as sorted
+# numpy arrays; beyond broadcastable vocabularies the probe becomes a
+# token-keyed hash join (same shape as dedup verify's pair joins).
+
+TFIDF_K = 3
+
+
+def _tf_batch(t: pa.Table) -> pa.Table:
+    from collections import Counter
+
+    ids: list = []
+    toks: list = []
+    tfs: list = []
+    for did, txt in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        for tok, c in Counter(_TOK.findall(txt.lower())).items():
+            ids.append(did)
+            toks.append(tok)
+            tfs.append(c)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "token": pa.array(toks, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        }
+    )
+
+
+def tfidf_top_terms(docs: Dataset, n_docs: int, k: int = TFIDF_K) -> Dataset:
+    """Top-``k`` TF-IDF terms per doc over a (doc_id, text) Dataset."""
+    from ..ops.topk import grouped_topk
+    from ..stages.salted import partial_count
+
+    tf = docs.map_batches(_tf_batch, batch_format="pyarrow").materialize()
+
+    # vocabulary-sized df side → sorted-array broadcast (house pattern:
+    # numpy buffers, never a Python dict)
+    df_pd = partial_count(tf, ["token"], out="df").to_pandas()
+    order = np.argsort(df_pd["token"].to_numpy())
+    tok_arr = df_pd["token"].to_numpy()[order]
+    df_arr = df_pd["df"].to_numpy().astype(np.float64)[order]
+    ref = ray.put((tok_arr, df_arr))
+    n_f = float(n_docs)
+
+    def score(t: pa.Table) -> pa.Table:
+        toks_s, dfs = ray.get(ref)
+        idx = np.searchsorted(toks_s, np.asarray(t.column("token").to_pylist(), dtype=object))
+        df_v = dfs[idx]
+        tf_v = t.column("tf").to_numpy().astype(np.float64)
+        tfidf = np.round(tf_v * np.log(n_f / df_v), 10)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "token": t.column("token"),
+                "tf": t.column("tf"),
+                "df": pa.array(df_v.astype(np.int64)),
+                "tfidf": pa.array(tfidf),
+            }
+        )
+
+    scored = tf.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored,
+        ["doc_id"],
+        [("tfidf", False), ("token", True)],
+        k,
+        rank_col="rank",
+    )
+
+
+def q_tfidf_top_terms(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, n_docs)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS c FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         ROUND(CAST(t.tf AS DOUBLE)
+               * LN(CAST((SELECT c FROM n) AS DOUBLE) / CAST(d.df AS DOUBLE)),
+               10) AS tfidf
+  FROM tf t JOIN df d USING (token)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {TFIDF_K}
+"""
+
+WEBTEXT_QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+WEBTEXT_ORACLES["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
