@@ -64,6 +64,34 @@ def test_stratified_sample_deterministic_and_stratified():
     assert set(a["doc_id"]) <= set(full["doc_id"])
 
 
+def test_events_hopping_is_3x_tumbling():
+    """Each event lands in exactly HOP_WINDOWS windows, so totals are an
+    exact 3× of the tumbling aggregate and every tumbling bucket equals
+    the hopping window starting at the same hour minus its two hops."""
+    from wikipedia_wikidata_ray.pipelines.relational import (
+        HOP_WINDOWS,
+        q_events_hopping,
+        q_events_hourly,
+    )
+
+    hop = q_events_hopping(SF).to_pandas()
+    tum = q_events_hourly(SF).to_pandas()
+    assert hop["n_events"].sum() == HOP_WINDOWS * tum["n_events"].sum()
+    assert abs(hop["sum_value"].sum() - HOP_WINDOWS * tum["sum_value"].sum()) < 1e-6
+    # a hopping window (type, w) aggregates tumbling hours w, w+1h, w+2h
+    tmap = {
+        (r.event_type, r.hour): r.n_events for r in tum.itertuples()
+    }
+    import pandas as pd
+
+    for r in hop.sample(n=min(50, len(hop)), random_state=7).itertuples():
+        expect = sum(
+            tmap.get((r.event_type, r.window_start + pd.Timedelta(hours=h)), 0)
+            for h in range(HOP_WINDOWS)
+        )
+        assert r.n_events == expect
+
+
 def test_tfidf_top_terms_ranks_and_bounds():
     from wikipedia_wikidata_ray.pipelines.webtext import TFIDF_K, q_tfidf_top_terms
 

@@ -22,6 +22,7 @@ oracles do the identical integer arithmetic.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -349,6 +350,82 @@ GROUP BY event_type, DATE_TRUNC('hour', ts)
 
 
 # ---------------------------------------------------------------------------
+# Q: events_hopping — hopping (sliding) window aggregate: 3-hour windows
+# advancing every hour, per event_type. Streaming-window class the
+# tumbling events_hourly doesn't cover: each event lands in exactly
+# ``HOP_WINDOWS`` windows, so the expansion is a bounded fan-out (3×)
+# done in-batch, THEN the partial combine collapses it before the one
+# shuffle — raw events never shuffle, only (type, window, count, cents)
+# partials. Money stays integer cents end-to-end (the pricing_summary
+# float policy).
+
+HOP_WINDOWS = 3
+_HOUR_US = 3_600_000_000
+
+
+def q_events_hopping(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def expand_partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        hour = (us // _HOUR_US) * _HOUR_US
+        cents = _cents(t.column("value")).to_numpy()
+        types = t.column("event_type")
+        parts = []
+        for k in range(HOP_WINDOWS):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": types,
+                        "window_us": pa.array(hour - k * _HOUR_US),
+                        "n_events": pa.array(np.ones(len(t), dtype=np.int64)),
+                        "sum_cents": pa.array(cents),
+                    }
+                )
+            )
+        exp = pa.concat_tables(parts)
+        g = exp.group_by(["event_type", "window_us"]).aggregate(
+            [("n_events", "sum"), ("sum_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "window_us", "n_events", "sum_cents"]
+        )
+
+    partials = ev.map_batches(expand_partial, batch_format="pyarrow")
+    merged = merge_group_sums(
+        partials, ["event_type", "window_us"], ["n_events", "sum_cents"]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": pc.cast(t.column("window_us"), pa.timestamp("us")),
+                "n_events": t.column("n_events"),
+                "sum_value": pc.divide(
+                    pc.cast(t.column("sum_cents"), pa.float64()),
+                    pa.scalar(100.0),
+                ),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOPPING = f"""
+SELECT event_type,
+       DATE_TRUNC('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM events, range(0, {HOP_WINDOWS}) r(k)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def q_segment_stats(sf_dir: str) -> Dataset:
@@ -437,6 +514,7 @@ RELATIONAL_QUERIES = {
     "first_order_per_customer": q_first_order_per_customer,
     "top_orders_per_customer": q_top_orders_per_customer,
     "events_hourly": q_events_hourly,
+    "events_hopping": q_events_hopping,
     "segment_stats": q_segment_stats,
     "distinct_flag_status": q_distinct_flag_status,
 }
@@ -451,6 +529,7 @@ RELATIONAL_ORACLES = {
     "first_order_per_customer": SQL_FIRST_ORDER_PER_CUSTOMER,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_hopping": SQL_EVENTS_HOPPING,
     "segment_stats": SQL_SEGMENT_STATS,
     "distinct_flag_status": SQL_DISTINCT_FLAG_STATUS,
 }
