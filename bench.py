@@ -279,15 +279,26 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # best-of-two per leg, interleaved (lo, hi, lo, hi): single fresh-process
+    # runs swing up to ~2x with machine state (BASELINE.md), which can tip a
+    # single-shot efficiency below the 0.8 bar in either direction; the min
+    # of two runs of a deterministic job is the standard least-noise
+    # estimator (same policy as the headline flagship timing).
     lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
+    runs_lo = [one(lo)]
+    runs_hi = [one(hi)]
+    runs_lo.append(one(lo))
+    runs_hi.append(one(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling efficiency (num_cpus 8 vs 32, same input)",
         "sec_8": t_lo,
         "sec_32": t_hi,
+        "sec_8_runs": [r["value"] for r in runs_lo],
+        "sec_32_runs": [r["value"] for r in runs_hi],
         "pages_per_sec_8": r_lo["pages_per_sec"],
         "pages_per_sec_32": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
