@@ -92,6 +92,28 @@ def test_events_hopping_is_3x_tumbling():
         assert r.n_events == expect
 
 
+def test_pct_from_hist_matches_duckdb_percentile_disc():
+    """Pin the ceil(p*n) 1-based rule to DuckDB's PERCENTILE_DISC across
+    group sizes and duplicate-heavy histograms (the oracle contract)."""
+    import duckdb
+    import numpy as np
+
+    from wikipedia_wikidata_ray.pipelines.webtext import PCTS, _pct_from_hist
+
+    con = duckdb.connect()
+    rng = np.random.RandomState(11)
+    for n in [1, 2, 3, 4, 5, 7, 10, 19, 20, 33, 100, 218]:
+        vals_raw = rng.randint(0, max(2, n // 2), size=n)  # heavy duplicates
+        uniq, counts = np.unique(vals_raw, return_counts=True)
+        lst = ",".join(str(v) for v in vals_raw)
+        for p in PCTS:
+            want = con.execute(
+                f"SELECT PERCENTILE_DISC({p}) WITHIN GROUP (ORDER BY v) "
+                f"FROM (SELECT UNNEST([{lst}]) AS v)"
+            ).fetchone()[0]
+            assert _pct_from_hist(uniq, counts, p) == want, (n, p)
+
+
 def test_tfidf_top_terms_ranks_and_bounds():
     from wikipedia_wikidata_ray.pipelines.webtext import TFIDF_K, q_tfidf_top_terms
 

@@ -389,3 +389,82 @@ FROM ranked WHERE rnk <= {TFIDF_K}
 
 WEBTEXT_QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
 WEBTEXT_ORACLES["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
+
+
+# ---------------------------------------------------------------------------
+# Q: length_percentiles — EXACT per-language percentiles of doc length
+#
+# Exact distributed percentiles over an integer-valued column without ever
+# co-locating a group's raw values: per-batch (lang, n_chars) histogram
+# partials → one `merge_group_sums` shuffle of counts → percentiles read
+# off the merged cumulative histogram. Movement is bounded by
+# langs × distinct lengths (≪ corpus; a quantile over a true continuous
+# column would bucket first), so the final single-block assembly is
+# histogram-sized, never corpus-sized. PERCENTILE_DISC semantics pinned
+# to DuckDB's (1-based element at ceil(p·n); property-tested vs DuckDB
+# across group sizes in tests/test_webtext.py).
+
+PCTS = (0.25, 0.5, 0.9)
+
+
+def _pct_from_hist(vals: np.ndarray, counts: np.ndarray, p: float) -> int:
+    """values sorted ascending, counts aligned; DuckDB PERCENTILE_DISC."""
+    n = int(counts.sum())
+    idx = max(1, int(np.ceil(p * n)))  # 1-based rank
+    cum = np.cumsum(counts)
+    return int(vals[np.searchsorted(cum, idx)])
+
+
+def q_length_percentiles(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    merged = merge_group_sums(
+        docs.map_batches(hist, batch_format="pyarrow"), ["lang", "n_chars"], ["cnt"]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=object)
+        vals = t.column("n_chars").to_numpy()
+        cnts = t.column("cnt").to_numpy()
+        o = np.lexsort((vals, langs))
+        langs, vals, cnts = langs[o], vals[o], cnts[o]
+        out = {"lang": [], "p25": [], "p50": [], "p90": [], "n_docs": []}
+        for lg in np.unique(langs):
+            m = langs == lg
+            out["lang"].append(lg)
+            for p, col in zip(PCTS, ("p25", "p50", "p90")):
+                out[col].append(_pct_from_hist(vals[m], cnts[m], p))
+            out["n_docs"].append(int(cnts[m].sum()))
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], type=pa.string()),
+                "p25": pa.array(out["p25"], type=pa.int64()),
+                "p50": pa.array(out["p50"], type=pa.int64()),
+                "p90": pa.array(out["p90"], type=pa.int64()),
+                "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+            }
+        )
+
+    # histogram-sized by construction — single-block assembly is bounded
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_LENGTH_PERCENTILES = """
+SELECT lang,
+       PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+       PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY n_chars) AS p50,
+       PERCENTILE_DISC(0.9)  WITHIN GROUP (ORDER BY n_chars) AS p90,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+WEBTEXT_QUERIES["length_percentiles"] = q_length_percentiles
+WEBTEXT_ORACLES["length_percentiles"] = SQL_LENGTH_PERCENTILES
