@@ -114,6 +114,21 @@ def test_pct_from_hist_matches_duckdb_percentile_disc():
             assert _pct_from_hist(uniq, counts, p) == want, (n, p)
 
 
+def test_pii_scrub_redacts_all_injected_pii():
+    from wikipedia_wikidata_ray.pipelines.webtext import q_pii_scrub
+
+    out = q_pii_scrub(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(out) == n_docs
+    # every doc got exactly the injected email + phone; none survive
+    assert (out["n_emails"] == 1).all()
+    assert (out["n_phones"] == 1).all()
+    assert out["clean_text"].str.contains("<EMAIL>").all()
+    assert out["clean_text"].str.contains("<PHONE>").all()
+    assert not out["clean_text"].str.contains("@mail.example.com").any()
+    assert not out["clean_text"].str.contains(r"555-\d", regex=True).any()
+
+
 def test_tfidf_top_terms_ranks_and_bounds():
     from wikipedia_wikidata_ray.pipelines.webtext import TFIDF_K, q_tfidf_top_terms
 

@@ -468,3 +468,74 @@ FROM documents GROUP BY lang
 
 WEBTEXT_QUERIES["length_percentiles"] = q_length_percentiles
 WEBTEXT_ORACLES["length_percentiles"] = SQL_LENGTH_PERCENTILES
+
+
+# ---------------------------------------------------------------------------
+# Q: pii_scrub — PII redaction (standard corpus-curation hygiene)
+#
+# The fixture texts carry no PII, so both sides append deterministic
+# synthetic PII (closed-form from doc_id) BEFORE scrubbing — the oracle
+# then genuinely exercises redaction parity, byte-exact on the scrubbed
+# text: Arrow's replace_substring_regex and DuckDB's regexp_replace are
+# both RE2, so identical patterns give identical bytes. Entirely
+# vectorized Arrow kernels, stateless task stage, zero shuffle.
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{4}"
+
+
+def _scrub_batch(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id")
+    mod = pa.array(ids.to_numpy() % 10000, type=pa.int64())
+    pad4 = pc.utf8_lpad(pc.cast(mod, pa.string()), 4, "0")
+    aug = pc.binary_join_element_wise(
+        t.column("text"),
+        " contact: user",
+        pc.cast(ids, pa.string()),
+        "@mail.example.com phone 555-",
+        pad4,
+        "",
+    )
+    n_emails = pc.count_substring_regex(aug, _EMAIL_RE)
+    clean = pc.replace_substring_regex(aug, _EMAIL_RE, "<EMAIL>")
+    n_phones = pc.count_substring_regex(clean, _PHONE_RE)
+    clean = pc.replace_substring_regex(clean, _PHONE_RE, "<PHONE>")
+    return pa.table(
+        {
+            "doc_id": ids,
+            "clean_text": clean,
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_phones": pc.cast(n_phones, pa.int64()),
+        }
+    )
+
+
+def q_pii_scrub(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(_scrub_batch, batch_format="pyarrow")
+
+
+SQL_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact: user' || doc_id || '@mail.example.com phone 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+         regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t2
+  FROM aug
+)
+SELECT doc_id,
+       regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t2, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM e
+"""
+
+WEBTEXT_QUERIES["pii_scrub"] = q_pii_scrub
+WEBTEXT_ORACLES["pii_scrub"] = SQL_PII_SCRUB
