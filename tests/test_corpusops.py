@@ -72,6 +72,39 @@ def test_cc_no_edges():
     assert got == {i: i for i in range(10)}
 
 
+def test_cc_no_edges_custom_node_col():
+    # regression: the edgeless early return must also rename to node_col
+    # ("no duplicates found" is a legitimate input, and callers like
+    # q_dup_clusters select result[node_col] downstream)
+    nodes = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64))})
+    )
+    e = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], type=pa.int64()),
+             "dst": pa.array([], type=pa.int64())}
+        )
+    )
+    out = connected_components(nodes, e, node_col="doc_id").to_pandas()
+    assert list(out.columns) == ["doc_id", "label"]
+    assert dict(zip(out["doc_id"], out["label"])) == {i: i for i in range(5)}
+
+
+def test_cc_with_edges_custom_node_col():
+    nodes = rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64))})
+    )
+    e = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([0], type=pa.int64()),
+             "dst": pa.array([3], type=pa.int64())}
+        )
+    )
+    out = connected_components(nodes, e, node_col="doc_id").to_pandas()
+    assert list(out.columns) == ["doc_id", "label"]
+    assert dict(zip(out["doc_id"], out["label"])) == {0: 0, 1: 1, 2: 2, 3: 0}
+
+
 def test_grouped_topk_matches_pandas_window():
     rng = np.random.RandomState(3)
     n = 2000
@@ -201,3 +234,27 @@ def test_vocab_topk_is_sorted_and_bounded():
         toks = out.loc[out["cnt"] == c, "token"].tolist()
         assert toks == sorted(toks)
     assert all(" " in t for t in out["token"])  # bigrams
+
+
+def test_oracle_range_caps_cover_fixture_docs():
+    """Static range() caps in oracle SQL must strictly bound the fixture's
+    doc sizes at every sf the driver uses — overflow silently truncates
+    grams (ADVICE r2). Checked at the largest sf available."""
+    import glob
+    import duckdb
+
+    from wikipedia_wikidata_ray.ops.textstats import TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.corpusops import (
+        ORACLE_CHARS_CAP, ORACLE_TOKENS_CAP)
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        ORACLE_TOKENS_CAP as DECON_TOKENS_CAP)
+
+    con = duckdb.connect()
+    for sf in sorted(glob.glob("/root/testdata/sf*")):
+        max_chars, max_toks = con.execute(
+            "SELECT COALESCE(MAX(length(text)), 0), "
+            f"COALESCE(MAX(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))), 0) "
+            f"FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchone()
+        assert max_chars <= ORACLE_CHARS_CAP, (sf, max_chars)
+        assert max_toks <= min(ORACLE_TOKENS_CAP, DECON_TOKENS_CAP - 1), (sf, max_toks)

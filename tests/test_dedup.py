@@ -175,3 +175,51 @@ def test_merge_group_aggs_min_max_sum_matches_pandas():
         .reset_index()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pair_jaccard_vectorized_matches_set_reference():
+    """The global-sort intersection in PairShingleJaccard must equal the
+    plain set-ops definition bitwise (same crc32/FNV shingle hashes)."""
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "x1", "y2"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30))) for _ in range(40)]
+    texts += ["", "one", "alpha beta"]  # sub-shingle-length edge cases
+    a = rng.integers(0, len(texts), 200)
+    b = rng.integers(0, len(texts), 200)
+    batch = pa.table(
+        {
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+            "text_a": pa.array([texts[i] for i in a]),
+            "text_b": pa.array([texts[i] for i in b]),
+        }
+    )
+    got = dd.PairShingleJaccard(shingle=3)(batch).column("jaccard").to_numpy()
+    h = dd.MinHasher(shingle=3)
+
+    def ref(x: str, y: str) -> float:
+        sx = set(h.shingles(x).tolist())
+        sy = set(h.shingles(y).tolist())
+        return len(sx & sy) / (len(sx | sy) or 1)
+
+    want = np.array([ref(texts[i], texts[j]) for i, j in zip(a, b)])
+    assert np.array_equal(got, want)
+    empty = dd.PairShingleJaccard()(batch.slice(0, 0))
+    assert len(empty) == 0 and "jaccard" in empty.column_names
+
+
+def test_content_hash_buffer_view_matches_hashlib():
+    import hashlib
+
+    texts = ["", "héllo ♥ wörld", "ascii", "a" * 999]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(4), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    for tbl in [t, t.slice(1, 3),
+                pa.table({"doc_id": t["doc_id"],
+                          "text": t["text"].cast(pa.large_string())})]:
+        got = dd._content_hash_batch("text")(tbl).column("content_hash").to_pylist()
+        want = [hashlib.sha256(x.encode("utf-8")).hexdigest()[:32]
+                for x in tbl.column("text").to_pylist()]
+        assert got == want

@@ -55,6 +55,27 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # Loud guard for the static range() caps baked into the oracle SQL:
+    # a fixture doc exceeding a cap would silently truncate grams and turn
+    # an oracle-parity failure into a hidden divergence (ADVICE r2).
+    from wikipedia_wikidata_ray.ops.textstats import TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.corpusops import (
+        ORACLE_CHARS_CAP, ORACLE_TOKENS_CAP)
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        ORACLE_TOKENS_CAP as DECON_TOKENS_CAP)
+
+    max_chars, max_toks = con.execute(
+        "SELECT COALESCE(MAX(length(text)), 0), "
+        f"COALESCE(MAX(len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))), 0) "
+        "FROM documents"
+    ).fetchone()
+    assert max_chars <= ORACLE_CHARS_CAP, (
+        f"fixture max doc length {max_chars} exceeds ORACLE_CHARS_CAP "
+        f"{ORACLE_CHARS_CAP}: oracle SQL would silently truncate grams")
+    assert max_toks <= min(ORACLE_TOKENS_CAP, DECON_TOKENS_CAP - 1), (
+        f"fixture max tokens/doc {max_toks} exceeds an oracle range() cap "
+        f"({ORACLE_TOKENS_CAP}/{DECON_TOKENS_CAP}): raise the caps")
+
     failures = 0
     for name in names:
         res = to_pandas(qs[name](sf_dir))

@@ -54,6 +54,16 @@ def connected_components(
     """
     nparts = default_partitions()
 
+    def _named(ds: Dataset) -> Dataset:
+        # both exits (edgeless early return + converged) must present the
+        # caller's node_col name, not the internal "node"
+        if node_col == "node":
+            return ds
+        return ds.map_batches(
+            lambda t: t.rename_columns([node_col, "label"]),
+            batch_format="pyarrow",
+        )
+
     labels = nodes.map_batches(
         lambda t: pa.table(
             {"node": pc.cast(t[node_col], pa.int64()),
@@ -77,7 +87,7 @@ def connected_components(
     # Ray joins crash on empty/schema-less sides; an edgeless graph is a
     # legitimate input (no duplicates found) — every node is its own cluster
     if und.count() == 0:
-        return labels
+        return _named(labels)
 
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
@@ -121,12 +131,7 @@ def connected_components(
 
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
-            if node_col != "node":
-                return labels.map_batches(
-                    lambda t: t.rename_columns([node_col, "label"]),
-                    batch_format="pyarrow",
-                )
-            return labels
+            return _named(labels)
         prev_sum = cur_sum
 
     raise RuntimeError(

@@ -43,9 +43,26 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _content_hash_batch(text_col: str):
+    """sha256 per row, hashed straight from the Arrow string buffer via
+    memoryview slices — no ``to_pylist`` string materialization and no
+    re-encode (Arrow string data IS utf-8 bytes, so the digests are
+    bitwise identical to ``sha256(text.encode("utf-8"))``)."""
+
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        h = [hashlib.sha256(t.encode("utf-8")).hexdigest()[:32] for t in texts]
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        width = 8 if pa.types.is_large_string(col.type) else 4
+        bufs = col.buffers()
+        offsets = np.frombuffer(
+            bufs[1],
+            dtype=np.int64 if width == 8 else np.int32,
+            count=len(col) + 1,
+            offset=col.offset * width,
+        )
+        mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        sha, n = hashlib.sha256, len(col)
+        h = [sha(mv[offsets[i]:offsets[i + 1]]).hexdigest()[:32] for i in range(n)]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -461,31 +478,67 @@ def attach_pair_texts(pairs: Dataset, docs: Dataset, text_col: str = "text",
 
 class PairShingleJaccard:
     """Exact shingle-Jaccard computed from the (text_a, text_b) columns
-    carried by each pair row — no side state, no broadcast. A per-batch
-    text→shingle-set cache amortizes tokenization: after the pair join a
-    duplicate-cluster doc appears in many adjacent pairs."""
+    carried by each pair row — no side state, no broadcast, and NO
+    per-pair Python (round-2 verdict: the set-ops loop owned the near-dup
+    pipeline's wall time):
+
+    - dictionary-encode text_a ++ text_b so each distinct text in the
+      batch is tokenized ONCE via ``MinHasher.batch_shingle_arrays``
+      (bitwise-identical hashes to ``shingles``), then ``np.unique`` per
+      distinct doc restores set semantics;
+    - gather each pair's two unique gram arrays with one vectorized
+      repeat/arange fan-out, lexsort (pair_id, gram) globally, and count
+      adjacent equal grams within a pair — each duplicate is exactly one
+      intersection hit because grams are unique within a side.
+
+    Memory per batch ≈ pairs × 2 × grams/doc × 8 B for the sort buffers —
+    callers bound it with ``batch_size`` (minhash_lsh_pairs passes 4096)."""
 
     def __init__(self, shingle: int = 3):
         self.hasher = MinHasher(shingle=shingle)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        cache: dict[str, set] = {}
+        n_pairs = len(batch)
+        if n_pairs == 0:
+            return batch.append_column("jaccard", pa.array([], type=pa.float64()))
+        both = pa.concat_arrays(
+            [
+                batch.column("text_a").combine_chunks(),
+                batch.column("text_b").combine_chunks(),
+            ]
+        )
+        enc = pc.dictionary_encode(both)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy().astype(np.int64)
+        ia, ib = idx[:n_pairs], idx[n_pairs:]
+        uniq = [np.unique(a) for a in self.hasher.batch_shingle_arrays(enc.dictionary)]
+        sizes = np.fromiter((len(u) for u in uniq), dtype=np.int64, count=len(uniq))
+        flat = (
+            np.concatenate(uniq) if uniq else np.array([], dtype=np.uint64)
+        )
+        offs = np.concatenate(([0], np.cumsum(sizes)))
 
-        def grams(s: str) -> set:
-            v = cache.get(s)
-            if v is None:
-                v = cache[s] = set(self.hasher.shingles(s).tolist())
-            return v
+        def gather(sel: np.ndarray):
+            ln = sizes[sel]
+            tot = int(ln.sum())
+            pos = np.concatenate(([0], np.cumsum(ln)[:-1]))
+            within = np.arange(tot, dtype=np.int64) - np.repeat(pos, ln)
+            return flat[np.repeat(offs[sel], ln) + within], np.repeat(
+                np.arange(n_pairs, dtype=np.int64), ln
+            ), ln
 
-        jac = np.empty(len(ta), dtype=np.float64)
-        for i in range(len(ta)):
-            sa, sb = grams(ta[i]), grams(tb[i])
-            inter = len(sa & sb)
-            union = len(sa | sb) or 1
-            jac[i] = inter / union
-        return batch.append_column("jaccard", pa.array(jac))
+        ga, ja, la = gather(ia)
+        gb, jb, lb = gather(ib)
+        grams = np.concatenate([ga, gb])
+        pid = np.concatenate([ja, jb])
+        order = np.lexsort((grams, pid))
+        grams, pid = grams[order], pid[order]
+        dup = (pid[1:] == pid[:-1]) & (grams[1:] == grams[:-1])
+        inter = np.bincount(pid[1:][dup], minlength=n_pairs)
+        union = la + lb - inter
+        jac = inter / np.maximum(union, 1)
+        return batch.append_column("jaccard", pa.array(jac.astype(np.float64)))
 
 
 def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.8,
@@ -503,6 +556,7 @@ def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.8,
     verified = with_texts.map_batches(
         lambda t, _s=shingle: PairShingleJaccard(shingle=_s)(t),
         batch_format="pyarrow",
+        batch_size=4096,  # bounds the verify sort buffers (see class doc)
     )
     thr = threshold
     drop = [] if keep_texts else ["text_a", "text_b"]

@@ -57,19 +57,8 @@ def grouped_topk(
             .head(k)
         )
 
-    def mark(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return t.append_column("_edge", pa.array([], type=pa.bool_()))
-        first = np.ones(len(t), dtype=bool)
-        last = np.ones(len(t), dtype=bool)
-        for c in keys:
-            v = t[c].to_numpy(zero_copy_only=False)
-            first &= v == v[0]
-            last &= v == v[-1]
-        return t.append_column("_edge", pa.array(first | last))
-
     def head_rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_edge"], errors="ignore")
+        df = df.drop(columns=["_edge", "_rk"], errors="ignore")
         g = df.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
         r = g.groupby(keys, sort=False).cumcount() + 1
         out = g[r <= k]
@@ -77,20 +66,50 @@ def grouped_topk(
             out = out.assign(**{rank_col: r[r <= k]})
         return out
 
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        """ONE call per sorted block (batch_size=None): mark edge rows
+        (key equals the block's first or last key — those may straddle
+        adjacent blocks) and rank the interior rows in the same call, so
+        no later re-batching can ever split a group between its marking
+        and its ranking (the merge_group_aggs pass-through idiom)."""
+        if len(df) == 0:
+            out = df.assign(_edge=pd.Series([], dtype=bool), _rk=pd.Series([], dtype="int64"))
+            return out
+        first = np.ones(len(df), dtype=bool)
+        last = np.ones(len(df), dtype=bool)
+        for c in keys:
+            v = df[c].to_numpy()
+            first &= v == v[0]
+            last &= v == v[-1]
+        edge = first | last
+        interior = head_rank(df[~edge]).assign(_edge=False)
+        if rank_col is None:
+            interior = interior.assign(_rk=np.int64(0))
+        else:
+            interior = interior.rename(columns={rank_col: "_rk"})
+        edges = df[edge].assign(_edge=True, _rk=np.int64(-1))
+        return pd.concat([interior, edges], ignore_index=True)
+
+    def finish_interior(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[~df["_edge"]].drop(columns=["_edge"])
+        if rank_col is not None:
+            out = out.rename(columns={"_rk": rank_col})
+        else:
+            out = out.drop(columns=["_rk"])
+        return out
+
     pruned = ds.map_batches(block_prune, batch_format="pandas")
-    marked = (
+    ranked = (
         pruned.repartition(default_partitions())
         .sort(list(keys))
-        .map_batches(mark, batch_format="pyarrow")
+        .map_batches(rank_block, batch_format="pandas", batch_size=None)
         .materialize()
     )
-    interior = marked.map_batches(
-        lambda t: t.filter(pa.compute.invert(t["_edge"])),
-        batch_format="pyarrow",
-    ).map_batches(head_rank, batch_format="pandas")
+    interior = ranked.map_batches(finish_interior, batch_format="pandas")
     edges = (
-        marked.map_batches(
-            lambda t: t.filter(t["_edge"]), batch_format="pyarrow"
+        ranked.map_batches(
+            lambda df: df[df["_edge"]].drop(columns=["_rk"]),
+            batch_format="pandas",
         )
         .repartition(1)
         .map_batches(head_rank, batch_format="pandas")

@@ -88,13 +88,20 @@ def q_vocab_topk(sf_dir: str) -> Dataset:
     return merged.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+# Static caps for DuckDB range() cross-joins in oracle SQL (DuckDB's
+# range() can't take lateral column params). Overflow would silently
+# truncate grams → hidden divergence, so tools/check_oracle.py and
+# tests/test_corpusops.py assert the fixture stays strictly below these.
+ORACLE_TOKENS_CAP = 4000  # max tokens per document the oracles handle
+ORACLE_CHARS_CAP = 4000   # max characters per document the oracles handle
+
 SQL_VOCAB_TOPK = f"""
 WITH t AS (
   SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk FROM documents
 ),
 bi AS (
   SELECT tk[CAST(i.i AS INT)] || ' ' || tk[CAST(i.i AS INT) + 1] AS token
-  FROM t, range(1, 2001) i(i) WHERE i.i <= len(tk) - 1
+  FROM t, range(1, {ORACLE_TOKENS_CAP + 1}) i(i) WHERE i.i <= len(tk) - 1
 )
 SELECT token, COUNT(*) AS cnt FROM bi
 GROUP BY token ORDER BY cnt DESC, token LIMIT 100
@@ -210,10 +217,10 @@ def q_dup_clusters(sf_dir: str) -> Dataset:
     )
 
 
-SQL_DUP_CLUSTERS = """
+SQL_DUP_CLUSTERS = f"""
 WITH RECURSIVE grams AS (
   SELECT DISTINCT d.doc_id, substr(d.text, CAST(i.i AS INT), 3) AS g
-  FROM documents d, range(1, 1001) i(i)
+  FROM documents d, range(1, {ORACLE_CHARS_CAP + 1}) i(i)
   WHERE i.i <= length(d.text) - 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),

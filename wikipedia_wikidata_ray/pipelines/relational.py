@@ -30,6 +30,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..ops.topk import grouped_topk
 from ..stages.salted import partial_count, default_partitions
 
 
@@ -274,15 +275,16 @@ SEMI JOIN orders o ON o.o_custkey = c.c_custkey
 
 
 def q_first_order_per_customer(sf_dir: str) -> Dataset:
+    # F5 with a DEFINED deterministic rule (earliest date, then lowest
+    # key) — the reference's DISTINCT ON here is unstable
+    # (steps/wikidata_process.sh:51-66, SURVEY.md §2.F5).
+    # grouped_topk(k=1), NOT groupby().map_groups: customers are MANY TINY
+    # groups, the per-group pandas dispatch regime measured at 6× elsewhere
+    # (CLAUDE.md round-2 rule; ops/topk.py is the sorted-run replacement).
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        # F5 with a DEFINED deterministic rule (earliest date, then lowest
-        # key) — the reference's DISTINCT ON here is unstable
-        # (steps/wikidata_process.sh:51-66, SURVEY.md §2.F5)
-        return g.sort_values(["o_orderdate", "o_orderkey"]).head(1)
-
-    return orders.groupby("o_custkey").map_groups(first, batch_format="pandas")
+    return grouped_topk(
+        orders, ["o_custkey"], [("o_orderdate", True), ("o_orderkey", True)], k=1
+    )
 
 
 SQL_FIRST_ORDER_PER_CUSTOMER = """

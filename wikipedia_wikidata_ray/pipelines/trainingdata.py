@@ -32,6 +32,7 @@ import ray
 import ray.data as rd
 from ray.data import Dataset
 
+from .corpusops import ORACLE_CHARS_CAP
 from ..ops.ann import ann_topk, embedding_neardup_pairs, load_candidates
 from ..ops.dedup import exact_dedup, minhash_lsh_pairs
 from ..ops.textstats import STOPWORDS, LangId, SimHasher, TextStats, fit_langid_profiles
@@ -315,11 +316,11 @@ def q_ngram_jaccard(sf_dir: str) -> Dataset:
     return ngram_jaccard_pairs(pairs, docs, n=3)
 
 
-SQL_NGRAM_JACCARD = """
+SQL_NGRAM_JACCARD = f"""
 WITH n AS (SELECT COUNT(*) AS c FROM documents),
 grams AS (
   SELECT DISTINCT d.doc_id, substr(d.text, CAST(i.i AS INT), 3) AS g
-  FROM documents d, range(1, 1001) i(i)
+  FROM documents d, range(1, {ORACLE_CHARS_CAP + 1}) i(i)
   WHERE i.i <= length(d.text) - 2
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
@@ -515,7 +516,7 @@ def q_rolling_fingerprints(sf_dir: str) -> Dataset:
     )
 
 
-SQL_ROLLING_FINGERPRINTS = """
+SQL_ROLLING_FINGERPRINTS = f"""
 WITH pows AS (
   SELECT * FROM (VALUES
     (0, CAST(13163680 AS BIGINT)), (1, CAST(805498697 AS BIGINT)),
@@ -528,7 +529,7 @@ win AS (
   SELECT d.doc_id, i.i,
          SUM(ascii(substr(d.text, CAST(i.i + ks.k AS INT), 1)) * ks.p)
            % 1000000007 AS h
-  FROM documents d, range(1, 2000) i(i), pows ks
+  FROM documents d, range(1, {ORACLE_CHARS_CAP + 1}) i(i), pows ks
   WHERE i.i <= length(d.text) - 7
   GROUP BY 1, 2
 ),

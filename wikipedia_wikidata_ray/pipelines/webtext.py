@@ -115,6 +115,10 @@ WEBTEXT_ORACLES["url_host_stats"] = SQL_URL_HOST_STATS
 
 GRAM_N = 5
 EVAL_MOD = 23
+# static range() cap in the oracle SQL (DuckDB range() takes no lateral
+# column params); overflow silently truncates grams, so the checker and
+# tests assert max tokens/doc stays strictly below this
+ORACLE_TOKENS_CAP = 8192
 
 _TOK = re.compile(TOKEN_PATTERN)
 
@@ -203,9 +207,9 @@ WITH toks AS (
 ),
 grams AS (
   -- static range + filter: DuckDB's range() can't take lateral column
-  -- params; 8192 caps token count far above the fixture's ~300/doc
+  -- params; the cap is guarded loudly in tools/check_oracle.py + pytest
   SELECT DISTINCT doc_id, array_to_string(t[i:i+{GRAM_N - 1}], ' ') AS g
-  FROM toks, range(1, 8192) r(i)
+  FROM toks, range(1, {ORACLE_TOKENS_CAP}) r(i)
   WHERE i <= len(t) - {GRAM_N - 1}
 ),
 eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),

@@ -155,7 +155,14 @@ def _attach_meta_broadcast(imp: Dataset, meta: Dataset) -> Dataset:
 
     def attach(t: pa.Table) -> pa.Table:
         ids, langs, titles, geo = _ray.get(ref)
-        idx = pa.array(np.searchsorted(ids, t.column("doc_id").to_numpy()))
+        q = t.column("doc_id").to_numpy()
+        raw = np.searchsorted(ids, q)
+        # verify the probe: an importance doc_id absent from meta must DROP
+        # (inner-join semantics, matching the hash-join fallback), not
+        # silently attach a neighboring doc's metadata or IndexError.
+        idx_np = np.minimum(raw, len(ids) - 1)
+        hit = ids[idx_np] == q
+        idx = pa.array(idx_np)
         out = pa.table(
             {
                 "language": pc.take(langs, idx),
@@ -165,7 +172,7 @@ def _attach_meta_broadcast(imp: Dataset, meta: Dataset) -> Dataset:
                 "ref_doc_id": t.column("doc_id"),
             }
         )
-        return out.filter(pc.take(geo, idx))
+        return out.filter(pc.and_(pa.array(hit), pc.take(geo, idx)))
 
     return imp.map_batches(attach, batch_format="pyarrow", batch_size=65536)
 
