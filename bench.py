@@ -58,6 +58,24 @@ def run_bench() -> dict:
 
     cfg = DEFAULT_CONFIG
     timings: dict[str, float] = {}
+    section_runs: dict[str, list[float]] = {}
+
+    def timed(name: str, fn):
+        """Best-of-two per section (round-2 verdict #6: single-shot section
+        timings don't reproduce across machine drift; the min of two runs
+        of a deterministic job is the least-noise estimator — same policy
+        the flagship and --scaling already used). Both runs are recorded
+        in the JSON (`runs`) so BASELINE.md can quote reproducible pairs."""
+        vals = []
+        rows = None
+        for _ in range(2):
+            gc.collect()
+            t0 = time.perf_counter()
+            rows = fn()
+            vals.append(time.perf_counter() - t0)
+        timings[name] = min(vals)
+        section_runs[name] = [round(v, 3) for v in vals]
+        return rows
 
     # warm the OS page cache so we measure compute + shuffle, not cold disk.
     # NB: read_parquet().count() is metadata-only and touches no data pages —
@@ -97,17 +115,13 @@ def run_bench() -> dict:
     headline_only = os.environ.get("GRAFT_BENCH_ONLY") == "flagship"
 
     # --- headline: flagship extract → encode → PIP → tile ---------------
-    # best of two runs: machine-state noise (page-cache churn from prior
-    # jobs) swings single runs up to 1.7×; the min is the honest capability
-    runs = []
-    for _ in range(2):
-        gc.collect()
-        t0 = time.perf_counter()
-        tiles = gp.tile_aggregate(gp.pip_join(gp.geocode(gp.extract(pages_ds(), cfg), cfg), cfg), cfg)
-        n_tiles = tiles.count()
-        runs.append(time.perf_counter() - t0)
-    timings["flagship_extract_encode_pip_tile"] = min(runs)
-    flagship_runs = [round(r, 3) for r in runs]
+    n_tiles = timed(
+        "flagship_extract_encode_pip_tile",
+        lambda: gp.tile_aggregate(
+            gp.pip_join(gp.geocode(gp.extract(pages_ds(), cfg), cfg), cfg), cfg
+        ).count(),
+    )
+    flagship_runs = section_runs["flagship_extract_encode_pip_tile"]
 
     if headline_only:
         headline = timings["flagship_extract_encode_pip_tile"]
@@ -124,29 +138,25 @@ def run_bench() -> dict:
         }
 
     # --- kNN place-matching branch ---------------------------------------
-    gc.collect()  # release prior pipeline's object refs before timing
-    t0 = time.perf_counter()
-    kn = gp.knn_join(gp.geocode(gp.extract(pages_ds(), cfg), cfg), cfg)
-    kn_rows = kn.count()
-    timings["knn_places"] = time.perf_counter() - t0
+    kn_rows = timed(
+        "knn_places",
+        lambda: gp.knn_join(gp.geocode(gp.extract(pages_ds(), cfg), cfg), cfg).count(),
+    )
 
     # --- importance scoring (links shuffle + join + grouped sums) --------
     # runs over the SAME replicated corpus (3 links/page → 3M edges at 1M
     # pages) so the D2-analog shuffle is measured at scale
-    gc.collect()
-    t0 = time.perf_counter()
-    imp_rows = importance_pipeline(pages_ds).count()
-    timings["importance"] = time.perf_counter() - t0
+    imp_rows = timed("importance", lambda: importance_pipeline(pages_ds).count())
 
     # --- full relational export (D8/D9 joins + union + E6/D10 + F1 sort) --
     gc.collect()
     from wikipedia_wikidata_ray.pipelines.wikimedia import export_pipeline
 
-    t0 = time.perf_counter()
     # materialize: count() alone would shortcut the final global sort
-    exp = export_pipeline(pages_ds, n_pages).materialize()
-    exp_rows = exp.count()
-    timings["importance_export"] = time.perf_counter() - t0
+    exp_rows = timed(
+        "importance_export",
+        lambda: export_pipeline(pages_ds, n_pages).materialize().count(),
+    )
 
     # --- dedup suite: exact + MinHash-LSH near-dup over a near-dup-rich
     # corpus (documents × GRAFT_DEDUP_MULT replicas, each replica's text
@@ -182,14 +192,12 @@ def run_bench() -> dict:
             .map_batches(replicate, batch_format="pyarrow")
         )
 
-    t0 = time.perf_counter()
-    exact_rows = exact_dedup(dedup_docs()).count()
-    timings["exact_dedup"] = time.perf_counter() - t0
+    exact_rows = timed("exact_dedup", lambda: exact_dedup(dedup_docs()).count())
 
-    gc.collect()
-    t0 = time.perf_counter()
-    neardup_rows = minhash_lsh_pairs(dedup_docs(), threshold=0.8).count()
-    timings["near_dup_minhash"] = time.perf_counter() - t0
+    neardup_rows = timed(
+        "near_dup_minhash",
+        lambda: minhash_lsh_pairs(dedup_docs(), threshold=0.8).count(),
+    )
 
     # --- corpus analysis: curation composition + sketches over the same
     # replicated doc corpus (lang carried through for the per-lang stages)
@@ -215,29 +223,50 @@ def run_bench() -> dict:
             .map_batches(replicate_lang, batch_format="pyarrow")
         )
 
-    gc.collect()
-    t0 = time.perf_counter()
-    curation_rows = curate_corpus(curation_docs()).materialize().count()
-    timings["corpus_curation"] = time.perf_counter() - t0
+    curation_rows = timed(
+        "corpus_curation", lambda: curate_corpus(curation_docs()).materialize().count()
+    )
 
-    gc.collect()
-    t0 = time.perf_counter()
-    hh_rows = heavy_hitter_tokens(dedup_docs(), theta_denom=1000).materialize().count()
-    timings["heavy_hitters"] = time.perf_counter() - t0
+    hh_rows = timed(
+        "heavy_hitters",
+        lambda: heavy_hitter_tokens(dedup_docs(), theta_denom=1000).materialize().count(),
+    )
 
-    gc.collect()
-    t0 = time.perf_counter()
-    hll_rows = hll_token_registers(dedup_docs()).materialize().count()
-    timings["hll_distinct"] = time.perf_counter() - t0
+    hll_rows = timed(
+        "hll_distinct", lambda: hll_token_registers(dedup_docs()).materialize().count()
+    )
 
     from wikipedia_wikidata_ray.pipelines.webtext import tfidf_top_terms
 
-    gc.collect()
-    t0 = time.perf_counter()
-    tfidf_rows = (
-        tfidf_top_terms(dedup_docs(), n_docs * dmult).materialize().count()
+    tfidf_rows = timed(
+        "tfidf_topk",
+        lambda: tfidf_top_terms(dedup_docs(), n_docs * dmult).materialize().count(),
     )
-    timings["tfidf_topk"] = time.perf_counter() - t0
+
+    # --- temporal: sessionize over replicated events (sorted-run idiom) --
+    from wikipedia_wikidata_ray.ops.windows import sessionize
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    n_ev = pq.read_metadata(ev_path).num_rows
+    emult = int(os.environ.get("GRAFT_EVENTS_MULT", "10"))
+
+    def replicate_events(t: pa.Table) -> pa.Table:
+        parts = [t]
+        for i in range(1, emult):
+            uid = pc.add(t["user_id"], pa.scalar(i * 1_000_000, type=pa.int64()))
+            parts.append(pa.table({"user_id": uid, "ts": t["ts"], "value": t["value"]}))
+        return pa.concat_tables(parts)
+
+    def events_ds():
+        return (
+            rd.read_parquet(ev_path, columns=["user_id", "ts", "value"])
+            .repartition(num_cpus)
+            .map_batches(replicate_events, batch_format="pyarrow")
+        )
+
+    sess_rows = timed(
+        "sessionize", lambda: sessionize(events_ds(), gap_minutes=30).count()
+    )
 
     headline = timings["flagship_extract_encode_pip_tile"]
     return {
@@ -251,6 +280,8 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "n_dedup_docs": n_docs * dmult,
         "pages_per_sec": round(n_pages / headline, 1),
+        "runs": section_runs,
+        "n_events": n_ev * emult,
         "rows": {
             "tiles": n_tiles,
             "knn": kn_rows,
@@ -262,6 +293,7 @@ def run_bench() -> dict:
             "heavy_hitters": hh_rows,
             "hll_registers": hll_rows,
             "tfidf_topk": tfidf_rows,
+            "sessions": sess_rows,
         },
     }
 

@@ -223,3 +223,40 @@ def test_content_hash_buffer_view_matches_hashlib():
         want = [hashlib.sha256(x.encode("utf-8")).hexdigest()[:32]
                 for x in tbl.column("text").to_pylist()]
         assert got == want
+
+
+def test_packed_char_gram_arrays_matches_substr_semantics():
+    texts = ["abcd", "ab", "", "hello world"]
+    out = dd.packed_char_gram_arrays(pa.array(texts))
+    # doc 0: "abc", "bcd"
+    def pack(g):
+        return (ord(g[0]) << 20) + (ord(g[1]) << 10) + ord(g[2])
+    assert out[0].tolist() == [pack("abc"), pack("bcd")]
+    assert len(out[1]) == 0 and len(out[2]) == 0
+    want3 = [pack("hello world"[i:i + 3]) for i in range(len("hello world") - 2)]
+    assert out[3].tolist() == want3
+    # sliced column honors offsets
+    sl = pa.table({"t": pa.array(texts)}).slice(3, 1)
+    assert dd.packed_char_gram_arrays(sl.column("t"))[0].tolist() == want3
+    # non-ascii refuses loudly (byte==char invariant vs substr oracle)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ASCII"):
+        dd.packed_char_gram_arrays(pa.array(["héllo"]))
+
+
+def test_seeded_minhash_mersenne_fold_matches_bigint_mod():
+    """The uint64 single-fold (a·h+b) mod (2^61−1) must equal exact
+    integer arithmetic (what DuckDB HUGEINT computes)."""
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        _P61, _SEEDED_A, _SEEDED_B)
+
+    rng = np.random.RandomState(5)
+    h = rng.randint(0, 1 << 21, 1000).astype(np.uint64)
+    a = np.array(_SEEDED_A, dtype=np.uint64)
+    b = np.array(_SEEDED_B, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = h[:, None] * a[None, :] + b[None, :]
+        r = (x >> np.uint64(61)) + (x & np.uint64(_P61))
+        r = np.where(r >= np.uint64(_P61), r - np.uint64(_P61), r)
+    want = (h[:, None].astype(object) * _SEEDED_A + _SEEDED_B) % _P61
+    assert (r.astype(object) == want).all()

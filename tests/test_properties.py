@@ -209,3 +209,60 @@ def test_sessionize_matches_pandas(rows, gap_min):
     )
     want["sum_value"] = want["sum_value"].round(6)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # left (error) events: (key, ts-seconds)
+        st.tuples(st.integers(0, 3), st.integers(0, 3_000)),
+        min_size=1, max_size=50,
+    ),
+    st.lists(  # right (click) events
+        st.tuples(st.integers(0, 3), st.integers(0, 3_000)),
+        min_size=0, max_size=60,
+    ),
+    st.integers(30, 900),  # window seconds
+)
+def test_preceding_window_count_matches_bruteforce(left_rows, right_rows, win_s):
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.ops.rangejoin import preceding_window_count
+
+    def tbl(rows, idc):
+        return pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    np.array([r[1] for r in rows], dtype="datetime64[s]").astype(
+                        "datetime64[us]"
+                    )
+                ),
+                idc: pa.array(range(len(rows)), type=pa.int64()),
+            }
+        )
+
+    lt, rt = tbl(left_rows, "lid"), tbl(right_rows, "rid")
+    got = (
+        preceding_window_count(
+            rd.from_arrow(lt), rd.from_arrow(rt), key="k", ts="ts",
+            window_us=win_s * 1_000_000, out="n",
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    w = np.timedelta64(win_s * 1_000_000, "us")
+    want = []
+    for lk, lts in left_rows:
+        lts64 = np.datetime64(lts, "s").astype("datetime64[us]")
+        want.append(
+            sum(
+                1
+                for rk, rts in right_rows
+                if rk == lk
+                and (rts64 := np.datetime64(rts, "s").astype("datetime64[us]"))
+                <= lts64
+                and rts64 > lts64 - w
+            )
+        )
+    assert got["n"].tolist() == want
+    assert len(got) == len(left_rows)

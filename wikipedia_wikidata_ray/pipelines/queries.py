@@ -521,3 +521,28 @@ ORACLES.update(WIKIPROCESS_ORACLES)
 ORACLES.update(TEMPORAL_MEDIA_ORACLES)
 ORACLES.update(WEBTEXT_ORACLES)
 ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
+
+# Driver-board ordering: the driver's correctness run sampled a ~50-query
+# prefix of this registry in round 2, leaving 14 registered queries
+# locally-verified-only. Queries never yet on the driver's board sort
+# FIRST so the least-proven operators are never the ones that rotate out
+# (round-2 verdict, "What's missing" #1). All were green locally.
+_DRIVER_PRIORITY = [
+    # new in round 3
+    "near_dup_pairs_minhash_seeded", "ann_topk_ivf_grid",
+    # never driver-checked as of CORRECTNESS_r02
+    "url_host_stats", "decontaminate", "stratified_sample", "tfidf_top_terms",
+    "length_percentiles", "pii_scrub", "events_asof_click", "event_sessions",
+    "error_click_window", "media_features", "media_frame_samples",
+    "segment_median_balance", "wiki_article_full", "wikidump_importance_export",
+]
+
+
+def _prioritize(d: dict) -> dict:
+    head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    head.update({k: v for k, v in d.items() if k not in head})
+    return head
+
+
+QUERIES = _prioritize(QUERIES)
+ORACLES = _prioritize(ORACLES)

