@@ -114,3 +114,55 @@ def test_frame_sampler_stride():
     out = FrameSampler(stride=4)(batch)
     # 56 rows → 7 frames of 8 rows → sampled frames 0 and 4
     assert out.column("frame_no").to_pylist() == [0, 4]
+
+
+def test_sorted_group_apply_single_giant_key_and_many_blocks():
+    """Adversarial blocking for the sorted-run idiom: one key larger than
+    any block must be processed entirely in the coalesced edge block
+    (exactness at any group size), alongside many tiny keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.ops.windows import sessionize
+
+    n_giant, n_tiny = 5000, 400
+    rng = np.random.RandomState(2)
+    users = np.concatenate([
+        np.zeros(n_giant, dtype=np.int64),           # one giant key
+        rng.randint(1, 200, n_tiny).astype(np.int64) # many tiny keys
+    ])
+    secs = np.concatenate([
+        rng.randint(0, 500_000, n_giant),
+        rng.randint(0, 500_000, n_tiny),
+    ])
+    t = pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.array(np.array(secs, dtype="datetime64[s]").astype("datetime64[us]")),
+        "value": pa.array(rng.rand(len(users))),
+    })
+    got = (
+        sessionize(rd.from_arrow(t).repartition(16), gap_minutes=10,
+                   num_partitions=8)
+        .to_pandas().sort_values(["user_id", "session_no"], ignore_index=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts"], ignore_index=True)
+    gap = pd.Timedelta(minutes=10)
+    new = (df["ts"] - df.groupby("user_id")["ts"].shift()).gt(gap) | (
+        df.groupby("user_id")["ts"].shift().isna()
+    )
+    df["session_no"] = new.groupby(df["user_id"]).cumsum()
+    want = (
+        df.groupby(["user_id", "session_no"])
+        .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+             n_events=("ts", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    want["sum_value"] = want["sum_value"].round(6)
+    want = want.sort_values(["user_id", "session_no"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_no", "session_start", "session_end",
+             "n_events", "sum_value"]],
+        want, check_dtype=False,
+    )

@@ -371,23 +371,48 @@ TFIDF_K = 3
 
 
 def _tf_batch(t: pa.Table) -> pa.Table:
-    from collections import Counter
-
-    ids: list = []
-    toks: list = []
-    tfs: list = []
-    for did, txt in zip(
-        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-    ):
-        for tok, c in Counter(_TOK.findall(txt.lower())).items():
-            ids.append(did)
-            toks.append(tok)
-            tfs.append(c)
+    """(doc_id, token, tf) rows — fully vectorized (the round-2 Counter
+    loop was the last corpus-side per-doc Python in the TF-IDF path):
+    Arrow tokenization (≡ re.findall(TOKEN_PATTERN) on lower(), the
+    proven idiom), dictionary-encode, then ONE lexsort + run-length count
+    over (doc, token-code). Same row set as the per-doc Counter."""
+    ids = t.column("doc_id").to_numpy()
+    col = t.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "token": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat = pc.filter(flat, nonempty)
+    parent = pc.filter(pc.list_parent_indices(toks), nonempty).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    if len(parent) == 0:
+        return empty
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    order = np.lexsort((codes, parent))
+    ps, cs = parent[order], codes[order]
+    new = np.ones(len(ps), dtype=bool)
+    new[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(ps)))
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "token": pa.array(toks, type=pa.string()),
-            "tf": pa.array(tfs, type=pa.int64()),
+            "doc_id": pa.array(ids[ps[starts]], type=pa.int64()),
+            "token": enc.dictionary.take(pa.array(cs[starts])),
+            "tf": pa.array(counts, type=pa.int64()),
         }
     )
 
