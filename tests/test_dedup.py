@@ -260,3 +260,26 @@ def test_seeded_minhash_mersenne_fold_matches_bigint_mod():
         r = np.where(r >= np.uint64(_P61), r - np.uint64(_P61), r)
     want = (h[:, None].astype(object) * _SEEDED_A + _SEEDED_B) % _P61
     assert (r.astype(object) == want).all()
+
+
+def test_ngram_jaccard_vectorized_equals_set_path():
+    """n=3 packed-code verify must equal RawNgramJaccard (raw substr
+    sets) value-for-value, including sub-n and empty texts."""
+    rng = np.random.default_rng(4)
+    texts = ["".join(rng.choice(list("abcde "), rng.integers(0, 40)))
+             for _ in range(30)] + ["", "ab", "abc"]
+    a = rng.integers(0, len(texts), 120)
+    b = rng.integers(0, len(texts), 120)
+    batch = pa.table(
+        {
+            "doc_a": pa.array(a, type=pa.int64()),
+            "doc_b": pa.array(b, type=pa.int64()),
+            "text_a": pa.array([texts[i] for i in a]),
+            "text_b": pa.array([texts[i] for i in b]),
+        }
+    )
+    fast = dd.PairShingleJaccard(gram_fn=dd.packed_char_gram_arrays)(batch)
+    slow = dd.RawNgramJaccard(n=3)(batch)
+    assert np.array_equal(
+        fast.column("jaccard").to_numpy(), slow.column("jaccard").to_numpy()
+    )

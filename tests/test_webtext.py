@@ -159,3 +159,42 @@ def test_tfidf_top_terms_ranks_and_bounds():
     assert out["df"].between(1, n_docs).all()
     assert (out.loc[out["df"] == n_docs, "tfidf"] == 0.0).all()
     assert (out["tfidf"] >= 0).all()
+
+
+def test_textstats_and_simhash_vectorized_match_scalar():
+    """The round-3 vectorized TextStats/SimHasher batch paths must equal
+    the scalar definitions exactly (incl. unicode, empties, slices)."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from wikipedia_wikidata_ray.ops.textstats import (
+        STOPWORDS, SimHasher, TextStats)
+
+    rng = np.random.default_rng(9)
+    vocab = list(STOPWORDS) + ["alpha", "Beta", "GAMMA", "x1", "??", ""]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 50))) for _ in range(40)]
+    texts += ["", "   ", "the the the", "é über ñ", "ab,cd!ef"]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    got = TextStats()(t)
+    tok = re.compile("[a-z0-9]+")
+    stop = frozenset(STOPWORDS)
+    for i, x in enumerate(texts):
+        toks = tok.findall(x.lower())
+        assert got["n_tokens"][i].as_py() == len(toks)
+        assert got["n_chars_text"][i].as_py() == len(x)
+        assert got["n_stopwords"][i].as_py() == sum(1 for w in toks if w in stop)
+        assert got["uniq_ratio"][i].as_py() == (
+            len(set(toks)) / len(toks) if toks else 0.0
+        )
+    sh = SimHasher()
+    got2 = sh(t)
+    for i, x in enumerate(texts):
+        assert got2["simhash"][i].as_py() == sh.simhash(x)
+    got3 = sh(t.slice(3, 10))
+    for j in range(10):
+        assert got3["simhash"][j].as_py() == sh.simhash(texts[3 + j])

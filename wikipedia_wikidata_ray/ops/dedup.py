@@ -354,23 +354,27 @@ def _lsh_bucket_pairs(sigs: Dataset, max_bucket_size: int,
         except Exception:
             num_merge_blocks = 8
 
-    def mark(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return t.append_column("_edge", pa.array([], type=pa.bool_()))
-        b = t["band_id"].to_numpy(zero_copy_only=False)
-        h = t["band_hash"].to_numpy(zero_copy_only=False)
-        edge = ((b == b[0]) & (h == h[0])) | ((b == b[-1]) & (h == h[-1]))
-        return t.append_column("_edge", pa.array(edge))
-
+    # NO separate mark stage: both consumers recompute the edge mask as a
+    # PURE function of each raw sorted block (first/last key equality) with
+    # batch_size=None, so any re-blocking changes interior/edge membership
+    # consistently -- a bucket split across fragments becomes entirely
+    # edge-marked, never half-paired (the ops/topk.py round-2 advice; same
+    # structure as ops/runs.sorted_group_apply). Also saves one map pass
+    # over the signature rows.
     marked = (
         sigs.repartition(num_merge_blocks)
         .sort(["band_id", "band_hash"])
-        .map_batches(mark, batch_format="pyarrow")
         .materialize()
     )
 
+    def _edge(t: pa.Table):
+        b = t["band_id"].to_numpy(zero_copy_only=False)
+        h = t["band_hash"].to_numpy(zero_copy_only=False)
+        return ((b == b[0]) & (h == h[0])) | ((b == b[-1]) & (h == h[-1]))
+
     def emit_sorted(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(t["_edge"]))
+        if len(t):
+            t = t.filter(pa.array(~_edge(t)))
         vals = (
             t[value_col].to_numpy(zero_copy_only=False) if value_col else None
         )
@@ -394,12 +398,16 @@ def _lsh_bucket_pairs(sigs: Dataset, max_bucket_size: int,
         return _run_pairs(b[o], h[o], d[o], max_bucket_size,
                           values=vals, max_hamming=max_hamming)
 
-    interior = marked.map_batches(emit_sorted, batch_format="pyarrow")
+    def edges_only(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        return t.filter(pa.array(_edge(t)))
+
+    interior = marked.map_batches(
+        emit_sorted, batch_format="pyarrow", batch_size=None
+    )
     edges = (
-        marked.map_batches(
-            lambda t: t.filter(t["_edge"]).drop_columns(["_edge"]),
-            batch_format="pyarrow",
-        )
+        marked.map_batches(edges_only, batch_format="pyarrow", batch_size=None)
         .repartition(1)
         .map_batches(emit_edges, batch_format="pyarrow")
     )
@@ -697,11 +705,24 @@ class RawNgramJaccard:
 def ngram_jaccard_pairs(pairs: Dataset, docs: Dataset, n: int = 3,
                         text_col: str = "text") -> Dataset:
     """(doc_a, doc_b) pairs → + exact raw n-gram jaccard column (texts
-    joined in by pair id, never broadcast)."""
+    joined in by pair id, never broadcast).
+
+    n=3 over ASCII text rides the vectorized global-lexsort verifier with
+    packed char-gram codes (injective for codepoints < 2¹⁰, so jaccard
+    over codes == jaccard over raw substrings); non-ASCII batches and
+    other ``n`` fall back to the per-pair set path — candidate-bounded,
+    so the fallback is a slow path, never a scale hazard."""
+
+    def verify(t: pa.Table, _n: int = n) -> pa.Table:
+        if _n == 3:
+            try:
+                return PairShingleJaccard(gram_fn=packed_char_gram_arrays)(t)
+            except ValueError:  # non-ASCII text in this batch
+                pass
+        return RawNgramJaccard(n=_n)(t)
+
     with_texts = attach_pair_texts(pairs, docs, text_col=text_col)
-    out = with_texts.map_batches(
-        lambda t, _n=n: RawNgramJaccard(n=_n)(t), batch_format="pyarrow"
-    )
+    out = with_texts.map_batches(verify, batch_format="pyarrow", batch_size=4096)
     return out.map_batches(
         lambda t: t.drop_columns(["text_a", "text_b"]), batch_format="pyarrow"
     )

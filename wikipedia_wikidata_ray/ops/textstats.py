@@ -16,8 +16,39 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def _batch_token_codes(col) -> tuple[np.ndarray, np.ndarray, pa.Array, int]:
+    """Arrow-vectorized tokenization for a whole string column
+    (utf8_lower + split on the [a-z0-9]+ complement ≡
+    ``re.findall(TOKEN_PATTERN, text.lower())``, empties filtered — the
+    proven idiom). Returns (dictionary codes per token occurrence,
+    parent doc index per occurrence, unique-token dictionary, n_docs)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                pa.array([], type=pa.string()), 0)
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat = pc.filter(flat, nonempty)
+    parent = pc.filter(pc.list_parent_indices(toks), nonempty).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = (
+        enc.indices.to_numpy().astype(np.int64)
+        if len(parent)
+        else np.empty(0, np.int64)
+    )
+    return codes, parent, enc.dictionary, n
 
 # tiny fixed stopword set — mirrored verbatim in the SQL oracle
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "on", "for", "with")
@@ -41,20 +72,42 @@ class TextStats:
         return self.tok.findall(text.lower())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        n_tokens = np.zeros(n, dtype=np.int64)
-        n_chars = np.zeros(n, dtype=np.int64)
-        n_stop = np.zeros(n, dtype=np.int64)
-        n_uniq = np.zeros(n, dtype=np.int64)
-        tok_chars = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = self.tokens(t)
-            n_tokens[i] = len(toks)
-            n_chars[i] = len(t)
-            n_stop[i] = sum(1 for w in toks if w in self.stop)
-            n_uniq[i] = len(set(toks))
-            tok_chars[i] = sum(len(w) for w in toks)
+        """Fully vectorized (round-3: the per-doc loop built Python sets
+        per document in a corpus-side stage): Arrow tokenization +
+        dictionary codes; stopword membership tested once per UNIQUE
+        token; per-doc distincts via one unique over (doc, code) keys.
+        Ratios are the same int64/int64 numpy divisions as before —
+        bitwise-equal to the SQL oracle."""
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes, parent, vocab, n = _batch_token_codes(col)
+        n_chars = (
+            pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if n
+            else np.zeros(0, dtype=np.int64)
+        )
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        if len(codes):
+            tok_lens = pc.utf8_length(vocab).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)[codes]
+            tok_chars = np.bincount(
+                parent, weights=tok_lens, minlength=n
+            ).astype(np.int64)
+            stop_vocab = pc.is_in(
+                vocab, value_set=pa.array(STOPWORDS, type=pa.string())
+            ).to_numpy(zero_copy_only=False)
+            n_stop = np.bincount(
+                parent, weights=stop_vocab[codes].astype(np.float64), minlength=n
+            ).astype(np.int64)
+            key = parent * np.int64(len(vocab)) + codes
+            uniq_parents = np.unique(key) // np.int64(len(vocab))
+            n_uniq = np.bincount(uniq_parents, minlength=n).astype(np.int64)
+        else:
+            tok_chars = np.zeros(n, dtype=np.int64)
+            n_stop = np.zeros(n, dtype=np.int64)
+            n_uniq = np.zeros(n, dtype=np.int64)
         with np.errstate(invalid="ignore", divide="ignore"):
             stop_ratio = np.where(n_tokens > 0, n_stop / n_tokens, 0.0)
             uniq_ratio = np.where(n_tokens > 0, n_uniq / n_tokens, 0.0)
@@ -106,12 +159,35 @@ class SimHasher:
         return int((weights[acc > 0]).sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        hashes = np.array([self.simhash(t) for t in texts], dtype=np.uint64)
+        """Vectorized across the batch (round-3: the per-doc path hashed
+        every token OCCURRENCE in Python): md5 only the token DICTIONARY
+        (Zipfian vocab), then one (tokens × 64) bit matrix with per-doc
+        ``np.add.reduceat`` sums — bitwise-identical fingerprints to
+        ``simhash`` (same md5 token hash, same strict acc > 0 rule; the
+        md5 bit-arithmetic SQL oracle stays green)."""
+        codes, parent, vocab, n = _batch_token_codes(batch.column(self.text_col))
+        sims = np.zeros(n, dtype=np.uint64)
+        if len(codes):
+            vh = np.fromiter(
+                (_stable_hash64(w) for w in vocab.to_pylist()),
+                dtype=np.uint64,
+                count=len(vocab),
+            )
+            th = vh[codes]
+            counts = np.bincount(parent, minlength=n)
+            bits = (
+                (th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+            nz = counts > 0
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            ones = np.add.reduceat(bits, offs[:-1][nz], axis=0)
+            acc = 2 * ones - counts[nz][:, None]
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            sims[nz] = ((acc > 0) * weights).sum(axis=1, dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": batch.column(self.id_col),
-                "simhash": pa.array(hashes),
+                "simhash": pa.array(sims),
             }
         )
 

@@ -3,18 +3,24 @@
 DISTINCT ON / LIMIT idioms generalized to k > 1).
 
 Shape: a combiner stage bounds what the shuffle moves — within each input
-block, at most k rows per group survive (vectorized pandas sort +
-groupby.head, no Python row loop), so the per-group shuffle traffic is
+block, at most k rows per group survive (one Arrow sort + vectorized
+run-rank, no Python row loop), so the per-group shuffle traffic is
 ≤ k rows per group per block regardless of group size; the final
 per-group head(k) then runs on ONE range-partitioned sort with
-per-block vectorized run processing + edge fixup (the
-stages/salted.merge_group_aggs / ops/dedup._lsh_bucket_pairs pattern) —
+per-block vectorized run ranking + edge fixup (the
+stages/salted.merge_group_aggs / ops/runs.sorted_group_apply pattern) —
 NOT ``groupby().map_groups``: Ray's per-group pandas dispatch dominates
 when groups are tiny (measured 6.3× on the LSH path; same effect here at
 50 K doc groups). A group can straddle only ADJACENT sorted blocks, so
 rows whose key equals a block's first or last key are re-ranked once in
 a single coalesced edge block; a group that outgrows a block is entirely
-edge-marked, so the fixup stays exact at any group size.
+edge-marked, so the fixup stays exact at any group size. Marking and
+interior ranking happen in the SAME per-block call (batch_size=None), so
+no later re-batching can split a group between them (round-2 advice).
+
+Arrow-native end to end (round-3: the former pandas sort/groupby stages
+cost two format conversions per block): ``pc.sort_indices`` + numpy
+run-rank, zero pandas.
 
 Determinism requirements: ``order_by`` must be a TOTAL order within each
 group (append a unique tie-break column, e.g. the primary key), and the
@@ -26,11 +32,12 @@ one ever appears).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..stages.salted import default_partitions
+from .runs import run_starts
 
 
 def grouped_topk(
@@ -43,75 +50,96 @@ def grouped_topk(
     """Keep the top ``k`` rows of each ``keys`` group under ``order_by``
     (list of ``(column, ascending)``), optionally emitting a 1-based
     ``rank_col``. Exact at any parallelism."""
-    by = [c for c, _ in order_by]
-    asc = [a for _, a in order_by]
-    sort_cols = list(keys) + by
-    sort_asc = [True] * len(keys) + asc
+    sort_keys = [(c, "ascending") for c in keys] + [
+        (c, "ascending" if asc else "descending") for c, asc in order_by
+    ]
 
-    def block_prune(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        return (
-            df.sort_values(by, ascending=asc, kind="mergesort")
-            .groupby(keys, sort=False, as_index=False)
-            .head(k)
+    def rank_sorted(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        """Sort by (keys, order_by) and 1-based rank within each key run."""
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        st = t.take(idx)
+        new = run_starts(
+            [st[c].to_numpy(zero_copy_only=False) for c in keys]
         )
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(len(st), dtype=np.int64) - starts[run_id] + 1
+        return st, rank
 
-    def head_rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_edge", "_rk"], errors="ignore")
-        g = df.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
-        r = g.groupby(keys, sort=False).cumcount() + 1
-        out = g[r <= k]
+    def block_prune(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        st, rank = rank_sorted(t)
+        return st.filter(pa.array(rank <= k))
+
+    def head_rank(t: pa.Table) -> pa.Table:
+        """Final per-group head(k) over complete groups (edge block)."""
+        t = t.drop_columns([c for c in ("_edge", "_rk") if c in t.column_names])
+        if len(t) == 0:
+            out = t
+            if rank_col is not None:
+                out = out.append_column(rank_col, pa.array([], type=pa.int64()))
+            return out
+        st, rank = rank_sorted(t)
+        keep = rank <= k
+        out = st.filter(pa.array(keep))
         if rank_col is not None:
-            out = out.assign(**{rank_col: r[r <= k]})
+            out = out.append_column(rank_col, pa.array(rank[keep]))
         return out
 
-    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+    def rank_block(t: pa.Table) -> pa.Table:
         """ONE call per sorted block (batch_size=None): mark edge rows
         (key equals the block's first or last key — those may straddle
         adjacent blocks) and rank the interior rows in the same call, so
         no later re-batching can ever split a group between its marking
-        and its ranking (the merge_group_aggs pass-through idiom)."""
-        if len(df) == 0:
-            out = df.assign(_edge=pd.Series([], dtype=bool), _rk=pd.Series([], dtype="int64"))
-            return out
-        first = np.ones(len(df), dtype=bool)
-        last = np.ones(len(df), dtype=bool)
+        and its ranking."""
+        if len(t) == 0:
+            return t.append_column(
+                "_rk", pa.array([], type=pa.int64())
+            ).append_column("_edge", pa.array([], type=pa.bool_()))
+        first = np.ones(len(t), dtype=bool)
+        last = np.ones(len(t), dtype=bool)
         for c in keys:
-            v = df[c].to_numpy()
+            v = t[c].to_numpy(zero_copy_only=False)
             first &= v == v[0]
             last &= v == v[-1]
         edge = first | last
-        interior = head_rank(df[~edge]).assign(_edge=False)
-        if rank_col is None:
-            interior = interior.assign(_rk=np.int64(0))
-        else:
-            interior = interior.rename(columns={rank_col: "_rk"})
-        edges = df[edge].assign(_edge=True, _rk=np.int64(-1))
-        return pd.concat([interior, edges], ignore_index=True)
+        inter = t.filter(pa.array(~edge))
+        st, rank = rank_sorted(inter)
+        keep = rank <= k
+        interior = (
+            st.filter(pa.array(keep))
+            .append_column("_rk", pa.array(rank[keep]))
+            .append_column("_edge", pa.array(np.zeros(int(keep.sum()), dtype=bool)))
+        )
+        edges = (
+            t.filter(pa.array(edge))
+            .append_column("_rk", pa.array(np.full(int(edge.sum()), -1, dtype=np.int64)))
+            .append_column("_edge", pa.array(np.ones(int(edge.sum()), dtype=bool)))
+        )
+        return pa.concat_tables([interior, edges])
 
-    def finish_interior(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[~df["_edge"]].drop(columns=["_edge"])
+    def finish_interior(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.invert(t["_edge"])).drop_columns(["_edge"])
         if rank_col is not None:
-            out = out.rename(columns={"_rk": rank_col})
-        else:
-            out = out.drop(columns=["_rk"])
-        return out
+            return out.rename_columns(
+                [rank_col if c == "_rk" else c for c in out.column_names]
+            )
+        return out.drop_columns(["_rk"])
 
-    pruned = ds.map_batches(block_prune, batch_format="pandas")
+    pruned = ds.map_batches(block_prune, batch_format="pyarrow")
     ranked = (
         pruned.repartition(default_partitions())
         .sort(list(keys))
-        .map_batches(rank_block, batch_format="pandas", batch_size=None)
+        .map_batches(rank_block, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    interior = ranked.map_batches(finish_interior, batch_format="pandas")
+    interior = ranked.map_batches(finish_interior, batch_format="pyarrow")
     edges = (
         ranked.map_batches(
-            lambda df: df[df["_edge"]].drop(columns=["_rk"]),
-            batch_format="pandas",
+            lambda t: t.filter(t["_edge"]), batch_format="pyarrow"
         )
         .repartition(1)
-        .map_batches(head_rank, batch_format="pandas")
+        .map_batches(head_rank, batch_format="pyarrow")
     )
     return interior.union(edges)
