@@ -198,3 +198,38 @@ def test_textstats_and_simhash_vectorized_match_scalar():
     got3 = sh(t.slice(3, 10))
     for j in range(10):
         assert got3["simhash"][j].as_py() == sh.simhash(texts[3 + j])
+
+
+def test_langid_vectorized_matches_predict():
+    """The vectorized LangId batch path must equal per-row predict(),
+    including empty/short docs and the non-ASCII fallback."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wikipedia_wikidata_ray.ops.textstats import LangId, fit_langid_profiles
+
+    rng = np.random.default_rng(1)
+    base = {
+        "en": "the quick brown fox jumps over the lazy dog and then runs home",
+        "de": "der schnelle braune fuchs springt ueber den faulen hund und laeuft",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et court",
+    }
+    texts, langs = [], []
+    for l, s in base.items():
+        texts += [s] * 40
+        langs += [l] * 40
+    li = LangId(fit_langid_profiles(texts, langs))
+    assert li._vec is not None
+    words = " ".join(texts).split()
+    probe = [" ".join(rng.choice(words, rng.integers(0, 30))) for _ in range(80)]
+    probe += ["", "a", "  \t ", "the der le"]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(probe)), type=pa.int64()),
+         "text": pa.array(probe)}
+    )
+    assert li(t).column("pred_lang").to_pylist() == [li.predict(x) for x in probe]
+    t2 = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "text": pa.array(["héllo wörld"])}
+    )
+    assert li(t2).column("pred_lang").to_pylist() == [li.predict("héllo wörld")]

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..stages.salted import join_partitions, merge_group_aggs, partial_count
-from .textstats import TOKEN_PATTERN
+from .textstats import TOKEN_PATTERN, packed_char_gram_arrays  # noqa: F401 (re-export)
 
 _MERSENNE = (1 << 61) - 1
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
@@ -482,54 +482,6 @@ def attach_pair_texts(pairs: Dataset, docs: Dataset, text_col: str = "text",
         docs.map_batches(prep("b"), batch_format="pyarrow"),
         "inner", num_partitions=num_partitions, on=("doc_b",),
     )
-
-
-def packed_char_gram_arrays(col) -> list:
-    """Per-doc packed char-3-gram codes from RAW text:
-    ``cp1·2²⁰ + cp2·2¹⁰ + cp3`` — exactly
-    ``ascii(substr(text,i,1))*1048576 + ascii(substr(text,i+1,1))*1024 +
-    ascii(substr(text,i+2,1))`` in DuckDB, which makes MinHash over these
-    grams fully SQL-oracle-able (q_near_dup_pairs_minhash_seeded).
-    ASCII-only by contract (bytes == characters == codepoints); raises on
-    non-ASCII input rather than silently diverging from substr semantics.
-    Docs shorter than 3 chars contribute zero grams (SQL range semantics).
-    """
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    if n == 0:
-        return []
-    width = 8 if pa.types.is_large_string(col.type) else 4
-    bufs = col.buffers()
-    offs = np.frombuffer(
-        bufs[1], dtype=np.int64 if width == 8 else np.int32,
-        count=n + 1, offset=col.offset * width,
-    ).astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.empty(0, np.uint8)
-    )
-    span = data[offs[0]:offs[-1]]
-    if len(span) and span.max() >= 128:
-        raise ValueError(
-            "packed_char_gram_arrays requires ASCII text (byte==char "
-            "invariant vs the DuckDB substr oracle)"
-        )
-    lens = np.diff(offs)
-    out: list = [np.empty(0, np.uint64)] * n
-    big = np.flatnonzero(lens >= 3)
-    if len(big):
-        n_g = lens[big] - 2
-        g_offs = np.concatenate(([0], np.cumsum(n_g)))
-        idx = np.arange(g_offs[-1], dtype=np.int64)
-        within = idx - np.repeat(g_offs[:-1], n_g)
-        s = np.repeat(offs[big], n_g) + within
-        d = data.astype(np.uint64)
-        v = d[s] * np.uint64(1 << 20) + d[s + 1] * np.uint64(1 << 10) + d[s + 2]
-        for pos, i in enumerate(big):
-            out[i] = v[g_offs[pos]:g_offs[pos + 1]]
-    return out
 
 
 class PairShingleJaccard:

@@ -192,6 +192,54 @@ class SimHasher:
         )
 
 
+def packed_char_gram_arrays(col) -> list:
+    """Per-doc packed char-3-gram codes from RAW text:
+    ``cp1·2²⁰ + cp2·2¹⁰ + cp3`` — exactly
+    ``ascii(substr(text,i,1))*1048576 + ascii(substr(text,i+1,1))*1024 +
+    ascii(substr(text,i+2,1))`` in DuckDB, which makes MinHash over these
+    grams fully SQL-oracle-able (q_near_dup_pairs_minhash_seeded).
+    ASCII-only by contract (bytes == characters == codepoints); raises on
+    non-ASCII input rather than silently diverging from substr semantics.
+    Docs shorter than 3 chars contribute zero grams (SQL range semantics).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return []
+    width = 8 if pa.types.is_large_string(col.type) else 4
+    bufs = col.buffers()
+    offs = np.frombuffer(
+        bufs[1], dtype=np.int64 if width == 8 else np.int32,
+        count=n + 1, offset=col.offset * width,
+    ).astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    span = data[offs[0]:offs[-1]]
+    if len(span) and span.max() >= 128:
+        raise ValueError(
+            "packed_char_gram_arrays requires ASCII text (byte==char "
+            "invariant vs the DuckDB substr oracle)"
+        )
+    lens = np.diff(offs)
+    out: list = [np.empty(0, np.uint64)] * n
+    big = np.flatnonzero(lens >= 3)
+    if len(big):
+        n_g = lens[big] - 2
+        g_offs = np.concatenate(([0], np.cumsum(n_g)))
+        idx = np.arange(g_offs[-1], dtype=np.int64)
+        within = idx - np.repeat(g_offs[:-1], n_g)
+        s = np.repeat(offs[big], n_g) + within
+        d = data.astype(np.uint64)
+        v = d[s] * np.uint64(1 << 20) + d[s + 1] * np.uint64(1 << 10) + d[s + 2]
+        for pos, i in enumerate(big):
+            out[i] = v[g_offs[pos]:g_offs[pos + 1]]
+    return out
+
+
 def fit_langid_profiles(texts: list[str], langs: list[str], top: int = 300) -> dict[str, dict[str, float]]:
     """Per-language character-trigram frequency profiles (classic n-gram
     langid heuristic — Cavnar & Trenkle style). Driver-side fit over a
@@ -225,6 +273,28 @@ class LangId:
         self.text_col = text_col
         self.id_col = id_col
         self.ws = re.compile(r"\s+")
+        # vectorized scoring state: per-lang (sorted packed 3-gram codes,
+        # aligned weights). Packing requires every profile-gram char to be
+        # ASCII (the packed_char_gram_arrays byte==char invariant); a
+        # non-ASCII profile disables the fast path entirely.
+        self._vec = None
+        try:
+            per_lang = []
+            for l in self.langs:
+                items = self.profiles[l]
+                grams = pa.array(list(items), type=pa.string())
+                codes_list = packed_char_gram_arrays(grams)
+                codes = np.array(
+                    [c[0] for c in codes_list], dtype=np.uint64
+                )
+                if any(len(c) != 1 for c in codes_list):
+                    raise ValueError("profile gram not exactly 3 chars")
+                w = np.fromiter(items.values(), dtype=np.float64, count=len(items))
+                o = np.argsort(codes)
+                per_lang.append((codes[o], w[o]))
+            self._vec = per_lang
+        except ValueError:
+            self._vec = None  # non-ASCII profiles → per-row path
 
     def predict(self, text: str) -> str:
         s = " " + self.ws.sub(" ", text.lower()) + " "
@@ -238,6 +308,57 @@ class LangId:
         return best_lang
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized scoring (round-3): normalize the whole column with
+        Arrow kernels ("[ \\t\\n\\r\\f\\v]+" ≡ Python \\s on ASCII), pack
+        3-gram codes once, then one searchsorted + bincount per language
+        (L is small). Gram-hit weights sum in a different order than the
+        per-row path, so exact float ties at the argmax could in theory
+        differ — profiles are distinct enough that this is vacuous, and
+        the query is documented rows-only (model scoring). Non-ASCII
+        batches (or profiles) fall back to the per-row ``predict``."""
+        if self._vec is not None:
+            try:
+                col = batch.column(self.text_col)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                norm = pc.binary_join_element_wise(
+                    " ",
+                    pc.replace_substring_regex(
+                        pc.utf8_lower(col), "[ \t\n\r\f\v]+", " "
+                    ),
+                    " ",
+                    "",
+                )
+                glist = packed_char_gram_arrays(norm)
+                n = len(glist)
+                counts = np.fromiter(
+                    (len(g) for g in glist), dtype=np.int64, count=n
+                )
+                grams = (
+                    np.concatenate(glist) if n else np.empty(0, np.uint64)
+                )
+                parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+                scores = np.zeros((n, len(self.langs)), dtype=np.float64)
+                for j, (codes, w) in enumerate(self._vec):
+                    if len(codes) == 0 or len(grams) == 0:
+                        continue
+                    pos = np.minimum(
+                        np.searchsorted(codes, grams), len(codes) - 1
+                    )
+                    hit = codes[pos] == grams
+                    scores[:, j] = np.bincount(
+                        parent[hit], weights=w[pos[hit]], minlength=n
+                    )
+                best = np.argmax(scores, axis=1)
+                preds = np.array(self.langs, dtype=object)[best]
+                return pa.table(
+                    {
+                        "doc_id": batch.column(self.id_col),
+                        "pred_lang": pa.array(preds, type=pa.string()),
+                    }
+                )
+            except ValueError:
+                pass  # non-ASCII text in this batch → per-row path
         texts = batch.column(self.text_col).to_pylist()
         return pa.table(
             {
