@@ -23,7 +23,6 @@ oracles do the identical integer arithmetic.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd

@@ -43,7 +43,7 @@ from ..functions.wikifilters import (
     filter_wikidata_page,
 )
 from ..sources.mysqldump import read_mysqldump
-from ..stages.salted import merge_group_sums, partial_count, partial_sum
+from ..stages.salted import partial_count, partial_sum
 from .wikiprocess import LinktargetJoiner
 
 

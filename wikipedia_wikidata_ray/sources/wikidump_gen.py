@@ -42,7 +42,6 @@ from __future__ import annotations
 import gzip
 import os
 
-import numpy as np
 import pyarrow.parquet as pq
 
 from .pages_gen import derive_geo
