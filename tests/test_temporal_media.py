@@ -166,3 +166,70 @@ def test_sorted_group_apply_single_giant_key_and_many_blocks():
              "n_events", "sum_value"]],
         want, check_dtype=False,
     )
+
+
+def test_asof_join_single_giant_key_matches_merge_asof():
+    """One key larger than any sorted block (edge-block path) + many tiny
+    keys, vs pandas merge_asof."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    def side(n_giant, n_tiny, idc):
+        ks = np.concatenate([np.zeros(n_giant, dtype=np.int64),
+                             rng.randint(1, 60, n_tiny).astype(np.int64)])
+        ts = rng.randint(0, 100_000, n_giant + n_tiny)
+        # unique (k, ts) so the comparison is tie-break-free
+        df = pd.DataFrame({"k": ks, "s": ts}).drop_duplicates(["k", "s"])
+        return pa.table({
+            "k": pa.array(df["k"].to_numpy()),
+            "ts": pa.array(df["s"].to_numpy().astype("datetime64[s]").astype("datetime64[us]")),
+            idc: pa.array(np.arange(len(df), dtype=np.int64)),
+        })
+
+    lt, rt = side(3000, 200, "lid"), side(3000, 200, "rid")
+    got = (
+        asof_join(rd.from_arrow(lt).repartition(16), rd.from_arrow(rt).repartition(16),
+                  key="k", ts="ts", tie_col="rid", right_value_cols=["rid"],
+                  num_partitions=8)
+        .to_pandas().sort_values("lid", ignore_index=True)
+    )
+    ldf = lt.to_pandas().sort_values("ts", kind="stable", ignore_index=True)
+    rdf = rt.to_pandas().sort_values("ts", kind="stable", ignore_index=True)
+    want = pd.merge_asof(ldf, rdf, on="ts", by="k", direction="backward",
+                         suffixes=("", "_r")).sort_values("lid", ignore_index=True)
+    assert got["asof_rid"].astype("float64").equals(want["rid_r" if "rid_r" in want else "rid"].astype("float64"))
+    assert len(got) == len(lt)
+
+
+def test_preceding_window_count_single_giant_key():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.ops.rangejoin import preceding_window_count
+
+    rng = np.random.RandomState(6)
+    n = 4000
+    ks = np.zeros(n, dtype=np.int64)  # ONE key: every block boundary is an edge
+    lts = rng.randint(0, 50_000, n)
+    rts = rng.randint(0, 50_000, n)
+    mk = lambda ts, idc: pa.table({
+        "k": pa.array(ks),
+        "ts": pa.array(ts.astype("datetime64[s]").astype("datetime64[us]")),
+        idc: pa.array(np.arange(n, dtype=np.int64)),
+    })
+    win = 600 * 1_000_000
+    got = (
+        preceding_window_count(rd.from_arrow(mk(lts, "lid")).repartition(16),
+                               rd.from_arrow(mk(rts, "rid")).repartition(16),
+                               key="k", ts="ts", window_us=win, out="n",
+                               num_partitions=8)
+        .to_pandas().sort_values("lid", ignore_index=True)
+    )
+    rs = np.sort(rts)
+    want = np.searchsorted(rs, lts, side="right") - np.searchsorted(rs, lts - 600, side="right")
+    assert got["n"].to_numpy().tolist() == want.tolist()
