@@ -233,3 +233,36 @@ def test_langid_vectorized_matches_predict():
          "text": pa.array(["héllo wörld"])}
     )
     assert li(t2).column("pred_lang").to_pylist() == [li.predict("héllo wörld")]
+
+
+def test_rolling_fingerprinter_vectorized_matches_scalar():
+    import numpy as np
+    import pyarrow as pa
+
+    from wikipedia_wikidata_ray.ops.textstats import RollingFingerprinter
+
+    rng = np.random.default_rng(2)
+    chars = list("abcdefgh XY.,!01")
+    texts = ["".join(rng.choice(chars, rng.integers(0, 120))) for _ in range(60)]
+    texts += ["", "short", "a" * 8, "a" * 7, "é" * 20 + "abcdefgh"]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    rf = RollingFingerprinter()
+    got = rf(t)  # mixed batch contains non-ascii → whole-batch fallback
+    for i, x in enumerate(texts):
+        h = rf.doc_hashes(x)
+        assert got["n_windows"][i].as_py() == len(h)
+        assert got["fp_min"][i].as_py() == (int(h.min()) if len(h) else -1)
+        assert got["n_distinct_windows"][i].as_py() == len(np.unique(h))
+    # pure-ascii slice exercises the vectorized path
+    t2 = pa.table(
+        {"doc_id": pa.array(np.arange(60), type=pa.int64()),
+         "text": pa.array(texts[:60])}
+    )
+    got2 = rf(t2)
+    for i in range(60):
+        h = rf.doc_hashes(texts[i])
+        assert got2["fp_min"][i].as_py() == (int(h.min()) if len(h) else -1)
+        assert got2["n_distinct_windows"][i].as_py() == len(np.unique(h))

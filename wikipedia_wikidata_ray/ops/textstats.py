@@ -401,15 +401,63 @@ class RollingFingerprinter:
         return (win * self.pows[None, :]).sum(axis=1) % ROLL_MOD
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n_windows = np.zeros(len(texts), dtype=np.int64)
-        fp_min = np.zeros(len(texts), dtype=np.int64)
-        n_distinct = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            h = self.doc_hashes(t)
-            n_windows[i] = len(h)
-            fp_min[i] = h.min() if len(h) else -1
-            n_distinct[i] = len(np.unique(h))
+        """Batch-vectorized (round-3: the per-doc path ran an ``ord()``
+        generator per CHARACTER): window hashes for every doc in one
+        global fan-out straight off the Arrow string buffer (ASCII ⇒
+        byte == ord == the oracle's ascii(substr)); per-doc min via
+        ``np.minimum.reduceat`` and distinct-count via one lexsort —
+        identical integer arithmetic to ``doc_hashes``. Non-ASCII batches
+        fall back to the per-row path (ord ≠ byte there)."""
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        n_windows = np.zeros(n, dtype=np.int64)
+        fp_min = np.full(n, -1, dtype=np.int64)
+        n_distinct = np.zeros(n, dtype=np.int64)
+        try:
+            if n:
+                width = 8 if pa.types.is_large_string(col.type) else 4
+                bufs = col.buffers()
+                offs = np.frombuffer(
+                    bufs[1], dtype=np.int64 if width == 8 else np.int32,
+                    count=n + 1, offset=col.offset * width,
+                ).astype(np.int64)
+                data = (
+                    np.frombuffer(bufs[2], dtype=np.uint8)
+                    if bufs[2] is not None else np.empty(0, np.uint8)
+                )
+                span = data[offs[0]:offs[-1]]
+                if len(span) and span.max() >= 128:
+                    raise ValueError("non-ascii")
+                lens = np.diff(offs)
+                big = np.flatnonzero(lens >= ROLL_WINDOW)
+                if len(big):
+                    n_w = lens[big] - ROLL_WINDOW + 1
+                    w_offs = np.concatenate(([0], np.cumsum(n_w)))
+                    idx = np.arange(w_offs[-1], dtype=np.int64)
+                    within = idx - np.repeat(w_offs[:-1], n_w)
+                    s = np.repeat(offs[big], n_w) + within
+                    d = data.astype(np.int64)
+                    v = np.zeros(len(idx), dtype=np.int64)
+                    for k in range(ROLL_WINDOW):
+                        v += d[s + k] * self.pows[k]
+                    v %= ROLL_MOD
+                    parent = np.repeat(big, n_w)
+                    n_windows[big] = n_w
+                    fp_min[big] = np.minimum.reduceat(v, w_offs[:-1])
+                    order = np.lexsort((v, parent))
+                    ps, vs = parent[order], v[order]
+                    new = np.ones(len(ps), dtype=bool)
+                    new[1:] = (ps[1:] != ps[:-1]) | (vs[1:] != vs[:-1])
+                    n_distinct = np.bincount(ps[new], minlength=n).astype(np.int64)
+        except ValueError:
+            texts = col.to_pylist()
+            for i, t in enumerate(texts):
+                h = self.doc_hashes(t)
+                n_windows[i] = len(h)
+                fp_min[i] = h.min() if len(h) else -1
+                n_distinct[i] = len(np.unique(h))
         return pa.table(
             {
                 "doc_id": batch.column(self.id_col),
