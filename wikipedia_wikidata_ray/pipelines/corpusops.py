@@ -450,8 +450,132 @@ HAVING COUNT(*) * 1000 >= (SELECT n FROM tot)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: bigram_pmi — top-k collocations by pointwise mutual information (the
+# classic corpus-association statistic; useful for tokenizer/vocab design
+# and boilerplate detection). Data movement is the vocab_topk shape: the
+# corpus never shuffles — per-batch bigram/unigram value-count partials
+# ride merge_group_sums, the top-k bigrams are a 50-row result, and the
+# unigram counts needed for scoring are fetched for ≤ 2k candidate tokens
+# only (candidate-bounded take; documented bound). Float policy: identical
+# IEEE op sequence ln((c_ab·N)·1.0/(c_a·c_b)) rounded to 10 dp on BOTH
+# sides (the importance-score precedent).
+
+PMI_K = 50
+
+
+def q_bigram_pmi(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        lists = _token_lists(t["text"])
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"token": vc.field("values"),
+             "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    uni = merge_group_sums(
+        docs.map_batches(uni_partial, batch_format="pyarrow"), ["token"], ["cnt"]
+    ).materialize()
+    n_tokens = int(uni.sum("cnt") or 0)
+
+    # top-PMI_K bigrams by count (deterministic tie-break on token) —
+    # a PMI_K-row table by construction
+    bi_tbl = pa.concat_tables(
+        [b for b in _vocab_topk_ds(sf_dir, PMI_K).iter_batches(batch_format="pyarrow")]
+    )
+    pairs = bi_tbl.column("token").to_pylist()
+    cand = sorted({w for p in pairs for w in p.split(" ")})
+    cand_arr = pa.array(cand, type=pa.string())
+
+    # unigram counts for candidate tokens only (≤ 2·PMI_K rows)
+    need = uni.map_batches(
+        lambda t, _c=cand_arr: t.filter(pc.is_in(t["token"], value_set=_c)),
+        batch_format="pyarrow",
+    ).take_all()
+    cmap = {r["token"]: r["cnt"] for r in need}
+
+    la = np.array([cmap[p.split(" ")[0]] for p in pairs], dtype=np.int64)
+    lb = np.array([cmap[p.split(" ")[1]] for p in pairs], dtype=np.int64)
+    c_ab = bi_tbl.column("cnt").to_numpy().astype(np.int64)
+    pmi = np.round(
+        np.log((c_ab * np.int64(n_tokens)).astype(np.float64) * 1.0 / (la * lb)),
+        10,
+    )
+    out = pa.table(
+        {
+            "token": bi_tbl.column("token"),
+            "cnt": pa.array(c_ab),
+            "pmi": pa.array(pmi),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+def _vocab_topk_ds(sf_dir: str, k: int):
+    """vocab_topk with a parameterized k (shared machinery)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = _token_lists(t["text"])
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy()
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        if len(flat) < 2:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        left = flat.slice(0, len(flat) - 1)
+        right = flat.slice(1)
+        bi = pc.binary_join_element_wise(left, right, " ")
+        bi = bi.filter(pa.array(parent[:-1] == parent[1:]))
+        vc = pc.value_counts(bi)
+        return pa.table(
+            {"token": vc.field("values"),
+             "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    merged = merge_group_sums(partials, ["token"], ["cnt"])
+    return merged.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+SQL_BIGRAM_PMI = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk FROM documents
+),
+uni AS (SELECT unnest(tk) AS tok FROM t),
+ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM uni),
+bi AS (
+  SELECT tk[CAST(i.i AS INT)] || ' ' || tk[CAST(i.i AS INT) + 1] AS token
+  FROM t, range(1, {ORACLE_TOKENS_CAP + 1}) i(i) WHERE i.i <= len(tk) - 1
+),
+top AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi
+  GROUP BY token ORDER BY cnt DESC, token LIMIT {PMI_K}
+)
+SELECT top.token, top.cnt,
+       ROUND(LN((top.cnt * n.nn) * 1.0 / (ca.c * cb.c)), 10) AS pmi
+FROM top, n
+JOIN ucnt ca ON ca.tok = split_part(top.token, ' ', 1)
+JOIN ucnt cb ON cb.tok = split_part(top.token, ' ', 2)
+"""
+
+
 CORPUSOPS_QUERIES = {
     "vocab_topk": q_vocab_topk,
+    "bigram_pmi": q_bigram_pmi,
     "quality_filter": q_quality_filter,
     "dup_clusters": q_dup_clusters,
     "corpus_curation": q_corpus_curation,
@@ -461,6 +585,7 @@ CORPUSOPS_QUERIES = {
 
 CORPUSOPS_ORACLES = {
     "vocab_topk": SQL_VOCAB_TOPK,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     "quality_filter": SQL_QUALITY_FILTER,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "corpus_curation": SQL_CORPUS_CURATION,

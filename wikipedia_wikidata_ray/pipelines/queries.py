@@ -529,7 +529,8 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # (round-2 verdict, "What's missing" #1). All were green locally.
 _DRIVER_PRIORITY = [
     # new in round 3
-    "near_dup_pairs_minhash_seeded", "ann_topk_ivf_grid",
+    "near_dup_pairs_minhash_seeded", "ann_topk_ivf_grid", "gram_repetition",
+    "bigram_pmi",
     # never driver-checked as of CORRECTNESS_r02
     "url_host_stats", "decontaminate", "stratified_sample", "tfidf_top_terms",
     "length_percentiles", "pii_scrub", "events_asof_click", "event_sessions",

@@ -309,6 +309,74 @@ WEBTEXT_ORACLES["decontaminate"] = SQL_DECONTAMINATE
 
 
 # ---------------------------------------------------------------------------
+# Q: gram_repetition — within-document duplicate-n-gram fraction (the
+# Gopher-style repetition quality signal: heavily self-repeating docs are
+# boilerplate/spam). Rides the SAME vectorized gram-hash machinery as
+# decontamination (zero per-row Python; 64-bit gram-hash collision policy
+# documented at _gram_hash_arrays — distinct counts may differ from the
+# string oracle with probability ≈ n²/2⁶⁴, accepted).
+
+
+def q_gram_repetition(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        gh, parent, n = _gram_hash_arrays(t.column("text"))
+        total = np.bincount(parent, minlength=n).astype(np.int64)
+        if len(gh):
+            order = np.lexsort((gh, parent))
+            ps, vs = parent[order], gh[order]
+            new = np.ones(len(ps), dtype=bool)
+            new[1:] = (ps[1:] != ps[:-1]) | (vs[1:] != vs[:-1])
+            distinct = np.bincount(ps[new], minlength=n).astype(np.int64)
+        else:
+            distinct = np.zeros(n, dtype=np.int64)
+        frac = np.where(
+            total > 0, (total - distinct) / np.maximum(total, 1), 0.0
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": pa.array(total),
+                "n_distinct_grams": pa.array(distinct),
+                "dup_gram_frac": pa.array(frac),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_GRAM_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(t[i:i+{GRAM_N - 1}], ' ') AS g
+  FROM toks, range(1, {ORACLE_TOKENS_CAP}) r(i)
+  WHERE i <= len(t) - {GRAM_N - 1}
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         COUNT(DISTINCT g) AS n_distinct_grams
+  FROM g GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_distinct_grams, 0) AS n_distinct_grams,
+       CASE WHEN COALESCE(a.n_grams, 0) > 0
+            THEN (a.n_grams - a.n_distinct_grams) * 1.0 / a.n_grams
+            ELSE 0.0 END AS dup_gram_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+WEBTEXT_QUERIES["gram_repetition"] = q_gram_repetition
+WEBTEXT_ORACLES["gram_repetition"] = SQL_GRAM_REPETITION
+
+
+# ---------------------------------------------------------------------------
 # Q: stratified_sample — per-language deterministic hash sampling
 #
 # Per-stratum rates (upsample the head language less): en keeps 1/2,
