@@ -78,9 +78,17 @@ def main():
 
     failures = 0
     for name in names:
-        res = to_pandas(qs[name](sf_dir))
+        # a crashing query is recorded as CRASH and the gate continues —
+        # a one-off Ray transient must not silently truncate the board
+        # (observed once: run died mid-gate leaving 17 of 68 lines)
+        try:
+            res = to_pandas(qs[name](sf_dir))
+        except Exception as e:
+            failures += 1
+            print(f"{name}: CRASH {type(e).__name__}: {str(e)[:300]}", flush=True)
+            continue
         if name not in oracles:
-            print(f"{name}: rows={len(res)} (no oracle — rows-only)")
+            print(f"{name}: rows={len(res)} (no oracle — rows-only)", flush=True)
             continue
         want = con.execute(oracles[name]).fetchdf()
         a, b = canon(res), canon(want)
@@ -95,7 +103,7 @@ def main():
             except AssertionError as err:
                 msg = str(err).splitlines()[0]
         if ok_cols and ok_rows and ok_vals:
-            print(f"{name}: OK rows={len(a)}")
+            print(f"{name}: OK rows={len(a)}", flush=True)
         else:
             failures += 1
             print(f"{name}: FAIL cols_match={ok_cols} rows {len(a)} vs {len(b)}")

@@ -323,23 +323,30 @@ def ann_topk_ivf_partitioned(
         resolve, batch_format="pyarrow"
     )
 
-    def topk(group: pa.Table) -> pa.Table:
-        sim = group["sim"].to_numpy(zero_copy_only=False)
-        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((nid, -sim))[: min(k, len(group))]
-        kk = len(order)
+    # per-query merge of the ≤ nprobe × k partials: queries are MANY TINY
+    # groups — grouped_topk's sorted-run path, NOT groupby().map_groups
+    # (CLAUDE.md tiny-group rule; a candidate appears in exactly one
+    # bucket so (sim desc, neighbor asc) is a total order per query)
+    from .topk import grouped_topk
+
+    merged = grouped_topk(
+        partials, ["vec_id"], [("sim", False), ("neighbor_id", True)],
+        k=k, rank_col="rank",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "vec_id": group["vec_id"].take(pa.array(order)),
-                "neighbor_id": pa.array(nid[order]),
-                "rank": pa.array(np.arange(1, kk + 1, dtype=np.int32)),
-                "sim": pa.array(np.round(sim[order], 6)),
+                "vec_id": t["vec_id"],
+                "neighbor_id": t["neighbor_id"],
+                "rank": pc.cast(t["rank"], pa.int32()),
+                "sim": pa.array(
+                    np.round(t["sim"].to_numpy(zero_copy_only=False), 6)
+                ),
             }
         )
 
-    return partials.groupby("vec_id", num_partitions=num_partitions).map_groups(
-        topk, batch_format="pyarrow"
-    )
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs(ds: Dataset, candidates: dict, threshold: float = 0.95) -> Dataset:

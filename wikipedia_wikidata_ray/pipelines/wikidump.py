@@ -312,23 +312,21 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
         lv = pc.take(varr, pc.index_in(t["place_type"], value_set=karr))
         return t.append_column("ont_level", lv).filter(pc.is_valid(lv))
 
-    def pick(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[("ont_level", "descending"), ("place_type", "ascending")],
-        )
-        return group.take(idx[:1])
-
     pt_path = os.path.join(dump_dir, "wikidata_place_types.sql.gz")
     picks = None
     if os.path.exists(pt_path):
-        picks = (
-            table("wikidata_place_types.sql.gz", 2)
-            .map_batches(add_level, batch_format="pyarrow")
-            .groupby("item_id", num_partitions=num_partitions)
-            .map_groups(pick, batch_format="pyarrow")
-            .select_columns(["item_id", "place_type"])
-        )
+        # F5 deterministic DISTINCT ON via grouped_topk(k=1) — items are
+        # MANY TINY groups (CLAUDE.md tiny-group rule)
+        from ..ops.topk import grouped_topk
+
+        picks = grouped_topk(
+            table("wikidata_place_types.sql.gz", 2).map_batches(
+                add_level, batch_format="pyarrow"
+            ),
+            ["item_id"],
+            [("ont_level", False), ("place_type", True)],
+            k=1,
+        ).select_columns(["item_id", "place_type"])
 
     # D3/B4 + D5: primary earth coordinates per item (5-dp float policy,
     # functions/wikifilters.filter_geo_tags)

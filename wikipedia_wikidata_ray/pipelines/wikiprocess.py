@@ -232,26 +232,29 @@ FROM geodup g
 
 
 def q_wiki_place_pick(sf_dir: str) -> Dataset:
-    levels = PLACE_TYPE_LEVELS  # tiny side → closure broadcast (D4)
+    # D4 tiny-side lookup vectorized (index_in against the broadcast
+    # key/value arrays — no per-row dict probe)
+    keys = sorted(PLACE_TYPE_LEVELS)
+    karr = pa.array(keys, type=pa.string())
+    varr = pa.array([PLACE_TYPE_LEVELS[k] for k in keys], type=pa.int64())
 
     def add_level(t: pa.Table) -> pa.Table:
-        inst = t["instance_of"].to_pylist()
-        return t.append_column(
-            "ont_level", pa.array([levels[i] for i in inst], type=pa.int64())
+        lv = pa.compute.take(
+            varr, pa.compute.index_in(t["instance_of"], value_set=karr)
         )
+        return t.append_column("ont_level", lv)
 
     dump = wf.wikidata_place_dump(sf_dir).map_batches(
         add_level, batch_format="pyarrow"
     )
+    # F5 deterministic DISTINCT ON = grouped_topk(k=1) — items are MANY
+    # TINY groups, the per-group dispatch regime (CLAUDE.md rule); the
+    # sorted-run path replaces groupby().map_groups
+    from ..ops.topk import grouped_topk
 
-    def pick(group: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(
-            group,
-            sort_keys=[("ont_level", "descending"), ("instance_of", "ascending")],
-        )
-        return group.take(idx[:1])
-
-    return dump.groupby("item").map_groups(pick, batch_format="pyarrow")
+    return grouped_topk(
+        dump, ["item"], [("ont_level", False), ("instance_of", True)], k=1
+    )
 
 
 SQL_WIKI_PLACE_PICK = """
