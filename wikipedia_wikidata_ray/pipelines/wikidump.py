@@ -423,6 +423,10 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
             for L in langs
         ]
     )
+    # materialize before the join: streamed union bundles of 0-row parse
+    # shards can arrive schema-less and Ray joins are fragile on those
+    # (CLAUDE.md empty-side rule; the redirect table is small by nature)
+    redirects = redirects.materialize()
     red_full = redirects.join(
         pages,
         "inner",
