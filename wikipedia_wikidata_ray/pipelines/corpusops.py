@@ -54,38 +54,7 @@ def _token_lists(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def q_vocab_topk(sf_dir: str) -> Dataset:
-    k = 100
-
-    def partial(t: pa.Table) -> pa.Table:
-        lists = _token_lists(t["text"])
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists).to_numpy()
-        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        parent = parent[keep]
-        if len(flat) < 2:
-            return pa.table(
-                {"token": pa.array([], type=pa.string()),
-                 "cnt": pa.array([], type=pa.int64())}
-            )
-        # bigram = tok[j] + " " + tok[j+1] where both belong to one doc
-        left = flat.slice(0, len(flat) - 1)
-        right = flat.slice(1)
-        bi = pc.binary_join_element_wise(left, right, " ")
-        same_doc = parent[:-1] == parent[1:]
-        bi = bi.filter(pa.array(same_doc))
-        vc = pc.value_counts(bi)
-        return pa.table(
-            {"token": vc.field("values"),
-             "cnt": pc.cast(vc.field("counts"), pa.int64())}
-        )
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    partials = docs.map_batches(partial, batch_format="pyarrow")
-    merged = merge_group_sums(partials, ["token"], ["cnt"])
-    return merged.sort(["cnt", "token"], descending=[True, False]).limit(k)
+    return _vocab_topk_ds(sf_dir, k=100)
 
 
 # Static caps for DuckDB range() cross-joins in oracle SQL (DuckDB's
@@ -517,8 +486,10 @@ def q_bigram_pmi(sf_dir: str) -> Dataset:
     return rd.from_arrow(out)
 
 
-def _vocab_topk_ds(sf_dir: str, k: int):
-    """vocab_topk with a parameterized k (shared machinery)."""
+def _vocab_topk_ds(sf_dir: str, k: int) -> Dataset:
+    """Top-k corpus bigrams by count (shared by q_vocab_topk and
+    q_bigram_pmi): per-batch bigram value-count partials on the
+    merge_group_sums combiner path, then one global sort+limit."""
 
     def partial(t: pa.Table) -> pa.Table:
         lists = _token_lists(t["text"])
@@ -534,6 +505,7 @@ def _vocab_topk_ds(sf_dir: str, k: int):
                 {"token": pa.array([], type=pa.string()),
                  "cnt": pa.array([], type=pa.int64())}
             )
+        # bigram = tok[j] + " " + tok[j+1] where both belong to one doc
         left = flat.slice(0, len(flat) - 1)
         right = flat.slice(1)
         bi = pc.binary_join_element_wise(left, right, " ")
