@@ -233,3 +233,18 @@ def test_preceding_window_count_single_giant_key():
     rs = np.sort(rts)
     want = np.searchsorted(rs, lts, side="right") - np.searchsorted(rs, lts - 600, side="right")
     assert got["n"].to_numpy().tolist() == want.tolist()
+
+
+def test_cents_fixed_point_roundtrip_property():
+    """q_segment_median_balance's exactness contract: for any 2-decimal
+    value v stored as its nearest double, round(v*100) is an exact int64
+    and cents/100.0 restores v BITWISE — so the histogram-partials median
+    returns the same element PERCENTILE_DISC would."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.randint(-999_999, 10_000_000, size=200_000).astype(np.int64)
+    v = cents / 100.0  # nearest-double of each 2-dp value
+    back = np.round(v * 100.0).astype(np.int64)
+    assert np.array_equal(back, cents)
+    assert np.all(back / 100.0 == v)  # bitwise

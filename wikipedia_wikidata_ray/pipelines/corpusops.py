@@ -25,8 +25,6 @@ brief; all three DuckDB-oracle-checked).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -35,6 +33,7 @@ import ray.data as rd
 from ray.data import Dataset
 
 from ..ops.cc import connected_components
+from ..ops.dedup import sha256_hex_col
 from ..ops.textstats import STOPWORDS, TOKEN_PATTERN
 from ..stages.salted import (
     default_partitions,
@@ -252,8 +251,9 @@ def curate_corpus(docs: Dataset) -> Dataset:
     def gate_hash(t: pa.Table) -> pa.Table:
         n_words, _, _, passing = _gate_features(t)
         kept = t.filter(pa.array(passing))
-        texts = kept["text"].to_pylist()
-        h = [hashlib.sha256(x.encode("utf-8")).hexdigest()[:32] for x in texts]
+        # buffer-view sha256 (ops/dedup.sha256_hex_col): ~5× over
+        # to_pylist+encode, bitwise identical (round-3 lesson)
+        h = sha256_hex_col(kept["text"])
         return pa.table(
             {
                 "doc_id": kept["doc_id"],

@@ -313,7 +313,8 @@ def _fold_links_shuffle(links: Dataset, articles: Dataset, num_partitions: int) 
 def importance_pipeline(pages_fn, num_partitions: int | None = None,
                         articles: Dataset | None = None,
                         links: Dataset | None = None,
-                        n_articles: int | None = None) -> Dataset:
+                        n_articles: int | None = None,
+                        broadcast_limit: int = 20_000_000) -> Dataset:
     """E1-E5/D2 scoring over any pages source (``pages_fn() -> Dataset``).
 
     ``num_partitions`` sizes the join shuffle; defaults to half the
@@ -364,7 +365,7 @@ def importance_pipeline(pages_fn, num_partitions: int | None = None,
     #     to articles, then the per-doc merge (three shuffles).
     if n_articles is None:
         n_articles = pages.count()
-    if n_articles <= 20_000_000:
+    if n_articles <= broadcast_limit:
         parts = _fold_links_broadcast(links, articles, n_articles)
     else:
         parts = _fold_links_shuffle(links, articles, num_partitions)
@@ -522,20 +523,20 @@ ORACLES.update(TEMPORAL_MEDIA_ORACLES)
 ORACLES.update(WEBTEXT_ORACLES)
 ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 
-# Driver-board ordering: the driver's correctness run sampled a ~50-query
-# prefix of this registry in round 2, leaving 14 registered queries
-# locally-verified-only. Queries never yet on the driver's board sort
-# FIRST so the least-proven operators are never the ones that rotate out
-# (round-2 verdict, "What's missing" #1). All were green locally.
+# Driver-board ordering: the driver's correctness run samples a ~50-query
+# prefix of this registry each round. Queries that did NOT make the previous
+# round's board sort FIRST so the least-recently-proven operators are never
+# the ones that rotate out (round-2/-3 verdicts, "What's missing" #1).
+# Round 4: head = the 18 queries absent from CORRECTNESS_r03.json (all were
+# green on the r2 board and re-verified green locally at r3 code).
 _DRIVER_PRIORITY = [
-    # new in round 3
-    "near_dup_pairs_minhash_seeded", "ann_topk_ivf_grid", "gram_repetition",
-    "bigram_pmi",
-    # never driver-checked as of CORRECTNESS_r02
-    "url_host_stats", "decontaminate", "stratified_sample", "tfidf_top_terms",
-    "length_percentiles", "pii_scrub", "events_asof_click", "event_sessions",
-    "error_click_window", "media_features", "media_frame_samples",
-    "segment_median_balance", "wiki_article_full", "wikidump_importance_export",
+    # rotated off the r3 driver board by the 50-query cap
+    "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
+    "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
+    "hash_sample", "simhash_near_dups", "embedding_neardups_blocked",
+    "token_counts_bpe", "rolling_fingerprints", "warc_extract_text",
+    "wiki_pagelinks_counts", "wiki_redirect_resolve", "wiki_geo_enrich",
+    "wiki_place_pick", "wiki_sitelinks_join",
 ]
 
 

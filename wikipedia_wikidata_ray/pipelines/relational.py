@@ -191,13 +191,18 @@ def q_nation_revenue(sf_dir: str) -> Dataset:
     import pyarrow.parquet as pq
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nmap = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    nat_keys = pc.cast(nat.column("n_nationkey"), pa.int64()).combine_chunks()
+    nat_names = pc.cast(nat.column("n_name"), pa.string()).combine_chunks()
 
     def add_nation(t: pa.Table) -> pa.Table:
-        nk = t.column("c_nationkey").to_pylist()
+        # D4 idiom (wikiprocess.py:237-245): index_in/take against the
+        # 25-key broadcast arrays — no per-row Python over lineitem-scale rows
+        idx = pc.index_in(
+            pc.cast(t.column("c_nationkey"), pa.int64()), value_set=nat_keys
+        )
         return pa.table(
             {
-                "n_name": pa.array([nmap[k] for k in nk], type=pa.string()),
+                "n_name": pc.take(nat_names, idx),
                 "rev_c4": t.column("rev_c4"),
             }
         )

@@ -185,25 +185,71 @@ GROUP BY 1, 2, 3
 
 
 def q_segment_median_balance(sf_dir: str) -> Dataset:
-    """Exact grouped median (percentile_disc 0.5 — lower-middle element),
-    via key-partitioned map_groups: the non-algebraic aggregate path."""
+    """Exact grouped median (PERCENTILE_DISC 0.5 — the 1-based element at
+    ceil(n/2)) on the histogram-partials path (same machinery as
+    webtext.q_length_percentiles): per-block (segment, cents, count)
+    partials → ONE merge_group_sums shuffle of counts → the median read
+    off the merged histogram. No group's raw values ever co-locate, so the
+    aggregate is safe for high-cardinality group keys (the prior
+    map_groups plan shuffled every raw row to its group; round-3 verdict
+    next item #8).
+
+    Fixed-point exactness: c_acctbal is a 2-decimal value, so
+    round(v*100) → int64 cents is injective and cents/100.0 restores the
+    ORIGINAL double bitwise (nearest-double of a 2-dp value; checked in
+    tests/test_temporal_media.py)."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.salted import merge_group_sums
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
     )
 
-    def med(group: pa.Table) -> pa.Table:
-        v = np.sort(group["c_acctbal"].to_numpy(zero_copy_only=False))
+    def hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["c_acctbal"], pa.scalar(100.0))), pa.int64()
+        )
+        g = (
+            t.set_column(t.column_names.index("c_acctbal"), "cents", cents)
+            .group_by(["c_mktsegment", "cents"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["c_mktsegment", "cents", "cnt"])
+
+    merged = merge_group_sums(
+        cust.map_batches(hist, batch_format="pyarrow"),
+        ["c_mktsegment", "cents"],
+        ["cnt"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        segs = np.asarray(t.column("c_mktsegment").to_pylist(), dtype=object)
+        vals = t.column("cents").to_numpy()
+        cnts = t.column("cnt").to_numpy()
+        o = np.lexsort((vals, segs))
+        segs, vals, cnts = segs[o], vals[o], cnts[o]
+        out_seg, out_med = [], []
+        for sg in np.unique(segs):
+            m = segs == sg
+            c = cnts[m]
+            idx = max(1, int(np.ceil(0.5 * int(c.sum()))))  # 1-based rank
+            out_seg.append(sg)
+            out_med.append(vals[m][np.searchsorted(np.cumsum(c), idx)] / 100.0)
         return pa.table(
             {
-                "c_mktsegment": [group["c_mktsegment"][0].as_py()],
-                "median_acctbal": [float(v[(len(v) - 1) // 2])],
+                "c_mktsegment": pa.array(out_seg, type=pa.string()),
+                "median_acctbal": pa.array(out_med, type=pa.float64()),
             }
         )
 
-    return cust.groupby("c_mktsegment").map_groups(med, batch_format="pyarrow")
+    # histogram-sized by construction (segments × distinct cents) —
+    # single-block assembly is bounded
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
 
 
 SQL_SEGMENT_MEDIAN_BALANCE = """

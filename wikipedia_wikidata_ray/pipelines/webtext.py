@@ -485,39 +485,100 @@ def _tf_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def tfidf_top_terms(docs: Dataset, n_docs: int, k: int = TFIDF_K) -> Dataset:
+# df-side physical-plan gate: a natural-language vocabulary is df-side
+# SMALL BY DEFINITION (Heap's law: ~10M types at 100 TB), so broadcast is
+# the default plan; above the limit (adversarial token spaces — URLs, ids)
+# the probe becomes a distributed hash join on token. Same gate pattern as
+# the importance fold (queries.py:367-370) and C1 (wikiprocess.py).
+TFIDF_DF_BROADCAST_LIMIT = 20_000_000
+
+
+def tfidf_top_terms(docs: Dataset, n_docs: int, k: int = TFIDF_K,
+                    df_broadcast_limit: int | None = None) -> Dataset:
     """Top-``k`` TF-IDF terms per doc over a (doc_id, text) Dataset."""
     from ..ops.topk import grouped_topk
-    from ..stages.salted import partial_count
+    from ..stages.salted import default_partitions, partial_count
 
     tf = docs.map_batches(_tf_batch, batch_format="pyarrow").materialize()
-
-    # vocabulary-sized df side → sorted-array broadcast (house pattern:
-    # numpy buffers, never a Python dict)
-    df_pd = partial_count(tf, ["token"], out="df").to_pandas()
-    order = np.argsort(df_pd["token"].to_numpy())
-    tok_arr = df_pd["token"].to_numpy()[order]
-    df_arr = df_pd["df"].to_numpy().astype(np.float64)[order]
-    ref = ray.put((tok_arr, df_arr))
     n_f = float(n_docs)
 
-    def score(t: pa.Table) -> pa.Table:
-        toks_s, dfs = ray.get(ref)
-        idx = np.searchsorted(toks_s, np.asarray(t.column("token").to_pylist(), dtype=object))
-        df_v = dfs[idx]
-        tf_v = t.column("tf").to_numpy().astype(np.float64)
-        tfidf = np.round(tf_v * np.log(n_f / df_v), 10)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "token": t.column("token"),
-                "tf": t.column("tf"),
-                "df": pa.array(df_v.astype(np.int64)),
-                "tfidf": pa.array(tfidf),
-            }
+    df_ds = partial_count(tf, ["token"], out="df").materialize()
+    vocab_rows = df_ds.count()
+    if df_broadcast_limit is None:
+        df_broadcast_limit = TFIDF_DF_BROADCAST_LIMIT
+
+    if vocab_rows <= df_broadcast_limit:
+        # broadcast plan: Arrow string array + aligned df vector, assembled
+        # from zero-copy plasma block views; probe with ONE pc.index_in per
+        # batch — no per-row Python, no object-dtype searchsorted
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in df_ds.to_arrow_refs()]
+        ).combine_chunks()
+        tok_values = pc.cast(tbl.column("token"), pa.string()).combine_chunks()
+        df_arr = tbl.column("df").to_numpy().astype(np.float64)
+        ref = ray.put((tok_values, df_arr))
+
+        def score(t: pa.Table) -> pa.Table:
+            toks_v, dfs = ray.get(ref)
+            # every tf token appears in df (df is derived from tf) → no nulls
+            idx = pc.index_in(
+                pc.cast(t.column("token"), pa.string()), value_set=toks_v
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            df_v = dfs[idx]
+            tf_v = t.column("tf").to_numpy().astype(np.float64)
+            tfidf = np.round(tf_v * np.log(n_f / df_v), 10)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "token": t.column("token"),
+                    "tf": t.column("tf"),
+                    "df": pa.array(df_v.astype(np.int64)),
+                    "tfidf": pa.array(tfidf),
+                }
+            )
+
+        scored = tf.map_batches(score, batch_format="pyarrow")
+    else:
+        # join plan: tf ⋈ df on token — both sides shuffle once; nothing
+        # is broadcast. Key dtypes normalized to pa.string() (house rule).
+        def tf_keyed(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("token"), "token",
+                pc.cast(t.column("token"), pa.string()),
+            )
+
+        def df_keyed(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "df_token": pc.cast(t.column("token"), pa.string()),
+                    "df": t.column("df"),
+                }
+            )
+
+        joined = tf.map_batches(tf_keyed, batch_format="pyarrow").join(
+            df_ds.map_batches(df_keyed, batch_format="pyarrow"),
+            "inner",
+            num_partitions=default_partitions(),
+            on=("token",),
+            right_on=("df_token",),
         )
 
-    scored = tf.map_batches(score, batch_format="pyarrow")
+        def score_joined(t: pa.Table) -> pa.Table:
+            df_v = t.column("df").to_numpy().astype(np.float64)
+            tf_v = t.column("tf").to_numpy().astype(np.float64)
+            tfidf = np.round(tf_v * np.log(n_f / df_v), 10)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "token": t.column("token"),
+                    "tf": t.column("tf"),
+                    "df": pc.cast(t.column("df"), pa.int64()),
+                    "tfidf": pa.array(tfidf),
+                }
+            )
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+
     return grouped_topk(
         scored,
         ["doc_id"],

@@ -44,7 +44,6 @@ from ..functions.wikifilters import (
 )
 from ..sources.mysqldump import read_mysqldump
 from ..stages.salted import partial_count, partial_sum
-from .wikiprocess import LinktargetJoiner
 
 
 def _langs_present(dump_dir: str) -> list[str]:
@@ -122,16 +121,12 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
     # language's mapping (the fixture gives every language a distinct
     # mapping, so a shared mapping would fail the oracle). Each payload
     # is built from zero-copy plasma block views — no driver pandas pull.
-    from .wikiprocess import linktarget_broadcast_from_ds
+    from .wikiprocess import resolve_pagelinks
 
     pl_parts = []
     for L in langs:
-        lt_ref = linktarget_broadcast_from_ds(
-            table(f"{L}linktarget.sql.gz", 3).map_batches(
-                filter_redirect, batch_format="pyarrow"
-            ),
-            id_col="id",
-            title_col="title",
+        lt = table(f"{L}linktarget.sql.gz", 3).map_batches(
+            filter_redirect, batch_format="pyarrow"
         )
         raw = table(f"{L}pagelinks.sql.gz", 3).map_batches(
             lambda t, L=L: pa.table(
@@ -143,13 +138,13 @@ def wikimedia_importance_from_dumps(dump_dir: str, num_partitions: int | None = 
             ),
             batch_format="pyarrow",
         )
-        # task mode, not one actor pool per language: the mapping payload
-        # deserializes zero-copy from plasma, so constructing the joiner
-        # per batch is O(ms) and avoids langs × pool worker proliferation
-        def resolve(t: pa.Table, _ref=lt_ref) -> pa.Table:
-            return LinktargetJoiner(_ref)(t)
-
-        pl_parts.append(raw.map_batches(resolve, batch_format="pyarrow"))
+        # resolve_pagelinks gates the physical plan: broadcast lookup below
+        # LINKTARGET_BROADCAST_LIMIT rows (en ≈ 30M → fits), hash join above
+        # (the reference's per-process dict has no such escape hatch,
+        # steps/wikipedia_sql2csv.sh:58-59)
+        pl_parts.append(
+            resolve_pagelinks(raw, lt, id_col="id", title_col="title")
+        )
     plcounts = _cast_str(
         partial_count(_union(pl_parts), ["lang", "pl_title"], out="langcount"),
         ["lang", "pl_title"],

@@ -122,18 +122,95 @@ def linktarget_broadcast_from_ds(lt_ds: Dataset, id_col: str = "id",
     )
 
 
+# C1 physical-plan gate: broadcast the id→title mapping only while it is
+# broadcast-SIZED. en-wiki linktarget ≈ 30M rows ≈ 1–2 GB payload — fine on
+# 128-GiB nodes (the reference's own per-process dict is the same order,
+# steps/wikipedia_sql2csv.sh:58-59) — but nothing in a 100× corpus keeps it
+# there, so above the limit the lookup becomes a distributed hash join
+# (same pattern as the importance fold's 20M-doc gate, queries.py:367-370).
+LINKTARGET_BROADCAST_LIMIT = 50_000_000
+
+
+def resolve_pagelinks(
+    pl: Dataset,
+    lt: Dataset,
+    *,
+    id_col: str = "lt_id",
+    title_col: str = "lt_title",
+    broadcast_limit: int | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """C1 pagelinks→title resolution with two physical plans of identical
+    semantics (inner join on ``pl_target_id = id`` after the ns-0 filter,
+    bin/filter_pagelinks.py:22-40):
+
+    (a) ``lt`` rows ≤ ``broadcast_limit``: zero-copy broadcast of the sorted
+        (ids, titles) pair + per-batch searchsorted lookup — ONE pass over
+        pagelinks, no shuffle;
+    (b) above the limit: distributed hash join ``pl ⋈ lt`` — pagelinks and
+        linktarget each shuffle once on the id key; nothing is broadcast.
+
+    ``pl`` must carry (lang, pl_namespace, pl_target_id); output is
+    (lang: string, pl_title: string). The small side is materialized once
+    to obtain the gate count; plan (b) reuses those pinned blocks for the
+    join rather than re-reading."""
+    if broadcast_limit is None:
+        broadcast_limit = LINKTARGET_BROADCAST_LIMIT
+    lt = lt.materialize()
+    lt_rows = lt.count()
+    if lt_rows <= broadcast_limit:
+        ref = linktarget_broadcast_from_ds(lt, id_col=id_col, title_col=title_col)
+
+        # task mode, not an actor pool: the payload deserializes zero-copy
+        # from plasma so constructing the joiner per batch is O(ms), and
+        # per-language callers would otherwise proliferate pools
+        def resolve(t: pa.Table, _ref=ref) -> pa.Table:
+            return LinktargetJoiner(_ref)(t)
+
+        return pl.map_batches(resolve, batch_format="pyarrow")
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(8, cpus // 2)
+
+    def ns0(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["pl_namespace"], 0))
+        return pa.table(
+            {
+                "lang": pc.cast(t["lang"], pa.string()),
+                "pl_target_id": pc.cast(t["pl_target_id"], pa.int64()),
+            }
+        )
+
+    def lt_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lt_join_id": pc.cast(t[id_col], pa.int64()),
+                "pl_title": pc.cast(t[title_col], pa.string()),
+            }
+        )
+
+    joined = pl.map_batches(ns0, batch_format="pyarrow").join(
+        lt.map_batches(lt_keyed, batch_format="pyarrow"),
+        "inner",
+        num_partitions=num_partitions,
+        on=("pl_target_id",),
+        right_on=("lt_join_id",),
+    )
+    return joined.select_columns(["lang", "pl_title"])
+
+
 def q_wiki_pagelinks_counts(sf_dir: str) -> Dataset:
     # broadcast straight from plasma block refs — never a driver pandas
-    # round-trip of a lookup table (round-2 verdict wrong #5)
-    ref = linktarget_broadcast_from_ds(
-        wf.wp_linktarget(sf_dir), id_col="lt_id", title_col="lt_title"
-    )
-    joined = wf.wp_pagelinks(sf_dir).map_batches(
-        LinktargetJoiner,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=1,
+    # round-trip of a lookup table (round-2 verdict wrong #5); gated with
+    # a hash-join fallback above LINKTARGET_BROADCAST_LIMIT rows
+    joined = resolve_pagelinks(
+        wf.wp_pagelinks(sf_dir),
+        wf.wp_linktarget(sf_dir),
+        id_col="lt_id",
+        title_col="lt_title",
     )
     return partial_count(joined, ["lang", "pl_title"], out="langcount")
 
