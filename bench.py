@@ -92,14 +92,35 @@ def run_bench() -> dict:
             while fh.read(1 << 24):
                 pass
     # warm the Ray worker pool (process spawn + package import is per-worker
-    # one-time cost, not pipeline throughput): one tiny task per CPU slot
+    # one-time cost, not pipeline throughput): one tiny task per CPU slot.
+    # Each warm task also FAULTS IN ~256 MB of worker heap: this host
+    # overcommits VM memory, so first-touch page faults on fresh
+    # allocations run at ~20-80 MB/s (measured; re-touch 3 GB/s, pages
+    # stay resident via malloc arena reuse). Without the touch, whichever
+    # section first allocates large batch temporaries absorbs multi-second
+    # fault stalls and timings swing 3-5x run to run — warming moves that
+    # one-time host cost out of every timed section.
     from wikipedia_wikidata_ray.stages.extract import extract_batch as _wb
 
     def _warm(b):
         _ = _wb  # closure forces the engine package import in each worker
+        import numpy as _np
+
+        scratch = _np.empty(256 << 20, dtype=_np.uint8)
+        scratch[::4096] = 1  # touch every page, then free to the arena
+        del scratch
         return {"id": b["id"]}
 
     rd.range(num_cpus * 4).map_batches(_warm, batch_size=1).count()
+
+    # fault in driver-heap + plasma pages the same way (broadcast payloads
+    # and materialized blocks live there)
+    _d = __import__("numpy").empty(512 << 20, dtype="uint8")
+    _d[::4096] = 1
+    del _d
+    for _ in range(4):
+        _r = ray.put(__import__("numpy").zeros(512 << 20, dtype="uint8"))
+        del _r
 
     from wikipedia_wikidata_ray.pipelines.geopipeline import EXTRACT_COLUMNS
 

@@ -99,14 +99,23 @@ def _redirects_raw(pages_fn, n_docs: int, meta: Dataset | None = None) -> Datase
         did = did[keep]
         langs = t.column("lang").filter(pa.array(keep))
         tgt = (did * 11 + 3) % n_docs
-        from_title = [
-            f"Doc_{d}" if d % 2 == 1 else f"Doc_{d}_alias" for d in did
-        ]
+
+        def doc_title(ids: np.ndarray) -> pa.Array:
+            return pc.binary_join_element_wise(
+                pa.scalar("Doc_"), pc.cast(pa.array(ids), pa.string()), ""
+            )
+
+        base = doc_title(did)
+        from_title = pc.if_else(
+            pa.array(did % 2 == 1),
+            base,
+            pc.binary_join_element_wise(base, pa.scalar("_alias"), ""),
+        )
         return pa.table(
             {
                 "language": langs,
-                "from_title": pa.array(from_title, type=pa.string()),
-                "target_title": pa.array([f"Doc_{t_}" for t_ in tgt], type=pa.string()),
+                "from_title": pc.cast(from_title, pa.string()),
+                "target_title": pc.cast(doc_title(tgt), pa.string()),
             }
         )
 
@@ -118,39 +127,22 @@ def q_page_importance_export(sf_dir: str) -> Dataset:
     return export_pipeline(lambda: gp.load_pages(sf_dir), n_docs)
 
 
-def _np_keys(langs, titles) -> np.ndarray:
-    """(language, title) → fixed-width numpy bytes keys ('S' dtype).
-
-    memcmp order == Arrow byte order, so np.searchsorted/equality on these
-    keys reproduces the join's string-equality semantics exactly. '\\x1f'
-    (unit separator) cannot appear in titles (reference titles are
-    underscore-normalized printable text, bin/filter_page.py semantics).
-
-    Built straight from the Arrow offsets + data buffers with one
-    vectorized masked scatter into a null-padded (n, maxlen) byte matrix —
-    no ``to_pylist`` per-row Python (this runs per redirect batch, a
-    corpus-derived volume; round-3 verdict wrong #3). Null padding keeps
-    memcmp order ('\\x00' < any text byte), same as np.bytes_ arrays."""
+def _join_keys(langs, titles) -> pa.Array:
+    """(language, title) → one Arrow string key via '\\x1f' join. The unit
+    separator cannot appear in titles (reference titles are
+    underscore-normalized printable text, bin/filter_page.py semantics),
+    so ``pc.index_in`` over these keys reproduces the two-column join's
+    string-equality semantics exactly — entirely in Arrow C++. (Replaces a
+    fixed-width numpy 'S'-dtype key build: its (n, maxlen) int64/bool
+    temporaries hit multi-second first-touch page-fault stalls on fresh
+    processes in this environment — measured 20+ s at 700K keys vs ~40 ms
+    for this kernel.)"""
     joined = pc.binary_join_element_wise(
         pc.cast(langs, pa.string()), pc.cast(titles, pa.string()), "\x1f"
     )
     if isinstance(joined, pa.ChunkedArray):
         joined = joined.combine_chunks()
-    n = len(joined)
-    if n == 0:
-        return np.empty(0, dtype="S1")
-    bufs = joined.buffers()
-    width = 8 if pa.types.is_large_string(joined.type) else 4
-    off = np.frombuffer(bufs[1], dtype=np.int64 if width == 8 else np.int32,
-                        count=n + 1, offset=joined.offset * width).astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
-    lens = np.diff(off)
-    maxlen = max(1, int(lens.max()))
-    valid = np.arange(maxlen)[None, :] < lens[:, None]
-    out = np.zeros((n, maxlen), dtype=np.uint8)
-    src = off[:-1, None] + np.arange(maxlen)[None, :]
-    out[valid] = data[src[valid]]
-    return out.view(f"S{maxlen}").ravel()
+    return joined
 
 
 def _attach_meta_broadcast(imp: Dataset, meta: Dataset) -> Dataset:
@@ -200,20 +192,21 @@ def _attach_meta_broadcast(imp: Dataset, meta: Dataset) -> Dataset:
 
 
 def _redirect_lookup_ref(articles: Dataset):
-    """Broadcast (language,title)-keyed article lookup: sorted bytes keys +
-    aligned importance/ref arrays, built from zero-copy block views."""
+    """Broadcast (language,title)-keyed article lookup: Arrow string keys +
+    aligned importance/ref arrays, built from zero-copy block views. No
+    sort — the probe side uses ``pc.index_in`` (hash lookup), not
+    searchsorted."""
     import ray as _ray
 
     tbl = pa.concat_tables(
         [_ray.get(r) for r in articles.to_arrow_refs()]
     ).combine_chunks()
-    keys = _np_keys(tbl.column("language"), tbl.column("title"))
-    order = np.argsort(keys)
+    keys = _join_keys(tbl.column("language"), tbl.column("title"))
     return _ray.put(
         (
-            keys[order],
-            tbl.column("importance").to_numpy()[order],
-            tbl.column("ref_doc_id").to_numpy()[order],
+            keys,
+            tbl.column("importance").combine_chunks(),
+            tbl.column("ref_doc_id").combine_chunks(),
         )
     )
 
@@ -227,8 +220,7 @@ def _resolve_redirects_broadcast(red_raw: Dataset, lookup_ref) -> Dataset:
 
     def resolve(t: pa.Table) -> pa.Table:
         keys, imp, refv = _ray.get(lookup_ref)
-        n = len(keys)
-        if n == 0 or len(t) == 0:
+        if len(keys) == 0 or len(t) == 0:
             return pa.table(
                 {
                     "language": pa.array([], type=pa.string()),
@@ -238,20 +230,19 @@ def _resolve_redirects_broadcast(red_raw: Dataset, lookup_ref) -> Dataset:
                     "ref_doc_id": pa.array([], type=pa.int64()),
                 }
             )
-        tk = _np_keys(t.column("language"), t.column("target_title"))
-        fk = _np_keys(t.column("language"), t.column("from_title"))
-        ti = np.minimum(np.searchsorted(keys, tk), n - 1)
-        fi = np.minimum(np.searchsorted(keys, fk), n - 1)
-        keep = (keys[ti] == tk) & (keys[fi] != fk)
-        ti = ti[keep]
-        mask = pa.array(keep)
+        tk = _join_keys(t.column("language"), t.column("target_title"))
+        fk = _join_keys(t.column("language"), t.column("from_title"))
+        ti = pc.index_in(tk, value_set=keys)  # null ⇔ target not an article
+        fi = pc.index_in(fk, value_set=keys)  # null ⇔ no (lang,title) clash
+        keep = pc.and_(pc.is_valid(ti), pc.is_null(fi))
+        ti = ti.filter(keep)
         return pa.table(
             {
-                "language": t.column("language").filter(mask),
-                "type": pa.array(["r"] * int(keep.sum()), type=pa.string()),
-                "title": t.column("from_title").filter(mask),
-                "importance": pa.array(imp[ti]),
-                "ref_doc_id": pa.array(refv[ti]),
+                "language": t.column("language").filter(keep),
+                "type": pa.array(["r"] * len(ti), type=pa.string()),
+                "title": t.column("from_title").filter(keep),
+                "importance": pc.take(imp, ti),
+                "ref_doc_id": pc.take(refv, ti),
             }
         )
 
