@@ -106,21 +106,27 @@ def run_bench() -> dict:
         _ = _wb  # closure forces the engine package import in each worker
         import numpy as _np
 
-        scratch = _np.empty(256 << 20, dtype=_np.uint8)
-        scratch[::4096] = 1  # touch every page, then free to the arena
-        del scratch
+        import wikipedia_wikidata_ray as _pkg
+
+        # ONCE per worker process: >128 MB mallocs are fresh mmaps that
+        # munmap on free, so an unguarded touch would re-fault per task
+        # (measured ~50 CPU-s per 256 MB task during the first attempt)
+        if not getattr(_pkg, "_mem_warmed", False):
+            scratch = _np.empty(128 << 20, dtype=_np.uint8)
+            scratch[::4096] = 1
+            del scratch
+            _pkg._mem_warmed = True
         return {"id": b["id"]}
 
     rd.range(num_cpus * 4).map_batches(_warm, batch_size=1).count()
 
     # fault in driver-heap + plasma pages the same way (broadcast payloads
     # and materialized blocks live there)
-    _d = __import__("numpy").empty(512 << 20, dtype="uint8")
+    _d = __import__("numpy").empty(256 << 20, dtype="uint8")
     _d[::4096] = 1
     del _d
-    for _ in range(4):
-        _r = ray.put(__import__("numpy").zeros(512 << 20, dtype="uint8"))
-        del _r
+    _r = ray.put(__import__("numpy").zeros(512 << 20, dtype="uint8"))
+    del _r
 
     from wikipedia_wikidata_ray.pipelines.geopipeline import EXTRACT_COLUMNS
 

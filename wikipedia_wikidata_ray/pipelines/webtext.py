@@ -493,14 +493,16 @@ def _tf_batch(t: pa.Table) -> pa.Table:
 TFIDF_DF_BROADCAST_LIMIT = 20_000_000
 
 
-def tfidf_top_terms(docs: Dataset, n_docs: int, k: int = TFIDF_K,
-                    df_broadcast_limit: int | None = None) -> Dataset:
-    """Top-``k`` TF-IDF terms per doc over a (doc_id, text) Dataset."""
-    from ..ops.topk import grouped_topk
-    from ..stages.salted import default_partitions, partial_count
+def attach_df(tf: Dataset, df_broadcast_limit: int | None = None) -> Dataset:
+    """Append each token's document frequency as an int64 ``df`` column to
+    a term-frequency Dataset (any schema carrying a ``token`` column).
+    Inner semantics (df is derived FROM tf, so every row matches).
 
-    tf = docs.map_batches(_tf_batch, batch_format="pyarrow").materialize()
-    n_f = float(n_docs)
+    Two physical plans, gated on vocabulary size (shared by TF-IDF and
+    BM25): ≤ limit → broadcast Arrow string vocab + one ``pc.index_in``
+    probe per batch (no per-row Python, no object-dtype searchsorted);
+    above → token-keyed distributed hash join, both sides shuffle once."""
+    from ..stages.salted import default_partitions, partial_count
 
     df_ds = partial_count(tf, ["token"], out="df").materialize()
     vocab_rows = df_ds.count()
@@ -509,75 +511,81 @@ def tfidf_top_terms(docs: Dataset, n_docs: int, k: int = TFIDF_K,
 
     if vocab_rows <= df_broadcast_limit:
         # broadcast plan: Arrow string array + aligned df vector, assembled
-        # from zero-copy plasma block views; probe with ONE pc.index_in per
-        # batch — no per-row Python, no object-dtype searchsorted
+        # from zero-copy plasma block views
         tbl = pa.concat_tables(
             [ray.get(r) for r in df_ds.to_arrow_refs()]
         ).combine_chunks()
         tok_values = pc.cast(tbl.column("token"), pa.string()).combine_chunks()
-        df_arr = tbl.column("df").to_numpy().astype(np.float64)
+        df_arr = tbl.column("df").to_numpy().astype(np.int64)
         ref = ray.put((tok_values, df_arr))
 
-        def score(t: pa.Table) -> pa.Table:
+        def attach(t: pa.Table) -> pa.Table:
             toks_v, dfs = ray.get(ref)
-            # every tf token appears in df (df is derived from tf) → no nulls
             idx = pc.index_in(
                 pc.cast(t.column("token"), pa.string()), value_set=toks_v
             ).to_numpy(zero_copy_only=False).astype(np.int64)
-            df_v = dfs[idx]
-            tf_v = t.column("tf").to_numpy().astype(np.float64)
-            tfidf = np.round(tf_v * np.log(n_f / df_v), 10)
-            return pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "token": t.column("token"),
-                    "tf": t.column("tf"),
-                    "df": pa.array(df_v.astype(np.int64)),
-                    "tfidf": pa.array(tfidf),
-                }
-            )
+            return t.append_column("df", pa.array(dfs[idx]))
 
-        scored = tf.map_batches(score, batch_format="pyarrow")
-    else:
-        # join plan: tf ⋈ df on token — both sides shuffle once; nothing
-        # is broadcast. Key dtypes normalized to pa.string() (house rule).
-        def tf_keyed(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.column_names.index("token"), "token",
-                pc.cast(t.column("token"), pa.string()),
-            )
+        return tf.map_batches(attach, batch_format="pyarrow")
 
-        def df_keyed(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "df_token": pc.cast(t.column("token"), pa.string()),
-                    "df": t.column("df"),
-                }
-            )
-
-        joined = tf.map_batches(tf_keyed, batch_format="pyarrow").join(
-            df_ds.map_batches(df_keyed, batch_format="pyarrow"),
-            "inner",
-            num_partitions=default_partitions(),
-            on=("token",),
-            right_on=("df_token",),
+    # join plan: tf ⋈ df on token — both sides shuffle once; nothing is
+    # broadcast. Key dtypes normalized to pa.string() (house rule).
+    def tf_keyed(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("token"), "token",
+            pc.cast(t.column("token"), pa.string()),
         )
 
-        def score_joined(t: pa.Table) -> pa.Table:
-            df_v = t.column("df").to_numpy().astype(np.float64)
-            tf_v = t.column("tf").to_numpy().astype(np.float64)
-            tfidf = np.round(tf_v * np.log(n_f / df_v), 10)
-            return pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "token": t.column("token"),
-                    "tf": t.column("tf"),
-                    "df": pc.cast(t.column("df"), pa.int64()),
-                    "tfidf": pa.array(tfidf),
-                }
-            )
+    def df_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "df_token": pc.cast(t.column("token"), pa.string()),
+                "df": t.column("df"),
+            }
+        )
 
-        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+    joined = tf.map_batches(tf_keyed, batch_format="pyarrow").join(
+        df_ds.map_batches(df_keyed, batch_format="pyarrow"),
+        "inner",
+        num_partitions=default_partitions(),
+        on=("token",),
+        right_on=("df_token",),
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["df_token"]) if "df_token" in t.column_names else t
+        return t.set_column(
+            t.column_names.index("df"), "df", pc.cast(t.column("df"), pa.int64())
+        )
+
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
+def tfidf_top_terms(docs: Dataset, n_docs: int, k: int = TFIDF_K,
+                    df_broadcast_limit: int | None = None) -> Dataset:
+    """Top-``k`` TF-IDF terms per doc over a (doc_id, text) Dataset."""
+    from ..ops.topk import grouped_topk
+
+    tf = docs.map_batches(_tf_batch, batch_format="pyarrow").materialize()
+    n_f = float(n_docs)
+
+    def score(t: pa.Table) -> pa.Table:
+        df_v = t.column("df").to_numpy().astype(np.float64)
+        tf_v = t.column("tf").to_numpy().astype(np.float64)
+        tfidf = np.round(tf_v * np.log(n_f / df_v), 10)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "token": t.column("token"),
+                "tf": t.column("tf"),
+                "df": t.column("df"),
+                "tfidf": pa.array(tfidf),
+            }
+        )
+
+    scored = attach_df(tf, df_broadcast_limit).map_batches(
+        score, batch_format="pyarrow"
+    )
 
     return grouped_topk(
         scored,
@@ -624,6 +632,142 @@ FROM ranked WHERE rnk <= {TFIDF_K}
 
 WEBTEXT_QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
 WEBTEXT_ORACLES["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
+
+
+# ---------------------------------------------------------------------------
+# Q: bm25_top_terms — per-document top-3 BM25 terms (Okapi BM25, the
+# Robertson et al. formulation with the Lucene-style +1 inside the idf log
+# so scores stay positive; k1=1.2, b=0.75)
+#
+# Rides the shared TF machinery: `_tf_dl_batch` additionally emits each
+# doc's length dl IN-BATCH (one input row is one document, so dl never
+# needs a per-doc shuffle); df attaches through the same gated
+# `attach_df` plan as TF-IDF; avgdl is ONE driver-side scalar
+# (`tf.sum("tf")` — an aggregate, not a materialization); top-k rides
+# `grouped_topk`'s block-local k-prune. Float policy: identical op
+# sequence on both sides, rounded to 10 dp (house rule).
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _tf_dl_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, token, tf, dl) rows — `_tf_batch` plus the per-document
+    token count dl, computable in-batch because each input row is one
+    whole document."""
+    base = _tf_batch(t)
+    if len(base) == 0:
+        return base.append_column("dl", pa.array([], type=pa.int64()))
+    ids = base.column("doc_id").to_numpy()
+    # dl = total tokens of the doc = sum of its tf rows; tf rows for one
+    # doc are contiguous within this batch's output (sorted by parent)
+    new = np.ones(len(ids), dtype=bool)
+    new[1:] = ids[1:] != ids[:-1]
+    seg = np.cumsum(new) - 1
+    tf_v = base.column("tf").to_numpy()
+    dl_per_doc = np.bincount(seg, weights=tf_v).astype(np.int64)
+    return base.append_column("dl", pa.array(dl_per_doc[seg]))
+
+
+def bm25_top_terms(docs: Dataset, n_docs: int, k: int = TFIDF_K,
+                   df_broadcast_limit: int | None = None) -> Dataset:
+    """Top-``k`` BM25 terms per doc over a (doc_id, text) Dataset."""
+    from ..ops.topk import grouped_topk
+
+    tf = docs.map_batches(_tf_dl_batch, batch_format="pyarrow").materialize()
+    total_tokens = tf.sum("tf")
+    if not total_tokens:
+        return tf.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "token": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                    "bm25": pa.array([], type=pa.float64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    n_f = float(n_docs)
+    avgdl = float(total_tokens) / n_f
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_v = t.column("tf").to_numpy().astype(np.float64)
+        dl_v = t.column("dl").to_numpy().astype(np.float64)
+        df_v = t.column("df").to_numpy().astype(np.float64)
+        # op sequence mirrored EXACTLY in SQL_BM25_TOP_TERMS
+        idf = np.log((n_f - df_v + 0.5) / (df_v + 0.5) + 1.0)
+        denom = tf_v + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl_v / avgdl))
+        bm25 = np.round(idf * ((tf_v * (BM25_K1 + 1.0)) / denom), 10)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "token": t.column("token"),
+                "tf": t.column("tf"),
+                "dl": t.column("dl"),
+                "df": t.column("df"),
+                "bm25": pa.array(bm25),
+            }
+        )
+
+    scored = attach_df(tf, df_broadcast_limit).map_batches(
+        score, batch_format="pyarrow"
+    )
+    return grouped_topk(
+        scored,
+        ["doc_id"],
+        [("bm25", False), ("token", True)],
+        k,
+        rank_col="rank",
+    )
+
+
+def q_bm25_top_terms(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_top_terms(docs, n_docs)
+
+
+SQL_BM25_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents),
+avgdl AS (SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT c FROM n) AS a FROM toks),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, l.dl, d.df,
+         ROUND(
+           LN(((SELECT c FROM n) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+           * ((CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0})
+              / (CAST(t.tf AS DOUBLE)
+                 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                     * (CAST(l.dl AS DOUBLE) / (SELECT a FROM avgdl))))),
+           10) AS bm25
+  FROM tf t JOIN dl l USING (doc_id) JOIN df d USING (token)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY doc_id ORDER BY bm25 DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, dl, df, bm25, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {TFIDF_K}
+"""
+
+WEBTEXT_QUERIES["bm25_top_terms"] = q_bm25_top_terms
+WEBTEXT_ORACLES["bm25_top_terms"] = SQL_BM25_TOP_TERMS
 
 
 # ---------------------------------------------------------------------------
