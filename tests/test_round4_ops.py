@@ -98,6 +98,51 @@ def test_geo_cell_dedup_partitions_geotagged_exactly(ray_session):
     assert (out["canon_doc_id"] % 10 < 7).all()
 
 
+def test_segment_tile_cover_matches_pandas(ray_session):
+    """Self-join + capped bbox expansion == a pandas recompute from the
+    geotagged points (z8 tiles via exact >>4 of the encoded z12 tiles)."""
+    import pandas as pd
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        SEGMENT_TILE_CAP,
+        _geotagged,
+        q_segment_tile_cover,
+    )
+
+    out = (
+        q_segment_tile_cover(SF)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y"], ignore_index=True)
+    )
+    assert len(out) > 0
+
+    pts = _geotagged(SF).to_pandas()
+    pts = pts[pts["has_geo"]]
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    tx = dict(zip(pts["doc_id"], np.asarray(pts["tile_x"], dtype=np.int64) >> 4))
+    ty = dict(zip(pts["doc_id"], np.asarray(pts["tile_y"], dtype=np.int64) >> 4))
+    counts: dict = {}
+    for d in pts["doc_id"]:
+        p = (d * 13 + 7) % n_docs
+        if p not in tx:
+            continue  # partner not geotagged → inner-join drop
+        x0, x1 = sorted((tx[d], tx[p]))
+        y0, y1 = sorted((ty[d], ty[p]))
+        if (x1 - x0 + 1) * (y1 - y0 + 1) > SEGMENT_TILE_CAP:
+            continue
+        for x in range(x0, x1 + 1):
+            for y in range(y0, y1 + 1):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+    want = (
+        pd.DataFrame(
+            [(x, y, c) for (x, y), c in counts.items()],
+            columns=["tile_x", "tile_y", "n_segments"],
+        )
+        .sort_values(["tile_x", "tile_y"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
 def test_geo_cell_dedup_hot_cells_merge_min_and_count(ray_session):
     """1° cells DO collide (each megacity collapses into ≤4 cells), so the
     distributed min/count merge is exercised; verify against a pandas

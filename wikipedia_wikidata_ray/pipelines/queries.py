@@ -192,6 +192,130 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q: segment_tile_cover — vector→raster coverage: each geotagged doc
+# defines a segment to a derived partner point ((id·13+7) mod N, kept only
+# when the partner is geotagged — inner-join semantics); the segment's z12
+# bounding-tile rectangle is expanded to one row per covered tile and
+# counted per tile. Completes I6's point→tile assignment with a
+# LINE-geometry cover (bbox rasterization; a full DDA traversal is the
+# same shape with a different in-batch expansion kernel).
+#
+# Scale: the partner lookup is a true self-hash-join (the point table is
+# corpus-sized — never broadcast); the tile fan-out happens IN-BATCH at
+# zoom 8 (z8 tiles derive from the encoded z12 tiles by an EXACT integer
+# >>4 — mirrored as integer // 16 in SQL, never a re-floored float) and is
+# capped at 4096 tiles/segment (longer segments dropped, same cap in the
+# SQL), then per-tile partials ride the combiner path. DuckDB oracle uses
+# the house static-range trick (range can't take lateral params).
+
+SEGMENT_TILE_CAP = 4096
+
+
+def q_segment_tile_cover(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    pts = _geotagged(sf_dir)
+
+    def left_side(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_doc_id": pa.array(did),
+                "l_tx": pa.array(t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int32) >> 4),
+                "l_ty": pa.array(t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int32) >> 4),
+                "partner": pa.array((did * 13 + 7) % n_docs),
+            }
+        )
+
+    def right_side(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        return pa.table(
+            {
+                "r_doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "r_tx": pa.array(t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int32) >> 4),
+                "r_ty": pa.array(t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int32) >> 4),
+            }
+        )
+
+    try:
+        import ray as _ray
+
+        num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 16)) // 2)
+    except Exception:
+        num_partitions = 8
+    joined = pts.map_batches(left_side, batch_format="pyarrow").join(
+        pts.map_batches(right_side, batch_format="pyarrow"),
+        "inner",
+        num_partitions=num_partitions,
+        on=("partner",),
+        right_on=("r_doc_id",),
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        lx = t.column("l_tx").to_numpy().astype(np.int64)
+        ly = t.column("l_ty").to_numpy().astype(np.int64)
+        rx = t.column("r_tx").to_numpy().astype(np.int64)
+        ry = t.column("r_ty").to_numpy().astype(np.int64)
+        x0, x1 = np.minimum(lx, rx), np.maximum(lx, rx)
+        y0, y1 = np.minimum(ly, ry), np.maximum(ly, ry)
+        w = x1 - x0 + 1
+        h = y1 - y0 + 1
+        keep = w * h <= SEGMENT_TILE_CAP
+        x0, y0, w, h = x0[keep], y0[keep], w[keep], h[keep]
+        c = w * h
+        total = int(c.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "tile_x": pa.array([], type=pa.int32()),
+                    "tile_y": pa.array([], type=pa.int32()),
+                }
+            )
+        row = np.repeat(np.arange(len(c)), c)
+        start = np.concatenate(([0], np.cumsum(c)[:-1]))
+        k = np.arange(total) - start[row]
+        tx = x0[row] + k // h[row]
+        ty = y0[row] + k % h[row]
+        return pa.table(
+            {
+                "tile_x": pa.array(tx.astype(np.int32)),
+                "tile_y": pa.array(ty.astype(np.int32)),
+            }
+        )
+
+    tiles = joined.map_batches(expand, batch_format="pyarrow")
+    return partial_count(tiles, ["tile_x", "tile_y"], out="n_segments")
+
+
+SQL_SEGMENT_TILE_COVER = f"""
+WITH {SQL_GEO_CTE},
+n AS (SELECT COUNT(*) AS c FROM documents),
+pt AS (
+  SELECT doc_id,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) // 16 AS tx,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) // 16 AS ty
+  FROM geo
+),
+seg AS (
+  SELECT LEAST(a.tx, b.tx) AS x0, GREATEST(a.tx, b.tx) AS x1,
+         LEAST(a.ty, b.ty) AS y0, GREATEST(a.ty, b.ty) AS y1
+  FROM pt a JOIN pt b ON b.doc_id = (a.doc_id * 13 + 7) % (SELECT c FROM n)
+  WHERE (GREATEST(a.tx, b.tx) - LEAST(a.tx, b.tx) + 1)
+        * (GREATEST(a.ty, b.ty) - LEAST(a.ty, b.ty) + 1) <= {SEGMENT_TILE_CAP}
+),
+tiles AS (
+  SELECT CAST(s.x0 + i AS INTEGER) AS tile_x, CAST(s.y0 + j AS INTEGER) AS tile_y
+  FROM seg s, range(0, 256) ri(i), range(0, 256) rj(j)
+  WHERE i <= s.x1 - s.x0 AND j <= s.y1 - s.y0
+)
+SELECT tile_x, tile_y, COUNT(*) AS n_segments FROM tiles GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: admin_counts — PIP join against the level-0 rectangle grid (I4/D11)
 
 
@@ -571,6 +695,7 @@ QUERIES = {
     "tile_counts": q_tile_counts,
     "tile_top_lang": q_tile_top_lang,
     "geo_cell_dedup": q_geo_cell_dedup,
+    "segment_tile_cover": q_segment_tile_cover,
     "admin_counts": q_admin_counts,
     "admin_counts_partitioned": q_admin_counts_partitioned,
     "metro_counts": q_metro_counts,
@@ -602,6 +727,7 @@ ORACLES = {
     "tile_counts": SQL_TILE_COUNTS,
     "tile_top_lang": SQL_TILE_TOP_LANG,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
+    "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
     "admin_counts": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
     "metro_counts": SQL_METRO_COUNTS,
@@ -628,7 +754,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # green on the r2 board and re-verified green locally at r3 code).
 _DRIVER_PRIORITY = [
     # new in round 4 (never driver-checked)
-    "bm25_top_terms", "tile_top_lang", "geo_cell_dedup",
+    "bm25_top_terms", "tile_top_lang", "geo_cell_dedup", "segment_tile_cover",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",

@@ -392,12 +392,16 @@ _DEFAULT_NUM = _HASH_MOD // 4
 def _sample_batch(t: pa.Table) -> pa.Table:
     ids = t.column("doc_id").to_numpy().astype(np.int64)
     h = (ids * np.int64(_HASH_MULT)) % np.int64(_HASH_MOD)
-    langs = t.column("lang").to_pylist()
-    thresh = np.fromiter(
-        (_RATE_NUM.get(lg, _DEFAULT_NUM) for lg in langs),
-        dtype=np.int64,
-        count=len(langs),
+    # vectorized rate lookup (D4 idiom): index_in against the tiny
+    # per-language override set, default elsewhere
+    idx = pc.index_in(
+        pc.cast(t.column("lang"), pa.string()),
+        value_set=pa.array(list(_RATE_NUM), type=pa.string()),
     )
+    hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    iv = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.fromiter(_RATE_NUM.values(), dtype=np.int64, count=len(_RATE_NUM))
+    thresh = np.where(hit, vals[iv], np.int64(_DEFAULT_NUM))
     return t.filter(pa.array(h < thresh))
 
 
