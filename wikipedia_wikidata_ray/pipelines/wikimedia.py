@@ -149,18 +149,18 @@ def _attach_meta_broadcast(imp: Dataset, meta: Dataset) -> Dataset:
     """F3 article shaping without a shuffle (broadcast path).
 
     The materialized per-doc metadata is assembled from its blocks as
-    zero-copy plasma views, sorted once by doc_id on the driver, and
-    ray.put once; each importance batch resolves (lang, title, has_geo)
-    with one vectorized np.searchsorted. Replaces a doc_id hash join that
-    measured ~20 s on 1M×1M rows (round-2 bench regression, BASELINE.md);
-    the join plan remains the > BROADCAST_DOC_LIMIT fallback."""
+    zero-copy plasma views and ray.put once (no driver-side sort — the
+    probe is an Arrow hash lookup, not searchsorted); each importance
+    batch resolves (lang, title, has_geo) with one ``pc.index_in``.
+    Replaces a doc_id hash join that measured ~20 s on 1M×1M rows
+    (round-2 bench regression, BASELINE.md); the join plan remains the
+    > BROADCAST_DOC_LIMIT fallback."""
     import ray as _ray
 
     tbl = pa.concat_tables([_ray.get(r) for r in meta.to_arrow_refs()]).combine_chunks()
-    tbl = tbl.take(pc.sort_indices(tbl.column("doc_id"))).combine_chunks()
     ref = _ray.put(
         (
-            tbl.column("doc_id").to_numpy(),
+            pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks(),
             tbl.column("lang").combine_chunks(),
             tbl.column("title").combine_chunks(),
             tbl.column("has_geo").combine_chunks(),
@@ -169,14 +169,11 @@ def _attach_meta_broadcast(imp: Dataset, meta: Dataset) -> Dataset:
 
     def attach(t: pa.Table) -> pa.Table:
         ids, langs, titles, geo = _ray.get(ref)
-        q = t.column("doc_id").to_numpy()
-        raw = np.searchsorted(ids, q)
-        # verify the probe: an importance doc_id absent from meta must DROP
-        # (inner-join semantics, matching the hash-join fallback), not
-        # silently attach a neighboring doc's metadata or IndexError.
-        idx_np = np.minimum(raw, len(ids) - 1)
-        hit = ids[idx_np] == q
-        idx = pa.array(idx_np)
+        # an importance doc_id absent from meta must DROP (inner-join
+        # semantics, matching the hash-join fallback): index_in yields
+        # null there, and the is_valid conjunct filters it.
+        idx = pc.index_in(pc.cast(t.column("doc_id"), pa.int64()), value_set=ids)
+        hit = pc.is_valid(idx)
         out = pa.table(
             {
                 "language": pc.take(langs, idx),
@@ -186,7 +183,9 @@ def _attach_meta_broadcast(imp: Dataset, meta: Dataset) -> Dataset:
                 "ref_doc_id": t.column("doc_id"),
             }
         )
-        return out.filter(pc.and_(pa.array(hit), pc.take(geo, idx)))
+        return out.filter(
+            pc.and_(hit, pc.fill_null(pc.take(geo, idx), False))
+        )
 
     return imp.map_batches(attach, batch_format="pyarrow", batch_size=65536)
 
