@@ -89,6 +89,28 @@ def test_tfidf_df_broadcast_eq_join(ray_session):
     pd.testing.assert_frame_equal(bcast, join)
 
 
+def test_bm25_df_broadcast_eq_join(ray_session):
+    """J25: BM25 rides attach_df's gate too — index_in broadcast probe ==
+    token-keyed hash join."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.webtext import bm25_top_terms
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+
+    def run(limit):
+        docs = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return _sorted_df(bm25_top_terms(docs, n_docs, df_broadcast_limit=limit))
+
+    bcast = run(None)
+    join = run(0)
+    assert len(bcast) > 0
+    pd.testing.assert_frame_equal(bcast, join)
+
+
 def test_export_broadcast_eq_join(ray_session):
     """F3/D8/D9/F8/F1: export_pipeline's broadcast-searchsorted plan ==
     its >20M-doc hash-join plan, full sorted output equality."""
