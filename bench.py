@@ -25,9 +25,32 @@ import sys
 import time
 
 
+def _host_probe() -> dict:
+    """One-shot host-health probe recorded in the bench JSON: this VM's
+    host overcommits CPU and memory in multi-minute phases (BASELINE.md,
+    round 4) — wall-clock sections are only comparable across runs whose
+    probes match. Reference values on a quiet host: matmul ≈ 0.3-0.6 s,
+    fault ≈ 0.05-0.3 s; observed during bad phases: 10-14 s / 11-16 s."""
+    import time as _t
+
+    import numpy as _np
+
+    t0 = _t.perf_counter()
+    x = _np.random.rand(2000, 2000)
+    _ = x @ x
+    matmul = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    a = _np.empty(64 << 20, dtype=_np.uint8)
+    a[::4096] = 1
+    fault = _t.perf_counter() - t0
+    return {"matmul_2k_sec": round(matmul, 3), "fault_64mb_sec": round(fault, 3)}
+
+
 def run_bench() -> dict:
     import ray
     import ray.data as rd
+
+    host_probe = _host_probe()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -161,6 +184,7 @@ def run_bench() -> dict:
             "num_cpus": num_cpus,
             "n_pages": n_pages,
             "pages_per_sec": round(n_pages / headline, 1),
+            "host_probe": host_probe,
             "rows": {"tiles": n_tiles},
         }
 
@@ -307,6 +331,7 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "n_dedup_docs": n_docs * dmult,
         "pages_per_sec": round(n_pages / headline, 1),
+        "host_probe": host_probe,
         "runs": section_runs,
         "n_events": n_ev * emult,
         "rows": {
@@ -362,6 +387,9 @@ def run_scaling() -> dict:
         "pages_per_sec_32": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "n_pages": r_hi["n_pages"],
+        "host_probes": [
+            r.get("host_probe") for r in (runs_lo[0], runs_hi[0], runs_lo[1], runs_hi[1])
+        ],
     }
 
 
