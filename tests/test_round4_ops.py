@@ -83,6 +83,40 @@ def test_tile_top_lang_consistent_with_tile_counts(ray_session):
     assert (merged["n_pages_win"] >= 1).all()
 
 
+def test_tile_heat_smooth_conserves_mass_and_dominates(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        q_tile_counts,
+        q_tile_heat_smooth,
+    )
+
+    sm = q_tile_heat_smooth(SF).to_pandas()
+    counts = q_tile_counts(SF).to_pandas()
+    # each point contributes to exactly 9 tiles → total mass is 9×
+    assert sm["n_pages_3x3"].sum() == 9 * counts["n_pages"].sum()
+    # a tile's smoothed count dominates its raw count
+    m = counts.merge(sm, on=["tile_x", "tile_y"], how="left")
+    assert (m["n_pages_3x3"] >= m["n_pages"]).all()
+    assert not sm.duplicated(["tile_x", "tile_y"]).any()
+
+
+def test_hex_ring_smooth_counts_matches_bruteforce():
+    from wikipedia_wikidata_ray.geo import hexgrid
+
+    rng = np.random.RandomState(3)
+    lat = rng.uniform(-60, 60, 300)
+    lon = rng.uniform(-170, 170, 300)
+    cells = hexgrid.latlng_to_cell(lat, lon, 7)
+    # collapse to unique (cell, count) input pairs
+    uc, counts = np.unique(cells, return_counts=True)
+    got_c, got_n = hexgrid.ring_smooth_counts(uc, counts)
+    want: dict = {}
+    for c, n in zip(uc, counts):
+        ring = np.concatenate(([c], hexgrid.neighbors(int(c))))
+        for rc in ring:
+            want[int(rc)] = want.get(int(rc), 0) + int(n)
+    assert dict(zip(got_c.astype(int), got_n.astype(int))) == want
+
+
 def test_geo_cell_dedup_partitions_geotagged_exactly(ray_session):
     from wikipedia_wikidata_ray.pipelines.queries import q_geo_cell_dedup
 

@@ -122,3 +122,30 @@ def neighbors(cell: int) -> np.ndarray:
     q = q0[0] + _NEIGHBOR_OFFSETS[:, 0]
     r = r0[0] + _NEIGHBOR_OFFSETS[:, 1]
     return pack(q, r, int(res[0]))
+
+
+def ring_smooth_counts(cells: np.ndarray, counts: np.ndarray):
+    """Sparse hex stencil: given (cell → count) pairs, return the k=1
+    ring-smoothed pairs — every cell in some input cell's 7-cell ring
+    (itself + 6 axial neighbors) with the sum of contributing counts.
+    Fully vectorized (one 7× scatter + lexsort reduce); the distributed
+    shape is the same as pipelines/queries.q_tile_heat_smooth — scatter
+    COUNT PARTIALS in-batch, merge sums across blocks — so this kernel
+    drops into a map_batches + merge_group_sums pipeline unchanged."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    counts = np.asarray(counts)
+    if len(cells) == 0:
+        return cells, counts.astype(np.int64)
+    q, r, res = unpack(cells)
+    offs = np.vstack(([0, 0], _NEIGHBOR_OFFSETS))  # self + 6 neighbors
+    qq = (q[:, None] + offs[None, :, 0]).ravel()
+    rr = (r[:, None] + offs[None, :, 1]).ravel()
+    out_cells = pack(qq, rr, int(res[0]))
+    out_counts = np.repeat(counts.astype(np.int64), 7)
+    order = np.argsort(out_cells, kind="stable")
+    sc, scnt = out_cells[order], out_counts[order]
+    new = np.ones(len(sc), dtype=bool)
+    new[1:] = sc[1:] != sc[:-1]
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(scnt, starts)
+    return sc[starts], sums

@@ -192,6 +192,73 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_heat_smooth — sparse-raster stencil: per z12 tile, the page count
+# summed over its 3×3 Moore neighborhood (heatmap smoothing / hotspot
+# detection on the tile raster). The neighbor scatter runs on COUNT
+# PARTIALS, never raw rows: per-block (tile → c) partials fan out ×9
+# in-batch and collapse through one merge shuffle, so movement is bounded
+# by 9 × tiles-per-block regardless of page volume. The hex twin
+# (geo/hexgrid.ring_smooth_counts, k-ring on axial cells) is
+# pytest-verified — the hex grid is the documented H3-style divergence
+# with no SQL-expressible encode.
+
+
+def q_tile_heat_smooth(sf_dir: str) -> Dataset:
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(["tile_x", "tile_y"]),
+        batch_format="pyarrow",
+    )
+    counts = partial_count(geo, ["tile_x", "tile_y"], out="c")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        tx = t.column("tile_x").to_numpy().astype(np.int64)
+        ty = t.column("tile_y").to_numpy().astype(np.int64)
+        c = t.column("c").to_numpy()
+        dx = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int64)
+        dy = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int64)
+        out = pa.table(
+            {
+                "tile_x": pa.array(
+                    (tx[:, None] + dx[None, :]).ravel().astype(np.int32)
+                ),
+                "tile_y": pa.array(
+                    (ty[:, None] + dy[None, :]).ravel().astype(np.int32)
+                ),
+                "n_pages_3x3": pa.array(np.repeat(c, 9)),
+            }
+        )
+        # collapse the fan-out before it leaves the batch
+        g = out.group_by(["tile_x", "tile_y"]).aggregate([("n_pages_3x3", "sum")])
+        return g.rename_columns(["tile_x", "tile_y", "n_pages_3x3"])
+
+    scattered = counts.map_batches(scatter, batch_format="pyarrow")
+    return merge_group_sums(scattered, ["tile_x", "tile_y"], ["n_pages_3x3"])
+
+
+SQL_TILE_HEAT_SMOOTH = f"""
+WITH {SQL_GEO_CTE},
+counts AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         COUNT(*) AS c
+  FROM geo
+  GROUP BY 1, 2
+),
+sm AS (
+  SELECT CAST(tile_x + dx AS INTEGER) AS tile_x,
+         CAST(tile_y + dy AS INTEGER) AS tile_y, c
+  FROM counts,
+       (VALUES (-1), (0), (1)) dxs(dx),
+       (VALUES (-1), (0), (1)) dys(dy)
+)
+SELECT tile_x, tile_y, CAST(SUM(c) AS BIGINT) AS n_pages_3x3
+FROM sm GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: segment_tile_cover — vector→raster coverage: each geotagged doc
 # defines a segment to a derived partner point ((id·13+7) mod N, kept only
 # when the partner is geotagged — inner-join semantics); the segment's z12
@@ -696,6 +763,7 @@ QUERIES = {
     "tile_top_lang": q_tile_top_lang,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
+    "tile_heat_smooth": q_tile_heat_smooth,
     "admin_counts": q_admin_counts,
     "admin_counts_partitioned": q_admin_counts_partitioned,
     "metro_counts": q_metro_counts,
@@ -728,6 +796,7 @@ ORACLES = {
     "tile_top_lang": SQL_TILE_TOP_LANG,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
+    "tile_heat_smooth": SQL_TILE_HEAT_SMOOTH,
     "admin_counts": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
     "metro_counts": SQL_METRO_COUNTS,
@@ -755,6 +824,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 4 (never driver-checked)
     "bm25_top_terms", "tile_top_lang", "geo_cell_dedup", "segment_tile_cover",
+    "tile_heat_smooth",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
