@@ -117,6 +117,60 @@ def test_hex_ring_smooth_counts_matches_bruteforce():
     assert dict(zip(got_c.astype(int), got_n.astype(int))) == want
 
 
+def _supercover_scalar(x0, y0, x1, y1):
+    """Per-segment reference walk with the same x-first corner convention."""
+    tx, ty = int(np.floor(x0)), int(np.floor(y0))
+    tx1, ty1 = int(np.floor(x1)), int(np.floor(y1))
+    sx = 1 if x1 >= x0 else -1
+    sy = 1 if y1 >= y0 else -1
+    events = []
+    k = 1
+    while k <= abs(tx1 - tx):
+        line = tx + k if sx > 0 else tx + 1 - k
+        events.append(((line - x0) / (x1 - x0), 0))
+        k += 1
+    k = 1
+    while k <= abs(ty1 - ty):
+        line = ty + k if sy > 0 else ty + 1 - k
+        events.append(((line - y0) / (y1 - y0), 1))
+        k += 1
+    events.sort(key=lambda e: (e[0], e[1]))  # corner ties: x-step first
+    out = [(tx, ty)]
+    for _, ax in events:
+        if ax == 0:
+            tx += sx
+        else:
+            ty += sy
+        out.append((tx, ty))
+    return out
+
+
+def test_supercover_tiles_matches_scalar_walk():
+    from wikipedia_wikidata_ray.geo.tiles import supercover_tiles
+
+    rng = np.random.RandomState(11)
+    n = 200
+    x0 = rng.uniform(-5, 20, n)
+    y0 = rng.uniform(-5, 20, n)
+    x1 = x0 + rng.uniform(-15, 15, n)
+    y1 = y0 + rng.uniform(-15, 15, n)
+    # include degenerate shapes: vertical, horizontal, same-tile
+    x1[:3], y1[3:6] = x0[:3], y0[3:6]
+    x1[6], y1[6] = x0[6], y0[6]
+    seg, tx, ty = supercover_tiles(x0, y0, x1, y1)
+    for i in range(n):
+        got = list(zip(tx[seg == i].tolist(), ty[seg == i].tolist()))
+        want = _supercover_scalar(x0[i], y0[i], x1[i], y1[i])
+        assert got == want, f"segment {i}"
+    # structural properties: 4-connected path, endpoints covered
+    for i in range(n):
+        path = list(zip(tx[seg == i].tolist(), ty[seg == i].tolist()))
+        assert path[0] == (int(np.floor(x0[i])), int(np.floor(y0[i])))
+        assert path[-1] == (int(np.floor(x1[i])), int(np.floor(y1[i])))
+        for (a, b), (c, d) in zip(path, path[1:]):
+            assert abs(a - c) + abs(b - d) == 1  # one axis step at a time
+
+
 def test_geo_cell_dedup_partitions_geotagged_exactly(ray_session):
     from wikipedia_wikidata_ray.pipelines.queries import q_geo_cell_dedup
 
