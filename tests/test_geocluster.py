@@ -1,0 +1,144 @@
+"""Grid-raster operator invariants: tile pyramid rollup, radius-bounded
+pair join, 8-connected tile clustering. The oracle checker covers SQL
+parity at sf0.01; these pin operator-level invariants at sf0.001 against
+independent brute-force recomputation (derive_geo + latlng_to_tile +
+pure-Python union-find)."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _geo_points():
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy()
+    )
+    ids = np.sort(ids.astype(np.int64))
+    lat, lon, has = derive_geo(ids)
+    return ids[has], lat[has], lon[has]
+
+
+def _tiles12():
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+
+    _, lat, lon = _geo_points()
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    return tx.astype(np.int64), ty.astype(np.int64)
+
+
+def test_tile_pyramid_matches_bruteforce_rollup(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import PYRAMID_ZOOMS, q_tile_pyramid
+
+    out = q_tile_pyramid(SF).to_pandas()
+    tx, ty = _tiles12()
+    for z in PYRAMID_ZOOMS:
+        dz = 12 - z
+        cnt = collections.Counter(zip((tx >> dz).tolist(), (ty >> dz).tolist()))
+        got = out[out["zoom"] == z]
+        assert len(got) == len(cnt)
+        for _, r in got.iterrows():
+            assert cnt[(r["tile_x"], r["tile_y"])] == r["n_pages"]
+    # mass conservation: every zoom level accounts for every geotagged page
+    assert (out.groupby("zoom")["n_pages"].sum() == len(tx)).all()
+    # parents strictly coarser: fewer (or equal) tiles as zoom falls
+    sizes = out.groupby("zoom").size()
+    assert list(sizes.index) == sorted(sizes.index)
+    assert (sizes.diff().dropna() >= 0).all()
+
+
+def test_within_radius_pairs_matches_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        RADIUS_DEG,
+        q_within_radius_pairs,
+    )
+
+    out = q_within_radius_pairs(SF).to_pandas()
+    ids, lat, lon = _geo_points()
+    dlat = lat[:, None] - lat[None, :]
+    dlon = lon[:, None] - lon[None, :]
+    d2 = dlat * dlat + dlon * dlon
+    iu = np.triu_indices(len(ids), k=1)
+    mask = d2[iu] <= RADIUS_DEG * RADIUS_DEG
+    exp = {
+        (int(a), int(b)): float(d)
+        for a, b, d in zip(ids[iu[0]][mask], ids[iu[1]][mask], d2[iu][mask])
+    }
+    assert len(exp) > 0  # the fixture's megacity jitter guarantees pairs
+    assert len(out) == len(exp)
+    for a, b, d in zip(out["doc_a"], out["doc_b"], out["dist2"]):
+        assert a < b
+        # identical IEEE op sequence on both sides → bitwise equality
+        assert exp[(int(a), int(b))] == d
+
+
+def _union_find_min_labels(tileset):
+    parent = {t: t for t in tileset}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in tileset:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb != (x, y) and nb in tileset:
+                    ra, rb = find((x, y)), find(nb)
+                    if ra != rb:
+                        parent[ra] = rb
+    comp = collections.defaultdict(list)
+    for t in tileset:
+        comp[find(t)].append(t)
+    labels = {}
+    for members in comp.values():
+        lab = min(x * 8192 + y + 1 for x, y in members)
+        for t in members:
+            labels[t] = lab
+    return labels
+
+
+def test_tile_grid_clusters_match_union_find(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_tile_grid_clusters
+
+    out = q_tile_grid_clusters(SF).to_pandas()
+    tx, ty = _tiles12()
+    tileset = set(zip(tx.tolist(), ty.tolist()))
+    assert set(zip(out["tile_x"], out["tile_y"])) == tileset
+    assert len(out) == len(tileset)
+    expected = _union_find_min_labels(tileset)
+    for x, y, c in zip(out["tile_x"], out["tile_y"], out["cluster_id"]):
+        assert expected[(int(x), int(y))] == c
+    # nontrivial: megacity jitter spans adjacent tiles → at least one
+    # multi-tile cluster exists
+    assert out["cluster_id"].duplicated().any()
+
+
+def test_grid_cluster_stats_consistent(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_grid_cluster_stats
+
+    stats = q_grid_cluster_stats(SF).to_pandas()
+    tx, ty = _tiles12()
+    tiles = list(zip(tx.tolist(), ty.tolist()))
+    tileset = set(tiles)
+    per_tile = collections.Counter(tiles)
+    expected = _union_find_min_labels(tileset)
+    exp_tiles = collections.Counter(expected.values())
+    exp_pages = collections.defaultdict(int)
+    for t, lab in expected.items():
+        exp_pages[lab] += per_tile[t]
+    assert len(stats) == len(exp_tiles)
+    for c, nt, np_ in zip(stats["cluster_id"], stats["n_tiles"], stats["n_pages"]):
+        assert exp_tiles[int(c)] == nt
+        assert exp_pages[int(c)] == np_
+    assert stats["n_tiles"].sum() == len(tileset)
+    assert stats["n_pages"].sum() == len(tx)

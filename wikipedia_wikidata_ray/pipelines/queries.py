@@ -383,6 +383,372 @@ SELECT tile_x, tile_y, COUNT(*) AS n_segments FROM tiles GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_pyramid — raster pyramid rollup: per-tile page counts at zooms
+# 12/10/8/6 in ONE pass. The fan-out happens on COUNT PARTIALS (one row
+# per zoom per z12 tile), never on page rows, and every parent tile
+# derives from the encoded z12 tile by an EXACT integer shift
+# (``>> dz`` == ``// 2^dz`` on non-negative ints — mirrored in SQL as
+# ``// (1 << dz)``, never a re-floored float). Reference analog: the map
+# consumers of the importance export (`steps/output.sh:51-83` feeds
+# Nominatim tile rendering) draw from pre-built pyramids; this is the
+# build step. Scale: movement = 4 rows per occupied-z12-tile partial
+# through one combiner-merged shuffle; page volume never re-shuffles
+# per zoom level.
+
+PYRAMID_ZOOMS = (12, 10, 8, 6)
+
+
+def q_tile_pyramid(sf_dir: str) -> Dataset:
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(["tile_x", "tile_y"]),
+        batch_format="pyarrow",
+    )
+    counts = partial_count(geo, ["tile_x", "tile_y"], out="n_pages")
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("n_pages").to_numpy(zero_copy_only=False)
+        outs = []
+        for z in PYRAMID_ZOOMS:
+            dz = 12 - z
+            outs.append(
+                pa.table(
+                    {
+                        "zoom": pa.array(np.full(len(tx), z, dtype=np.int32)),
+                        "tile_x": pa.array((tx >> dz).astype(np.int32)),
+                        "tile_y": pa.array((ty >> dz).astype(np.int32)),
+                        "n_pages": pa.array(c),
+                    }
+                )
+            )
+        out = pa.concat_tables(outs)
+        # collapse the per-zoom fan-out before it leaves the batch
+        g = out.group_by(["zoom", "tile_x", "tile_y"]).aggregate([("n_pages", "sum")])
+        return g.rename_columns(["zoom", "tile_x", "tile_y", "n_pages"])
+
+    return merge_group_sums(
+        counts.map_batches(fan_out, batch_format="pyarrow"),
+        ["zoom", "tile_x", "tile_y"],
+        ["n_pages"],
+    )
+
+
+SQL_TILE_PYRAMID = f"""
+WITH {SQL_GEO_CTE},
+xy AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS x12,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS y12
+  FROM geo
+)
+SELECT CAST(z.zoom AS INTEGER) AS zoom,
+       CAST(x12 // (1 << (12 - z.zoom)) AS INTEGER) AS tile_x,
+       CAST(y12 // (1 << (12 - z.zoom)) AS INTEGER) AS tile_y,
+       COUNT(*) AS n_pages
+FROM xy, (VALUES (12), (10), (8), (6)) z(zoom)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: within_radius_pairs — distance-bounded spatial self-join: every
+# geotagged pair (a < b) with squared planar-degree distance
+# (dlat² + dlon², pure IEEE arithmetic so the DuckDB oracle is bitwise)
+# within RADIUS_DEG. Implementation is the snap-to-grid bucket join:
+# one side scatters to its 3×3 neighbor cells of size == radius (so
+# every qualifying pair shares exactly ONE (scattered-left, exact-right)
+# cell — Euclidean ≤ r ⊆ Chebyshev ≤ r, and the 9-way scatter of left
+# hits each right cell at most once: no dedup shuffle needed), then one
+# hash join on the packed int64 cell key and an in-batch exact verify.
+# Scale: the join moves 32 B/point ×9 on one side and 32 B/point on the
+# other — never text; megacity cells are the hot keys and the verify is
+# per-batch vectorized. At true megacity skew the per-cell pair count is
+# quadratic in cell occupancy — the radius chooses cell size, and a
+# production cap would mirror dedup's max_bucket_size star-pair answer
+# (ops/dedup.py) — noted, not gated, because output IS the pair set.
+
+RADIUS_DEG = 0.05  # smallest radius with a non-trivial pair set on the
+# fixture's deterministic jitter lattice (525 pairs at 350 points; 0.02
+# yields zero — the lattice spacing exceeds it)
+
+
+def q_within_radius_pairs(sf_dir: str, radius: float = RADIUS_DEG) -> Dataset:
+    pts = _geotagged(sf_dir)
+    r2 = radius * radius
+
+    def scatter_left(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        clat = np.floor(lat / radius).astype(np.int64)
+        clon = np.floor(lon / radius).astype(np.int64)
+        n = len(did)
+        d = np.array([-1, 0, 1], dtype=np.int64)
+        rep = np.repeat(np.arange(n), 9)
+        dy = np.tile(np.repeat(d, 3), n)
+        dx = np.tile(np.tile(d, 3), n)
+        cell = (clat[rep] + dy + 9000) * 100000 + (clon[rep] + dx + 18000)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "doc_a": pa.array(did[rep]),
+                "lat_a": pa.array(lat[rep]),
+                "lon_a": pa.array(lon[rep]),
+            }
+        )
+
+    def right_side(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        clat = np.floor(lat / radius).astype(np.int64)
+        clon = np.floor(lon / radius).astype(np.int64)
+        return pa.table(
+            {
+                "cell_r": pa.array((clat + 9000) * 100000 + (clon + 18000)),
+                "doc_b": pa.array(did),
+                "lat_b": pa.array(lat),
+                "lon_b": pa.array(lon),
+            }
+        )
+
+    from ..stages.salted import default_partitions
+
+    joined = pts.map_batches(scatter_left, batch_format="pyarrow").join(
+        pts.map_batches(right_side, batch_format="pyarrow"),
+        "inner",
+        num_partitions=default_partitions(),
+        on=("cell",),
+        right_on=("cell_r",),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        dlat = t.column("lat_a").to_numpy(zero_copy_only=False) - t.column(
+            "lat_b"
+        ).to_numpy(zero_copy_only=False)
+        dlon = t.column("lon_a").to_numpy(zero_copy_only=False) - t.column(
+            "lon_b"
+        ).to_numpy(zero_copy_only=False)
+        dist2 = dlat * dlat + dlon * dlon
+        keep = (a < b) & (dist2 <= r2)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "dist2": pa.array(dist2[keep]),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+SQL_WITHIN_RADIUS_PAIRS = f"""
+WITH {SQL_GEO_CTE}
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+FROM geo a JOIN geo b ON b.doc_id > a.doc_id
+WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+      <= {RADIUS_DEG!r} * {RADIUS_DEG!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_grid_clusters / grid_cluster_stats — spatial clustering on the
+# tile raster: occupied z12 tiles that touch (8-connected Moore
+# adjacency) belong to one cluster, labeled by the minimum packed tile
+# key in the component — the grid-DBSCAN shape (minPts=1) every hotspot/
+# region-growing analysis starts from, and a second consumer of
+# ops/cc.connected_components (candidate-source-agnostic by design).
+# Node key packs (x, y) as x*8192 + y + 1: the stride-8192/+1 leaves
+# headroom so a neighbor offset can NEVER alias another valid tile key
+# (stride 4096 would fold (x+1, -1) onto (x, 4095)). SQL mirrors the
+# exact packing so cluster ids match bitwise.
+# Scale: nodes/edges are OCCUPIED-TILE-sized (≤ #distinct tiles, bounded
+# by 4096² at z12), never page rows; the edge build is one hash join of
+# the ×4 forward-neighbor scatter against the tile set (forward-only —
+# cc replicates both directions itself); CC is O(log diameter) rounds of
+# (int64, int64) shuffles.
+
+
+def _tile_nodes(sf_dir: str) -> Dataset:
+    """Occupied z12 tiles as (node, n_pages); node = x*8192 + y + 1.
+
+    Materialized: it is a bounded aggregate (occupied-tile count) consumed
+    2-3 times downstream (nodes, edge build, stats join) — re-deriving it
+    would re-run the full page scan per consumer."""
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(["tile_x", "tile_y"]),
+        batch_format="pyarrow",
+    )
+    counts = partial_count(geo, ["tile_x", "tile_y"], out="n_pages")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(tx * 8192 + ty + 1),
+                "n_pages": t.column("n_pages"),
+            }
+        )
+
+    return counts.map_batches(keyed, batch_format="pyarrow").materialize()
+
+
+def _grid_edges(tiles: Dataset) -> Dataset:
+    """Forward Moore-neighbor edges between occupied tiles: scatter each
+    tile to its 4 forward neighbors (E, S, SE, NE), keep the ones that
+    exist via one hash join against the tile set."""
+    from ..stages.salted import default_partitions
+
+    def fwd(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        tx = node // 8192
+        ty = node % 8192 - 1
+        nbrs = [
+            (tx + dx) * 8192 + (ty + dy) + 1
+            for dx, dy in ((1, 0), (0, 1), (1, 1), (1, -1))
+        ]
+        return pa.table(
+            {
+                "nbr": pa.array(np.concatenate(nbrs)),
+                "src": pa.array(np.tile(node, 4)),
+            }
+        )
+
+    cand = tiles.map_batches(fwd, batch_format="pyarrow")
+    nodes_only = tiles.map_batches(
+        lambda t: pa.table({"dst": t.column("node")}), batch_format="pyarrow"
+    )
+    joined = cand.join(
+        nodes_only,
+        "inner",
+        num_partitions=default_partitions(),
+        on=("nbr",),
+        right_on=("dst",),
+    )
+    # after the equi-join the left key column "nbr" carries the matched
+    # destination node (right key column is not re-emitted)
+    return joined.map_batches(
+        lambda t: pa.table({"src": t.column("src"), "dst": t.column("nbr")}),
+        batch_format="pyarrow",
+    )
+
+
+def _grid_labels(sf_dir: str) -> tuple[Dataset, Dataset]:
+    from ..ops.cc import connected_components
+
+    tiles = _tile_nodes(sf_dir)
+    edges = _grid_edges(tiles)
+    labels = connected_components(
+        tiles.select_columns(["node"]), edges, node_col="node",
+        src_col="src", dst_col="dst",
+    )
+    return tiles, labels
+
+
+def q_tile_grid_clusters(sf_dir: str) -> Dataset:
+    _, labels = _grid_labels(sf_dir)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": pa.array((node // 8192).astype(np.int32)),
+                "tile_y": pa.array((node % 8192 - 1).astype(np.int32)),
+                "cluster_id": t.column("label"),
+            }
+        )
+
+    return labels.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_grid_cluster_stats(sf_dir: str) -> Dataset:
+    from ..stages.salted import default_partitions
+
+    tiles, labels = _grid_labels(sf_dir)
+    joined = labels.join(
+        tiles,
+        "inner",
+        num_partitions=default_partitions(),
+        on=("node",),
+        right_on=("node",),
+    )
+
+    def parts(t: pa.Table) -> pa.Table:
+        p = pa.table(
+            {
+                "cluster_id": t.column("label"),
+                "n_tiles": pa.array(np.ones(len(t), dtype=np.int64)),
+                "n_pages": t.column("n_pages"),
+            }
+        )
+        g = p.group_by(["cluster_id"]).aggregate(
+            [("n_tiles", "sum"), ("n_pages", "sum")]
+        )
+        return g.rename_columns(["cluster_id", "n_tiles", "n_pages"])
+
+    return merge_group_sums(
+        joined.map_batches(parts, batch_format="pyarrow"),
+        ["cluster_id"],
+        ["n_tiles", "n_pages"],
+    )
+
+
+SQL_TILE_XY = """
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         COUNT(*) AS n_pages
+  FROM geo
+  GROUP BY 1, 2
+"""
+
+_SQL_GRID_REACH = f"""
+counts AS ({SQL_TILE_XY}),
+t AS (
+  SELECT CAST(tile_x * 8192 + tile_y + 1 AS BIGINT) AS node,
+         tile_x, tile_y, n_pages
+  FROM counts
+),
+und AS (
+  SELECT a.node AS a, b.node AS b
+  FROM t a JOIN t b
+    ON ABS(a.tile_x - b.tile_x) <= 1 AND ABS(a.tile_y - b.tile_y) <= 1
+   AND a.node <> b.node
+),
+reach(node, label) AS (
+  SELECT node, node FROM t
+  UNION
+  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node
+),
+lab AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY 1)
+"""
+
+SQL_TILE_GRID_CLUSTERS = f"""
+WITH RECURSIVE {SQL_GEO_CTE},
+{_SQL_GRID_REACH}
+SELECT t.tile_x, t.tile_y, lab.cluster_id
+FROM lab JOIN t USING (node)
+"""
+
+SQL_GRID_CLUSTER_STATS = f"""
+WITH RECURSIVE {SQL_GEO_CTE},
+{_SQL_GRID_REACH}
+SELECT cluster_id, COUNT(*) AS n_tiles, CAST(SUM(n_pages) AS BIGINT) AS n_pages
+FROM lab JOIN t USING (node)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: admin_counts — PIP join against the level-0 rectangle grid (I4/D11)
 
 
@@ -764,6 +1130,10 @@ QUERIES = {
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
     "tile_heat_smooth": q_tile_heat_smooth,
+    "tile_pyramid": q_tile_pyramid,
+    "within_radius_pairs": q_within_radius_pairs,
+    "tile_grid_clusters": q_tile_grid_clusters,
+    "grid_cluster_stats": q_grid_cluster_stats,
     "admin_counts": q_admin_counts,
     "admin_counts_partitioned": q_admin_counts_partitioned,
     "metro_counts": q_metro_counts,
@@ -797,6 +1167,10 @@ ORACLES = {
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
     "tile_heat_smooth": SQL_TILE_HEAT_SMOOTH,
+    "tile_pyramid": SQL_TILE_PYRAMID,
+    "within_radius_pairs": SQL_WITHIN_RADIUS_PAIRS,
+    "tile_grid_clusters": SQL_TILE_GRID_CLUSTERS,
+    "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
     "admin_counts": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
     "metro_counts": SQL_METRO_COUNTS,
@@ -824,7 +1198,8 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 4 (never driver-checked)
     "bm25_top_terms", "tile_top_lang", "geo_cell_dedup", "segment_tile_cover",
-    "tile_heat_smooth",
+    "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
+    "tile_grid_clusters", "grid_cluster_stats",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
