@@ -142,3 +142,53 @@ def test_grid_cluster_stats_consistent(ray_session):
         assert exp_pages[int(c)] == np_
     assert stats["n_tiles"].sum() == len(tileset)
     assert stats["n_pages"].sum() == len(tx)
+
+
+def _compact_bruteforce(tileset, floor_zoom):
+    """Pure-Python reference compaction: promote full sibling quads."""
+    levels = {12: set(tileset)}
+    z = 12
+    while z > floor_zoom:
+        parents = collections.Counter((x >> 1, y >> 1) for x, y in levels[z])
+        full = {p for p, n in parents.items() if n == 4}
+        levels[z] = {t for t in levels[z] if (t[0] >> 1, t[1] >> 1) not in full}
+        levels[z - 1] = full
+        if not full:
+            break
+        z -= 1
+    out = set()
+    for zz, cells in levels.items():
+        out |= {(zz, x, y) for x, y in cells}
+    return out
+
+
+def test_compact_tile_cover_exact_and_minimal(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        COMPACT_FLOOR_ZOOM,
+        q_compact_tile_cover,
+    )
+
+    out = q_compact_tile_cover(SF).to_pandas()
+    got = set(zip(out["zoom"], out["tile_x"], out["tile_y"]))
+    assert len(got) == len(out)  # no duplicate cells
+    tx, ty = _tiles12()
+    tileset = set(zip(tx.tolist(), ty.tolist()))
+    assert got == _compact_bruteforce(tileset, COMPACT_FLOOR_ZOOM)
+    # exact cover: expanding every output cell back to z12 reproduces the
+    # occupied set (cells only cover occupied tiles because promotion
+    # requires ALL descendants covered)
+    expanded = set()
+    for z, x, y in got:
+        dz = 12 - z
+        for dx in range(1 << dz):
+            for dy in range(1 << dz):
+                expanded.add(((x << dz) + dx, (y << dz) + dy))
+    assert expanded == tileset
+    # minimality: no collapsible sibling quad survives at any level
+    for z in sorted({z for z, _, _ in got}, reverse=True):
+        cells = {(x, y) for zz, x, y in got if zz == z}
+        quad = collections.Counter((x >> 1, y >> 1) for x, y in cells)
+        if z > COMPACT_FLOOR_ZOOM:
+            assert all(n < 4 for n in quad.values())
+    # the fixture has fully covered parents → compaction is non-trivial
+    assert any(z < 12 for z, _, _ in got)

@@ -749,6 +749,178 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q: compact_tile_cover — minimal multi-zoom cell cover of the occupied
+# z12 tile set (the H3 `compact` / S2 covering-normalization operation):
+# wherever all 4 siblings of a parent are covered, the parent replaces
+# them, recursively down to COMPACT_FLOOR_ZOOM. Exact: expanding the
+# output back to z12 reproduces the occupied set bit-for-bit
+# (pytest-asserted), and no collapsible sibling quad survives.
+# Scale: the loop is LEVEL-bounded (12 − floor iterations), never
+# data-bounded; every iteration is ONE range sort on the parent key over
+# the occupied-cell set of one level (≤ 16.7M rows worldwide at z12,
+# shrinking 4× per level) with per-block vectorized run processing —
+# the house sorted-run idiom (ops/runs.sorted_group_apply). A hash-join
+# formulation (count==4 parents, left_anti the children) was tried and
+# REJECTED: with few full parents, Ray's hash-shuffle join hands pyarrow
+# schema-less empty right partitions and crashes ("No match ... for key
+# field fx"), and it costs two shuffles per level where the sorted-run
+# shape needs one. Page rows are touched exactly once, by the initial
+# tile aggregation.
+
+COMPACT_FLOOR_ZOOM = 6
+
+
+def _compact_level_fn(t: pa.Table) -> pa.Table:
+    """Complete (px, py) groups in → per group: the parent (promoted) when
+    all 4 children are covered, else the children unchanged. Children are
+    distinct by construction, so count == 4 ⇔ complete quad."""
+    if len(t) == 0:
+        return pa.table(
+            {
+                "x": pa.array([], type=pa.int64()),
+                "y": pa.array([], type=pa.int64()),
+                "promoted": pa.array([], type=pa.bool_()),
+            }
+        )
+    px = t.column("px").to_numpy(zero_copy_only=False)
+    py = t.column("py").to_numpy(zero_copy_only=False)
+    x = t.column("x").to_numpy(zero_copy_only=False)
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    order = np.lexsort((py, px))
+    px, py, x, y = px[order], py[order], x[order], y[order]
+    newgrp = np.empty(len(px), dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1])
+    gid = np.cumsum(newgrp) - 1
+    cnt = np.bincount(gid)
+    full_grp = cnt == 4
+    keep = ~full_grp[gid]
+    starts = np.flatnonzero(newgrp)
+    fx, fy = px[starts][full_grp], py[starts][full_grp]
+    return pa.table(
+        {
+            "x": pa.array(np.concatenate([x[keep], fx])),
+            "y": pa.array(np.concatenate([y[keep], fy])),
+            "promoted": pa.array(
+                np.concatenate(
+                    [np.zeros(int(keep.sum()), dtype=bool),
+                     np.ones(len(fx), dtype=bool)]
+                )
+            ),
+        }
+    )
+
+
+def q_compact_tile_cover(sf_dir: str) -> Dataset:
+    from ..ops.runs import sorted_group_apply
+
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(["tile_x", "tile_y"]),
+        batch_format="pyarrow",
+    )
+    tiles = partial_count(geo, ["tile_x", "tile_y"], out="_n")
+    cur = tiles.map_batches(
+        lambda t: pa.table(
+            {
+                "x": pc.cast(t["tile_x"], pa.int64()),
+                "y": pc.cast(t["tile_y"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _emit(d: Dataset, z: int) -> Dataset:
+        return d.map_batches(
+            lambda t, z=z: pa.table(
+                {
+                    "zoom": pa.array(np.full(len(t), z, dtype=np.int32)),
+                    "tile_x": pc.cast(t["x"], pa.int32()),
+                    "tile_y": pc.cast(t["y"], pa.int32()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def with_parent(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "px", pa.array(t.column("x").to_numpy(zero_copy_only=False) >> 1)
+        ).append_column(
+            "py", pa.array(t.column("y").to_numpy(zero_copy_only=False) >> 1)
+        )
+
+    outs: list[Dataset] = []
+    z = 12
+    while z > COMPACT_FLOOR_ZOOM:
+        keyed = cur.map_batches(with_parent, batch_format="pyarrow")
+        lvl = sorted_group_apply(keyed, ["px", "py"], _compact_level_fn).materialize()
+        outs.append(
+            _emit(
+                lvl.map_batches(
+                    lambda t: t.filter(pc.invert(t.column("promoted"))).select(
+                        ["x", "y"]
+                    ),
+                    batch_format="pyarrow",
+                ),
+                z,
+            )
+        )
+        promoted = lvl.map_batches(
+            lambda t: t.filter(t.column("promoted")).select(["x", "y"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if promoted.count() == 0:
+            # nothing collapsed at this level — nothing can collapse above
+            # either (a full parent needs full children)
+            cur = None
+            break
+        cur = promoted
+        z -= 1
+    if cur is not None:
+        outs.append(_emit(cur, z))
+
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.union(o)
+    return result
+
+
+def _sql_compact_tile_cover() -> str:
+    lines = ["t12 AS (SELECT DISTINCT x12 AS x, y12 AS y FROM xy)"]
+    selects = []
+    prev = "t12"
+    for z in range(12, COMPACT_FLOOR_ZOOM, -1):
+        f = f"f{z - 1}"
+        lines.append(
+            f"{f} AS (SELECT x // 2 AS x, y // 2 AS y FROM {prev} "
+            "GROUP BY 1, 2 HAVING COUNT(*) = 4)"
+        )
+        selects.append(
+            f"SELECT CAST({z} AS INTEGER) AS zoom, CAST(c.x AS INTEGER) AS tile_x,"
+            f" CAST(c.y AS INTEGER) AS tile_y FROM {prev} c WHERE NOT EXISTS"
+            f" (SELECT 1 FROM {f} f WHERE f.x = c.x // 2 AND f.y = c.y // 2)"
+        )
+        prev = f
+    selects.append(
+        f"SELECT CAST({COMPACT_FLOOR_ZOOM} AS INTEGER) AS zoom,"
+        f" CAST(x AS INTEGER) AS tile_x, CAST(y AS INTEGER) AS tile_y FROM {prev}"
+    )
+    return (
+        f"WITH {SQL_GEO_CTE},\nxy AS (\n"
+        "  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS x12,\n"
+        "         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())\n"
+        "                    / 2.0 * 4096) AS INTEGER) AS y12\n"
+        "  FROM geo\n),\n"
+        + ",\n".join(lines)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+SQL_COMPACT_TILE_COVER = _sql_compact_tile_cover()
+
+
+# ---------------------------------------------------------------------------
 # Q: admin_counts — PIP join against the level-0 rectangle grid (I4/D11)
 
 
@@ -1134,6 +1306,7 @@ QUERIES = {
     "within_radius_pairs": q_within_radius_pairs,
     "tile_grid_clusters": q_tile_grid_clusters,
     "grid_cluster_stats": q_grid_cluster_stats,
+    "compact_tile_cover": q_compact_tile_cover,
     "admin_counts": q_admin_counts,
     "admin_counts_partitioned": q_admin_counts_partitioned,
     "metro_counts": q_metro_counts,
@@ -1171,6 +1344,7 @@ ORACLES = {
     "within_radius_pairs": SQL_WITHIN_RADIUS_PAIRS,
     "tile_grid_clusters": SQL_TILE_GRID_CLUSTERS,
     "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
+    "compact_tile_cover": SQL_COMPACT_TILE_COVER,
     "admin_counts": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
     "metro_counts": SQL_METRO_COUNTS,
@@ -1199,7 +1373,7 @@ _DRIVER_PRIORITY = [
     # new in round 4 (never driver-checked)
     "bm25_top_terms", "tile_top_lang", "geo_cell_dedup", "segment_tile_cover",
     "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
-    "tile_grid_clusters", "grid_cluster_stats",
+    "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
