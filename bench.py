@@ -319,6 +319,33 @@ def run_bench() -> dict:
         "sessionize", lambda: sessionize(events_ds(), gap_minutes=30).count()
     )
 
+    # --- tile analytics suite (round 4): pyramid rollup, compact cover,
+    # grid clustering — all over the SAME 1M-page corpus (each section
+    # re-runs extract+geocode end-to-end, same policy as the flagship).
+    # materialize() before count(): these pipelines end in merge sorts /
+    # CC rounds that count() alone would shortcut.
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        compact_cover_pipeline,
+        grid_cluster_stats_pipeline,
+        tile_pyramid_pipeline,
+    )
+
+    def geo_b():
+        return gp.geocode(gp.extract(pages_ds(), cfg), cfg)
+
+    pyr_rows = timed(
+        "tile_pyramid",
+        lambda: tile_pyramid_pipeline(geo_b()).materialize().count(),
+    )
+    cover_rows = timed(
+        "compact_cover",
+        lambda: compact_cover_pipeline(geo_b()).materialize().count(),
+    )
+    cluster_rows = timed(
+        "grid_cluster_stats",
+        lambda: grid_cluster_stats_pipeline(geo_b()).materialize().count(),
+    )
+
     headline = timings["flagship_extract_encode_pip_tile"]
     return {
         "metric": "flagship extract→encode→PIP→tile wall sec on replicated pages corpus",
@@ -346,6 +373,9 @@ def run_bench() -> dict:
             "hll_registers": hll_rows,
             "tfidf_topk": tfidf_rows,
             "sessions": sess_rows,
+            "pyramid_cells": pyr_rows,
+            "cover_cells": cover_rows,
+            "clusters": cluster_rows,
         },
     }
 

@@ -398,13 +398,16 @@ SELECT tile_x, tile_y, COUNT(*) AS n_segments FROM tiles GROUP BY 1, 2
 PYRAMID_ZOOMS = (12, 10, 8, 6)
 
 
-def q_tile_pyramid(sf_dir: str) -> Dataset:
-    ds = _geotagged(sf_dir)
-    geo = ds.map_batches(
+def _valid_tiles(ds: Dataset) -> Dataset:
+    """Geotagged rows → (tile_x, tile_y) of the rows that have one."""
+    return ds.map_batches(
         lambda t: t.filter(pc.is_valid(t["tile_x"])).select(["tile_x", "tile_y"]),
         batch_format="pyarrow",
     )
-    counts = partial_count(geo, ["tile_x", "tile_y"], out="n_pages")
+
+
+def tile_pyramid_pipeline(geotagged: Dataset) -> Dataset:
+    counts = partial_count(_valid_tiles(geotagged), ["tile_x", "tile_y"], out="n_pages")
 
     def fan_out(t: pa.Table) -> pa.Table:
         tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -433,6 +436,10 @@ def q_tile_pyramid(sf_dir: str) -> Dataset:
         ["zoom", "tile_x", "tile_y"],
         ["n_pages"],
     )
+
+
+def q_tile_pyramid(sf_dir: str) -> Dataset:
+    return tile_pyramid_pipeline(_geotagged(sf_dir))
 
 
 SQL_TILE_PYRAMID = f"""
@@ -576,18 +583,13 @@ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
 # (int64, int64) shuffles.
 
 
-def _tile_nodes(sf_dir: str) -> Dataset:
+def _tile_nodes(geotagged: Dataset) -> Dataset:
     """Occupied z12 tiles as (node, n_pages); node = x*8192 + y + 1.
 
     Materialized: it is a bounded aggregate (occupied-tile count) consumed
     2-3 times downstream (nodes, edge build, stats join) — re-deriving it
     would re-run the full page scan per consumer."""
-    ds = _geotagged(sf_dir)
-    geo = ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(["tile_x", "tile_y"]),
-        batch_format="pyarrow",
-    )
-    counts = partial_count(geo, ["tile_x", "tile_y"], out="n_pages")
+    counts = partial_count(_valid_tiles(geotagged), ["tile_x", "tile_y"], out="n_pages")
 
     def keyed(t: pa.Table) -> pa.Table:
         tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -642,10 +644,10 @@ def _grid_edges(tiles: Dataset) -> Dataset:
     )
 
 
-def _grid_labels(sf_dir: str) -> tuple[Dataset, Dataset]:
+def _grid_labels(geotagged: Dataset) -> tuple[Dataset, Dataset]:
     from ..ops.cc import connected_components
 
-    tiles = _tile_nodes(sf_dir)
+    tiles = _tile_nodes(geotagged)
     edges = _grid_edges(tiles)
     labels = connected_components(
         tiles.select_columns(["node"]), edges, node_col="node",
@@ -654,8 +656,8 @@ def _grid_labels(sf_dir: str) -> tuple[Dataset, Dataset]:
     return tiles, labels
 
 
-def q_tile_grid_clusters(sf_dir: str) -> Dataset:
-    _, labels = _grid_labels(sf_dir)
+def grid_clusters_pipeline(geotagged: Dataset) -> Dataset:
+    _, labels = _grid_labels(geotagged)
 
     def unpack(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy(zero_copy_only=False)
@@ -670,10 +672,14 @@ def q_tile_grid_clusters(sf_dir: str) -> Dataset:
     return labels.map_batches(unpack, batch_format="pyarrow")
 
 
-def q_grid_cluster_stats(sf_dir: str) -> Dataset:
+def q_tile_grid_clusters(sf_dir: str) -> Dataset:
+    return grid_clusters_pipeline(_geotagged(sf_dir))
+
+
+def grid_cluster_stats_pipeline(geotagged: Dataset) -> Dataset:
     from ..stages.salted import default_partitions
 
-    tiles, labels = _grid_labels(sf_dir)
+    tiles, labels = _grid_labels(geotagged)
     joined = labels.join(
         tiles,
         "inner",
@@ -700,6 +706,10 @@ def q_grid_cluster_stats(sf_dir: str) -> Dataset:
         ["cluster_id"],
         ["n_tiles", "n_pages"],
     )
+
+
+def q_grid_cluster_stats(sf_dir: str) -> Dataset:
+    return grid_cluster_stats_pipeline(_geotagged(sf_dir))
 
 
 SQL_TILE_XY = """
@@ -811,15 +821,10 @@ def _compact_level_fn(t: pa.Table) -> pa.Table:
     )
 
 
-def q_compact_tile_cover(sf_dir: str) -> Dataset:
+def compact_cover_pipeline(geotagged: Dataset) -> Dataset:
     from ..ops.runs import sorted_group_apply
 
-    ds = _geotagged(sf_dir)
-    geo = ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(["tile_x", "tile_y"]),
-        batch_format="pyarrow",
-    )
-    tiles = partial_count(geo, ["tile_x", "tile_y"], out="_n")
+    tiles = partial_count(_valid_tiles(geotagged), ["tile_x", "tile_y"], out="_n")
     cur = tiles.map_batches(
         lambda t: pa.table(
             {
@@ -883,6 +888,10 @@ def q_compact_tile_cover(sf_dir: str) -> Dataset:
     for o in outs[1:]:
         result = result.union(o)
     return result
+
+
+def q_compact_tile_cover(sf_dir: str) -> Dataset:
+    return compact_cover_pipeline(_geotagged(sf_dir))
 
 
 def _sql_compact_tile_cover() -> str:
