@@ -192,3 +192,50 @@ def test_compact_tile_cover_exact_and_minimal(ray_session):
             assert all(n < 4 for n in quad.values())
     # the fixture has fully covered parents → compaction is non-trivial
     assert any(z < 12 for z, _, _ in got)
+
+
+def test_raster_pip_bitwise_equals_exact_and_fast_path_dominates(ray_session):
+    """The raster-accelerated PIP joiner must produce bitwise-identical
+    assignments to the exact crossing-number joiner on every row, and the
+    exact-refine path must be the EXCEPTION on megacity-skewed data."""
+    import pyarrow as pa
+
+    from wikipedia_wikidata_ray.geo.pip import PIPMultiJoiner, PolygonSet
+    from wikipedia_wikidata_ray.geo.pip_raster import RasterPIPJoiner
+    from wikipedia_wikidata_ray.sources.admin_fixtures import admin_polygons_table
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    lat, lon, _ = derive_geo(np.sort(ids))
+    batch = pa.table({"lat": pa.array(lat), "lon": pa.array(lon)})
+    polys = PolygonSet.from_arrow(admin_polygons_table())
+    specs = ((0, "admin_code"), (1, "metro_code"))
+    exact = PIPMultiJoiner(polys, specs)(batch)
+    fast = RasterPIPJoiner(polys, specs)
+    got = fast(batch)
+    for col in ("admin_code", "metro_code"):
+        assert exact[col].to_pylist() == got[col].to_pylist()
+    assert fast.n_points > 0
+    # megacity skew: most points land in already-classified uniform tiles
+    assert fast.n_refined < fast.n_points * 0.5
+    # second batch rides the memo: refine counts stay flat for uniform tiles
+    before = fast.n_refined
+    got2 = fast(batch)
+    for col in ("admin_code", "metro_code"):
+        assert exact[col].to_pylist() == got2[col].to_pylist()
+    assert fast.n_refined - before <= before  # no worse than first pass
+
+
+def test_raster_pip_query_matches_exact_query(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        q_admin_counts,
+        q_admin_counts_rasterized,
+    )
+
+    a = q_admin_counts(SF).to_pandas().sort_values("admin_code", na_position="first").reset_index(drop=True)
+    b = q_admin_counts_rasterized(SF).to_pandas().sort_values("admin_code", na_position="first").reset_index(drop=True)
+    assert a.equals(b)

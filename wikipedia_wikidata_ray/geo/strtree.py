@@ -157,3 +157,54 @@ class STRtree:
             p_idx = p_exp[ok]
             nodes = child_idx[ok]
         return p_idx, self.order[nodes]
+
+    def query_boxes(self, qboxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Batch box-overlap query → (query_idx, box_idx) pairs of CLOSED
+        bbox intersections, same vectorization strategy as
+        ``query_points`` (dense broadcast for small trees, level-
+        synchronous frontier descent above 512 boxes)."""
+        q = np.asarray(qboxes, dtype=np.float64).reshape(-1, 4)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if self.n == 0 or len(q) == 0:
+            return empty
+
+        def _overlap(seg, qi):
+            return (
+                (seg[:, 0] <= q[qi, 2]) & (seg[:, 2] >= q[qi, 0])
+                & (seg[:, 1] <= q[qi, 3]) & (seg[:, 3] >= q[qi, 1])
+            )
+
+        if self.n <= 512:
+            b = self.boxes
+            hit = (
+                (b[None, :, 0] <= q[:, None, 2])
+                & (b[None, :, 2] >= q[:, None, 0])
+                & (b[None, :, 1] <= q[:, None, 3])
+                & (b[None, :, 3] >= q[:, None, 1])
+            )
+            q_idx, slot = np.nonzero(hit)
+            return q_idx, self.order[slot]
+
+        top = len(self.levels) - 1
+        lvl = self.levels[top]
+        hit = (
+            (lvl[None, :, 0] <= q[:, None, 2])
+            & (lvl[None, :, 2] >= q[:, None, 0])
+            & (lvl[None, :, 1] <= q[:, None, 3])
+            & (lvl[None, :, 3] >= q[:, None, 1])
+        )
+        q_idx, nodes = np.nonzero(hit)
+        for d in range(top, -1, -1):
+            if len(nodes) == 0:
+                return empty
+            ranges = self.children[d][nodes]
+            counts = ranges[:, 1] - ranges[:, 0]
+            child_idx = np.repeat(ranges[:, 0], counts) + (
+                np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            q_exp = np.repeat(q_idx, counts)
+            child = self.levels[d - 1] if d > 0 else self.boxes
+            ok = _overlap(child[child_idx], q_exp)
+            q_idx = q_exp[ok]
+            nodes = child_idx[ok]
+        return q_idx, self.order[nodes]

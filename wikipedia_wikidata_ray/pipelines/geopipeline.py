@@ -126,6 +126,22 @@ def pip_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, polygons=None) -> 
     )
 
 
+def pip_join_rasterized(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, polygons=None) -> Dataset:
+    """Raster-accelerated twin of ``pip_join`` (geo/pip_raster.py):
+    per-tile memoized classification, exact refine only for tiles a
+    polygon edge crosses. Bitwise-identical output (pytest + shared
+    oracle); the fast path amortizes megacity-hot batches to one
+    classification per occupied tile per worker."""
+    from ..geo.pip_raster import RasterPIPJoiner
+
+    polys = PolygonSet.from_arrow(polygons if polygons is not None else admin_polygons_table())
+    ref = ray.put(polys)
+    specs = ((0, "admin_code"), (1, "metro_code"))
+    return _stateful_stage(
+        ds, cfg, RasterPIPJoiner, (ref, specs), memo_key=f"pipraster-{ref.hex()}"
+    )
+
+
 def knn_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, key_cols=("doc_id",)) -> Dataset:
     ref = ray.put(places_dict())
     return _stateful_stage(

@@ -955,6 +955,21 @@ GROUP BY 1
 """
 
 
+def q_admin_counts_rasterized(sf_dir: str) -> Dataset:
+    """Same result as admin_counts via the raster-accelerated PIP scale
+    path (geo/pip_raster.py: per-tile memoized classification, exact
+    refine only on polygon-edge tiles) — shares the admin_counts SQL
+    oracle."""
+    ds = gp.pip_join_rasterized(_geotagged(sf_dir))
+
+    def keep_geo(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("has_geo")).select(["admin_code"])
+
+    return partial_count(
+        ds.map_batches(keep_geo, batch_format="pyarrow"), ["admin_code"], out="n_pages"
+    )
+
+
 def q_admin_counts_partitioned(sf_dir: str) -> Dataset:
     """Same result as admin_counts via the cell-partitioned PIP scale path
     (geo/pip_partitioned.py) — shares the admin_counts SQL oracle."""
@@ -1317,6 +1332,7 @@ QUERIES = {
     "grid_cluster_stats": q_grid_cluster_stats,
     "compact_tile_cover": q_compact_tile_cover,
     "admin_counts": q_admin_counts,
+    "admin_counts_rasterized": q_admin_counts_rasterized,
     "admin_counts_partitioned": q_admin_counts_partitioned,
     "metro_counts": q_metro_counts,
     "knn_places": q_knn_places,
@@ -1355,6 +1371,7 @@ ORACLES = {
     "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
     "compact_tile_cover": SQL_COMPACT_TILE_COVER,
     "admin_counts": SQL_ADMIN_COUNTS,
+    "admin_counts_rasterized": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
     "metro_counts": SQL_METRO_COUNTS,
     "knn_places": SQL_KNN_PLACES,
@@ -1383,6 +1400,7 @@ _DRIVER_PRIORITY = [
     "bm25_top_terms", "tile_top_lang", "geo_cell_dedup", "segment_tile_cover",
     "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
     "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
+    "admin_counts_rasterized",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
