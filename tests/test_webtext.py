@@ -266,3 +266,57 @@ def test_rolling_fingerprinter_vectorized_matches_scalar():
         h = rf.doc_hashes(texts[i])
         assert got2["fp_min"][i].as_py() == (int(h.min()) if len(h) else -1)
         assert got2["n_distinct_windows"][i].as_py() == len(np.unique(h))
+
+
+def test_bm25_search_matches_direct_formula(ray_session):
+    """Recompute the query scores from raw text with the public BM25
+    formula and verify ranking, integer scores, and top-k membership."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        BM25_SEARCH_K,
+        q_bm25_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_bm25_search(sf).to_pandas().sort_values("rank").reset_index(drop=True)
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    tok = {
+        int(d): re.findall(r"[a-z0-9]+", t.lower())
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in tok.values()) / n
+    df = {
+        q: sum(1 for v in tok.values() if q in v) for q in BM25_QUERY_TERMS
+    }
+    exp = {}
+    for d, toks in tok.items():
+        s = 0
+        nt = 0
+        dl = float(len(toks))
+        for q in BM25_QUERY_TERMS:
+            tf = float(toks.count(q))
+            if tf == 0:
+                continue
+            nt += 1
+            idf = np.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            val = idf * ((tf * (BM25_K1 + 1.0)) / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))))
+            s += int(np.round(val * 1e10))
+        if nt:
+            exp[d] = (nt, s)
+    order = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))[:BM25_SEARCH_K]
+    assert len(out) == min(BM25_SEARCH_K, len(exp)) > 0
+    for i, (d, (nt, s)) in enumerate(order):
+        assert int(out["doc_id"][i]) == d
+        assert int(out["n_terms"][i]) == nt
+        assert int(out["score_e10"][i]) == s
+        assert int(out["rank"][i]) == i + 1

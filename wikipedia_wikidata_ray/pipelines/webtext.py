@@ -775,6 +775,200 @@ WEBTEXT_ORACLES["bm25_top_terms"] = SQL_BM25_TOP_TERMS
 
 
 # ---------------------------------------------------------------------------
+# Q: bm25_search — ad-hoc retrieval: score every document against a fixed
+# query-term set (Okapi BM25, same k1/b/idf as bm25_top_terms) and return
+# the global top-k matches. The search-engine consumer of the BM25
+# machinery: one tokenization pass computes per-doc query-term tf + dl
+# AND the corpus token total (for avgdl) — query-term rows are filtered
+# IN-BATCH before anything shuffles, so the downstream movement is
+# ≤ |query| rows per matching doc, never the tf table. df for the query
+# terms is a ≤|query|-row aggregate pulled to the driver (bounded by the
+# QUERY, not the corpus — the broadcast asymmetry decontamination
+# documents). Scores ship as exact int64 ``score_e10`` (per-term score
+# rounded at 1e-10 then summed in integer space), so the per-doc sum is
+# order-free and bitwise-reproducible at any parallelism — float
+# summation order can never flip a rank. Global top-k rides
+# ``grouped_topk`` under a constant key: its block-local k-prune moves
+# ≤ k rows per block into the single-group edge pass.
+
+BM25_QUERY_TERMS = ("table", "fast", "query")
+BM25_SEARCH_K = 20
+
+
+def bm25_search(
+    docs: Dataset,
+    n_docs: int,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_SEARCH_K,
+) -> Dataset:
+    from ..ops.topk import grouped_topk
+    from ..stages.salted import partial_count
+
+    qlist = sorted(query_terms)
+    qarr = pa.array(qlist, type=pa.string())
+
+    def qtf_batch(t: pa.Table) -> pa.Table:
+        base = _tf_dl_batch(t)
+        total = pc.sum(base["tf"]).as_py() or 0
+        filt = base.filter(pc.is_in(base["token"], value_set=qarr)).select(
+            ["doc_id", "token", "tf", "dl"]
+        )
+        # one sentinel row per batch carries the batch's token total (for
+        # avgdl) so the corpus is tokenized exactly once
+        tot = pa.table(
+            {
+                "doc_id": pa.array([-1], type=pa.int64()),
+                "token": pa.array([""], type=pa.string()),
+                "tf": pa.array([int(total)], type=pa.int64()),
+                "dl": pa.array([0], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([filt, tot])
+
+    mat = docs.map_batches(qtf_batch, batch_format="pyarrow").materialize()
+    total_tokens = (
+        mat.map_batches(
+            lambda t: t.filter(pc.equal(t["doc_id"], -1)).select(["tf"]),
+            batch_format="pyarrow",
+        ).sum("tf")
+        or 0
+    )
+    hits = mat.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 0)),
+        batch_format="pyarrow",
+    )
+    # df of each query term = its (doc, term) row count in the tf rows;
+    # the result is ≤ |query| rows BY DEFINITION — driver-side pull is the
+    # bounded broadcast
+    df_rows = partial_count(
+        hits.map_batches(lambda t: t.select(["token"]), batch_format="pyarrow"),
+        ["token"],
+        out="df",
+    ).take_all()
+    df_map = {r["token"]: r["df"] for r in df_rows}
+
+    def _empty() -> Dataset:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_terms": pa.array([], type=pa.int64()),
+                    "score_e10": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    if not df_map or total_tokens == 0:
+        return _empty()
+
+    n_f = float(n_docs)
+    avgdl = float(total_tokens) / n_f
+    df_arr = np.array([float(df_map.get(tk, 0)) for tk in qlist])
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_terms": pa.array([], type=pa.int64()),
+                    "score_e10": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = pc.index_in(t["token"], value_set=qarr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        df_v = df_arr[pos]
+        tf_v = t.column("tf").to_numpy().astype(np.float64)
+        dl_v = t.column("dl").to_numpy().astype(np.float64)
+        # op sequence mirrored EXACTLY in SQL_BM25_SEARCH; ×1e10 + round
+        # moves the per-term score to exact integer space
+        idf = np.log((n_f - df_v + 0.5) / (df_v + 0.5) + 1.0)
+        denom = tf_v + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl_v / avgdl))
+        s = np.round(
+            idf * ((tf_v * (BM25_K1 + 1.0)) / denom) * 10000000000.0
+        ).astype(np.int64)
+        part = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_terms": pa.array(np.ones(len(t), dtype=np.int64)),
+                "score_e10": pa.array(s),
+            }
+        )
+        g = part.group_by(["doc_id"]).aggregate(
+            [("n_terms", "sum"), ("score_e10", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_terms", "score_e10"])
+
+    agg = merge_group_sums(
+        hits.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        ["n_terms", "score_e10"],
+    )
+    keyed = agg.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(len(t), dtype=np.int32))),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(
+        keyed, ["_g"], [("score_e10", False), ("doc_id", True)], k, rank_col="rank"
+    )
+    return top.map_batches(
+        lambda t: t.drop_columns(["_g"]), batch_format="pyarrow"
+    )
+
+
+def q_bm25_search(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_search(docs, n_docs)
+
+
+def _sql_bm25_search() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(BM25_QUERY_TERMS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM documents),
+avgdl AS (SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT c FROM n) AS a FROM toks),
+q(token) AS (VALUES {values}),
+df AS (SELECT token, COUNT(*) AS df FROM tf JOIN q USING (token) GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(
+           LN(((SELECT c FROM n) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+           * ((CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0})
+              / (CAST(t.tf AS DOUBLE)
+                 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                     * (CAST(l.dl AS DOUBLE) / (SELECT a FROM avgdl)))))
+           * 10000000000.0, 0) AS BIGINT) AS s
+  FROM tf t JOIN q USING (token) JOIN dl l USING (doc_id) JOIN df d USING (token)
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(s) AS BIGINT) AS score_e10
+  FROM scored GROUP BY 1
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_e10 DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT doc_id, n_terms, score_e10, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BM25_SEARCH_K}
+"""
+
+
+WEBTEXT_QUERIES["bm25_search"] = q_bm25_search
+WEBTEXT_ORACLES["bm25_search"] = _sql_bm25_search()
+
+
+# ---------------------------------------------------------------------------
 # Q: length_percentiles — EXACT per-language percentiles of doc length
 #
 # Exact distributed percentiles over an integer-valued column without ever
