@@ -44,6 +44,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 64,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """``nodes(node_col)`` + ``edges(src_col, dst_col)`` → Dataset
     ``(node_col, label)`` where ``label`` is the min node id in the
@@ -51,8 +52,14 @@ def connected_components(
 
     Exact and deterministic at any parallelism (min is commutative/
     associative; every step is a join or a grouped min).
+
+    ``num_partitions``: join/shuffle width per round. Callers whose node
+    set is SMALL relative to the cluster (e.g. occupied tiles) should
+    size it to the data — every round pays per-partition actor overhead
+    twice, so 16-way shuffles of a 10⁴-row labels table are pure fixed
+    cost (see grid_clusters' data-aware sizing).
     """
-    nparts = default_partitions()
+    nparts = num_partitions or default_partitions()
 
     def _named(ds: Dataset) -> Dataset:
         # both exits (edgeless early return + converged) must present the

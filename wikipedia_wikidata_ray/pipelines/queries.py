@@ -646,12 +646,17 @@ def _grid_edges(tiles: Dataset) -> Dataset:
 
 def _grid_labels(geotagged: Dataset) -> tuple[Dataset, Dataset]:
     from ..ops.cc import connected_components
+    from ..stages.salted import default_partitions
 
     tiles = _tile_nodes(geotagged)
     edges = _grid_edges(tiles)
+    # data-aware shuffle width: the labels table is occupied-tile-sized,
+    # and every CC round pays per-partition actor overhead twice — size
+    # partitions to ~100K rows each instead of cluster width
+    nparts = max(2, min(default_partitions(), tiles.count() // 100_000 + 1))
     labels = connected_components(
         tiles.select_columns(["node"]), edges, node_col="node",
-        src_col="src", dst_col="dst",
+        src_col="src", dst_col="dst", num_partitions=nparts,
     )
     return tiles, labels
 
