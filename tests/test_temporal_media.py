@@ -248,3 +248,39 @@ def test_cents_fixed_point_roundtrip_property():
     back = np.round(v * 100.0).astype(np.int64)
     assert np.array_equal(back, cents)
     assert np.all(back / 100.0 == v)  # bitwise
+
+
+def test_user_path_length_matches_pandas(ray_session):
+    """Brute-force recomputation with pandas sort + per-user legs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import q_user_path_length
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        q_user_path_length(sf)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    df = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).to_pandas()
+    eid = df["event_id"].to_numpy()
+    df["lat"] = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    df["lon"] = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    df = df.sort_values(["user_id", "ts"])
+    exp = {}
+    for uid, g in df.groupby("user_id"):
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        if len(lat) < 2:
+            continue
+        dlat = lat[1:] - lat[:-1]
+        dlon = lon[1:] - lon[:-1]
+        legs = np.round(np.sqrt(dlat * dlat + dlon * dlon) * 1e10).astype(np.int64)
+        exp[int(uid)] = (len(legs), int(legs.sum()))
+    assert len(out) == len(exp) > 0
+    for uid, nl, pe in zip(out["user_id"], out["n_legs"], out["path_e10"]):
+        assert exp[int(uid)] == (int(nl), int(pe))

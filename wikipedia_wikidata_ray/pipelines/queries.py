@@ -1405,7 +1405,7 @@ _DRIVER_PRIORITY = [
     "bm25_top_terms", "tile_top_lang", "geo_cell_dedup", "segment_tile_cover",
     "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
     "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
-    "admin_counts_rasterized", "bm25_search",
+    "admin_counts_rasterized", "bm25_search", "user_path_length",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",

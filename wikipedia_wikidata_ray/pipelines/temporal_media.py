@@ -262,3 +262,105 @@ TEMPORAL_MEDIA_QUERIES["error_click_window"] = q_error_click_window
 TEMPORAL_MEDIA_ORACLES["error_click_window"] = SQL_ERROR_CLICK_WINDOW
 TEMPORAL_MEDIA_QUERIES["segment_median_balance"] = q_segment_median_balance
 TEMPORAL_MEDIA_ORACLES["segment_median_balance"] = SQL_SEGMENT_MEDIAN_BALANCE
+
+
+# ---------------------------------------------------------------------------
+# Q: user_path_length — geo × temporal composition: each event gets a
+# deterministic point (the dispersed-point closed form of the pages geo
+# contract, keyed by event_id), and each user's trajectory length is the
+# sum of planar-degree legs between consecutive events in ts order.
+# Rides ops/runs.sorted_group_apply (ONE range sort on user_id, per-block
+# vectorized leg computation over all complete users). Legs round into
+# exact int64 ``path_e10`` (sqrt is correctly rounded per IEEE, so the
+# per-leg values are bitwise equal to DuckDB's; integer summation makes
+# the per-user total order-free at any parallelism — the same policy as
+# bm25_search). Users with fewer than 2 events have no legs and are
+# absent, matching the SQL's LAG NULL drop.
+# Scale: movement = the one range sort of (user_id, ts, lat, lon) rows;
+# per-user output is a single row; no join, no broadcast.
+
+
+def q_user_path_length(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.runs import sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "lat": pa.array(((eid * 7919) % 1600001) / 10000.0 - 80.0),
+                "lon": pa.array(((eid * 104729) % 3600001) / 10000.0 - 180.0),
+            }
+        )
+
+    def path_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "n_legs": pa.array([], type=pa.int64()),
+                "path_e10": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, lat, lon = uid[order], lat[order], lon[order]
+        if len(uid) < 2:
+            return empty
+        same = uid[1:] == uid[:-1]
+        # current − previous, the exact op order of the SQL LAG mirror
+        dlat = lat[1:] - lat[:-1]
+        dlon = lon[1:] - lon[:-1]
+        leg = np.sqrt(dlat * dlat + dlon * dlon)[same]
+        if len(leg) == 0:
+            return empty
+        gu = uid[1:][same]
+        le = np.round(leg * 10000000000.0).astype(np.int64)
+        part = pa.table(
+            {
+                "user_id": pa.array(gu),
+                "n_legs": pa.array(np.ones(len(gu), dtype=np.int64)),
+                "path_e10": pa.array(le),
+            }
+        )
+        g = part.group_by(["user_id"]).aggregate(
+            [("n_legs", "sum"), ("path_e10", "sum")]
+        )
+        return g.rename_columns(["user_id", "n_legs", "path_e10"])
+
+    pts = events.map_batches(derive, batch_format="pyarrow")
+    return sorted_group_apply(pts, ["user_id"], path_block)
+
+
+SQL_USER_PATH_LENGTH = """
+WITH ev AS (
+  SELECT user_id, ts,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+legs AS (
+  SELECT user_id,
+         SQRT( (lat - LAG(lat) OVER w) * (lat - LAG(lat) OVER w)
+             + (lon - LAG(lon) OVER w) * (lon - LAG(lon) OVER w) ) AS leg
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(COUNT(leg) AS BIGINT) AS n_legs,
+       CAST(SUM(CAST(ROUND(leg * 10000000000.0, 0) AS BIGINT)) AS BIGINT) AS path_e10
+FROM legs WHERE leg IS NOT NULL GROUP BY 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["user_path_length"] = q_user_path_length
+TEMPORAL_MEDIA_ORACLES["user_path_length"] = SQL_USER_PATH_LENGTH
