@@ -239,3 +239,25 @@ def test_raster_pip_query_matches_exact_query(ray_session):
     a = q_admin_counts(SF).to_pandas().sort_values("admin_code", na_position="first").reset_index(drop=True)
     b = q_admin_counts_rasterized(SF).to_pandas().sort_values("admin_code", na_position="first").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_tile_quadkeys_roundtrip_and_prefix_property(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_tile_quadkeys
+
+    out = q_tile_quadkeys(SF).to_pandas()
+    tx, ty = _tiles12()
+    cnt = collections.Counter(zip(tx.tolist(), ty.tolist()))
+    assert len(out) == len(cnt)
+    for qk, n in zip(out["quadkey"], out["n_pages"]):
+        assert len(qk) == 12 and set(qk) <= set("0123")
+        # decode back to (x, y)
+        x = y = 0
+        for ch in qk:
+            d = ord(ch) - ord("0")
+            x = (x << 1) | (d & 1)
+            y = (y << 1) | (d >> 1)
+        assert cnt[(x, y)] == n
+        # prefix property: the parent tile's quadkey is the 11-char prefix
+        for ch, shift in zip(qk, range(11, -1, -1)):
+            d = ((x >> shift) & 1) + 2 * ((y >> shift) & 1)
+            assert ord(ch) - ord("0") == d

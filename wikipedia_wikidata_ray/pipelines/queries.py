@@ -899,6 +899,67 @@ def q_compact_tile_cover(sf_dir: str) -> Dataset:
     return compact_cover_pipeline(_geotagged(sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Q: tile_quadkeys — Bing-maps quadkey encoding of the occupied z12
+# tiles: digit i (MSB first) = (x>>i & 1) + 2·(y>>i & 1), zoom digits
+# total. The interleaved key makes a tile's ancestors its string
+# PREFIXES, so prefix range scans = pyramid subtree reads — the standard
+# storage key for tile pyramids. Encoding is fully vectorized: one
+# (tiles × 12) uint8 digit matrix viewed as the values buffer of an
+# Arrow string array (no per-row Python); the matrix is TILE-bounded,
+# never page-bounded.
+
+
+def q_tile_quadkeys(sf_dir: str) -> Dataset:
+    counts = partial_count(
+        _valid_tiles(_geotagged(sf_dir)), ["tile_x", "tile_y"], out="n_pages"
+    )
+
+    def encode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "quadkey": pa.array([], type=pa.string()),
+                    "n_pages": pa.array([], type=pa.int64()),
+                }
+            )
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        digits = np.empty((n, 12), dtype=np.uint8)
+        for pos, shift in enumerate(range(11, -1, -1)):
+            digits[:, pos] = (
+                ((tx >> shift) & 1) + 2 * ((ty >> shift) & 1)
+            ).astype(np.uint8) + ord("0")
+        values = pa.py_buffer(digits.tobytes())
+        offsets = pa.py_buffer(
+            np.arange(0, 12 * (n + 1), 12, dtype=np.int32).tobytes()
+        )
+        qk = pa.Array.from_buffers(pa.string(), n, [None, offsets, values])
+        return pa.table({"quadkey": qk, "n_pages": t.column("n_pages")})
+
+    return counts.map_batches(encode, batch_format="pyarrow")
+
+
+def _sql_tile_quadkeys() -> str:
+    parts = [
+        f"CAST((x12 // {1 << s}) % 2 + 2 * ((y12 // {1 << s}) % 2) AS VARCHAR)"
+        for s in range(11, -1, -1)
+    ]
+    return (
+        f"WITH {SQL_GEO_CTE},\nxy AS (\n"
+        "  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS x12,\n"
+        "         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())\n"
+        "                    / 2.0 * 4096) AS INTEGER) AS y12\n"
+        "  FROM geo\n)\n"
+        "SELECT " + " || ".join(parts) + " AS quadkey,\n"
+        "       COUNT(*) AS n_pages\nFROM xy GROUP BY 1"
+    )
+
+
+SQL_TILE_QUADKEYS = _sql_tile_quadkeys()
+
+
 def _sql_compact_tile_cover() -> str:
     lines = ["t12 AS (SELECT DISTINCT x12 AS x, y12 AS y FROM xy)"]
     selects = []
@@ -1336,6 +1397,7 @@ QUERIES = {
     "tile_grid_clusters": q_tile_grid_clusters,
     "grid_cluster_stats": q_grid_cluster_stats,
     "compact_tile_cover": q_compact_tile_cover,
+    "tile_quadkeys": q_tile_quadkeys,
     "admin_counts": q_admin_counts,
     "admin_counts_rasterized": q_admin_counts_rasterized,
     "admin_counts_partitioned": q_admin_counts_partitioned,
@@ -1375,6 +1437,7 @@ ORACLES = {
     "tile_grid_clusters": SQL_TILE_GRID_CLUSTERS,
     "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
     "compact_tile_cover": SQL_COMPACT_TILE_COVER,
+    "tile_quadkeys": SQL_TILE_QUADKEYS,
     "admin_counts": SQL_ADMIN_COUNTS,
     "admin_counts_rasterized": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
@@ -1406,6 +1469,7 @@ _DRIVER_PRIORITY = [
     "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
     "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
     "admin_counts_rasterized", "bm25_search", "user_path_length",
+    "tile_quadkeys",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
