@@ -58,6 +58,13 @@ class EngineConfig:
     # the right mode when the index is heavy (GB-scale polygon sets) and
     # must not be rebuilt per worker pool churn.
     spatial_stage_mode: str = "tasks"
+    # "exact": per-point crossing-number PIP (geo/pip.py). "raster":
+    # per-tile memoized classification with exact boundary refine
+    # (geo/pip_raster.py) — bitwise-identical output, preferable when
+    # points cluster into hot tiles (megacity skew). Default stays
+    # "exact" until the bench A/B (tools/ab_pip_raster.py) shows a win
+    # at the 1M-page scale on a quiet host.
+    pip_mode: str = "exact"
 
     def language_set(self) -> frozenset[str]:
         return frozenset(self.languages)

@@ -117,7 +117,11 @@ def _stateful_stage(ds: Dataset, cfg: EngineConfig, builder_cls, ctor_args: tupl
 def pip_join(ds: Dataset, cfg: EngineConfig = DEFAULT_CONFIG, polygons=None) -> Dataset:
     """Both admin levels (country rectangle grid → ``admin_code``, metro
     hexagons → ``metro_code``) in ONE stateful stage: STRtrees built once
-    per worker/actor from a single ``ray.put`` broadcast ref."""
+    per worker/actor from a single ``ray.put`` broadcast ref.
+    ``cfg.pip_mode`` selects the exact per-point joiner or its
+    bitwise-identical raster-accelerated twin."""
+    if cfg.pip_mode == "raster":
+        return pip_join_rasterized(ds, cfg, polygons)
     polys = PolygonSet.from_arrow(polygons if polygons is not None else admin_polygons_table())
     ref = ray.put(polys)
     specs = ((0, "admin_code"), (1, "metro_code"))
