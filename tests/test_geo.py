@@ -265,3 +265,38 @@ def test_actor_pool_spatial_mode(ray_session):
     ka = canon(gp.knn_join(geo, cfg_tasks).to_pandas())
     kb = canon(gp.knn_join(geo, cfg_actors).to_pandas())
     pd.testing.assert_frame_equal(ka, kb)
+
+
+def test_strtree_query_boxes_matches_bruteforce():
+    """Both the dense (≤512 boxes) and frontier-descent paths of
+    STRtree.query_boxes against an O(n·m) overlap scan."""
+    import numpy as np
+
+    from wikipedia_wikidata_ray.geo.strtree import STRtree
+
+    rng = np.random.default_rng(7)
+    for n in (30, 2000):
+        boxes = rng.random((n, 2))
+        boxes = np.hstack([boxes, boxes + rng.random((n, 2)) * 0.1])
+        t = STRtree(boxes)
+        q = rng.random((300, 2))
+        q = np.hstack([q, q + rng.random((300, 2)) * 0.05])
+        qi, bi = t.query_boxes(q)
+        got = set(zip(qi.tolist(), bi.tolist()))
+        exp = {
+            (i, j)
+            for i in range(len(q))
+            for j in range(n)
+            if boxes[j, 0] <= q[i, 2]
+            and boxes[j, 2] >= q[i, 0]
+            and boxes[j, 1] <= q[i, 3]
+            and boxes[j, 3] >= q[i, 1]
+        }
+        assert got == exp
+    # degenerate inputs
+    empty = STRtree(np.empty((0, 4)))
+    qi, bi = empty.query_boxes(np.array([[0.0, 0.0, 1.0, 1.0]]))
+    assert len(qi) == 0 and len(bi) == 0
+    one = STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
+    qi, bi = one.query_boxes(np.empty((0, 4)))
+    assert len(qi) == 0 and len(bi) == 0
