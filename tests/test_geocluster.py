@@ -261,3 +261,27 @@ def test_tile_quadkeys_roundtrip_and_prefix_property(ray_session):
         for ch, shift in zip(qk, range(11, -1, -1)):
             d = ((x >> shift) & 1) + 2 * ((y >> shift) & 1)
             assert ord(ch) - ord("0") == d
+
+
+def test_cluster_perimeters_match_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_cluster_perimeters
+
+    out = q_cluster_perimeters(SF).to_pandas()
+    tx, ty = _tiles12()
+    tileset = set(zip(tx.tolist(), ty.tolist()))
+    labels = _union_find_min_labels(tileset)
+    exp_tiles = collections.Counter(labels.values())
+    # perimeter = exposed 4-edges: count per tile the 4-neighbors NOT in
+    # the occupied set (occupied 4-neighbors are always same-cluster)
+    exp_perim = collections.defaultdict(int)
+    for (x, y), lab in labels.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            if (x + dx, y + dy) not in tileset:
+                exp_perim[lab] += 1
+    assert len(out) == len(exp_tiles)
+    for c, nt, p in zip(out["cluster_id"], out["n_tiles"], out["perimeter"]):
+        assert exp_tiles[int(c)] == nt
+        assert exp_perim[int(c)] == p
+        # sanity: a polyomino of n tiles has perimeter in [2·(n+1)… wait,
+        # bounds: ≥ 4·ceil(2·sqrt(n)) is loose — assert the trivial ones
+        assert p >= 4 and p <= 4 * nt

@@ -717,6 +717,103 @@ def q_grid_cluster_stats(sf_dir: str) -> Dataset:
     return grid_cluster_stats_pipeline(_geotagged(sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Q: cluster_perimeters — raster→vector boundary statistic: each grid
+# cluster's perimeter in tile-edge units = 4·n_tiles − 2·(internal
+# 4-adjacencies). The polygonization-lite op (GDAL `polygonize`'s
+# area/perimeter summary without ring assembly). Two occupied 4-adjacent
+# tiles are by definition 8-connected, hence ALWAYS same-cluster — so
+# one label join on the edge's src endpoint suffices; no per-edge label
+# comparison is needed.
+# Scale: everything is occupied-tile-sized; the 4-adjacency edge build
+# is the ×2 forward scatter + one hash join; the label attach is one
+# node-keyed join; counts ride the combiner path.
+
+
+def cluster_perimeters_pipeline(geotagged: Dataset) -> Dataset:
+    from ..stages.salted import default_partitions
+
+    tiles, labels = _grid_labels(geotagged)
+    nparts = max(2, min(default_partitions(), tiles.count() // 100_000 + 1))
+
+    def fwd4(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        tx = node // 8192
+        ty = node % 8192 - 1
+        nbrs = [(tx + 1) * 8192 + ty + 1, tx * 8192 + (ty + 1) + 1]
+        return pa.table(
+            {
+                "nbr": pa.array(np.concatenate(nbrs)),
+                "src": pa.array(np.tile(node, 2)),
+            }
+        )
+
+    nodes_only = tiles.map_batches(
+        lambda t: pa.table({"dst": t.column("node")}), batch_format="pyarrow"
+    )
+    edges4 = (
+        tiles.map_batches(fwd4, batch_format="pyarrow")
+        .join(nodes_only, "inner", num_partitions=nparts,
+              on=("nbr",), right_on=("dst",))
+    )
+    lab = edges4.join(
+        labels,
+        "inner",
+        num_partitions=nparts,
+        on=("src",),
+        right_on=("node",),
+    )
+    adj = partial_count(
+        lab.map_batches(
+            lambda t: pa.table({"cluster_id": t["label"]}), batch_format="pyarrow"
+        ),
+        ["cluster_id"],
+        out="n_adj",
+    ).materialize()  # adjacency-less clusters legitimately produce an
+    # EMPTY side; the join below needs a schema (house empty-join rule)
+
+    stats = grid_cluster_stats_pipeline(geotagged)
+    if adj.count() == 0:
+        return stats.map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id": t["cluster_id"],
+                    "n_tiles": t["n_tiles"],
+                    "perimeter": pc.multiply(t["n_tiles"], pa.scalar(4, pa.int64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    joined = stats.join(
+        adj,
+        "left_outer",
+        num_partitions=nparts,
+        on=("cluster_id",),
+        right_on=("cluster_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tiles").to_numpy(zero_copy_only=False)
+        na = t.column("n_adj").to_numpy(zero_copy_only=False)
+        na = np.where(np.isnan(na.astype(np.float64)), 0, na).astype(np.int64)
+        return pa.table(
+            {
+                "cluster_id": t.column("cluster_id"),
+                "n_tiles": t.column("n_tiles"),
+                "perimeter": pa.array(4 * nt - 2 * na),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_cluster_perimeters(sf_dir: str) -> Dataset:
+    return cluster_perimeters_pipeline(_geotagged(sf_dir))
+
+
+# (SQL_CLUSTER_PERIMETERS is defined after _SQL_GRID_REACH below)
+
+
 SQL_TILE_XY = """
   SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
          CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
@@ -760,6 +857,26 @@ WITH RECURSIVE {SQL_GEO_CTE},
 SELECT cluster_id, COUNT(*) AS n_tiles, CAST(SUM(n_pages) AS BIGINT) AS n_pages
 FROM lab JOIN t USING (node)
 GROUP BY 1
+"""
+
+SQL_CLUSTER_PERIMETERS = f"""
+WITH RECURSIVE {SQL_GEO_CTE},
+{_SQL_GRID_REACH},
+adj AS (
+  SELECT lab.cluster_id, COUNT(*) AS n_adj
+  FROM t a
+  JOIN t b ON (b.tile_x = a.tile_x + 1 AND b.tile_y = a.tile_y)
+           OR (b.tile_x = a.tile_x AND b.tile_y = a.tile_y + 1)
+  JOIN lab ON lab.node = a.node
+  GROUP BY 1
+),
+st AS (
+  SELECT cluster_id, COUNT(*) AS n_tiles
+  FROM lab JOIN t USING (node) GROUP BY 1
+)
+SELECT st.cluster_id, st.n_tiles,
+       CAST(4 * st.n_tiles - 2 * COALESCE(adj.n_adj, 0) AS BIGINT) AS perimeter
+FROM st LEFT JOIN adj USING (cluster_id)
 """
 
 
@@ -1396,6 +1513,7 @@ QUERIES = {
     "within_radius_pairs": q_within_radius_pairs,
     "tile_grid_clusters": q_tile_grid_clusters,
     "grid_cluster_stats": q_grid_cluster_stats,
+    "cluster_perimeters": q_cluster_perimeters,
     "compact_tile_cover": q_compact_tile_cover,
     "tile_quadkeys": q_tile_quadkeys,
     "admin_counts": q_admin_counts,
@@ -1436,6 +1554,7 @@ ORACLES = {
     "within_radius_pairs": SQL_WITHIN_RADIUS_PAIRS,
     "tile_grid_clusters": SQL_TILE_GRID_CLUSTERS,
     "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
+    "cluster_perimeters": SQL_CLUSTER_PERIMETERS,
     "compact_tile_cover": SQL_COMPACT_TILE_COVER,
     "tile_quadkeys": SQL_TILE_QUADKEYS,
     "admin_counts": SQL_ADMIN_COUNTS,
@@ -1469,7 +1588,7 @@ _DRIVER_PRIORITY = [
     "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
     "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
     "admin_counts_rasterized", "bm25_search", "user_path_length",
-    "tile_quadkeys",
+    "tile_quadkeys", "cluster_perimeters",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
