@@ -682,9 +682,13 @@ def q_tile_grid_clusters(sf_dir: str) -> Dataset:
 
 
 def grid_cluster_stats_pipeline(geotagged: Dataset) -> Dataset:
+    tiles, labels = _grid_labels(geotagged)
+    return _stats_from(tiles, labels)
+
+
+def _stats_from(tiles: Dataset, labels: Dataset) -> Dataset:
     from ..stages.salted import default_partitions
 
-    tiles, labels = _grid_labels(geotagged)
     joined = labels.join(
         tiles,
         "inner",
@@ -772,7 +776,9 @@ def cluster_perimeters_pipeline(geotagged: Dataset) -> Dataset:
     ).materialize()  # adjacency-less clusters legitimately produce an
     # EMPTY side; the join below needs a schema (house empty-join rule)
 
-    stats = grid_cluster_stats_pipeline(geotagged)
+    # reuse the SAME tiles/labels — re-deriving them would re-run the page
+    # scan and the whole CC a second time
+    stats = _stats_from(tiles, labels)
     if adj.count() == 0:
         return stats.map_batches(
             lambda t: pa.table(
