@@ -285,3 +285,25 @@ def test_cluster_perimeters_match_bruteforce(ray_session):
         # sanity: a polyomino of n tiles has perimeter in [2·(n+1)… wait,
         # bounds: ≥ 4·ceil(2·sqrt(n)) is loose — assert the trivial ones
         assert p >= 4 and p <= 4 * nt
+
+
+def test_cluster_centroids_match_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_cluster_centroids
+
+    out = q_cluster_centroids(SF).to_pandas()
+    ids, lat, lon = _geo_points()
+    tx, ty = _tiles12()
+    tileset = set(zip(tx.tolist(), ty.tolist()))
+    labels = _union_find_min_labels(tileset)
+    exp = collections.defaultdict(lambda: [0, 0, 0])
+    for la, lo, x, y in zip(lat, lon, tx.tolist(), ty.tolist()):
+        lab = labels[(x, y)]
+        exp[lab][0] += 1
+        exp[lab][1] += int(np.round(la * 10000.0))
+        exp[lab][2] += int(np.round(lo * 10000.0))
+    assert len(out) == len(exp)
+    for c, n, las, los in zip(
+        out["cluster_id"], out["n_pages"], out["lat_e4_sum"], out["lon_e4_sum"]
+    ):
+        assert exp[int(c)] == [int(n), int(las), int(los)]
+    assert out["n_pages"].sum() == len(lat)

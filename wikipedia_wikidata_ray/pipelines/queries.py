@@ -820,6 +820,83 @@ def q_cluster_perimeters(sf_dir: str) -> Dataset:
 # (SQL_CLUSTER_PERIMETERS is defined after _SQL_GRID_REACH below)
 
 
+# ---------------------------------------------------------------------------
+# Q: cluster_centroids — raster→vector attribute synthesis: per cluster,
+# the page count and the EXACT integer sums of point coordinates at 1e-4
+# degrees (lat_e4_sum / lon_e4_sum — the consumer divides for the mean).
+# Integer sums make the result order-free at any parallelism (the same
+# policy as bm25_search / user_path_length); the generator's coordinates
+# are 4-dp rationals, so round(x·1e4) is exact on both sides.
+# Scale: coordinates are pre-aggregated PER TILE in-batch (aggregate
+# before join), so the label join and the per-cluster merge move only
+# occupied-tile-sized rows — points never shuffle.
+
+
+def cluster_centroids_pipeline(geotagged: Dataset) -> Dataset:
+    from ..stages.salted import default_partitions, merge_group_aggs
+
+    tiles, labels = _grid_labels(geotagged)
+    nparts = max(2, min(default_partitions(), tiles.count() // 100_000 + 1))
+
+    def tile_sums(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        p = pa.table(
+            {
+                "tnode": pa.array(tx * 8192 + ty + 1),
+                "n_pages": pa.array(np.ones(len(t), dtype=np.int64)),
+                "lat_e4_sum": pa.array(np.round(lat * 10000.0).astype(np.int64)),
+                "lon_e4_sum": pa.array(np.round(lon * 10000.0).astype(np.int64)),
+            }
+        )
+        g = p.group_by(["tnode"]).aggregate(
+            [("n_pages", "sum"), ("lat_e4_sum", "sum"), ("lon_e4_sum", "sum")]
+        )
+        return g.rename_columns(["tnode", "n_pages", "lat_e4_sum", "lon_e4_sum"])
+
+    per_tile = merge_group_aggs(
+        geotagged.map_batches(tile_sums, batch_format="pyarrow"),
+        ["tnode"],
+        [("n_pages", "sum"), ("lat_e4_sum", "sum"), ("lon_e4_sum", "sum")],
+    )
+    joined = per_tile.join(
+        labels,
+        "inner",
+        num_partitions=nparts,
+        on=("tnode",),
+        right_on=("node",),
+    )
+
+    def parts(t: pa.Table) -> pa.Table:
+        p = pa.table(
+            {
+                "cluster_id": t["label"],
+                "n_pages": t["n_pages"],
+                "lat_e4_sum": t["lat_e4_sum"],
+                "lon_e4_sum": t["lon_e4_sum"],
+            }
+        )
+        g = p.group_by(["cluster_id"]).aggregate(
+            [("n_pages", "sum"), ("lat_e4_sum", "sum"), ("lon_e4_sum", "sum")]
+        )
+        return g.rename_columns(
+            ["cluster_id", "n_pages", "lat_e4_sum", "lon_e4_sum"]
+        )
+
+    return merge_group_aggs(
+        joined.map_batches(parts, batch_format="pyarrow"),
+        ["cluster_id"],
+        [("n_pages", "sum"), ("lat_e4_sum", "sum"), ("lon_e4_sum", "sum")],
+    )
+
+
+def q_cluster_centroids(sf_dir: str) -> Dataset:
+    return cluster_centroids_pipeline(_geotagged(sf_dir))
+
+
 SQL_TILE_XY = """
   SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
          CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
@@ -862,6 +939,25 @@ WITH RECURSIVE {SQL_GEO_CTE},
 {_SQL_GRID_REACH}
 SELECT cluster_id, COUNT(*) AS n_tiles, CAST(SUM(n_pages) AS BIGINT) AS n_pages
 FROM lab JOIN t USING (node)
+GROUP BY 1
+"""
+
+SQL_CLUSTER_CENTROIDS = f"""
+WITH RECURSIVE {SQL_GEO_CTE},
+{_SQL_GRID_REACH},
+pt AS (
+  SELECT CAST(CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) * 8192
+              + CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                           / 2.0 * 4096) AS INTEGER) + 1 AS BIGINT) AS tnode,
+         CAST(ROUND(lat * 10000.0, 0) AS BIGINT) AS lat_e4,
+         CAST(ROUND(lon * 10000.0, 0) AS BIGINT) AS lon_e4
+  FROM geo
+)
+SELECT lab.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(pt.lat_e4) AS BIGINT) AS lat_e4_sum,
+       CAST(SUM(pt.lon_e4) AS BIGINT) AS lon_e4_sum
+FROM pt JOIN lab ON lab.node = pt.tnode
 GROUP BY 1
 """
 
@@ -1520,6 +1616,7 @@ QUERIES = {
     "tile_grid_clusters": q_tile_grid_clusters,
     "grid_cluster_stats": q_grid_cluster_stats,
     "cluster_perimeters": q_cluster_perimeters,
+    "cluster_centroids": q_cluster_centroids,
     "compact_tile_cover": q_compact_tile_cover,
     "tile_quadkeys": q_tile_quadkeys,
     "admin_counts": q_admin_counts,
@@ -1561,6 +1658,7 @@ ORACLES = {
     "tile_grid_clusters": SQL_TILE_GRID_CLUSTERS,
     "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
     "cluster_perimeters": SQL_CLUSTER_PERIMETERS,
+    "cluster_centroids": SQL_CLUSTER_CENTROIDS,
     "compact_tile_cover": SQL_COMPACT_TILE_COVER,
     "tile_quadkeys": SQL_TILE_QUADKEYS,
     "admin_counts": SQL_ADMIN_COUNTS,
@@ -1594,7 +1692,7 @@ _DRIVER_PRIORITY = [
     "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
     "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
     "admin_counts_rasterized", "bm25_search", "user_path_length",
-    "tile_quadkeys", "cluster_perimeters",
+    "tile_quadkeys", "cluster_perimeters", "cluster_centroids",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
