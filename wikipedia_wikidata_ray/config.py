@@ -60,11 +60,13 @@ class EngineConfig:
     spatial_stage_mode: str = "tasks"
     # "exact": per-point crossing-number PIP (geo/pip.py). "raster":
     # per-tile memoized classification with exact boundary refine
-    # (geo/pip_raster.py) — bitwise-identical output, preferable when
-    # points cluster into hot tiles (megacity skew). Default stays
-    # "exact" until the bench A/B (tools/ab_pip_raster.py) shows a win
-    # at the 1M-page scale on a quiet host.
-    pip_mode: str = "exact"
+    # (geo/pip_raster.py) — bitwise-identical output (pytest row
+    # equality), and the A/B (tools/ab_pip_raster.py, BENCH_ab_pip_r4
+    # .json: raster ≤ exact in every interleaved pair, combined bests
+    # 3.76 vs 4.70 s end-to-end at 1M pages) made it the default. The
+    # gap widens with polygon count (memo amortizes ray casting) and
+    # with megacity skew (hot tiles classify once).
+    pip_mode: str = "raster"
 
     def language_set(self) -> frozenset[str]:
         return frozenset(self.languages)
