@@ -295,3 +295,29 @@ def test_bigram_pmi_shape_and_monotone_counts():
             == out["cnt"].values).all() or True  # order is Dataset-unordered
     assert np.isfinite(out["pmi"]).all()
     assert out["cnt"].min() >= 1 and out["token"].str.contains(" ").all()
+
+
+def test_cc_local_and_distributed_plans_agree(ray_session):
+    """Plan-gate equality (the house pattern): the gated local small-graph
+    fast path and the distributed hash-to-min rounds must label
+    identically. Chain + triangle + isolates exercises transitivity."""
+    nodes = rd.from_arrow(pa.table({"node": pa.array(np.arange(12, dtype=np.int64))}))
+    e = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 5, 6, 9], type=pa.int64()),
+            "dst": pa.array([1, 2, 3, 6, 5, 10], type=pa.int64()),
+        }
+    )
+    edges = rd.from_arrow(e)
+    local = (
+        connected_components(nodes, edges)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        connected_components(nodes, edges, local_edge_limit=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert local.equals(dist)
+    assert dict(zip(local["node"], local["label"])) == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9, 10: 9, 11: 11
+    }
