@@ -307,3 +307,20 @@ def test_cluster_centroids_match_bruteforce(ray_session):
     ):
         assert exp[int(c)] == [int(n), int(las), int(los)]
     assert out["n_pages"].sum() == len(lat)
+
+
+def test_bbox_counts_match_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _query_boxes_deg,
+        q_bbox_counts,
+    )
+
+    out = q_bbox_counts(SF).to_pandas()
+    _, lat, lon = _geo_points()
+    exp = {}
+    for i, a, b, c, d in _query_boxes_deg():
+        n = int(((lat >= a) & (lat <= b) & (lon >= c) & (lon <= d)).sum())
+        if n:
+            exp[i] = n
+    assert len(exp) > 0  # megacity boxes always contain their jittered points
+    assert dict(zip(out["box_id"].astype(int), out["n_points"].astype(int))) == exp

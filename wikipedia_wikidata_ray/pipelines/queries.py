@@ -1215,6 +1215,74 @@ SQL_COMPACT_TILE_COVER = _sql_compact_tile_cover()
 
 
 # ---------------------------------------------------------------------------
+# Q: bbox_counts — broadcast spatial range query: K fixed query
+# rectangles (one per megacity, ±0.15°) are broadcast and every point is
+# tested against all of them IN-BATCH (a (batch × K) vectorized
+# containment, K small BY DEFINITION — a query workload, not data); only
+# (box_id, count) partials shuffle. The interactive-query complement of
+# the PIP join: boxes are ad-hoc, no index build is warranted.
+# Boxes may overlap — a point counts once per containing box
+# (inner-join semantics, not partition semantics).
+
+BBOX_HALF_DEG = 0.15
+
+
+def _query_boxes_deg() -> list[tuple[int, float, float, float, float]]:
+    from ..sources.pages_gen import MEGACITIES
+
+    h = BBOX_HALF_DEG
+    return [
+        (i, clat - h, clat + h, clon - h, clon + h)
+        for i, (clat, clon) in enumerate(MEGACITIES)
+    ]
+
+
+def q_bbox_counts(sf_dir: str) -> Dataset:
+    boxes = _query_boxes_deg()
+    lat0 = np.array([b[1] for b in boxes])
+    lat1 = np.array([b[2] for b in boxes])
+    lon0 = np.array([b[3] for b in boxes])
+    lon1 = np.array([b[4] for b in boxes])
+    ids = np.array([b[0] for b in boxes], dtype=np.int32)
+
+    def count_in_boxes(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        hit = (
+            (lat[:, None] >= lat0[None, :])
+            & (lat[:, None] <= lat1[None, :])
+            & (lon[:, None] >= lon0[None, :])
+            & (lon[:, None] <= lon1[None, :])
+        )
+        c = hit.sum(axis=0).astype(np.int64)
+        keep = c > 0
+        return pa.table(
+            {"box_id": pa.array(ids[keep]), "n_points": pa.array(c[keep])}
+        )
+
+    parts = _geotagged(sf_dir).map_batches(count_in_boxes, batch_format="pyarrow")
+    return merge_group_sums(parts, ["box_id"], ["n_points"])
+
+
+def _sql_bbox_counts() -> str:
+    values = ", ".join(
+        f"({i}, {a!r}, {b!r}, {c!r}, {d!r})" for i, a, b, c, d in _query_boxes_deg()
+    )
+    return f"""
+WITH {SQL_GEO_CTE},
+boxes(box_id, lat0, lat1, lon0, lon1) AS (VALUES {values})
+SELECT CAST(b.box_id AS INTEGER) AS box_id, COUNT(*) AS n_points
+FROM geo g JOIN boxes b
+  ON g.lat >= b.lat0 AND g.lat <= b.lat1 AND g.lon >= b.lon0 AND g.lon <= b.lon1
+GROUP BY 1
+"""
+
+
+SQL_BBOX_COUNTS = _sql_bbox_counts()
+
+
+# ---------------------------------------------------------------------------
 # Q: admin_counts — PIP join against the level-0 rectangle grid (I4/D11)
 
 
@@ -1619,6 +1687,7 @@ QUERIES = {
     "cluster_centroids": q_cluster_centroids,
     "compact_tile_cover": q_compact_tile_cover,
     "tile_quadkeys": q_tile_quadkeys,
+    "bbox_counts": q_bbox_counts,
     "admin_counts": q_admin_counts,
     "admin_counts_rasterized": q_admin_counts_rasterized,
     "admin_counts_partitioned": q_admin_counts_partitioned,
@@ -1661,6 +1730,7 @@ ORACLES = {
     "cluster_centroids": SQL_CLUSTER_CENTROIDS,
     "compact_tile_cover": SQL_COMPACT_TILE_COVER,
     "tile_quadkeys": SQL_TILE_QUADKEYS,
+    "bbox_counts": SQL_BBOX_COUNTS,
     "admin_counts": SQL_ADMIN_COUNTS,
     "admin_counts_rasterized": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
@@ -1692,7 +1762,7 @@ _DRIVER_PRIORITY = [
     "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
     "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
     "admin_counts_rasterized", "bm25_search", "user_path_length",
-    "tile_quadkeys", "cluster_perimeters", "cluster_centroids",
+    "tile_quadkeys", "cluster_perimeters", "cluster_centroids", "bbox_counts",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
