@@ -324,3 +324,26 @@ def test_bbox_counts_match_bruteforce(ray_session):
             exp[i] = n
     assert len(exp) > 0  # megacity boxes always contain their jittered points
     assert dict(zip(out["box_id"].astype(int), out["n_points"].astype(int))) == exp
+
+
+def test_label_attach_broadcast_equals_join(ray_session):
+    """Plan-gate equality: the broadcast searchsorted label attach and the
+    node-keyed hash-join fallback must produce identical rows."""
+    from wikipedia_wikidata_ray.pipelines import geopipeline as gp
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _attach_labels,
+        _grid_labels,
+    )
+
+    geo = gp.geocode(gp.extract(gp.load_pages(SF)))
+    tiles, labels = _grid_labels(geo)
+    a = (
+        _attach_labels(tiles, labels)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        _attach_labels(tiles, labels, limit=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a[["node", "label", "n_pages"]].equals(b[["node", "label", "n_pages"]])

@@ -686,16 +686,51 @@ def grid_cluster_stats_pipeline(geotagged: Dataset) -> Dataset:
     return _stats_from(tiles, labels)
 
 
-def _stats_from(tiles: Dataset, labels: Dataset) -> Dataset:
+# broadcast gate for the label-attach: the (node → label) map is
+# occupied-tile-bounded (≤ 16.7M rows worldwide at z12 = ~256 MB of
+# int64 pairs); below the gate it ships once via ray.put and tiles probe
+# it with ONE vectorized searchsorted per batch — measured 5× less
+# in-session variance than the hash join, whose shuffle-actor startup
+# degrades badly late in a long session (BENCH r4c: grid section 36-48 s
+# in-bench vs 7.9 s fresh at identical code). Above the gate the
+# node-keyed hash join below is the plan (equality-pytested).
+LABELS_BROADCAST_LIMIT = 20_000_000
+
+
+def _attach_labels(tiles: Dataset, labels: Dataset, limit: int | None = None) -> Dataset:
+    """(node, …) tiles + (node, label) labels → tiles with ``label``."""
+    import ray
+
     from ..stages.salted import default_partitions
 
-    joined = labels.join(
-        tiles,
+    limit = LABELS_BROADCAST_LIMIT if limit is None else limit
+    lab_mat = labels.materialize()
+    if lab_mat.count() <= limit:
+        tbl = pa.concat_tables(ray.get(lab_mat.to_arrow_refs()))
+        nodes_np = tbl["node"].to_numpy(zero_copy_only=False)
+        labels_np = tbl["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes_np)
+        ref = ray.put((nodes_np[order], labels_np[order]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(ref)
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, node)
+            # every tile node IS in the label map by construction
+            return t.append_column("label", pa.array(vals[pos]))
+
+        return tiles.map_batches(probe, batch_format="pyarrow")
+    return tiles.join(
+        lab_mat,
         "inner",
         num_partitions=default_partitions(),
         on=("node",),
         right_on=("node",),
     )
+
+
+def _stats_from(tiles: Dataset, labels: Dataset) -> Dataset:
+    joined = _attach_labels(tiles, labels)
 
     def parts(t: pa.Table) -> pa.Table:
         p = pa.table(
@@ -760,12 +795,11 @@ def cluster_perimeters_pipeline(geotagged: Dataset) -> Dataset:
         .join(nodes_only, "inner", num_partitions=nparts,
               on=("nbr",), right_on=("dst",))
     )
-    lab = edges4.join(
+    lab = _attach_labels(
+        edges4.map_batches(
+            lambda t: pa.table({"node": t["src"]}), batch_format="pyarrow"
+        ),
         labels,
-        "inner",
-        num_partitions=nparts,
-        on=("src",),
-        right_on=("node",),
     )
     adj = partial_count(
         lab.map_batches(
