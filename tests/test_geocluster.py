@@ -347,3 +347,23 @@ def test_label_attach_broadcast_equals_join(ray_session):
     )
     assert len(a) > 0
     assert a[["node", "label", "n_pages"]].equals(b[["node", "label", "n_pages"]])
+
+
+def test_zonal_tile_counts_match_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_zonal_tile_counts
+
+    out = q_zonal_tile_counts(SF).to_pandas()
+    _, lat, lon = _geo_points()
+    tx, ty = _tiles12()
+    zone_tiles = collections.defaultdict(set)
+    zone_pages = collections.Counter()
+    for la, lo, x, y in zip(lat, lon, tx.tolist(), ty.tolist()):
+        if lo >= 180.0 or la >= 90.0:
+            continue
+        z = f"A{int(np.floor((la + 90.0) / 30.0))}_{int(np.floor((lo + 180.0) / 30.0))}"
+        zone_tiles[z].add((x, y))
+        zone_pages[z] += 1
+    assert len(out) == len(zone_tiles) > 0
+    for z, nt, n in zip(out["admin_code"], out["n_tiles"], out["n_pages"]):
+        assert len(zone_tiles[z]) == nt
+        assert zone_pages[z] == n

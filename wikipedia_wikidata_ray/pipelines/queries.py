@@ -1374,6 +1374,86 @@ def q_admin_counts_partitioned(sf_dir: str) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Q: zonal_tile_counts — zonal statistics over the raster: per admin zone,
+# the number of DISTINCT occupied z12 tiles and the page total (the
+# area-proxy + mass summary GIS zonal-stats pairs with the tile raster).
+# Distinctness rides the combiner path twice: per-batch (zone, tile)
+# partials collapse in-batch, ONE merge dedups (zone, tile) pairs exactly
+# (min is idempotent), then per-zone counts merge — tile-bounded movement,
+# page rows never shuffle. NULL zones (points outside every polygon) are
+# dropped (inner-zone semantics, matching the SQL WHERE).
+
+
+def q_zonal_tile_counts(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_aggs
+
+    ds = gp.pip_join(_geotagged(sf_dir))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(t.column("has_geo"), pc.is_valid(t.column("admin_code")))
+        )
+        p = pa.table(
+            {
+                "admin_code": t.column("admin_code"),
+                "tile_x": t.column("tile_x"),
+                "tile_y": t.column("tile_y"),
+                "n_pages": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["admin_code", "tile_x", "tile_y"]).aggregate(
+            [("n_pages", "sum")]
+        )
+        return g.rename_columns(["admin_code", "tile_x", "tile_y", "n_pages"])
+
+    per_tile = merge_group_aggs(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["admin_code", "tile_x", "tile_y"],
+        [("n_pages", "sum")],
+    )
+
+    def zone_partial(t: pa.Table) -> pa.Table:
+        p = pa.table(
+            {
+                "admin_code": t.column("admin_code"),
+                "n_tiles": pa.array(np.ones(len(t), dtype=np.int64)),
+                "n_pages": t.column("n_pages"),
+            }
+        )
+        g = p.group_by(["admin_code"]).aggregate(
+            [("n_tiles", "sum"), ("n_pages", "sum")]
+        )
+        return g.rename_columns(["admin_code", "n_tiles", "n_pages"])
+
+    return merge_group_aggs(
+        per_tile.map_batches(zone_partial, batch_format="pyarrow"),
+        ["admin_code"],
+        [("n_tiles", "sum"), ("n_pages", "sum")],
+    )
+
+
+SQL_ZONAL_TILE_COUNTS = f"""
+WITH {SQL_GEO_CTE},
+zt AS (
+  SELECT CASE WHEN lon >= 180.0 OR lat >= 90.0 THEN NULL
+              ELSE 'A' || CAST(CAST(FLOOR((lat + 90.0) / 30.0) AS INTEGER) AS VARCHAR)
+                   || '_' || CAST(CAST(FLOOR((lon + 180.0) / 30.0) AS INTEGER) AS VARCHAR)
+         END AS admin_code,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         COUNT(*) AS n_pages
+  FROM geo
+  GROUP BY 1, 2, 3
+)
+SELECT admin_code, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(n_pages) AS BIGINT) AS n_pages
+FROM zt WHERE admin_code IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: metro_counts — PIP against hexagon metros (half-plane oracle)
 
 
@@ -1725,6 +1805,7 @@ QUERIES = {
     "admin_counts": q_admin_counts,
     "admin_counts_rasterized": q_admin_counts_rasterized,
     "admin_counts_partitioned": q_admin_counts_partitioned,
+    "zonal_tile_counts": q_zonal_tile_counts,
     "metro_counts": q_metro_counts,
     "knn_places": q_knn_places,
     "knn_places_partitioned": q_knn_places_partitioned,
@@ -1768,6 +1849,7 @@ ORACLES = {
     "admin_counts": SQL_ADMIN_COUNTS,
     "admin_counts_rasterized": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
+    "zonal_tile_counts": SQL_ZONAL_TILE_COUNTS,
     "metro_counts": SQL_METRO_COUNTS,
     "knn_places": SQL_KNN_PLACES,
     "knn_places_partitioned": SQL_KNN_PLACES,
@@ -1797,6 +1879,7 @@ _DRIVER_PRIORITY = [
     "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
     "admin_counts_rasterized", "bm25_search", "user_path_length",
     "tile_quadkeys", "cluster_perimeters", "cluster_centroids", "bbox_counts",
+    "zonal_tile_counts",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
