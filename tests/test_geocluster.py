@@ -367,3 +367,48 @@ def test_zonal_tile_counts_match_bruteforce(ray_session):
     for z, nt, n in zip(out["admin_code"], out["n_tiles"], out["n_pages"]):
         assert len(zone_tiles[z]) == nt
         assert zone_pages[z] == n
+
+
+def test_geohash_counts_match_reference_encoder(ray_session):
+    """Verify against an independent scalar geohash encoder (classic
+    divide-and-refine algorithm, no bit tricks shared with the
+    implementation)."""
+    from wikipedia_wikidata_ray.pipelines.queries import q_geohash_counts
+
+    def scalar_geohash(lat, lon, length=6):
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_lo, lat_hi = -90.0, 90.0
+        lon_lo, lon_hi = -180.0, 180.0
+        bits = []
+        even = True
+        while len(bits) < 5 * length:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    bits.append(1)
+                    lon_lo = mid
+                else:
+                    bits.append(0)
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    bits.append(1)
+                    lat_lo = mid
+                else:
+                    bits.append(0)
+                    lat_hi = mid
+            even = not even
+        return "".join(
+            alpha[sum(b << (4 - k) for k, b in enumerate(bits[j * 5 : j * 5 + 5]))]
+            for j in range(length)
+        )
+
+    out = q_geohash_counts(SF).to_pandas()
+    _, lat, lon = _geo_points()
+    exp = collections.Counter(
+        scalar_geohash(float(a), float(o)) for a, o in zip(lat, lon)
+    )
+    assert len(out) == len(exp)
+    got = dict(zip(out["geohash"], out["n_pages"]))
+    assert got == dict(exp)

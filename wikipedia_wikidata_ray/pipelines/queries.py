@@ -1213,6 +1213,89 @@ def _sql_tile_quadkeys() -> str:
 SQL_TILE_QUADKEYS = _sql_tile_quadkeys()
 
 
+# ---------------------------------------------------------------------------
+# Q: geohash_counts — standard geohash encoding (precision 6 = 30 bits,
+# 15 lon + 15 lat, lon-first bit interleave, base32 alphabet) with per-
+# cell page counts. Completes the cell-encode family (slippy tiles,
+# quadkey, H3-style hex, S2, geohash). The integer code rides the count
+# shuffle; the base32 string materializes AFTER the merge on cell-bounded
+# rows via the same zero-copy Arrow string-buffer build as quadkeys.
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_BITS = 15  # per axis; 6 base32 chars
+
+
+def q_geohash_counts(sf_dir: str) -> Dataset:
+    ds = _geotagged(sf_dir)
+
+    def code(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        scale = float(1 << GEOHASH_BITS)
+        lon_q = np.floor((lon + 180.0) / 360.0 * scale).astype(np.int64)
+        lat_q = np.floor((lat + 90.0) / 180.0 * scale).astype(np.int64)
+        z = np.zeros(len(lon_q), dtype=np.int64)
+        for i in range(GEOHASH_BITS):
+            sh = GEOHASH_BITS - 1 - i
+            z += ((lon_q >> sh) & 1) << (2 * GEOHASH_BITS - 1 - 2 * i)
+            z += ((lat_q >> sh) & 1) << (2 * GEOHASH_BITS - 2 - 2 * i)
+        return pa.table({"gh_z": pa.array(z)})
+
+    counts = partial_count(
+        ds.map_batches(code, batch_format="pyarrow"), ["gh_z"], out="n_pages"
+    )
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+
+    def encode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "geohash": pa.array([], type=pa.string()),
+                    "n_pages": pa.array([], type=pa.int64()),
+                }
+            )
+        z = t.column("gh_z").to_numpy(zero_copy_only=False)
+        chars = np.empty((n, 6), dtype=np.uint8)
+        for j in range(6):
+            chars[:, j] = alpha[(z >> (25 - 5 * j)) & 31]
+        values = pa.py_buffer(chars.tobytes())
+        offsets = pa.py_buffer(np.arange(0, 6 * (n + 1), 6, dtype=np.int32).tobytes())
+        gh = pa.Array.from_buffers(pa.string(), n, [None, offsets, values])
+        return pa.table({"geohash": gh, "n_pages": t.column("n_pages")})
+
+    return counts.map_batches(encode, batch_format="pyarrow")
+
+
+def _sql_geohash_counts() -> str:
+    b = GEOHASH_BITS
+    terms = []
+    for i in range(b):
+        sh = b - 1 - i
+        terms.append(f"((lon_q // {1 << sh}) % 2) * {1 << (2 * b - 1 - 2 * i)}")
+        terms.append(f"((lat_q // {1 << sh}) % 2) * {1 << (2 * b - 2 - 2 * i)}")
+    z = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', CAST((z // {1 << (25 - 5 * j)}) % 32 AS INTEGER) + 1, 1)"
+        for j in range(6)
+    )
+    return f"""
+WITH {SQL_GEO_CTE},
+q AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << b)!r}) AS BIGINT) AS lon_q,
+         CAST(FLOOR((lat + 90.0) / 180.0 * {float(1 << b)!r}) AS BIGINT) AS lat_q
+  FROM geo
+),
+zc AS (SELECT {z} AS z FROM q)
+SELECT {chars} AS geohash, COUNT(*) AS n_pages
+FROM zc GROUP BY 1
+"""
+
+
+SQL_GEOHASH_COUNTS = _sql_geohash_counts()
+
+
 def _sql_compact_tile_cover() -> str:
     lines = ["t12 AS (SELECT DISTINCT x12 AS x, y12 AS y FROM xy)"]
     selects = []
@@ -1801,6 +1884,7 @@ QUERIES = {
     "cluster_centroids": q_cluster_centroids,
     "compact_tile_cover": q_compact_tile_cover,
     "tile_quadkeys": q_tile_quadkeys,
+    "geohash_counts": q_geohash_counts,
     "bbox_counts": q_bbox_counts,
     "admin_counts": q_admin_counts,
     "admin_counts_rasterized": q_admin_counts_rasterized,
@@ -1845,6 +1929,7 @@ ORACLES = {
     "cluster_centroids": SQL_CLUSTER_CENTROIDS,
     "compact_tile_cover": SQL_COMPACT_TILE_COVER,
     "tile_quadkeys": SQL_TILE_QUADKEYS,
+    "geohash_counts": SQL_GEOHASH_COUNTS,
     "bbox_counts": SQL_BBOX_COUNTS,
     "admin_counts": SQL_ADMIN_COUNTS,
     "admin_counts_rasterized": SQL_ADMIN_COUNTS,
@@ -1879,7 +1964,7 @@ _DRIVER_PRIORITY = [
     "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
     "admin_counts_rasterized", "bm25_search", "user_path_length",
     "tile_quadkeys", "cluster_perimeters", "cluster_centroids", "bbox_counts",
-    "zonal_tile_counts",
+    "zonal_tile_counts", "geohash_counts",
     # rotated off the r3 driver board by the 50-query cap
     "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
     "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
