@@ -368,6 +368,72 @@ class LangId:
         )
 
 
+class LangIdSeeded:
+    """Integer-weight trigram scorer — the fully-SQL-oracled twin of
+    ``LangId`` (round-5 verdict #1; same pattern as the seeded-MinHash
+    twin in pipelines/trainingdata.py): identical normalization (lower +
+    whitespace collapse + space padding, the Arrow kernels LangId's
+    vectorized path uses), identical gram packing
+    (``packed_char_gram_arrays``), identical searchsorted profile probe —
+    but with PINNED integer weights so per-doc scores are order-free
+    integer sums DuckDB reproduces exactly, and the argmax (ties → lex
+    smallest language, = np.argmax first-max) is a plain ROW_NUMBER.
+
+    ``profiles``: {lang: {3-char ASCII gram: int weight}} — a closed-form
+    VALUES list on the SQL side."""
+
+    def __init__(self, profiles: dict[str, dict[str, int]],
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.langs = sorted(profiles)
+        self.text_col = text_col
+        self.id_col = id_col
+        per_lang = []
+        for l in self.langs:
+            items = profiles[l]
+            codes_list = packed_char_gram_arrays(
+                pa.array(list(items), type=pa.string())
+            )
+            if any(len(c) != 1 for c in codes_list):
+                raise ValueError("profile gram must be exactly 3 ASCII chars")
+            codes = np.array([c[0] for c in codes_list], dtype=np.uint64)
+            w = np.fromiter(items.values(), dtype=np.int64, count=len(items))
+            o = np.argsort(codes)
+            per_lang.append((codes[o], w[o]))
+        self._vec = per_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        norm = pc.binary_join_element_wise(
+            " ",
+            pc.replace_substring_regex(pc.utf8_lower(col), "[ \t\n\r\f\v]+", " "),
+            " ",
+            "",
+        )
+        glist = packed_char_gram_arrays(norm)
+        n = len(glist)
+        counts = np.fromiter((len(g) for g in glist), dtype=np.int64, count=n)
+        grams = np.concatenate(glist) if n else np.empty(0, np.uint64)
+        parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, (codes, w) in enumerate(self._vec):
+            if len(codes) == 0 or len(grams) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(codes, grams), len(codes) - 1)
+            hit = codes[pos] == grams
+            np.add.at(scores[:, j], parent[hit], w[pos[hit]])
+        best = np.argmax(scores, axis=1)
+        preds = np.array(self.langs, dtype=object)[best]
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "pred_lang": pa.array(preds, type=pa.string()),
+                "score": pa.array(scores[np.arange(n), best]),
+            }
+        )
+
+
 ROLL_BASE = 257
 ROLL_MOD = 1_000_000_007
 ROLL_WINDOW = 8

@@ -19,7 +19,10 @@ operator has a fully-oracled twin exercising the same machinery:
   ``exact_dup_pairs_lsh`` and ``ngram_jaccard`` oracle the verify side.
 - ``langid_predictions``: model scoring (n-gram profile cosine) —
   the genuinely-non-SQL category named in the driver brief (accuracy
-  and determinism pytest-asserted).
+  and determinism pytest-asserted). Twin: ``langid_scores_seeded``
+  runs the IDENTICAL normalize→pack-grams→profile-probe→argmax
+  machinery with a pinned integer-weight profile table, fully
+  oracle-checked (round-5 verdict #1).
 - ``ann_topk_ivf`` / ``ann_topk_ivf_partitioned``: the bucketing is a
   FITTED k-means model (non-SQL); the partitioned variant is
   pytest-asserted row-identical to the broadcast variant. Twin:
@@ -338,6 +341,86 @@ def q_simhash_fingerprints(sf_dir: str) -> Dataset:
     return docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 8))
 
 
+# Seeded langid twin (round-5 verdict #1 — the last rows-only machinery
+# gets a fully-oracled sibling, mirroring near_dup_pairs_minhash_seeded):
+# a PINNED {lang: {3-char gram: int weight}} profile table scores every
+# doc with the same normalization/packing/searchsorted machinery LangId
+# uses, but with order-free integer sums and a lexicographic argmax that
+# DuckDB replicates exactly (VALUES list + SUM + ROW_NUMBER). The grams
+# are drawn from the fixture vocabulary so every profile gets real hits;
+# weights are arbitrary pinned ints (accuracy is not the point — the
+# fixture's lang label is independent of its text; scoring parity is).
+
+_LANGID_SEED_PROFILES: dict[str, dict[str, int]] = {
+    "de": {" jo": 7, "joi": 6, "oin": 5, " fi": 4, "fil": 3, "lte": 2,
+           " gr": 5, "gro": 4},
+    "en": {" ta": 7, "tab": 6, "abl": 5, "ble": 4, " qu": 5, "que": 4,
+           "uer": 3, " th": 6},
+    "es": {" so": 7, "sor": 6, "ort": 5, " sc": 4, "sca": 3, "can": 2,
+           " ha": 5, "has": 4},
+    "fr": {" me": 7, "mer": 6, "erg": 5, "rge": 4, " wi": 5, "win": 4,
+           "ind": 3, "ndo": 2},
+    "zh": {" ba": 7, "bat": 6, "atc": 5, "tch": 4, " st": 5, "str": 4,
+           "tre": 3, "eam": 2},
+}
+
+
+def q_langid_scores_seeded(sf_dir: str) -> Dataset:
+    from ..ops.textstats import LangIdSeeded
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        LangIdSeeded,
+        fn_constructor_args=(_LANGID_SEED_PROFILES,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def _sql_langid_seeded() -> str:
+    rows = []
+    for lang in sorted(_LANGID_SEED_PROFILES):
+        for g, w in _LANGID_SEED_PROFILES[lang].items():
+            h = ord(g[0]) * 1048576 + ord(g[1]) * 1024 + ord(g[2])
+            rows.append(f"('{lang}', {h}, {w})")
+    values = ", ".join(rows)
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(lower(text), '[ \\t\\n\\r\\f\\v]+', ' ', 'g')
+             || ' ' AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         ascii(substr(s, CAST(i.i AS INT), 1)) * 1048576
+       + ascii(substr(s, CAST(i.i AS INT) + 1, 1)) * 1024
+       + ascii(substr(s, CAST(i.i AS INT) + 2, 1)) AS h
+  FROM norm, range(1, {ORACLE_CHARS_CAP + 3}) i(i)
+  WHERE i.i <= length(s) - 2
+),
+prof(lang, h, w) AS (VALUES {values}),
+hits AS (
+  SELECT g.doc_id, p.lang, SUM(p.w) AS score
+  FROM grams g JOIN prof p ON p.h = g.h GROUP BY 1, 2
+),
+alls AS (
+  SELECT n.doc_id, l.lang, COALESCE(h.score, 0) AS score
+  FROM norm n
+  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+  LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.lang = l.lang
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM alls
+)
+SELECT doc_id, lang AS pred_lang, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_langid_predictions(sf_dir: str) -> Dataset:
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     profiles = fit_langid_profiles(
@@ -514,6 +597,7 @@ TRAININGDATA_QUERIES = {
     "near_dup_pairs_minhash_seeded": q_near_dup_pairs_minhash_seeded,
     "simhash_fingerprints": q_simhash_fingerprints,
     "langid_predictions": q_langid_predictions,
+    "langid_scores_seeded": q_langid_scores_seeded,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf_grid": q_ann_topk_ivf_grid,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -526,6 +610,7 @@ TRAININGDATA_ORACLES = {
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "exact_dup_pairs_lsh": SQL_EXACT_DUP_PAIRS,
     "near_dup_pairs_minhash_seeded": _sql_minhash_seeded(),
+    "langid_scores_seeded": _sql_langid_seeded(),
     "ann_topk": SQL_ANN_TOPK,
     "ann_topk_ivf_grid": SQL_ANN_TOPK_IVF_GRID,
     "embedding_neardups": SQL_EMBEDDING_NEARDUPS,
