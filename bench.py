@@ -14,6 +14,10 @@ untimed.
 ``--scaling``: re-runs this script in fresh processes at num_cpus=8 and 32
 on the SAME input and reports both throughputs + scaling efficiency
 (= (t8/t32)/4). Evidence for the north rule's two-cluster-size criterion.
+
+``--forced-plans``: times the >limit (hash-join/shuffle) plans behind the
+broadcast gates with broadcast_limit=0, interleaved with the default
+plans, and asserts row equality (round-5 verdict Next #4).
 """
 
 from __future__ import annotations
@@ -44,6 +48,66 @@ def _host_probe() -> dict:
     a[::4096] = 1
     fault = _t.perf_counter() - t0
     return {"matmul_2k_sec": round(matmul, 3), "fault_64mb_sec": round(fault, 3)}
+
+
+def _warm_cluster(pages_path: str, num_cpus: int) -> None:
+    """Page-cache + worker-pool + driver/plasma warm-up (untimed): see the
+    inline notes below — this host overcommits VM memory, so first-touch
+    page faults must be absorbed once per process, not inside a timed
+    section."""
+    import glob
+
+    import ray
+    import ray.data as rd
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk.
+    # NB: read_parquet().count() is metadata-only and touches no data pages —
+    # actually stream the file bytes (measured: cold cache costs up to 3×).
+    paths = (
+        sorted(glob.glob(os.path.join(pages_path, "*")))
+        if os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    for p in paths:
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    # warm the Ray worker pool (process spawn + package import is per-worker
+    # one-time cost, not pipeline throughput): one tiny task per CPU slot.
+    # Each warm task also FAULTS IN ~128 MB of worker heap: this host
+    # overcommits VM memory, so first-touch page faults on fresh
+    # allocations run at ~20-80 MB/s (measured; re-touch 3 GB/s, pages
+    # stay resident via malloc arena reuse). Without the touch, whichever
+    # section first allocates large batch temporaries absorbs multi-second
+    # fault stalls and timings swing 3-5x run to run — warming moves that
+    # one-time host cost out of every timed section.
+    from wikipedia_wikidata_ray.stages.extract import extract_batch as _wb
+
+    def _warm(b):
+        _ = _wb  # closure forces the engine package import in each worker
+        import numpy as _np
+
+        import wikipedia_wikidata_ray as _pkg
+
+        # ONCE per worker process: >128 MB mallocs are fresh mmaps that
+        # munmap on free, so an unguarded touch would re-fault per task
+        # (measured ~50 CPU-s per 256 MB task during the first attempt)
+        if not getattr(_pkg, "_mem_warmed", False):
+            scratch = _np.empty(128 << 20, dtype=_np.uint8)
+            scratch[::4096] = 1
+            del scratch
+            _pkg._mem_warmed = True
+        return {"id": b["id"]}
+
+    rd.range(num_cpus * 4).map_batches(_warm, batch_size=1).count()
+
+    # fault in driver-heap + plasma pages the same way (broadcast payloads
+    # and materialized blocks live there)
+    _d = __import__("numpy").empty(256 << 20, dtype="uint8")
+    _d[::4096] = 1
+    del _d
+    _r = ray.put(__import__("numpy").zeros(512 << 20, dtype="uint8"))
+    del _r
 
 
 def run_bench() -> dict:
@@ -100,56 +164,7 @@ def run_bench() -> dict:
         section_runs[name] = [round(v, 3) for v in vals]
         return rows
 
-    # warm the OS page cache so we measure compute + shuffle, not cold disk.
-    # NB: read_parquet().count() is metadata-only and touches no data pages —
-    # actually stream the file bytes (measured: cold cache costs up to 3×).
-    import glob
-
-    paths = (
-        sorted(glob.glob(os.path.join(pages_path, "*")))
-        if os.path.isdir(pages_path)
-        else [pages_path]
-    )
-    for p in paths:
-        with open(p, "rb") as fh:
-            while fh.read(1 << 24):
-                pass
-    # warm the Ray worker pool (process spawn + package import is per-worker
-    # one-time cost, not pipeline throughput): one tiny task per CPU slot.
-    # Each warm task also FAULTS IN ~256 MB of worker heap: this host
-    # overcommits VM memory, so first-touch page faults on fresh
-    # allocations run at ~20-80 MB/s (measured; re-touch 3 GB/s, pages
-    # stay resident via malloc arena reuse). Without the touch, whichever
-    # section first allocates large batch temporaries absorbs multi-second
-    # fault stalls and timings swing 3-5x run to run — warming moves that
-    # one-time host cost out of every timed section.
-    from wikipedia_wikidata_ray.stages.extract import extract_batch as _wb
-
-    def _warm(b):
-        _ = _wb  # closure forces the engine package import in each worker
-        import numpy as _np
-
-        import wikipedia_wikidata_ray as _pkg
-
-        # ONCE per worker process: >128 MB mallocs are fresh mmaps that
-        # munmap on free, so an unguarded touch would re-fault per task
-        # (measured ~50 CPU-s per 256 MB task during the first attempt)
-        if not getattr(_pkg, "_mem_warmed", False):
-            scratch = _np.empty(128 << 20, dtype=_np.uint8)
-            scratch[::4096] = 1
-            del scratch
-            _pkg._mem_warmed = True
-        return {"id": b["id"]}
-
-    rd.range(num_cpus * 4).map_batches(_warm, batch_size=1).count()
-
-    # fault in driver-heap + plasma pages the same way (broadcast payloads
-    # and materialized blocks live there)
-    _d = __import__("numpy").empty(256 << 20, dtype="uint8")
-    _d[::4096] = 1
-    del _d
-    _r = ray.put(__import__("numpy").zeros(512 << 20, dtype="uint8"))
-    del _r
+    _warm_cluster(pages_path, num_cpus)
 
     from wikipedia_wikidata_ray.pipelines.geopipeline import EXTRACT_COLUMNS
 
@@ -380,6 +395,119 @@ def run_bench() -> dict:
     }
 
 
+def run_forced_plans() -> dict:
+    """Bench-exercise the >limit (shuffle/hash-join) plans that normally
+    hide behind the broadcast gates (round-5 verdict Next #4: every gate
+    was equality-pytested at sf0.01 but never TIMED — the 100-TB story
+    rested on untimed code paths). Runs importance_export and tfidf_topk
+    with broadcast_limit=0 (forcing the distributed plan) interleaved
+    with the default broadcast plans on the same input, best-of-two per
+    section, and asserts row equality between the plans."""
+    import ray
+    import ray.data as rd
+
+    host_probe = _host_probe()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("GRAFT_PAGES_MULT", "200"))
+
+    from wikipedia_wikidata_ray.sources.pages_gen import ensure_bench_pages_parquet
+
+    pages_path = ensure_bench_pages_parquet(sf_dir, mult)
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    _warm_cluster(pages_path, num_cpus)
+
+    import gc
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.geopipeline import EXTRACT_COLUMNS
+    from wikipedia_wikidata_ray.pipelines.webtext import tfidf_top_terms
+    from wikipedia_wikidata_ray.pipelines.wikimedia import export_pipeline
+
+    def pages_ds():
+        return rd.read_parquet(pages_path, columns=EXTRACT_COLUMNS)
+
+    n_pages = pages_ds().count()
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(docs_path).num_rows
+    dmult = int(os.environ.get("GRAFT_DEDUP_MULT", "10"))
+
+    def replicate(t: pa.Table) -> pa.Table:
+        parts = [t]
+        for i in range(1, dmult):
+            ids = pc.add(t["doc_id"], pa.scalar(i * n_docs, type=pa.int64()))
+            suffix = pa.array([f" rep{i}"] * len(t))
+            txt = pc.binary_join_element_wise(t["text"], suffix, "")
+            parts.append(pa.table({"doc_id": ids, "text": txt}))
+        return pa.concat_tables(parts)
+
+    def dedup_docs():
+        return (
+            rd.read_parquet(docs_path, columns=["doc_id", "text"])
+            .repartition(num_cpus)
+            .map_batches(replicate, batch_format="pyarrow")
+        )
+
+    sections = {
+        "export_broadcast": lambda: export_pipeline(pages_ds, n_pages)
+        .materialize()
+        .count(),
+        "export_forced_join": lambda: export_pipeline(
+            pages_ds, n_pages, broadcast_limit=0
+        )
+        .materialize()
+        .count(),
+        "tfidf_broadcast": lambda: tfidf_top_terms(dedup_docs(), n_docs * dmult)
+        .materialize()
+        .count(),
+        "tfidf_forced_join": lambda: tfidf_top_terms(
+            dedup_docs(), n_docs * dmult, df_broadcast_limit=0
+        )
+        .materialize()
+        .count(),
+    }
+    runs: dict[str, list[float]] = {k: [] for k in sections}
+    rows: dict[str, int] = {}
+    for _ in range(2):  # interleaved best-of-two
+        for name, fn in sections.items():
+            gc.collect()
+            t0 = time.perf_counter()
+            rows[name] = fn()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    best = {k: min(v) for k, v in runs.items()}
+    assert rows["export_broadcast"] == rows["export_forced_join"], rows
+    assert rows["tfidf_broadcast"] == rows["tfidf_forced_join"], rows
+    return {
+        "metric": "forced >limit plans (broadcast_limit=0) vs broadcast plans",
+        "sections": best,
+        "runs": runs,
+        "rows": rows,
+        "ratios": {
+            "export": round(best["export_forced_join"] / best["export_broadcast"], 3),
+            "tfidf": round(best["tfidf_forced_join"] / best["tfidf_broadcast"], 3),
+        },
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "n_dedup_docs": n_docs * dmult,
+        "host_probe": host_probe,
+    }
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="flagship")
@@ -426,6 +554,12 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--forced-plans" in sys.argv:
+        result = run_forced_plans()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
     else:
         result = run_bench()
         import ray

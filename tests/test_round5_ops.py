@@ -53,6 +53,26 @@ def test_langid_seeded_matches_bruteforce():
     assert out.equals(out2)
 
 
+def test_compact_cover_single_pass_equals_leveled(ray_session):
+    """The round-5 single-pass compact cover (one sorted_group_apply on
+    the z6 ancestor) must be row-identical to the round-4 per-level
+    barrier implementation it replaced (plan-equality contract)."""
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _geotagged,
+        compact_cover_pipeline,
+        compact_cover_pipeline_leveled,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = compact_cover_pipeline(_geotagged(sf)).to_pandas()
+    b = compact_cover_pipeline_leveled(_geotagged(sf)).to_pandas()
+    key = ["zoom", "tile_x", "tile_y"]
+    a = a.sort_values(key, ignore_index=True)
+    b = b.sort_values(key, ignore_index=True)
+    assert a.equals(b)
+    assert len(a) > 0
+
+
 def test_langid_seeded_shares_langid_packing():
     """The twin must score through the SAME gram-packing kernel LangId's
     vectorized path uses (machinery parity, not a reimplementation)."""

@@ -1079,7 +1079,88 @@ def _compact_level_fn(t: pa.Table) -> pa.Table:
     )
 
 
+def _compact_subtree_fn(t: pa.Table) -> pa.Table:
+    """Complete z6-ancestor groups in → the full compact cover of those
+    subtrees, ALL levels resolved locally (z12→COMPACT_FLOOR_ZOOM).
+    Promotion never crosses a z6 ancestor (a quad's parent shares the
+    ancestor), so the whole block can be collapsed level-by-level in one
+    numpy pass with no knowledge of group boundaries — this is why ONE
+    range sort replaces round-4's six materialize barriers (round-5
+    verdict Next #3; A/B in BENCH_ab_compact_r5.json)."""
+    empty = pa.table(
+        {
+            "zoom": pa.array([], type=pa.int32()),
+            "tile_x": pa.array([], type=pa.int32()),
+            "tile_y": pa.array([], type=pa.int32()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+    y = t.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+    out_z: list[np.ndarray] = []
+    out_x: list[np.ndarray] = []
+    out_y: list[np.ndarray] = []
+    z = 12
+    while z > COMPACT_FLOOR_ZOOM and len(x):
+        px, py = x >> 1, y >> 1
+        order = np.lexsort((py, px))
+        px, py, x, y = px[order], py[order], x[order], y[order]
+        newgrp = np.empty(len(px), dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1])
+        gid = np.cumsum(newgrp) - 1
+        full_grp = np.bincount(gid) == 4  # children distinct ⇒ count==4 ⇔ quad
+        keep = ~full_grp[gid]
+        out_z.append(np.full(int(keep.sum()), z, dtype=np.int32))
+        out_x.append(x[keep])
+        out_y.append(y[keep])
+        starts = np.flatnonzero(newgrp)
+        x, y = px[starts][full_grp], py[starts][full_grp]
+        z -= 1
+    if len(x):
+        out_z.append(np.full(len(x), z, dtype=np.int32))
+        out_x.append(x)
+        out_y.append(y)
+    if not out_z:
+        return empty
+    return pa.table(
+        {
+            "zoom": pa.array(np.concatenate(out_z)),
+            "tile_x": pa.array(np.concatenate(out_x).astype(np.int32)),
+            "tile_y": pa.array(np.concatenate(out_y).astype(np.int32)),
+        }
+    )
+
+
 def compact_cover_pipeline(geotagged: Dataset) -> Dataset:
+    """Single-pass compact cover: distinct z12 tiles keyed by their z6
+    ancestor → one ``sorted_group_apply`` resolves every level locally."""
+    from ..ops.runs import sorted_group_apply
+
+    tiles = partial_count(_valid_tiles(geotagged), ["tile_x", "tile_y"], out="_n")
+    shift = 12 - COMPACT_FLOOR_ZOOM
+
+    def key(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["tile_x"], pa.int64())
+        y = pc.cast(t["tile_y"], pa.int64())
+        return pa.table(
+            {
+                "a6x": pc.shift_right(x, shift),
+                "a6y": pc.shift_right(y, shift),
+                "x": x,
+                "y": y,
+            }
+        )
+
+    keyed = tiles.map_batches(key, batch_format="pyarrow")
+    return sorted_group_apply(keyed, ["a6x", "a6y"], _compact_subtree_fn)
+
+
+def compact_cover_pipeline_leveled(geotagged: Dataset) -> Dataset:
+    """Round-4 per-level implementation (six serial sorted_group_apply
+    executions with materialize barriers) — kept as the A/B baseline for
+    the single-pass default above."""
     from ..ops.runs import sorted_group_apply
 
     tiles = partial_count(_valid_tiles(geotagged), ["tile_x", "tile_y"], out="_n")
