@@ -73,6 +73,97 @@ def test_compact_cover_single_pass_equals_leveled(ray_session):
     assert len(a) > 0
 
 
+def _geo_tiles(sf):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    ids = (
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    ids = np.sort(ids)
+    lat, lon, has = derive_geo(ids)
+    tx, ty = latlng_to_tile(lat[has], lon[has], 12)
+    return ids[has], tx.astype(np.int64), ty.astype(np.int64)
+
+
+def test_tile_time_bins_matches_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        TIME_BIN_S,
+        WARC_EPOCH_S,
+        q_tile_time_bins,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_time_bins(sf).to_pandas()
+    ids, tx, ty = _geo_tiles(sf)
+    import collections
+
+    want = collections.Counter(
+        zip(tx.tolist(), ty.tolist(), ((WARC_EPOCH_S + ids) // TIME_BIN_S).tolist())
+    )
+    got = {
+        (r.tile_x, r.tile_y, r.t_bucket): r.n_pages for r in out.itertuples()
+    }
+    assert got == dict(want)
+    assert out["n_pages"].sum() == len(ids)
+    assert out["t_bucket"].nunique() > 1  # the time axis is non-degenerate
+
+
+def test_tile_first_seen_matches_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        WARC_EPOCH_S,
+        q_tile_first_seen,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_first_seen(sf).to_pandas()
+    ids, tx, ty = _geo_tiles(sf)
+    best: dict[tuple, tuple] = {}
+    for i, x, y in zip(ids.tolist(), tx.tolist(), ty.tolist()):
+        k = (x, y)
+        v = (WARC_EPOCH_S + i, i)  # ts strictly increases with doc_id
+        if k not in best or v < best[k]:
+            best[k] = v
+    assert len(out) == len(best)
+    for r in out.itertuples():
+        assert best[(r.tile_x, r.tile_y)] == (r.first_ts_s, r.doc_id)
+
+
+def test_tile_sample_matches_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        SAMPLE_HASH_MOD,
+        SAMPLE_HASH_MULT,
+        SAMPLE_K,
+        q_tile_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_sample(sf).to_pandas()
+    ids, tx, ty = _geo_tiles(sf)
+    import collections
+
+    per_tile = collections.defaultdict(list)
+    for i, x, y in zip(ids.tolist(), tx.tolist(), ty.tolist()):
+        per_tile[(x, y)].append(((i * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD, i))
+    want = set()
+    for k, rows in per_tile.items():
+        for h, i in sorted(rows)[:SAMPLE_K]:
+            want.add((k[0], k[1], h, i))
+    got = set(
+        zip(out["tile_x"], out["tile_y"], out["samp_h"], out["doc_id"])
+    )
+    assert got == want
+    # determinism across reruns
+    out2 = q_tile_sample(sf).to_pandas()
+    assert set(zip(out2["tile_x"], out2["tile_y"], out2["doc_id"])) == {
+        (a, b, d) for a, b, _, d in want
+    }
+
+
 def test_langid_seeded_shares_langid_packing():
     """The twin must score through the SAME gram-packing kernel LangId's
     vectorized path uses (machinery parity, not a reimplementation)."""

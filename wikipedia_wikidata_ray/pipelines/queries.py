@@ -1950,8 +1950,181 @@ maxt AS (SELECT MAX(totalcount) AS m FROM scored WHERE doc_id % 10 < 7),
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Spatiotemporal suite (round 5): the pages table's ``warc_ts`` column —
+# mandated by the north rule's input hint but previously unread by any
+# query — drives time-binned tile rollups and per-tile crawl-frontier
+# argmins. The Ray side reads the REAL timestamp column; the oracle
+# derives it closed-form (warc_ts = epoch 2026-01-01 + doc_id seconds,
+# sources/pages_gen.py derivation contract).
+
+WARC_EPOCH_S = 1_767_225_600  # 2026-01-01T00:00:00Z
+TIME_BIN_S = 60  # 1-minute buckets (sf0.01's 500-doc/500-s span → ~9 buckets)
+
+
+def _geotagged_ts(sf_dir: str) -> Dataset:
+    """Like ``_geotagged`` but carries ``warc_ts`` through extraction
+    (extract is 1:1 per page, so appending the input column preserves row
+    alignment — no join needed)."""
+    from ..stages.extract import extract_batch
+
+    cfg = DEFAULT_CONFIG
+    pages = gp.load_pages(sf_dir, columns=["url", "html", "lang", "warc_ts"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        out = extract_batch(t.select(["url", "html", "lang"]))
+        return out.append_column(
+            "warc_ts", pc.cast(t["warc_ts"], pa.timestamp("us"))
+        )
+
+    extracted = pages.map_batches(
+        ex, batch_format="pyarrow", batch_size=cfg.batch_size_extract
+    )
+    return gp.geocode(extracted, cfg)
+
+
+def q_tile_time_bins(sf_dir: str) -> Dataset:
+    """Time-binned tile histogram (tile × 10-min bucket → page count):
+    the st-cube rollup every crawl-monitoring / freshness pipeline needs.
+    Only (tile, bucket) count partials shuffle — one partial row per
+    (tile, bucket, block), never a page row. Scales like tile_counts."""
+    ds = _geotagged_ts(sf_dir)
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        us = pc.cast(t["warc_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = us // 1_000_000 // TIME_BIN_S
+        return pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "t_bucket": pa.array(bucket),
+            }
+        )
+
+    rows = ds.map_batches(keys, batch_format="pyarrow")
+    return partial_count(rows, ["tile_x", "tile_y", "t_bucket"], out="n_pages")
+
+
+SQL_TILE_TIME_BINS = f"""
+WITH {SQL_GEO_CTE}
+SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+       CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                  / 2.0 * 4096) AS INTEGER) AS tile_y,
+       CAST(({WARC_EPOCH_S} + doc_id) // {TIME_BIN_S} AS BIGINT) AS t_bucket,
+       COUNT(*) AS n_pages
+FROM geo
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tile_first_seen(sf_dir: str) -> Dataset:
+    """Per-tile crawl frontier: the earliest-crawled page of every tile
+    (argmin over warc_ts, doc_id tie-break) — grouped_topk(k=1) on the
+    sorted-run path, so each block contributes ≤1 row per tile to the one
+    shuffle."""
+    from ..ops.topk import grouped_topk
+
+    ds = _geotagged_ts(sf_dir)
+
+    def rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        us = pc.cast(t["warc_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "first_ts_s": pa.array(us // 1_000_000),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    keyed = ds.map_batches(rows, batch_format="pyarrow")
+    return grouped_topk(
+        keyed, ["tile_x", "tile_y"], [("first_ts_s", True), ("doc_id", True)], 1
+    )
+
+
+SQL_TILE_FIRST_SEEN = f"""
+WITH {SQL_GEO_CTE},
+pts AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         CAST({WARC_EPOCH_S} + doc_id AS BIGINT) AS first_ts_s,
+         doc_id
+  FROM geo
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                               ORDER BY first_ts_s, doc_id) AS rn
+  FROM pts
+)
+SELECT tile_x, tile_y, first_ts_s, doc_id FROM ranked WHERE rn = 1
+"""
+
+
+SAMPLE_HASH_MULT = 2654435761  # Knuth multiplicative (2^32 / φ)
+SAMPLE_HASH_MOD = 2147483647
+SAMPLE_K = 3
+
+
+def q_tile_sample(sf_dir: str) -> Dataset:
+    """Deterministic per-tile k-sample: the k pages with the smallest
+    multiplicative hash per tile — the partition-stratified sampling
+    primitive for training-data curation (stable across reruns and
+    parallelism, unlike reservoir sampling). grouped_topk prunes to ≤k
+    rows per tile per block before the shuffle."""
+    from ..ops.topk import grouped_topk
+
+    ds = _geotagged(sf_dir)
+
+    def rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD
+        return pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "samp_h": pa.array(h),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    keyed = ds.map_batches(rows, batch_format="pyarrow")
+    return grouped_topk(
+        keyed,
+        ["tile_x", "tile_y"],
+        [("samp_h", True), ("doc_id", True)],
+        SAMPLE_K,
+    )
+
+
+SQL_TILE_SAMPLE = f"""
+WITH {SQL_GEO_CTE},
+pts AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         CAST((doc_id * {SAMPLE_HASH_MULT}) % {SAMPLE_HASH_MOD} AS BIGINT) AS samp_h,
+         doc_id
+  FROM geo
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_x, tile_y
+                               ORDER BY samp_h, doc_id) AS rn
+  FROM pts
+)
+SELECT tile_x, tile_y, samp_h, doc_id FROM ranked WHERE rn <= {SAMPLE_K}
+"""
+
+
 QUERIES = {
     "extract_text": q_extract_text,
+    "tile_time_bins": q_tile_time_bins,
+    "tile_first_seen": q_tile_first_seen,
+    "tile_sample": q_tile_sample,
     "tile_counts": q_tile_counts,
     "tile_top_lang": q_tile_top_lang,
     "geo_cell_dedup": q_geo_cell_dedup,
@@ -1997,6 +2170,9 @@ QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
     "extract_text": SQL_EXTRACT_TEXT,
+    "tile_time_bins": SQL_TILE_TIME_BINS,
+    "tile_first_seen": SQL_TILE_FIRST_SEEN,
+    "tile_sample": SQL_TILE_SAMPLE,
     "tile_counts": SQL_TILE_COUNTS,
     "tile_top_lang": SQL_TILE_TOP_LANG,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
@@ -2036,23 +2212,26 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # prefix of this registry each round. Queries that did NOT make the previous
 # round's board sort FIRST so the least-recently-proven operators are never
 # the ones that rotate out (round-2/-3 verdicts, "What's missing" #1).
-# Round 4: head = the 18 queries absent from CORRECTNESS_r03.json (all were
-# green on the r2 board and re-verified green locally at r3 code).
+# Round 5: head = the 4 new round-5 queries + the 40 queries absent from
+# CORRECTNESS_r04.json (all were green on an earlier board and re-verified
+# green via the full local gate at r4 code each session).
 _DRIVER_PRIORITY = [
-    # new in round 4 (never driver-checked)
-    "bm25_top_terms", "tile_top_lang", "geo_cell_dedup", "segment_tile_cover",
-    "tile_heat_smooth", "tile_pyramid", "within_radius_pairs",
-    "tile_grid_clusters", "grid_cluster_stats", "compact_tile_cover",
-    "admin_counts_rasterized", "bm25_search", "user_path_length",
-    "tile_quadkeys", "cluster_perimeters", "cluster_centroids", "bbox_counts",
-    "zonal_tile_counts", "geohash_counts",
-    # rotated off the r3 driver board by the 50-query cap
-    "simhash_fingerprints", "langid_predictions", "ann_topk", "ann_topk_ivf",
-    "ann_topk_ivf_partitioned", "embedding_neardups", "ngram_jaccard",
-    "hash_sample", "simhash_near_dups", "embedding_neardups_blocked",
-    "token_counts_bpe", "rolling_fingerprints", "warc_extract_text",
-    "wiki_pagelinks_counts", "wiki_redirect_resolve", "wiki_geo_enrich",
-    "wiki_place_pick", "wiki_sitelinks_join",
+    # new in round 5 (never driver-checked)
+    "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
+    # rotated off the r4 driver board by the 50-query cap
+    "dup_clusters", "corpus_curation", "hll_distinct_tokens",
+    "heavy_hitter_tokens", "pricing_summary", "top_orders",
+    "customer_order_counts", "nation_revenue", "customers_without_orders",
+    "customers_with_orders", "first_order_per_customer",
+    "top_orders_per_customer", "events_hourly", "events_hopping",
+    "segment_stats", "distinct_flag_status", "doc_stats", "exact_dup_groups",
+    "exact_dup_pairs_lsh", "near_dup_pairs_minhash",
+    "near_dup_pairs_minhash_seeded", "ann_topk_ivf_grid", "wiki_article_full",
+    "events_asof_click", "media_features", "media_frame_samples",
+    "event_sessions", "error_click_window", "segment_median_balance",
+    "url_host_stats", "decontaminate", "gram_repetition", "stratified_sample",
+    "tfidf_top_terms", "length_percentiles", "pii_scrub",
+    "wikidump_importance_export",
 ]
 
 
