@@ -164,6 +164,31 @@ def test_tile_sample_matches_bruteforce(ray_session):
     }
 
 
+def test_tile_embedding_centroids_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        EMB_SCALE,
+        q_tile_embedding_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_embedding_centroids(sf).to_pandas()
+    ids, tx, ty = _geo_tiles(sf)
+    tile_of = dict(zip(ids.tolist(), zip(tx.tolist(), ty.tolist())))
+    et = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = et["vec_id"].to_numpy()
+    mat = np.array(et["embedding"].to_pylist(), dtype=np.float64)
+    want: dict[tuple, np.ndarray] = {}
+    for v, row in zip(vid.tolist(), mat):
+        if v in tile_of:
+            k = tile_of[v]
+            want[k] = want.get(k, 0) + np.trunc(row * EMB_SCALE).astype(np.int64)
+    assert len(out) == len(want) * mat.shape[1]
+    for r in out.itertuples():
+        assert want[(r.tile_x, r.tile_y)][r.dim - 1] == r.sum_e6
+
+
 def test_langid_seeded_shares_langid_packing():
     """The twin must score through the SAME gram-packing kernel LangId's
     vectorized path uses (machinery parity, not a reimplementation)."""

@@ -2120,11 +2120,142 @@ SELECT tile_x, tile_y, samp_h, doc_id FROM ranked WHERE rn <= {SAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: tile_embedding_centroids — cross-modal rollup: per-tile per-dimension
+# embedding sums (the "regional embedding centroid" primitive for
+# geo-aware curation / region-conditioned retrieval). The embedding table
+# hash-joins the geotagged pages on doc_id — BOTH sides are corpus-sized,
+# so this is a true distributed join, never a broadcast; partials then
+# bound the shuffle at (tile × dim) rows per block. Fixed-point policy:
+# trunc(v · 10⁶) per element — float32→double widening, one multiply and
+# trunc are each a single IEEE op DuckDB performs identically, and the
+# integer sums are order-free at any parallelism (CLAUDE.md float-sum
+# rule; np.round/SQL ROUND differ at .5 ties, trunc never does).
+
+EMB_SCALE = 1_000_000
+
+
+def q_tile_embedding_centroids(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    from ..stages.salted import merge_group_sums
+
+    geo = _geotagged(sf_dir).map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(
+            ["doc_id", "tile_x", "tile_y"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        # Arrow's hash join rejects list<float> non-key fields — ride the
+        # shuffle as an opaque binary column instead (the J17 multimodal
+        # pattern: typed payloads move as bytes, decode after the join).
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        if not pa.types.is_float32(flat.type):
+            flat = pc.cast(flat, pa.float32())
+        n = len(col)
+        raw = flat.to_numpy(zero_copy_only=False).astype(np.float32).tobytes()
+        d = (len(raw) // 4) // n if n else 0
+        offsets = pa.py_buffer(
+            np.arange(0, 4 * d * (n + 1), 4 * d, dtype=np.int32).tobytes()
+        )
+        bin_arr = pa.Array.from_buffers(
+            pa.binary(), n, [None, offsets, pa.py_buffer(raw)]
+        )
+        return pa.table({"vec_id": t["vec_id"], "emb_bin": bin_arr})
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(pack, batch_format="pyarrow")
+    n_emb = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    # empty-partition join hazard (CLAUDE.md round-4): floor partitions to
+    # rows//100k+1 so no partition sees zero rows of a side
+    joined = emb.join(
+        geo,
+        "inner",
+        num_partitions=n_emb // 100_000 + 1,
+        on=("vec_id",),
+        right_on=("doc_id",),
+    )
+
+    def _unpack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        off = np.frombuffer(
+            col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4
+        )
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        span = data[off[0]:off[-1]]
+        if span.ctypes.data % 4:
+            span = span.copy()  # realign for the float32 view
+        return span.view(np.float32).reshape(n, -1).astype(np.float64)
+
+    def sums(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "tile_x": pa.array([], type=pa.int32()),
+                    "tile_y": pa.array([], type=pa.int32()),
+                    "dim": pa.array([], type=pa.int32()),
+                    "sum_e6": pa.array([], type=pa.int64()),
+                }
+            )
+        m = np.trunc(_unpack(t.column("emb_bin")) * EMB_SCALE).astype(np.int64)
+        d = m.shape[1]
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ty, tx))
+        tx, ty, m = tx[order], ty[order], m[order]
+        new = np.empty(len(tx), dtype=bool)
+        new[0] = True
+        new[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        starts = np.flatnonzero(new)
+        g = np.add.reduceat(m, starts, axis=0)  # (groups, d) int64 sums
+        ng = len(starts)
+        return pa.table(
+            {
+                "tile_x": pa.array(np.repeat(tx[starts], d).astype(np.int32)),
+                "tile_y": pa.array(np.repeat(ty[starts], d).astype(np.int32)),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int32), ng)
+                ),
+                "sum_e6": pa.array(g.ravel()),
+            }
+        )
+
+    partials = joined.map_batches(sums, batch_format="pyarrow")
+    return merge_group_sums(partials, ["tile_x", "tile_y", "dim"], ["sum_e6"])
+
+
+SQL_TILE_EMBEDDING_CENTROIDS = f"""
+WITH {SQL_GEO_CTE},
+joined AS (
+  SELECT CAST(FLOOR((g.lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(g.lat)) + 1.0 / COS(RADIANS(g.lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         e.embedding
+  FROM geo g JOIN embeddings e ON e.vec_id = g.doc_id
+)
+SELECT tile_x, tile_y, CAST(i.i AS INT) AS dim,
+       SUM(CAST(TRUNC(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) * {EMB_SCALE})
+                AS BIGINT)) AS sum_e6
+FROM joined, range(1, 65) i(i)
+WHERE i.i <= len(embedding)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_time_bins": q_tile_time_bins,
     "tile_first_seen": q_tile_first_seen,
     "tile_sample": q_tile_sample,
+    "tile_embedding_centroids": q_tile_embedding_centroids,
     "tile_counts": q_tile_counts,
     "tile_top_lang": q_tile_top_lang,
     "geo_cell_dedup": q_geo_cell_dedup,
@@ -2173,6 +2304,7 @@ ORACLES = {
     "tile_time_bins": SQL_TILE_TIME_BINS,
     "tile_first_seen": SQL_TILE_FIRST_SEEN,
     "tile_sample": SQL_TILE_SAMPLE,
+    "tile_embedding_centroids": SQL_TILE_EMBEDDING_CENTROIDS,
     "tile_counts": SQL_TILE_COUNTS,
     "tile_top_lang": SQL_TILE_TOP_LANG,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
@@ -2218,6 +2350,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
+    "tile_embedding_centroids",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
