@@ -204,3 +204,92 @@ def test_langid_seeded_shares_langid_packing():
         [codes[0][0], codes[1][0]]
     )
     assert li._vec[1][0].tolist() == [codes[2][0]]
+
+
+def test_tile_od_matrix_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_tile_od_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_od_matrix(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    eid = ev["event_id"].to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    rows = sorted(
+        zip(
+            ev["user_id"].to_numpy().tolist(),
+            ev["ts"].to_numpy().tolist(),
+            eid.tolist(),
+            tx.tolist(),
+            ty.tolist(),
+        )
+    )
+    want: dict[tuple, int] = {}
+    for (u0, _, _, fx, fy), (u1, _, _, gx, gy) in zip(rows, rows[1:]):
+        if u0 == u1:
+            k = (fx, fy, gx, gy)
+            want[k] = want.get(k, 0) + 1
+    got = {
+        (r.from_x, r.from_y, r.to_x, r.to_y): r.n_trans
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert out["n_trans"].sum() == sum(want.values())
+
+
+def test_tile_lang_entropy_matches_bruteforce(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import q_tile_lang_entropy
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_lang_entropy(sf).to_pandas()
+    ids, tx, ty = _geo_tiles(sf)
+    dt = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+    lang_of = dict(zip(dt["doc_id"].to_numpy().tolist(), dt["lang"].to_pylist()))
+    cnt: dict[tuple, dict[str, int]] = {}
+    for i, x, y in zip(ids.tolist(), tx.tolist(), ty.tolist()):
+        cnt.setdefault((x, y), {}).setdefault(lang_of[i], 0)
+        cnt[(x, y)][lang_of[i]] += 1
+    assert len(out) == len(cnt)
+    for r in out.itertuples():
+        langs = cnt[(r.tile_x, r.tile_y)]
+        tot = sum(langs.values())
+        want = sum(
+            round(-(c / tot) * math.log(c / tot) * 1e10) for c in langs.values()
+        )
+        assert r.n_langs == len(langs)
+        assert r.entropy_e10 == want
+        # single-language tiles have exactly zero entropy
+        if len(langs) == 1:
+            assert r.entropy_e10 == 0
+
+
+def test_spatial_joincount_matches_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_spatial_joincount
+
+    sf = "/root/testdata/sf0.001"
+    out = q_spatial_joincount(sf).to_pandas()
+    _, tx, ty = _geo_tiles(sf)
+    cnt: dict[tuple, int] = {}
+    for x, y in zip(tx.tolist(), ty.tolist()):
+        cnt[(x, y)] = cnt.get((x, y), 0) + 1
+    n_pairs = prod = 0
+    for (x, y), c in cnt.items():
+        for nx, ny in ((x + 1, y), (x, y + 1)):
+            if (nx, ny) in cnt:
+                n_pairs += 1
+                prod += c * cnt[(nx, ny)]
+    assert len(out) == 1
+    assert out["n_pairs"][0] == n_pairs
+    assert out["sum_prod"][0] == prod

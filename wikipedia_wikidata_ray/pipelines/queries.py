@@ -143,6 +143,203 @@ SELECT tile_x, tile_y, lang, n_pages FROM ranked WHERE rnk = 1
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_lang_entropy — per-tile Shannon entropy of the language mix
+# (the diversity attribute of raster↔vector synthesis; the categorical
+# complement of tile_top_lang's argmax). Entropy terms −p·ln(p) round to
+# 1e-10 int64 PER (tile, lang) TERM and sum as integers, so the per-tile
+# total is order-free at any parallelism (CLAUDE.md float-sum policy;
+# p = c/tot is the same IEEE division and LN on both sides).
+# Plan: in-batch (tile, lang) count partials → ONE range sort on
+# (tile_x, tile_y) (ops/runs.sorted_group_apply); each block merges its
+# complete tiles' lang counts and computes entropy vectorized
+# (np.add.reduceat over the tile runs) — only (tile × lang × blocks)
+# partial rows ever shuffle, pages never move.
+
+
+def q_tile_lang_entropy(sf_dir: str) -> Dataset:
+    from ..ops.runs import sorted_group_apply
+
+    ds = _geotagged(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        p = pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "lang": t["lang"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["tile_x", "tile_y", "lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tile_x", "tile_y", "lang", "n"])
+
+    empty = pa.table(
+        {
+            "tile_x": pa.array([], type=pa.int32()),
+            "tile_y": pa.array([], type=pa.int32()),
+            "n_langs": pa.array([], type=pa.int64()),
+            "entropy_e10": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def entropy_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        g = t.group_by(["tile_x", "tile_y", "lang"]).aggregate([("n", "sum")])
+        tx = g.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = g.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = g.column("n_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ty, tx))
+        tx, ty, c = tx[order], ty[order], c[order]
+        new = np.empty(len(tx), dtype=bool)
+        new[0] = True
+        new[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(tx)))
+        tot = np.add.reduceat(c, starts)
+        p = c.astype(np.float64) / np.repeat(tot, sizes).astype(np.float64)
+        term = np.round((-p * np.log(p)) * 10000000000.0).astype(np.int64)
+        ent = np.add.reduceat(term, starts)
+        return pa.table(
+            {
+                "tile_x": pa.array(tx[starts].astype(np.int32)),
+                "tile_y": pa.array(ty[starts].astype(np.int32)),
+                "n_langs": pa.array(sizes.astype(np.int64)),
+                "entropy_e10": pa.array(ent),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow")
+    return sorted_group_apply(parts, ["tile_x", "tile_y"], entropy_block)
+
+
+SQL_TILE_LANG_ENTROPY = f"""
+WITH {SQL_GEO_CTE},
+tl AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         lang, COUNT(*) AS c
+  FROM geo
+  GROUP BY 1, 2, 3
+),
+tt AS (
+  SELECT tile_x, tile_y, SUM(c) AS tot FROM tl GROUP BY 1, 2
+)
+SELECT t.tile_x, t.tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(SUM(CAST(ROUND(-(t.c / CAST(tt.tot AS DOUBLE))
+                           * LN(t.c / CAST(tt.tot AS DOUBLE))
+                           * 10000000000.0, 0) AS BIGINT)) AS BIGINT)
+         AS entropy_e10
+FROM tl t JOIN tt ON t.tile_x = tt.tile_x AND t.tile_y = tt.tile_y
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: spatial_joincount — global spatial-autocorrelation statistic over the
+# z12 occupancy raster: the 4-adjacency join-count — for every pair of
+# edge-adjacent OCCUPIED tiles, the number of pairs and the exact integer
+# sum of count products Σ c_i·c_j (the unnormalized Moran/join-count
+# numerator; consumers divide by their chosen weight normalization).
+# Each undirected pair is counted ONCE via forward (east + south) probes.
+# Plan: per-tile counts (one combiner-merged shuffle) → every occupied
+# tile emits 1 base row + 2 forward-probe rows keyed by the packed
+# neighbor cell → ONE range sort on the key (ops/runs.sorted_group_apply)
+# multiplies base × probe sums per key — tile-sized movement, no hash
+# join (round-4 sparse-side join hazard avoided by construction), exact
+# int64 everywhere. A neutral zero partial keeps the output at exactly
+# one row even on pair-free inputs (matches SQL's aggregate-over-empty).
+
+
+def q_spatial_joincount(sf_dir: str) -> Dataset:
+    from ..ops.runs import sorted_group_apply
+
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(
+            ["tile_x", "tile_y"]
+        ),
+        batch_format="pyarrow",
+    )
+    counts = partial_count(geo, ["tile_x", "tile_y"], out="c")
+
+    def scatter(t: pa.Table) -> pa.Table:
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        zero = np.zeros(len(tx), dtype=np.int64)
+        key = np.concatenate(
+            [tx * 8192 + ty, (tx + 1) * 8192 + ty, tx * 8192 + ty + 1]
+        )
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "base_c": pa.array(np.concatenate([c, zero, zero])),
+                "probe_c": pa.array(np.concatenate([zero, c, c])),
+            }
+        )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        one = pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_pairs": pa.array([0], type=pa.int64()),
+                "sum_prod": pa.array([0], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return one
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        bc = t.column("base_c").to_numpy(zero_copy_only=False)
+        probe = t.column("probe_c").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, bc, probe = key[order], bc[order], probe[order]
+        new = np.empty(len(key), dtype=bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        base = np.add.reduceat(bc, starts)  # 0 or the tile's own count
+        psum = np.add.reduceat(probe, starts)
+        npro = np.add.reduceat((probe > 0).astype(np.int64), starts)
+        hit = (base > 0) & (psum > 0)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_pairs": pa.array([int(npro[hit].sum())], type=pa.int64()),
+                "sum_prod": pa.array(
+                    [int((base[hit] * psum[hit]).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    scattered = counts.map_batches(scatter, batch_format="pyarrow")
+    partials = sorted_group_apply(scattered, ["key"], pair_block)
+    merged = merge_group_sums(partials, ["k"], ["n_pairs", "sum_prod"])
+    return merged.drop_columns(["k"])
+
+
+SQL_SPATIAL_JOINCOUNT = f"""
+WITH {SQL_GEO_CTE},
+tl AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         COUNT(*) AS c
+  FROM geo
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       COALESCE(CAST(SUM(a.c * b.c) AS BIGINT), 0) AS sum_prod
+FROM tl a JOIN tl b
+  ON (b.tile_x = a.tile_x + 1 AND b.tile_y = a.tile_y)
+  OR (b.tile_x = a.tile_x AND b.tile_y = a.tile_y + 1)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: geo_cell_dedup — spatial near-duplicate collapse by snap-to-grid:
 # points sharing a 0.01°×0.01° cell collapse to one canonical doc (min
 # doc_id) with the duplicate count. The megacity jitter (±0.1°) makes the
@@ -2258,6 +2455,8 @@ QUERIES = {
     "tile_embedding_centroids": q_tile_embedding_centroids,
     "tile_counts": q_tile_counts,
     "tile_top_lang": q_tile_top_lang,
+    "tile_lang_entropy": q_tile_lang_entropy,
+    "spatial_joincount": q_spatial_joincount,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
     "tile_heat_smooth": q_tile_heat_smooth,
@@ -2307,6 +2506,8 @@ ORACLES = {
     "tile_embedding_centroids": SQL_TILE_EMBEDDING_CENTROIDS,
     "tile_counts": SQL_TILE_COUNTS,
     "tile_top_lang": SQL_TILE_TOP_LANG,
+    "tile_lang_entropy": SQL_TILE_LANG_ENTROPY,
+    "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
     "tile_heat_smooth": SQL_TILE_HEAT_SMOOTH,
@@ -2350,7 +2551,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",

@@ -364,3 +364,121 @@ FROM legs WHERE leg IS NOT NULL GROUP BY 1
 
 TEMPORAL_MEDIA_QUERIES["user_path_length"] = q_user_path_length
 TEMPORAL_MEDIA_ORACLES["user_path_length"] = SQL_USER_PATH_LENGTH
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_od_matrix — origin→destination tile transition counts, the
+# mobility/flow primitive of spatiotemporal analytics: each user's events
+# (dispersed-point closed form keyed by event_id, as user_path_length)
+# are ordered by (ts, event_id) and every consecutive pair contributes
+# one (from_tile → to_tile) transition at z12. Self-loops kept (the SQL
+# keeps them too); deterministic under ts ties via the event_id
+# tiebreaker ON BOTH SIDES.
+# Plan: ONE range sort on user_id (ops/runs.sorted_group_apply — all
+# complete users of a block vectorized at once, split users coalesced in
+# the edge block) emitting per-block (from,to) COUNT PARTIALS, then one
+# combiner-merged shuffle over OD-pair-sized rows (stages/salted).
+# Scale: the sort moves (user_id, ts, event_id, tile) rows once; the
+# merge moves at most (distinct OD pairs × blocks) partial rows; no join,
+# no broadcast, points never co-locate beyond their own user's run.
+
+
+def q_tile_od_matrix(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.runs import sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "from_x": pa.array([], type=pa.int32()),
+            "from_y": pa.array([], type=pa.int32()),
+            "to_x": pa.array([], type=pa.int32()),
+            "to_y": pa.array([], type=pa.int32()),
+            "n_trans": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def od_block(t: pa.Table) -> pa.Table:
+        if len(t) < 2:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, tx, ty = uid[order], tx[order], ty[order]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        part = pa.table(
+            {
+                "from_x": pa.array(tx[:-1][same]),
+                "from_y": pa.array(ty[:-1][same]),
+                "to_x": pa.array(tx[1:][same]),
+                "to_y": pa.array(ty[1:][same]),
+                "n_trans": pa.array(
+                    np.ones(int(same.sum()), dtype=np.int64)
+                ),
+            }
+        )
+        g = part.group_by(["from_x", "from_y", "to_x", "to_y"]).aggregate(
+            [("n_trans", "sum")]
+        )
+        return g.rename_columns(["from_x", "from_y", "to_x", "to_y", "n_trans"])
+
+    pts = events.map_batches(derive, batch_format="pyarrow")
+    partials = sorted_group_apply(pts, ["user_id"], od_block)
+    return merge_group_sums(
+        partials, ["from_x", "from_y", "to_x", "to_y"], ["n_trans"]
+    )
+
+
+SQL_TILE_OD_MATRIX = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+tiled AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y
+  FROM ev
+),
+tr AS (
+  SELECT LAG(tile_x) OVER w AS from_x, LAG(tile_y) OVER w AS from_y,
+         tile_x AS to_x, tile_y AS to_y
+  FROM tiled WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_x, from_y, to_x, to_y, CAST(COUNT(*) AS BIGINT) AS n_trans
+FROM tr WHERE from_x IS NOT NULL
+GROUP BY 1, 2, 3, 4
+"""
+
+TEMPORAL_MEDIA_QUERIES["tile_od_matrix"] = q_tile_od_matrix
+TEMPORAL_MEDIA_ORACLES["tile_od_matrix"] = SQL_TILE_OD_MATRIX
