@@ -293,3 +293,29 @@ def test_spatial_joincount_matches_bruteforce(ray_session):
     assert len(out) == 1
     assert out["n_pairs"][0] == n_pairs
     assert out["sum_prod"][0] == prod
+
+
+def test_tile_top_terms_plan_equality_and_invariants(ray_session):
+    """Gated attach_df contract: the forced >limit hash-join plan must be
+    row-identical to the broadcast plan; ranks are 1..k per tile with
+    score-desc/token-asc ordering."""
+    from wikipedia_wikidata_ray.pipelines.webtext import q_tile_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_tile_top_terms(sf)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_tile_top_terms(sf, df_broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    for (_, _), grp in a.groupby(["tile_x", "tile_y"]):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        sc = list(zip(-grp["tfidf"], grp["token"]))
+        assert sc == sorted(sc)

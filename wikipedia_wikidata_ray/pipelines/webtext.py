@@ -639,6 +639,141 @@ WEBTEXT_ORACLES["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_top_terms — the geospatial × webtext cross: per-TILE distinctive
+# vocabulary (regional TF-IDF). Each z12 tile is treated as one "document"
+# whose term frequency is the token-count sum over the pages it contains;
+# df is the TILE frequency of a token (tiles containing it) and
+# n = occupied-tile count, so the score surfaces what makes a region's
+# text distinctive (the geo-aware curation / region-conditioned retrieval
+# primitive). Reference analog: per-language vocabulary accounting in
+# steps/output.sh consumers, regionalized.
+# Plan: per-batch (tile, token) counts through the SHARED `_tf_batch`
+# kernel (pages never shuffle — only (tile, token, tf) partials), one
+# combiner merge, then the gated `attach_df` plan (broadcast ≤20M vocab /
+# hash join above — same plan-equality contract as TF-IDF/BM25) and
+# `grouped_topk`'s block-local k-prune per tile. n is a driver scalar
+# from one count over tile-sized rows. Float policy: identical op
+# sequence both sides, rounded to 10 dp (house rule).
+
+TILE_TFIDF_K = 3
+
+
+def q_tile_top_terms(sf_dir: str, k: int = TILE_TFIDF_K,
+                     df_broadcast_limit: int | None = None) -> Dataset:
+    from ..config import DEFAULT_CONFIG
+    from ..ops.topk import grouped_topk
+    from ..stages.salted import partial_count
+
+    cfg = DEFAULT_CONFIG
+    ds = gp.geocode(gp.extract(gp.load_pages(sf_dir), cfg), cfg)
+
+    def tile_text(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(tx * 8192 + ty), "text": t["text"]}
+        )
+
+    tf_parts = (
+        ds.map_batches(tile_text, batch_format="pyarrow")
+        .map_batches(_tf_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["tkey", "token", "tf"]),
+            batch_format="pyarrow",
+        )
+    )
+    tf = merge_group_sums(tf_parts, ["tkey", "token"], ["tf"]).materialize()
+    n_tiles = float(partial_count(tf, ["tkey"], out="one").count())
+
+    def score(t: pa.Table) -> pa.Table:
+        df_v = t.column("df").to_numpy().astype(np.float64)
+        tf_v = t.column("tf").to_numpy().astype(np.float64)
+        tfidf = np.round(tf_v * np.log(n_tiles / df_v), 10)
+        return pa.table(
+            {
+                "tkey": t.column("tkey"),
+                "token": t.column("token"),
+                "tf": t.column("tf"),
+                "df": t.column("df"),
+                "tfidf": pa.array(tfidf),
+            }
+        )
+
+    scored = attach_df(tf, df_broadcast_limit).map_batches(
+        score, batch_format="pyarrow"
+    )
+    top = grouped_topk(
+        scored,
+        ["tkey"],
+        [("tfidf", False), ("token", True)],
+        k,
+        rank_col="rank",
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        tkey = t.column("tkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": pa.array((tkey // 8192).astype(np.int32)),
+                "tile_y": pa.array((tkey % 8192).astype(np.int32)),
+                "token": t["token"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "tfidf": t["tfidf"],
+                "rank": t["rank"],
+            }
+        )
+
+    return top.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_TILE_TOP_TERMS = """
+WITH geo AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 < 3 THEN
+      (CASE doc_id % 5 WHEN 0 THEN 35.6895 WHEN 1 THEN 40.7127
+            WHEN 2 THEN 51.5072 WHEN 3 THEN -23.5505 ELSE 28.6139 END)
+      + ((doc_id * 37) % 2001 - 1000) / 10000.0
+    ELSE ((doc_id * 7919) % 1600001) / 10000.0 - 80.0 END AS lat,
+    CASE WHEN doc_id % 10 < 3 THEN
+      (CASE doc_id % 5 WHEN 0 THEN 139.6917 WHEN 1 THEN -74.0059
+            WHEN 2 THEN -0.1275 WHEN 3 THEN -46.6333 ELSE 77.209 END)
+      + ((doc_id * 61) % 2001 - 1000) / 10000.0
+    ELSE ((doc_id * 104729) % 3600001) / 10000.0 - 180.0 END AS lon
+  FROM documents WHERE doc_id % 10 < 7
+),
+toks AS (
+  SELECT CAST(FLOOR((g.lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(g.lat)) + 1.0 / COS(RADIANS(g.lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y,
+         UNNEST(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS token
+  FROM geo g JOIN documents d ON d.doc_id = g.doc_id
+),
+tf AS (SELECT tile_x, tile_y, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS c FROM (SELECT DISTINCT tile_x, tile_y FROM tf)),
+scored AS (
+  SELECT t.tile_x, t.tile_y, t.token, t.tf, d.df,
+         ROUND(CAST(t.tf AS DOUBLE)
+               * LN(CAST((SELECT c FROM n) AS DOUBLE) / CAST(d.df AS DOUBLE)),
+               10) AS tfidf
+  FROM tf t JOIN df d USING (token)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY tile_x, tile_y ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT tile_x, tile_y, token, tf, df, tfidf, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+WEBTEXT_QUERIES["tile_top_terms"] = q_tile_top_terms
+WEBTEXT_ORACLES["tile_top_terms"] = SQL_TILE_TOP_TERMS
+
+
+# ---------------------------------------------------------------------------
 # Q: bm25_top_terms — per-document top-3 BM25 terms (Okapi BM25, the
 # Robertson et al. formulation with the Lucene-style +1 inside the idf log
 # so scores stay positive; k1=1.2, b=0.75)
