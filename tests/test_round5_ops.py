@@ -319,3 +319,60 @@ def test_tile_top_terms_plan_equality_and_invariants(ray_session):
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         sc = list(zip(-grp["tfidf"], grp["token"]))
         assert sc == sorted(sc)
+
+
+def test_tile_dup_stats_plan_equality_and_bruteforce(ray_session):
+    """Broadcast vs forced >limit join plan must be row-identical; values
+    match a brute-force per-tile dup count."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import q_tile_dup_stats
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_tile_dup_stats(sf)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q_tile_dup_stats(sf, dup_broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    ids, tx, ty = _geo_tiles(sf)
+    dt = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    text_of = dict(zip(dt["doc_id"].to_numpy().tolist(), dt["text"].to_pylist()))
+    n = len(text_of)
+    # (text, tile) multiset = original geotagged pages + augmented copies
+    pages: list[tuple[str, int, int]] = [
+        (text_of[i], x, y)
+        for i, x, y in zip(ids.tolist(), tx.tolist(), ty.tolist())
+    ]
+    cop_ids = np.array(sorted(i for i in text_of if i % 5 == 0), dtype=np.int64)
+    lat2, lon2, has2 = derive_geo(cop_ids + n)
+    cx, cy = latlng_to_tile(lat2[has2], lon2[has2], 12)
+    pages += [
+        (text_of[int(i)], int(x), int(y))
+        for i, x, y in zip(cop_ids[has2], cx.tolist(), cy.tolist())
+    ]
+    freq: dict[str, int] = {}
+    for txt, _, _ in pages:
+        freq[txt] = freq.get(txt, 0) + 1
+    want: dict[tuple, list[int]] = {}
+    for txt, x, y in pages:
+        st = want.setdefault((x, y), [0, 0])
+        st[0] += 1
+        st[1] += 1 if freq[txt] > 1 else 0
+    got = {
+        (r.tile_x, r.tile_y): [r.n_pages, r.n_dups] for r in a.itertuples()
+    }
+    assert got == want
+    # the augmentation must actually exercise the dup branch
+    assert sum(v[1] for v in want.values()) > 0

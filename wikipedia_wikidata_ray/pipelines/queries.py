@@ -340,6 +340,190 @@ FROM tl a JOIN tl b
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_dup_stats — exact-dedup × geo cross: per z12 tile, the page
+# count and how many of those pages are exact-content duplicates (text
+# occurring ≥2 times among the geotagged corpus) — the spatial view of
+# curation health (mirror farms / boilerplate cluster geographically).
+# sha256 equality stands in for text equality (the documented
+# exact-dedup collision assumption, ops/dedup.py:82). The corpus is
+# augmented with closed-form duplicate pages (every doc_id % 5 == 0 text
+# re-published at the location derived from doc_id + N — the house
+# `_augmented_docs` convention, trainingdata.py:53, geo-mirrored) so the
+# dup branch is actually exercised by the fixtures.
+# Plan: ONE hash pass builds the compact (content_hash 32B, tile) table
+# (text never moves again); global per-hash counts ride the combiner
+# merge; the dup-hash set (bounded by DUPLICATE GROUPS, a small fraction
+# of the corpus by definition — curation dashboards assume dup rate ≪ 1)
+# attaches via the gated plan: `ray.put` broadcast + `pc.index_in` probe
+# ≤ limit, hash join above (same contract as attach_df; plan-equality
+# pytest). Per-tile (n_pages, n_dups) partials merge in one shuffle.
+
+
+TILE_DUP_BROADCAST_LIMIT = 20_000_000
+
+
+def q_tile_dup_stats(sf_dir: str,
+                     dup_broadcast_limit: int | None = None) -> Dataset:
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.dedup import sha256_hex_col
+    from ..sources.pages_gen import derive_geo
+
+    if dup_broadcast_limit is None:
+        dup_broadcast_limit = TILE_DUP_BROADCAST_LIMIT
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _geotagged(sf_dir)
+
+    def hash_tile(t: pa.Table) -> pa.Table:
+        h = pa.array(sha256_hex_col(t.column("text")), type=pa.string())
+        valid = pc.is_valid(t["tile_x"])
+        orig = pa.table(
+            {
+                "content_hash": pc.filter(h, valid),
+                "tile_x": pc.filter(t["tile_x"], valid),
+                "tile_y": pc.filter(t["tile_y"], valid),
+            }
+        )
+        # augmented copies: same text, location of doc_id + n_docs
+        ids = t.column("doc_id").to_numpy()
+        keep = pa.array(ids % 5 == 0)
+        nid = ids[ids % 5 == 0] + n_docs
+        lat, lon, has = derive_geo(nid)
+        tx2, ty2 = latlng_to_tile(lat[has], lon[has], 12)
+        copies = pa.table(
+            {
+                "content_hash": pc.filter(
+                    pc.filter(h, keep), pa.array(has)
+                ),
+                "tile_x": pa.array(tx2),
+                "tile_y": pa.array(ty2),
+            }
+        )
+        return pa.concat_tables([orig, copies])
+
+    hashed = ds.map_batches(hash_tile, batch_format="pyarrow").materialize()
+    counts = partial_count(hashed, ["content_hash"], out="cnt")
+    dups = counts.filter(expr="cnt > 1").select_columns(["content_hash"])
+    dups = dups.materialize()
+    n_dup_hashes = dups.count()
+
+    if n_dup_hashes <= dup_broadcast_limit:
+        dup_tbl = pa.concat_tables(
+            [ray.get(r) for r in dups.to_arrow_refs()]
+        ).combine_chunks()
+        dup_ref = ray.put(
+            dup_tbl.column("content_hash").combine_chunks()
+            if n_dup_hashes
+            else pa.array([], type=pa.string())
+        )
+
+        def flag(t: pa.Table) -> pa.Table:
+            dup_arr = ray.get(dup_ref)
+            hit = pc.is_valid(pc.index_in(t.column("content_hash"), dup_arr))
+            return pa.table(
+                {
+                    "tile_x": t["tile_x"],
+                    "tile_y": t["tile_y"],
+                    "n_pages": pa.array(np.ones(len(t), dtype=np.int64)),
+                    "n_dups": pc.cast(hit, pa.int64()),
+                }
+            )
+
+        flagged = hashed.map_batches(flag, batch_format="pyarrow")
+    else:
+        # >limit plan: dup-hash-keyed left join; null right side → not dup.
+        # Join key dtypes must match EXACTLY (string vs large_string crashes
+        # the shuffle aggregator — the wikidump _cast_str rule).
+        def _cast_hash(t: pa.Table) -> pa.Table:
+            i = t.column_names.index("content_hash")
+            return t.set_column(
+                i, "content_hash",
+                pc.cast(t.column("content_hash"), pa.large_string()),
+            )
+
+        nparts = n_dup_hashes // 100_000 + 1
+        marked = dups.map_batches(_cast_hash, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column(
+                "isdup", pa.array(np.ones(len(t), dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hashed.map_batches(_cast_hash, batch_format="pyarrow").join(
+            marked, "left_outer", num_partitions=nparts, on=("content_hash",)
+        )
+
+        def shape(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "tile_x": t["tile_x"],
+                    "tile_y": t["tile_y"],
+                    "n_pages": pa.array(np.ones(len(t), dtype=np.int64)),
+                    "n_dups": pc.coalesce(
+                        pc.cast(t.column("isdup"), pa.int64()),
+                        pa.scalar(0, type=pa.int64()),
+                    ),
+                }
+            )
+
+        flagged = joined.map_batches(shape, batch_format="pyarrow")
+
+    def tile_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["tile_x", "tile_y"]).aggregate(
+            [("n_pages", "sum"), ("n_dups", "sum")]
+        )
+        return g.rename_columns(["tile_x", "tile_y", "n_pages", "n_dups"])
+
+    return merge_group_sums(
+        flagged.map_batches(tile_partial, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["n_pages", "n_dups"],
+    )
+
+
+SQL_TILE_DUP_STATS = f"""
+WITH {SQL_GEO_CTE},
+nn AS (SELECT COUNT(*) AS c FROM documents),
+copies AS (
+  SELECT d.text,
+    CASE WHEN (d.doc_id + nn.c) % 10 < 3 THEN
+      (CASE (d.doc_id + nn.c) % 5 WHEN 0 THEN 35.6895 WHEN 1 THEN 40.7127
+            WHEN 2 THEN 51.5072 WHEN 3 THEN -23.5505 ELSE 28.6139 END)
+      + (((d.doc_id + nn.c) * 37) % 2001 - 1000) / 10000.0
+    ELSE (((d.doc_id + nn.c) * 7919) % 1600001) / 10000.0 - 80.0 END AS lat,
+    CASE WHEN (d.doc_id + nn.c) % 10 < 3 THEN
+      (CASE (d.doc_id + nn.c) % 5 WHEN 0 THEN 139.6917 WHEN 1 THEN -74.0059
+            WHEN 2 THEN -0.1275 WHEN 3 THEN -46.6333 ELSE 77.209 END)
+      + (((d.doc_id + nn.c) * 61) % 2001 - 1000) / 10000.0
+    ELSE (((d.doc_id + nn.c) * 104729) % 3600001) / 10000.0 - 180.0 END AS lon
+  FROM documents d, nn
+  WHERE d.doc_id % 5 = 0 AND (d.doc_id + nn.c) % 10 < 7
+),
+pt AS (
+  SELECT CAST(FLOOR((g.lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(g.lat)) + 1.0 / COS(RADIANS(g.lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y,
+         d.text
+  FROM geo g JOIN documents d ON d.doc_id = g.doc_id
+  UNION ALL
+  SELECT CAST(FLOOR((c2.lon + 180.0) / 360.0 * 4096) AS INTEGER),
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(c2.lat)) + 1.0 / COS(RADIANS(c2.lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER),
+         c2.text
+  FROM copies c2
+),
+tc AS (SELECT text, COUNT(*) AS cnt FROM pt GROUP BY text)
+SELECT p.tile_x, p.tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CASE WHEN tc.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+FROM pt p JOIN tc ON p.text = tc.text
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: geo_cell_dedup — spatial near-duplicate collapse by snap-to-grid:
 # points sharing a 0.01°×0.01° cell collapse to one canonical doc (min
 # doc_id) with the duplicate count. The megacity jitter (±0.1°) makes the
@@ -2457,6 +2641,7 @@ QUERIES = {
     "tile_top_lang": q_tile_top_lang,
     "tile_lang_entropy": q_tile_lang_entropy,
     "spatial_joincount": q_spatial_joincount,
+    "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
     "tile_heat_smooth": q_tile_heat_smooth,
@@ -2508,6 +2693,7 @@ ORACLES = {
     "tile_top_lang": SQL_TILE_TOP_LANG,
     "tile_lang_entropy": SQL_TILE_LANG_ENTROPY,
     "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
+    "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
     "tile_heat_smooth": SQL_TILE_HEAT_SMOOTH,
@@ -2551,7 +2737,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
