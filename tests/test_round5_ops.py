@@ -376,3 +376,41 @@ def test_tile_dup_stats_plan_equality_and_bruteforce(ray_session):
     assert got == want
     # the augmentation must actually exercise the dup branch
     assert sum(v[1] for v in want.values()) > 0
+
+
+def test_tile_dwell_time_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_tile_dwell_time,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_dwell_time(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    eid = ev["event_id"].to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    rows = sorted(
+        zip(
+            ev["user_id"].to_numpy().tolist(),
+            ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64).tolist(),
+            eid.tolist(),
+            tx.tolist(),
+            ty.tolist(),
+        )
+    )
+    want: dict[tuple, list[int]] = {}
+    for (u0, t0, _, fx, fy), (u1, t1, _, _, _) in zip(rows, rows[1:]):
+        if u0 == u1:
+            st = want.setdefault((fx, fy), [0, 0])
+            st[0] += t1 - t0
+            st[1] += 1
+    got = {
+        (r.tile_x, r.tile_y): [r.dwell_us, r.n_stays] for r in out.itertuples()
+    }
+    assert got == want

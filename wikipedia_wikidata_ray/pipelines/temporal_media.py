@@ -482,3 +482,115 @@ GROUP BY 1, 2, 3, 4
 
 TEMPORAL_MEDIA_QUERIES["tile_od_matrix"] = q_tile_od_matrix
 TEMPORAL_MEDIA_ORACLES["tile_od_matrix"] = SQL_TILE_OD_MATRIX
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_dwell_time — spatiotemporal dwell aggregation: how long users
+# linger per z12 tile. Each consecutive same-user event pair attributes
+# (next_ts − ts) microseconds of dwell to the FROM tile (the standard
+# stay-point attribution); per-tile totals are exact int64 microsecond
+# sums — no float policy needed at all. Shares the OD machinery: ONE
+# range sort on user_id (sorted_group_apply), per-block (tile, dwell_us,
+# n_stays) partials, one combiner-merged shuffle. Deterministic under ts
+# ties via the event_id tiebreaker on both sides.
+
+
+def q_tile_dwell_time(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.runs import sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "tile_x": pa.array([], type=pa.int32()),
+            "tile_y": pa.array([], type=pa.int32()),
+            "dwell_us": pa.array([], type=pa.int64()),
+            "n_stays": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def dwell_block(t: pa.Table) -> pa.Table:
+        if len(t) < 2:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, tx, ty = uid[order], ts[order], tx[order], ty[order]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        dus = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
+        part = pa.table(
+            {
+                "tile_x": pa.array(tx[:-1][same]),
+                "tile_y": pa.array(ty[:-1][same]),
+                "dwell_us": pa.array(dus[same]),
+                "n_stays": pa.array(np.ones(int(same.sum()), dtype=np.int64)),
+            }
+        )
+        g = part.group_by(["tile_x", "tile_y"]).aggregate(
+            [("dwell_us", "sum"), ("n_stays", "sum")]
+        )
+        return g.rename_columns(["tile_x", "tile_y", "dwell_us", "n_stays"])
+
+    pts = events.map_batches(derive, batch_format="pyarrow")
+    partials = sorted_group_apply(pts, ["user_id"], dwell_block)
+    return merge_group_sums(
+        partials, ["tile_x", "tile_y"], ["dwell_us", "n_stays"]
+    )
+
+
+SQL_TILE_DWELL_TIME = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+tiled AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y
+  FROM ev
+),
+st AS (
+  SELECT tile_x, tile_y,
+         CAST(DATE_DIFF('microsecond', ts, LEAD(ts) OVER w) AS BIGINT)
+           AS dwell_us
+  FROM tiled WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT tile_x, tile_y,
+       CAST(SUM(dwell_us) AS BIGINT) AS dwell_us,
+       CAST(COUNT(*) AS BIGINT) AS n_stays
+FROM st WHERE dwell_us IS NOT NULL
+GROUP BY 1, 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["tile_dwell_time"] = q_tile_dwell_time
+TEMPORAL_MEDIA_ORACLES["tile_dwell_time"] = SQL_TILE_DWELL_TIME
