@@ -414,3 +414,43 @@ def test_tile_dwell_time_matches_bruteforce(ray_session):
         (r.tile_x, r.tile_y): [r.dwell_us, r.n_stays] for r in out.itertuples()
     }
     assert got == want
+
+
+def test_region_ann_topk_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        REGION_BBOX,
+        q_region_ann_topk,
+    )
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    sf = "/root/testdata/sf0.001"
+    out = q_region_ann_topk(sf).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    lat, lon, has = derive_geo(vid)
+    tx, ty = latlng_to_tile(lat[has], lon[has], 12)
+    x0, x1, y0, y1 = REGION_BBOX
+    inb = (tx >= x0) & (tx <= x1) & (ty >= y0) & (ty <= y1)
+    region_idx = np.flatnonzero(has)[inb]
+    region_ids = set(vid[region_idx].tolist())
+    assert len(region_ids) > 5  # the bbox must actually bound a candidate pool
+    assert set(out["neighbor_id"]) <= region_ids
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for q in [int(vid[0]), int(vid[len(vid) // 2]), int(vid[-1])]:
+        qi = int(np.flatnonzero(vid == q)[0])
+        scores = sorted(
+            (
+                (-round(cos(mat[qi], mat[int(np.flatnonzero(vid == r)[0])]), 6), r)
+                for r in region_ids
+                if r != q
+            ),
+        )[:5]
+        got = out[out["vec_id"] == q].sort_values("rank")
+        assert list(got["neighbor_id"]) == [r for _, r in scores]

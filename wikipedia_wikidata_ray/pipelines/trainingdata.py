@@ -461,6 +461,87 @@ FROM scored WHERE rnk <= 5
 
 
 # ---------------------------------------------------------------------------
+# Q: region_ann_topk — region-conditioned retrieval (similarity search ×
+# geo): every embedding's top-5 cosine neighbors among ONLY the vectors
+# whose document sits inside a z12 tile window (the Tokyo megacity bbox)
+# — "find the most similar pages from THIS region". The query side
+# streams through the same broadcast-once BruteCosineTopK actor pool as
+# ann_topk; only the CANDIDATE set changes, selected by the closed-form
+# geo contract (derive_geo + slippy tiles, identical FLOOR arithmetic in
+# the SQL). A region's candidate set is city-bounded BY DEFINITION (the
+# broadcast assumption, same as ann_topk's candidate matrix); when a
+# "region" is continent-sized the sharded `ann_topk_ivf_partitioned`
+# path with a tile pre-filter is the named fallback.
+
+REGION_BBOX = (3630, 3642, 1608, 1620)  # z12 x0, x1, y0, y1 (Tokyo)
+
+
+def q_region_ann_topk(sf_dir: str) -> Dataset:
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.ann import _as_matrix
+    from ..sources.pages_gen import derive_geo
+
+    x0, x1, y0, y1 = REGION_BBOX
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vid = t.column("vec_id").to_numpy().astype(np.int64)
+    lat, lon, has = derive_geo(vid)
+    tx, ty = latlng_to_tile(lat[has], lon[has], 12)
+    inb = (tx >= x0) & (tx <= x1) & (ty >= y0) & (ty <= y1)
+    sel = np.flatnonzero(has)[inb]
+    cand = {
+        "vec_id": vid[sel],
+        "matrix": _as_matrix(t.column("embedding").take(sel)),
+    }
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann_topk(emb, cand, k=5, variant="brute")
+
+
+SQL_REGION_ANN_TOPK = f"""
+WITH geo AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 < 3 THEN
+      (CASE doc_id % 5 WHEN 0 THEN 35.6895 WHEN 1 THEN 40.7127
+            WHEN 2 THEN 51.5072 WHEN 3 THEN -23.5505 ELSE 28.6139 END)
+      + ((doc_id * 37) % 2001 - 1000) / 10000.0
+    ELSE ((doc_id * 7919) % 1600001) / 10000.0 - 80.0 END AS lat,
+    CASE WHEN doc_id % 10 < 3 THEN
+      (CASE doc_id % 5 WHEN 0 THEN 139.6917 WHEN 1 THEN -74.0059
+            WHEN 2 THEN -0.1275 WHEN 3 THEN -46.6333 ELSE 77.209 END)
+      + ((doc_id * 61) % 2001 - 1000) / 10000.0
+    ELSE ((doc_id * 104729) % 3600001) / 10000.0 - 180.0 END AS lon
+  FROM documents WHERE doc_id % 10 < 7
+),
+region AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN geo g ON g.doc_id = e.vec_id
+  WHERE CAST(FLOOR((g.lon + 180.0) / 360.0 * 4096) AS INTEGER)
+          BETWEEN {REGION_BBOX[0]} AND {REGION_BBOX[1]}
+    AND CAST(FLOOR((1.0 - LN(TAN(RADIANS(g.lat)) + 1.0 / COS(RADIANS(g.lat)))
+                    / PI()) / 2.0 * 4096) AS INTEGER)
+          BETWEEN {REGION_BBOX[2]} AND {REGION_BBOX[3]}
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS s,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id
+         ) AS rnk
+  FROM embeddings a JOIN region b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, ROUND(s, 6) AS sim
+FROM scored WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: ann_topk_ivf_grid — IVF with DETERMINISTIC axis-sign buckets and a
 # full SQL oracle. Same inverted-file shape as the k-means variants
 # (bucket the vectors, probe a bucket, brute top-k inside it) but the
@@ -599,6 +680,7 @@ TRAININGDATA_QUERIES = {
     "langid_predictions": q_langid_predictions,
     "langid_scores_seeded": q_langid_scores_seeded,
     "ann_topk": q_ann_topk,
+    "region_ann_topk": q_region_ann_topk,
     "ann_topk_ivf_grid": q_ann_topk_ivf_grid,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf_partitioned": q_ann_topk_ivf_partitioned,
@@ -612,6 +694,7 @@ TRAININGDATA_ORACLES = {
     "near_dup_pairs_minhash_seeded": _sql_minhash_seeded(),
     "langid_scores_seeded": _sql_langid_seeded(),
     "ann_topk": SQL_ANN_TOPK,
+    "region_ann_topk": SQL_REGION_ANN_TOPK,
     "ann_topk_ivf_grid": SQL_ANN_TOPK_IVF_GRID,
     "embedding_neardups": SQL_EMBEDDING_NEARDUPS,
 }
