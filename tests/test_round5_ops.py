@@ -454,3 +454,35 @@ def test_region_ann_topk_matches_bruteforce(ray_session):
         )[:5]
         got = out[out["vec_id"] == q].sort_values("rank")
         assert list(got["neighbor_id"]) == [r for _, r in scores]
+
+
+def test_tile_quality_stats_matches_bruteforce(ray_session):
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.ops.textstats import STOPWORDS
+    from wikipedia_wikidata_ray.pipelines.queries import q_tile_quality_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_quality_stats(sf).to_pandas()
+    ids, tx, ty = _geo_tiles(sf)
+    dt = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    text_of = dict(zip(dt["doc_id"].to_numpy().tolist(), dt["text"].to_pylist()))
+    stop = set(STOPWORDS)
+    tok = _re.compile("[a-z0-9]+")
+    want: dict[tuple, list[int]] = {}
+    for i, x, y in zip(ids.tolist(), tx.tolist(), ty.tolist()):
+        txt = text_of[i]
+        tks = tok.findall(txt.lower())
+        st = want.setdefault((x, y), [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += len(tks)
+        st[2] += len(txt)
+        st[3] += sum(1 for w in tks if w in stop)
+    got = {
+        (r.tile_x, r.tile_y): [r.n_pages, r.n_tokens, r.n_chars, r.n_stopwords]
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert sum(v[3] for v in want.values()) > 0

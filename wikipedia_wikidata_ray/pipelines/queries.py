@@ -239,6 +239,81 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_quality_stats — quality-gate × geo cross: per z12 tile, exact
+# int64 sums of the Gopher-style per-doc features (pages, tokens, chars,
+# stopwords) — the regional curation dashboard (consumers derive
+# stop/len ratios; integer sums are order-free at any parallelism so no
+# float policy is needed). Rides the SHARED `ops/textstats.TextStats`
+# vectorized kernel per batch; only (tile, 4×int64) partials shuffle
+# through one combiner merge — pages never move.
+
+
+def q_tile_quality_stats(sf_dir: str) -> Dataset:
+    from ..ops.textstats import TextStats
+
+    ds = _geotagged(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        stats = TextStats()(t.select(["doc_id", "text"]))
+        p = pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "n_pages": pa.array(np.ones(len(t), dtype=np.int64)),
+                "n_tokens": pc.cast(stats["n_tokens"], pa.int64()),
+                "n_chars": pc.cast(stats["n_chars_text"], pa.int64()),
+                "n_stopwords": pc.cast(stats["n_stopwords"], pa.int64()),
+            }
+        )
+        g = p.group_by(["tile_x", "tile_y"]).aggregate(
+            [
+                ("n_pages", "sum"),
+                ("n_tokens", "sum"),
+                ("n_chars", "sum"),
+                ("n_stopwords", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["tile_x", "tile_y", "n_pages", "n_tokens", "n_chars", "n_stopwords"]
+        )
+
+    return merge_group_sums(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["n_pages", "n_tokens", "n_chars", "n_stopwords"],
+    )
+
+
+# (stop-word list shared with SQL_DOC_STATS via ops.textstats.STOPWORDS)
+def _sql_tile_quality_stats() -> str:
+    from ..ops.textstats import STOPWORDS
+
+    stop_sql = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {SQL_GEO_CTE},
+st AS (
+  SELECT CAST(FLOOR((g.lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(g.lat)) + 1.0 / COS(RADIANS(g.lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y,
+         LENGTH(d.text) AS n_chars,
+         regexp_extract_all(LOWER(d.text), '[a-z0-9]+') AS tk
+  FROM geo g JOIN documents d ON d.doc_id = g.doc_id
+)
+SELECT tile_x, tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(LEN(tk)) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(LEN(list_filter(tk, x -> x IN ({stop_sql})))) AS BIGINT)
+         AS n_stopwords
+FROM st GROUP BY 1, 2
+"""
+
+
+SQL_TILE_QUALITY_STATS = _sql_tile_quality_stats()
+
+
+# ---------------------------------------------------------------------------
 # Q: spatial_joincount — global spatial-autocorrelation statistic over the
 # z12 occupancy raster: the 4-adjacency join-count — for every pair of
 # edge-adjacent OCCUPIED tiles, the number of pairs and the exact integer
@@ -2641,6 +2716,7 @@ QUERIES = {
     "tile_top_lang": q_tile_top_lang,
     "tile_lang_entropy": q_tile_lang_entropy,
     "spatial_joincount": q_spatial_joincount,
+    "tile_quality_stats": q_tile_quality_stats,
     "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
@@ -2693,6 +2769,7 @@ ORACLES = {
     "tile_top_lang": SQL_TILE_TOP_LANG,
     "tile_lang_entropy": SQL_TILE_LANG_ENTROPY,
     "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
+    "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
@@ -2737,7 +2814,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
