@@ -334,6 +334,38 @@ def run_bench() -> dict:
         "sessionize", lambda: sessionize(events_ds(), gap_minutes=30).count()
     )
 
+    # --- spatiotemporal: OD tile transitions over replicated events with
+    # DISTINCT event_ids per replica (round 5) — each replica's events land
+    # on different tiles, so the sorted-run + OD-partial merge does real
+    # work at n_ev × emult rows.
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        tile_od_matrix_pipeline,
+    )
+
+    def replicate_events_geo(t: pa.Table) -> pa.Table:
+        parts = [t]
+        for i in range(1, emult):
+            uid = pc.add(t["user_id"], pa.scalar(i * 1_000_000, type=pa.int64()))
+            eid = pc.add(
+                t["event_id"], pa.scalar(i * 10_000_000, type=pa.int64())
+            )
+            parts.append(
+                pa.table({"event_id": eid, "ts": t["ts"], "user_id": uid})
+            )
+        return pa.concat_tables(parts)
+
+    def events_geo_ds():
+        return (
+            rd.read_parquet(ev_path, columns=["event_id", "ts", "user_id"])
+            .repartition(num_cpus)
+            .map_batches(replicate_events_geo, batch_format="pyarrow")
+        )
+
+    od_rows = timed(
+        "tile_od_matrix",
+        lambda: tile_od_matrix_pipeline(events_geo_ds()).materialize().count(),
+    )
+
     # --- tile analytics suite (round 4): pyramid rollup, compact cover,
     # grid clustering — all over the SAME 1M-page corpus (each section
     # re-runs extract+geocode end-to-end, same policy as the flagship).
@@ -388,6 +420,7 @@ def run_bench() -> dict:
             "hll_registers": hll_rows,
             "tfidf_topk": tfidf_rows,
             "sessions": sess_rows,
+            "od_pairs": od_rows,
             "pyramid_cells": pyr_rows,
             "cover_cells": cover_rows,
             "clusters": cluster_rows,

@@ -383,17 +383,16 @@ TEMPORAL_MEDIA_ORACLES["user_path_length"] = SQL_USER_PATH_LENGTH
 # no broadcast, points never co-locate beyond their own user's run.
 
 
-def q_tile_od_matrix(sf_dir: str) -> Dataset:
+def tile_od_matrix_pipeline(events: Dataset) -> Dataset:
+    """OD transitions over any (event_id, ts, user_id) Dataset — the
+    bench drives this at replicated-corpus scale; q_tile_od_matrix binds
+    it to the sf fixture."""
     import numpy as np
     import pyarrow as pa
 
     from ..geo.tiles import latlng_to_tile
     from ..ops.runs import sorted_group_apply
     from ..stages.salted import merge_group_sums
-
-    events = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
-    )
 
     def derive(t: pa.Table) -> pa.Table:
         eid = t.column("event_id").to_numpy()
@@ -453,6 +452,14 @@ def q_tile_od_matrix(sf_dir: str) -> Dataset:
     partials = sorted_group_apply(pts, ["user_id"], od_block)
     return merge_group_sums(
         partials, ["from_x", "from_y", "to_x", "to_y"], ["n_trans"]
+    )
+
+
+def q_tile_od_matrix(sf_dir: str) -> Dataset:
+    return tile_od_matrix_pipeline(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+        )
     )
 
 
