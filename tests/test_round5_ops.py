@@ -486,3 +486,33 @@ def test_tile_quality_stats_matches_bruteforce(ray_session):
     }
     assert got == want
     assert sum(v[3] for v in want.values()) > 0
+
+
+def test_zone_event_counts_matches_bruteforce(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import q_zone_event_counts
+
+    sf = "/root/testdata/sf0.001"
+    out = q_zone_event_counts(sf).to_pandas()
+    eid = pq.read_table(f"{sf}/events.parquet", columns=["event_id"])[
+        "event_id"
+    ].to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    want: dict[object, int] = {}
+    for la, lo in zip(lat.tolist(), lon.tolist()):
+        code = (
+            None
+            if lo >= 180.0 or la >= 90.0
+            else f"A{math.floor((la + 90.0) / 30.0)}_{math.floor((lo + 180.0) / 30.0)}"
+        )
+        want[code] = want.get(code, 0) + 1
+    got = {
+        (None if r.admin_code is None else r.admin_code): r.n_events
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert sum(want.values()) == len(eid)

@@ -1962,6 +1962,53 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: zone_event_counts — the PIP spatial join REUSED on a second point
+# table: events (dispersed-point closed form keyed by event_id, as
+# user_path_length) joined against the level-0 admin grid, counted per
+# zone. Exercises the broadcast-once STRtree/raster joiner on a table
+# with different shape and density than pages; events at the lon=180 /
+# lat-bound seam assign NULL exactly as the SQL CASE does (the
+# admin_counts fixture contract). Movement: only (zone, count) partials
+# shuffle; the polygon set broadcasts once per worker.
+
+
+def q_zone_event_counts(sf_dir: str) -> Dataset:
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        return pa.table(
+            {
+                "lat": pa.array(((eid * 7919) % 1600001) / 10000.0 - 80.0),
+                "lon": pa.array(((eid * 104729) % 3600001) / 10000.0 - 180.0),
+            }
+        )
+
+    pts = events.map_batches(derive, batch_format="pyarrow")
+    joined = gp.pip_join(pts)
+    counts = joined.map_batches(
+        lambda t: t.select(["admin_code"]), batch_format="pyarrow"
+    )
+    return partial_count(counts, ["admin_code"], out="n_events")
+
+
+SQL_ZONE_EVENT_COUNTS = """
+WITH ev AS (
+  SELECT ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+)
+SELECT CASE WHEN lon >= 180.0 OR lat >= 90.0 THEN NULL
+            ELSE 'A' || CAST(CAST(FLOOR((lat + 90.0) / 30.0) AS INTEGER) AS VARCHAR)
+                 || '_' || CAST(CAST(FLOOR((lon + 180.0) / 30.0) AS INTEGER) AS VARCHAR)
+       END AS admin_code,
+       COUNT(*) AS n_events
+FROM ev
+GROUP BY 1
+"""
+
+
 def q_admin_counts_rasterized(sf_dir: str) -> Dataset:
     """Same result as admin_counts via the raster-accelerated PIP scale
     path (geo/pip_raster.py: per-tile memoized classification, exact
@@ -2732,6 +2779,7 @@ QUERIES = {
     "geohash_counts": q_geohash_counts,
     "bbox_counts": q_bbox_counts,
     "admin_counts": q_admin_counts,
+    "zone_event_counts": q_zone_event_counts,
     "admin_counts_rasterized": q_admin_counts_rasterized,
     "admin_counts_partitioned": q_admin_counts_partitioned,
     "zonal_tile_counts": q_zonal_tile_counts,
@@ -2785,6 +2833,7 @@ ORACLES = {
     "geohash_counts": SQL_GEOHASH_COUNTS,
     "bbox_counts": SQL_BBOX_COUNTS,
     "admin_counts": SQL_ADMIN_COUNTS,
+    "zone_event_counts": SQL_ZONE_EVENT_COUNTS,
     "admin_counts_rasterized": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
     "zonal_tile_counts": SQL_ZONAL_TILE_COUNTS,
@@ -2814,7 +2863,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
