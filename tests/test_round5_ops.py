@@ -516,3 +516,27 @@ def test_zone_event_counts_matches_bruteforce(ray_session):
     }
     assert got == want
     assert sum(want.values()) == len(eid)
+
+
+def test_tile_hotspots_matches_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        HOTSPOT_K,
+        q_tile_hotspots,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_hotspots(sf).to_pandas().sort_values("rank")
+    _, tx, ty = _geo_tiles(sf)
+    cnt: dict[tuple, int] = {}
+    for x, y in zip(tx.tolist(), ty.tolist()):
+        cnt[(x, y)] = cnt.get((x, y), 0) + 1
+    sm: dict[tuple, int] = {}
+    for (x, y), c in cnt.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                k = (x + dx, y + dy)
+                sm[k] = sm.get(k, 0) + c
+    want = sorted(((-c, x, y) for (x, y), c in sm.items()))[:HOTSPOT_K]
+    got = [(-r.n_pages_3x3, r.tile_x, r.tile_y) for r in out.itertuples()]
+    assert got == want
+    assert list(out["rank"]) == list(range(1, HOTSPOT_K + 1))

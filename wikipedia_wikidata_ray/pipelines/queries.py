@@ -715,6 +715,52 @@ FROM sm GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_hotspots — hotspot detection: the global top-K tiles by 3×3
+# Moore-neighborhood page count (the ranked consumption of the stencil
+# raster — "where are the densest regions"). Deterministic tie-break
+# (count desc, tile_x, tile_y); rides `grouped_topk` under a constant key
+# (block-local k-prune: ≤K rows leave any block — the bm25_search global
+# top-k idiom), so the ranking adds no meaningful movement beyond the
+# stencil's own tile-bounded merge.
+
+HOTSPOT_K = 10
+
+
+def q_tile_hotspots(sf_dir: str, k: int = HOTSPOT_K) -> Dataset:
+    from ..ops.topk import grouped_topk
+
+    sm = q_tile_heat_smooth(sf_dir)
+    keyed = sm.map_batches(
+        lambda t: t.append_column(
+            "_g", pa.array(np.zeros(len(t), dtype=np.int32))
+        ),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(
+        keyed,
+        ["_g"],
+        [("n_pages_3x3", False), ("tile_x", True), ("tile_y", True)],
+        k,
+        rank_col="rank",
+    )
+    return top.map_batches(
+        lambda t: t.drop_columns(["_g"]), batch_format="pyarrow"
+    )
+
+
+SQL_TILE_HOTSPOTS = f"""
+WITH sm AS ({SQL_TILE_HEAT_SMOOTH}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER
+            (ORDER BY n_pages_3x3 DESC, tile_x, tile_y) AS rnk
+  FROM sm
+)
+SELECT tile_x, tile_y, n_pages_3x3, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {HOTSPOT_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: segment_tile_cover — vector→raster coverage: each geotagged doc
 # defines a segment to a derived partner point ((id·13+7) mod N, kept only
 # when the partner is geotagged — inner-join semantics); the segment's z12
@@ -2764,6 +2810,7 @@ QUERIES = {
     "tile_lang_entropy": q_tile_lang_entropy,
     "spatial_joincount": q_spatial_joincount,
     "tile_quality_stats": q_tile_quality_stats,
+    "tile_hotspots": q_tile_hotspots,
     "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
@@ -2818,6 +2865,7 @@ ORACLES = {
     "tile_lang_entropy": SQL_TILE_LANG_ENTROPY,
     "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
+    "tile_hotspots": SQL_TILE_HOTSPOTS,
     "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
@@ -2863,7 +2911,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
