@@ -540,3 +540,36 @@ def test_tile_hotspots_matches_bruteforce(ray_session):
     got = [(-r.n_pages_3x3, r.tile_x, r.tile_y) for r in out.itertuples()]
     assert got == want
     assert list(out["rank"]) == list(range(1, HOTSPOT_K + 1))
+
+
+def test_pagerank_3iter_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        PR_ITERS,
+        PR_TELEPORT,
+        PR_UNIT,
+        q_pagerank_3iter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_pagerank_3iter(sf).to_pandas()
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy().astype(np.int64)
+    n = len(ids)
+    u = {int(i): PR_UNIT // n for i in ids}
+    base = PR_TELEPORT // n
+    for _ in range(PR_ITERS):
+        nxt = {int(i): base for i in ids}
+        for i, ui in u.items():
+            c = (ui * 85) // 300
+            for t in ((i * 3 + 1) % n, (i * 5 + 2) % n, i % 2):
+                nxt[t] += c
+        u = nxt
+    got = dict(zip(out["doc_id"].tolist(), out["pr_units"].tolist()))
+    assert got == u
+    assert len(out) == n
+    # the id%2 hub nodes must dominate (the hot-key path is exercised)
+    top2 = sorted(u.values())[-2:]
+    assert min(top2) > 10 * (PR_UNIT // n)

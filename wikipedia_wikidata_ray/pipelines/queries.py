@@ -715,6 +715,127 @@ FROM sm GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q: pagerank_3iter — iterative graph analytics over the closed-form link
+# graph (SQL_LINKS_CTE: 3 out-edges per doc — reference analog: the
+# pagelinks graph whose in-degree E1 counts; PageRank extends the count
+# to a fixpoint score). FIXED 3 damped iterations in EXACT integer
+# arithmetic: mass in units of 1e-12 (u0 = 10¹² // N), per-edge
+# contribution (u·85) // 300 (= 0.85·u/3 for the uniform out-degree 3),
+# teleport base 0.15·10¹² // N — every operation is floor division on
+# non-negative int64, so the result is order-free at any parallelism and
+# bitwise-replicable in SQL (DuckDB `//`; verified trunc==floor ≥ 0).
+# Plan: each iteration = one in-batch contribution scatter (×3 targets +
+# a zero self-row so every node stays present) pre-combined per block →
+# ONE `merge_group_sums` shuffle of (node, contrib) partials. The id%2
+# edge makes nodes 0/1 receive N/2 edges each — the combiner is exactly
+# the I7 hot-key answer (≤1 partial row per block for the hot nodes).
+# 3 sequential shuffles are inherent to 3 iterations; movement per round
+# is 3·N int64 pairs, independent of page payload.
+
+PR_ITERS = 3
+PR_UNIT = 1_000_000_000_000
+PR_TELEPORT = 150_000_000_000  # 0.15 · PR_UNIT
+
+
+def q_pagerank_3iter(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    base = PR_TELEPORT // n_docs
+
+    u = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "u": pa.array(
+                    np.full(len(t), PR_UNIT // n_docs, dtype=np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        uu = t.column("u").to_numpy()
+        c = (uu * 85) // 300
+        tgt = np.concatenate(
+            [
+                (ids * 3 + 1) % n_docs,
+                (ids * 5 + 2) % n_docs,
+                ids % 2,
+                ids,  # zero self-row keeps every node in the merge
+            ]
+        )
+        val = np.concatenate([c, c, c, np.zeros(len(ids), dtype=np.int64)])
+        p = pa.table({"doc_id": pa.array(tgt), "contrib": pa.array(val)})
+        g = p.group_by(["doc_id"]).aggregate([("contrib", "sum")])
+        return g.rename_columns(["doc_id", "contrib"])
+
+    for _ in range(PR_ITERS):
+        merged = merge_group_sums(
+            u.map_batches(contrib, batch_format="pyarrow"),
+            ["doc_id"],
+            ["contrib"],
+        )
+        u = merged.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "u": pc.add(
+                        pc.cast(t["contrib"], pa.int64()),
+                        pa.scalar(base, type=pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return u.map_batches(
+        lambda t: t.rename_columns(["doc_id", "pr_units"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_pagerank_3iter() -> str:
+    links = """
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+)"""
+    prev = "u0"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""
+i{k} AS (
+  SELECT d.doc_id,
+         CAST({PR_TELEPORT} // (SELECT c FROM n)
+              + COALESCE(SUM((CAST(s.u AS BIGINT) * 85) // 300), 0)
+           AS BIGINT) AS u
+  FROM documents d
+  LEFT JOIN l ON l.tgt = d.doc_id
+  LEFT JOIN {prev} s ON s.doc_id = l.src
+  GROUP BY 1
+)"""
+        )
+        prev = f"i{k}"
+    body = ",".join(iters)
+    return f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),{links},
+u0 AS (SELECT doc_id, {PR_UNIT} // (SELECT c FROM n) AS u FROM documents),{body}
+SELECT doc_id, u AS pr_units FROM {prev}
+"""
+
+
+SQL_PAGERANK_3ITER = _sql_pagerank_3iter()
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_hotspots — hotspot detection: the global top-K tiles by 3×3
 # Moore-neighborhood page count (the ranked consumption of the stencil
 # raster — "where are the densest regions"). Deterministic tie-break
@@ -2811,6 +2932,7 @@ QUERIES = {
     "spatial_joincount": q_spatial_joincount,
     "tile_quality_stats": q_tile_quality_stats,
     "tile_hotspots": q_tile_hotspots,
+    "pagerank_3iter": q_pagerank_3iter,
     "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
@@ -2866,6 +2988,7 @@ ORACLES = {
     "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_hotspots": SQL_TILE_HOTSPOTS,
+    "pagerank_3iter": SQL_PAGERANK_3ITER,
     "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
@@ -2905,13 +3028,13 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # prefix of this registry each round. Queries that did NOT make the previous
 # round's board sort FIRST so the least-recently-proven operators are never
 # the ones that rotate out (round-2/-3 verdicts, "What's missing" #1).
-# Round 5: head = the 4 new round-5 queries + the 40 queries absent from
+# Round 5: head = the 15 new round-5 queries + the queries absent from
 # CORRECTNESS_r04.json (all were green on an earlier board and re-verified
 # green via the full local gate at r4 code each session).
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
