@@ -573,3 +573,25 @@ def test_pagerank_3iter_matches_bruteforce(ray_session):
     # the id%2 hub nodes must dominate (the hot-key path is exercised)
     top2 = sorted(u.values())[-2:]
     assert min(top2) > 10 * (PR_UNIT // n)
+
+
+def test_tile_user_reach_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_tile_user_reach,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_user_reach(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id"])
+    eid = ev["event_id"].to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    users: dict[tuple, set] = {}
+    for u, x, y in zip(ev["user_id"].to_numpy().tolist(), tx.tolist(), ty.tolist()):
+        users.setdefault((x, y), set()).add(u)
+    got = {(r.tile_x, r.tile_y): r.n_users for r in out.itertuples()}
+    assert got == {k: len(v) for k, v in users.items()}

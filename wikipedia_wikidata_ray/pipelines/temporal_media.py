@@ -601,3 +601,83 @@ GROUP BY 1, 2
 
 TEMPORAL_MEDIA_QUERIES["tile_dwell_time"] = q_tile_dwell_time
 TEMPORAL_MEDIA_ORACLES["tile_dwell_time"] = SQL_TILE_DWELL_TIME
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_user_reach — exact distinct-user count per z12 tile (the
+# audience-reach metric of spatial analytics). Exact DISTINCT via the
+# zonal-stats two-pass idiom: (tile, user) pairs collapse IN-BATCH, one
+# combiner-merged dedup shuffle (first-wins on the pair), then per-tile
+# count partials through a second combiner merge — raw events never
+# co-locate, movement is (tile × active-users)-bounded. The mergeable-
+# sketch alternative for 10⁹-user tiles is ops/sketch.py's HLL with
+# group=tile (named fallback; the exact path IS the oracle-checkable
+# one).
+
+
+def q_tile_user_reach(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.tiles import latlng_to_tile
+    from ..stages.salted import merge_group_aggs, merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        p = pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "user_id": t["user_id"],
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["tile_x", "tile_y", "user_id"]).aggregate(
+            [("one", "min")]
+        )
+        return g.rename_columns(["tile_x", "tile_y", "user_id", "one"])
+
+    dedup = merge_group_aggs(
+        events.map_batches(pairs, batch_format="pyarrow"),
+        ["tile_x", "tile_y", "user_id"],
+        [("one", "min")],
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["tile_x", "tile_y"]).aggregate([("one", "sum")])
+        return g.rename_columns(["tile_x", "tile_y", "n_users"])
+
+    return merge_group_sums(
+        dedup.map_batches(counts, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["n_users"],
+    )
+
+
+SQL_TILE_USER_REACH = """
+WITH ev AS (
+  SELECT user_id,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+tiled AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y,
+         user_id
+  FROM ev
+)
+SELECT tile_x, tile_y, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tiled GROUP BY 1, 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["tile_user_reach"] = q_tile_user_reach
+TEMPORAL_MEDIA_ORACLES["tile_user_reach"] = SQL_TILE_USER_REACH
