@@ -595,3 +595,52 @@ def test_tile_user_reach_matches_bruteforce(ray_session):
         users.setdefault((x, y), set()).add(u)
     got = {(r.tile_x, r.tile_y): r.n_users for r in out.itertuples()}
     assert got == {k: len(v) for k, v in users.items()}
+
+
+def test_tile_retention_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        _events_ts_bounds_us,
+        q_tile_retention,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_retention(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    ts_us = ev["ts"].cast("int64").to_numpy()
+    lo, hi = _events_ts_bounds_us(sf)
+    assert lo == int(ts_us.min()) and hi == int(ts_us.max())
+    mid = (lo + hi) // 2
+    eid = ev["event_id"].to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    first: dict[tuple, set] = {}
+    second: dict[tuple, set] = {}
+    for u, x, y, t in zip(
+        ev["user_id"].to_numpy().tolist(), tx.tolist(), ty.tolist(),
+        ts_us.tolist(),
+    ):
+        (first if t < mid else second).setdefault((x, y), set()).add(u)
+    tiles = set(first) | set(second)
+    want = {
+        k: (
+            len(first.get(k, set())),
+            len(second.get(k, set())),
+            len(first.get(k, set()) & second.get(k, set())),
+        )
+        for k in tiles
+    }
+    got = {
+        (r.tile_x, r.tile_y): (r.n_first, r.n_second, r.n_retained)
+        for r in out.itertuples()
+    }
+    assert got == want
+    # both halves must be populated (the split is real on the fixture)
+    assert sum(v[0] for v in want.values()) > 0
+    assert sum(v[1] for v in want.values()) > 0

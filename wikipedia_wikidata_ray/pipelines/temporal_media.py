@@ -681,3 +681,152 @@ FROM tiled GROUP BY 1, 2
 
 TEMPORAL_MEDIA_QUERIES["tile_user_reach"] = q_tile_user_reach
 TEMPORAL_MEDIA_ORACLES["tile_user_reach"] = SQL_TILE_USER_REACH
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_retention — per-tile user retention across the two halves of the
+# corpus time range (the returning-audience metric of spatial analytics;
+# extends tile_user_reach's exact-DISTINCT idiom with a temporal split).
+# The split point is the midpoint of the global [min(ts), max(ts)] read
+# from PARQUET FOOTER STATISTICS — zero data passes, exact for timestamp
+# columns at any file count (falls back to a one-column Ray min/max
+# aggregate when a footer lacks stats). Plan: per-batch (tile, user) →
+# 0/1 in_first/in_second flags collapse in-batch, ONE combiner-merged
+# max-merge dedups users, then per-tile integer sums through a second
+# combiner merge — raw events never co-locate, movement is
+# (tile × active-users)-bounded, all arithmetic int64/order-free.
+
+
+def _events_ts_bounds_us(sf_dir: str) -> tuple[int, int]:
+    """Global [min, max] of events.ts in microseconds from parquet footer
+    row-group statistics (exact for timestamps); Ray aggregate fallback."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    paths = sorted(glob.glob(f"{sf_dir}/events.parquet")) or sorted(
+        glob.glob(f"{sf_dir}/events.parquet/*.parquet")
+    )
+    lo, hi = None, None
+    for p in paths:
+        md = pq.read_metadata(p)
+        ts_idx = md.schema.names.index("ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ts_idx).statistics
+            if st is None or st.min is None or st.max is None:
+                lo = hi = None
+                break
+            mn = int(np.datetime64(st.min, "us").astype(np.int64))
+            mx = int(np.datetime64(st.max, "us").astype(np.int64))
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        else:
+            continue
+        break
+    if lo is None or hi is None:  # stats-free footer: one-column aggregate
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        lo = int(np.datetime64(ds.min("ts"), "us").astype(np.int64))
+        hi = int(np.datetime64(ds.max("ts"), "us").astype(np.int64))
+    return lo, hi
+
+
+def q_tile_retention(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.tiles import latlng_to_tile
+    from ..stages.salted import merge_group_aggs, merge_group_sums
+
+    lo, hi = _events_ts_bounds_us(sf_dir)
+    mid = (lo + hi) // 2
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+        first = (ts_us < mid).astype(np.int64)
+        p = pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "user_id": t["user_id"],
+                "in_first": pa.array(first),
+                "in_second": pa.array(1 - first),
+            }
+        )
+        g = p.group_by(["tile_x", "tile_y", "user_id"]).aggregate(
+            [("in_first", "max"), ("in_second", "max")]
+        )
+        return g.rename_columns(
+            ["tile_x", "tile_y", "user_id", "in_first", "in_second"]
+        )
+
+    per_user = merge_group_aggs(
+        events.map_batches(flags, batch_format="pyarrow"),
+        ["tile_x", "tile_y", "user_id"],
+        [("in_first", "max"), ("in_second", "max")],
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.append_column(
+            "n_retained", pc.multiply(t["in_first"], t["in_second"])
+        )
+        g = t.group_by(["tile_x", "tile_y"]).aggregate(
+            [("in_first", "sum"), ("in_second", "sum"), ("n_retained", "sum")]
+        )
+        return g.rename_columns(
+            ["tile_x", "tile_y", "n_first", "n_second", "n_retained"]
+        )
+
+    return merge_group_sums(
+        per_user.map_batches(counts, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["n_first", "n_second", "n_retained"],
+    )
+
+
+SQL_TILE_RETENTION = """
+WITH b AS (
+  SELECT (CAST(epoch_us(MIN(ts)) AS BIGINT)
+          + CAST(epoch_us(MAX(ts)) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+tiled AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y,
+         user_id, ts_us
+  FROM ev
+),
+pu AS (
+  SELECT tile_x, tile_y, user_id,
+         MAX(CASE WHEN ts_us < (SELECT mid FROM b) THEN 1 ELSE 0 END)
+           AS in_first,
+         MAX(CASE WHEN ts_us >= (SELECT mid FROM b) THEN 1 ELSE 0 END)
+           AS in_second
+  FROM tiled GROUP BY 1, 2, 3
+)
+SELECT tile_x, tile_y,
+       CAST(SUM(in_first) AS BIGINT) AS n_first,
+       CAST(SUM(in_second) AS BIGINT) AS n_second,
+       CAST(SUM(in_first * in_second) AS BIGINT) AS n_retained
+FROM pu GROUP BY 1, 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["tile_retention"] = q_tile_retention
+TEMPORAL_MEDIA_ORACLES["tile_retention"] = SQL_TILE_RETENTION
