@@ -644,3 +644,32 @@ def test_tile_retention_matches_bruteforce(ray_session):
     # both halves must be populated (the split is real on the fixture)
     assert sum(v[0] for v in want.values()) > 0
     assert sum(v[1] for v in want.values()) > 0
+
+
+def test_ripley_pair_counts_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        RIPLEY_RADII,
+        _geotagged,
+        q_ripley_pair_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_ripley_pair_counts(sf).to_pandas()
+    geo = _geotagged(sf).to_pandas()
+    geo = geo[geo.has_geo]
+    lat = geo.lat.to_numpy()
+    lon = geo.lon.to_numpy()
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    iu = np.triu_indices(len(lat), k=1)
+    want = {
+        int(round(r * 1e6)): int(np.count_nonzero(d2[iu] <= r * r))
+        for r in RIPLEY_RADII
+    }
+    want = {k: v for k, v in want.items() if v > 0}
+    got = dict(zip(out.radius_e6.tolist(), out.n_pairs.tolist()))
+    assert got == want
+    # cumulative: counts must be non-decreasing in radius
+    seq = [got.get(int(round(r * 1e6)), 0) for r in sorted(RIPLEY_RADII)]
+    assert seq == sorted(seq) and seq[-1] > 0

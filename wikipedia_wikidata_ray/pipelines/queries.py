@@ -1189,6 +1189,133 @@ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
 
 
 # ---------------------------------------------------------------------------
+# Q: ripley_pair_counts — Ripley's-K style point-pattern statistic: the
+# CUMULATIVE unordered-pair count within each of several radii
+# r₁ < r₂ < r₃ (the K-function numerator; clustering-vs-dispersion
+# analysis over the geotagged page set). ONE 3×3 grid join at the MAX
+# radius serves every radius: the scatter/verify machinery is
+# q_within_radius_pairs' (each qualifying pair lands in exactly one
+# (scattered-left, exact-right) cell — no dedup shuffle), and the
+# per-batch verify buckets dist² against all radii at once, emitting
+# (radius_e6, n_pairs) COUNT PARTIALS — the pair set itself never
+# shuffles and the merge moves ≤ |radii| rows per block. Distance
+# comparisons are the same IEEE ops on both sides (dist² as
+# subtract/multiply/add, threshold r·r) so the bucket edges are bitwise
+# consistent with the SQL oracle. Scale: identical movement to the
+# single-radius join at r_max (32 B/point ×9 one side, 32 B/point the
+# other), quadratic-cell caveat shared with within_radius_pairs.
+
+RIPLEY_RADII = (0.05, 0.1, 0.2)
+
+
+def q_ripley_pair_counts(sf_dir: str) -> Dataset:
+    pts = _geotagged(sf_dir)
+    rmax = max(RIPLEY_RADII)
+    r2s = [(int(round(r * 1e6)), r * r) for r in RIPLEY_RADII]
+
+    def scatter_left(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        clat = np.floor(lat / rmax).astype(np.int64)
+        clon = np.floor(lon / rmax).astype(np.int64)
+        n = len(did)
+        d = np.array([-1, 0, 1], dtype=np.int64)
+        rep = np.repeat(np.arange(n), 9)
+        dy = np.tile(np.repeat(d, 3), n)
+        dx = np.tile(np.tile(d, 3), n)
+        cell = (clat[rep] + dy + 9000) * 100000 + (clon[rep] + dx + 18000)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "doc_a": pa.array(did[rep]),
+                "lat_a": pa.array(lat[rep]),
+                "lon_a": pa.array(lon[rep]),
+            }
+        )
+
+    def right_side(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        clat = np.floor(lat / rmax).astype(np.int64)
+        clon = np.floor(lon / rmax).astype(np.int64)
+        return pa.table(
+            {
+                "cell_r": pa.array((clat + 9000) * 100000 + (clon + 18000)),
+                "doc_b": pa.array(did),
+                "lat_b": pa.array(lat),
+                "lon_b": pa.array(lon),
+            }
+        )
+
+    from ..stages.salted import default_partitions, merge_group_sums
+
+    joined = pts.map_batches(scatter_left, batch_format="pyarrow").join(
+        pts.map_batches(right_side, batch_format="pyarrow"),
+        "inner",
+        num_partitions=default_partitions(),
+        on=("cell",),
+        right_on=("cell_r",),
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        dlat = t.column("lat_a").to_numpy(zero_copy_only=False) - t.column(
+            "lat_b"
+        ).to_numpy(zero_copy_only=False)
+        dlon = t.column("lon_a").to_numpy(zero_copy_only=False) - t.column(
+            "lon_b"
+        ).to_numpy(zero_copy_only=False)
+        dist2 = dlat * dlat + dlon * dlon
+        lt = a < b
+        keys, counts = [], []
+        for r_e6, r2 in r2s:
+            c = int(np.count_nonzero(lt & (dist2 <= r2)))
+            if c:
+                keys.append(r_e6)
+                counts.append(c)
+        return pa.table(
+            {
+                "radius_e6": pa.array(np.asarray(keys, dtype=np.int64)),
+                "n_pairs": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+
+    return merge_group_sums(
+        joined.map_batches(bucket, batch_format="pyarrow"),
+        ["radius_e6"],
+        ["n_pairs"],
+    )
+
+
+def _sql_ripley() -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT {int(round(r * 1e6))} AS radius_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs WHERE dist2 <= {r!r} * {r!r}"""
+        for r in RIPLEY_RADII
+    )
+    return f"""
+WITH {SQL_GEO_CTE},
+pairs AS (
+  SELECT (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+  FROM geo a JOIN geo b ON b.doc_id > a.doc_id
+)
+SELECT * FROM (
+{arms}
+) WHERE n_pairs > 0
+"""
+
+
+SQL_RIPLEY_PAIR_COUNTS = _sql_ripley()
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_grid_clusters / grid_cluster_stats — spatial clustering on the
 # tile raster: occupied z12 tiles that touch (8-connected Moore
 # adjacency) belong to one cluster, labeled by the minimum packed tile
@@ -2939,6 +3066,7 @@ QUERIES = {
     "tile_heat_smooth": q_tile_heat_smooth,
     "tile_pyramid": q_tile_pyramid,
     "within_radius_pairs": q_within_radius_pairs,
+    "ripley_pair_counts": q_ripley_pair_counts,
     "tile_grid_clusters": q_tile_grid_clusters,
     "grid_cluster_stats": q_grid_cluster_stats,
     "cluster_perimeters": q_cluster_perimeters,
@@ -2995,6 +3123,7 @@ ORACLES = {
     "tile_heat_smooth": SQL_TILE_HEAT_SMOOTH,
     "tile_pyramid": SQL_TILE_PYRAMID,
     "within_radius_pairs": SQL_WITHIN_RADIUS_PAIRS,
+    "ripley_pair_counts": SQL_RIPLEY_PAIR_COUNTS,
     "tile_grid_clusters": SQL_TILE_GRID_CLUSTERS,
     "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
     "cluster_perimeters": SQL_CLUSTER_PERIMETERS,
@@ -3034,7 +3163,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
