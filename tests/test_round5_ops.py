@@ -673,3 +673,39 @@ def test_ripley_pair_counts_matches_bruteforce(ray_session):
     # cumulative: counts must be non-decreasing in radius
     seq = [got.get(int(round(r * 1e6)), 0) for r in sorted(RIPLEY_RADII)]
     assert seq == sorted(seq) and seq[-1] > 0
+
+
+def test_covisit_tile_pairs_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_covisit_tile_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_covisit_tile_pairs(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "user_id"])
+    eid = ev["event_id"].to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 6)
+    visited: dict[int, set] = {}
+    for u, x, y in zip(
+        ev["user_id"].to_numpy().tolist(), tx.tolist(), ty.tolist()
+    ):
+        visited.setdefault(u, set()).add((int(x), int(y)))
+    cnt: collections.Counter = collections.Counter()
+    for tiles in visited.values():
+        ordered = sorted(tiles, key=lambda t: t[0] * 8192 + t[1] + 1)
+        for i in range(len(ordered)):
+            for j in range(i + 1, len(ordered)):
+                cnt[(ordered[i], ordered[j])] += 1
+    want = {k: v for k, v in cnt.items() if v >= 2}
+    got = {
+        ((r.a_x, r.a_y), (r.b_x, r.b_y)): r.n_users for r in out.itertuples()
+    }
+    assert got == want
+    assert len(want) > 0  # the z6 choice must make the test non-trivial

@@ -830,3 +830,150 @@ FROM pu GROUP BY 1, 2
 
 TEMPORAL_MEDIA_QUERIES["tile_retention"] = q_tile_retention
 TEMPORAL_MEDIA_ORACLES["tile_retention"] = SQL_TILE_RETENTION
+
+
+# ---------------------------------------------------------------------------
+# Q: covisit_tile_pairs — tile co-visitation: for every unordered pair of
+# z6 tiles (coarse enough that users genuinely share tiles), how many users visited BOTH (the place-correlation /
+# recommendation signal of mobility analytics). Plan: (user, tile)
+# dedups through the tile_user_reach two-pass idiom (in-batch collapse →
+# one combiner-merged min-merge), then ONE sorted_group_apply over
+# user_id emits each user's within-run pair fan-out fully vectorized
+# (repeat/cumsum index arithmetic — no per-user Python), pre-counted
+# in-block, and a final combiner-merged sum keyed by the packed
+# (lo, hi) tile pair. Output keeps pairs with n_users ≥ 2 (the
+# correlation threshold that bounds output size). Scale: movement before
+# the fan-out is (user × distinct-tile)-bounded; the fan-out itself is
+# quadratic in a user's DISTINCT TILE COUNT — per-user, not global, and
+# a production deployment would cap each user at their top-M tiles
+# (grouped_topk on visit counts — named, not gated: the fixture's
+# per-user tile sets are small and output IS the pair-count set).
+
+
+def q_covisit_tile_pairs(sf_dir: str, min_users: int = 2) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import merge_group_aggs, merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 6)
+        node = tx.astype(np.int64) * 8192 + ty.astype(np.int64) + 1
+        p = pa.table(
+            {
+                "user_id": t["user_id"],
+                "node": pa.array(node),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["user_id", "node"]).aggregate([("one", "min")])
+        return g.rename_columns(["user_id", "node", "one"])
+
+    visited = merge_group_aggs(
+        events.map_batches(pairs, batch_format="pyarrow"),
+        ["user_id", "node"],
+        [("one", "min")],
+    )
+
+    def fanout(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pair": pa.array([], type=pa.int64()),
+                "n_users": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        n = len(u)
+        starts = run_starts([u])
+        run_start_idx = np.maximum.accumulate(
+            np.where(starts, np.arange(n), 0)
+        )
+        local = np.arange(n) - run_start_idx  # 0-based rank within the run
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(n), local)
+        offsets = np.concatenate(([0], np.cumsum(local)))[:-1]
+        a_idx = (
+            np.arange(total)
+            - np.repeat(offsets, local)
+            + np.repeat(run_start_idx, local)
+        )
+        na, nb = node[a_idx], node[b_idx]
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        # pack (lo, hi): lo, hi < 8192*8192+1 < 2^26 — pair fits int64
+        packed = lo * (1 << 27) + hi
+        p = pa.table(
+            {
+                "pair": pa.array(packed),
+                "n_users": pa.array(np.ones(total, dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["pair"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["pair", "n_users"])
+
+    counts = merge_group_sums(
+        sorted_group_apply(visited, ["user_id"], fanout),
+        ["pair"],
+        ["n_users"],
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["n_users"], min_users))
+        packed = t.column("pair").to_numpy(zero_copy_only=False)
+        lo = packed >> 27
+        hi = packed & ((1 << 27) - 1)
+        return pa.table(
+            {
+                "a_x": pa.array((lo // 8192).astype(np.int64)),
+                "a_y": pa.array((lo % 8192 - 1).astype(np.int64)),
+                "b_x": pa.array((hi // 8192).astype(np.int64)),
+                "b_y": pa.array((hi % 8192 - 1).astype(np.int64)),
+                "n_users": t["n_users"],
+            }
+        )
+
+    return counts.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_COVISIT_TILE_PAIRS = """
+WITH ev AS (
+  SELECT user_id,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+tiled AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 64) AS BIGINT) AS tile_y
+  FROM ev
+),
+pk AS (
+  SELECT user_id, tile_x, tile_y, tile_x * 8192 + tile_y + 1 AS node
+  FROM tiled
+)
+SELECT a.tile_x AS a_x, a.tile_y AS a_y, b.tile_x AS b_x, b.tile_y AS b_y,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pk a JOIN pk b ON a.user_id = b.user_id AND a.node < b.node
+GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["covisit_tile_pairs"] = q_covisit_tile_pairs
+TEMPORAL_MEDIA_ORACLES["covisit_tile_pairs"] = SQL_COVISIT_TILE_PAIRS
