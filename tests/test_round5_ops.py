@@ -709,3 +709,81 @@ def test_covisit_tile_pairs_matches_bruteforce(ray_session):
     }
     assert got == want
     assert len(want) > 0  # the z6 choice must make the test non-trivial
+
+
+def test_perplexity_buckets_matches_bruteforce(ray_session):
+    import collections
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.ops.textstats import TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        PPL_HEAD_E10,
+        PPL_TAIL_E10,
+        q_perplexity_buckets,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_perplexity_buckets(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(TOKEN_PATTERN)
+    per_doc = {
+        i: collections.Counter(tok.findall(txt.lower()))
+        for i, txt in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+        )
+    }
+    cf: collections.Counter = collections.Counter()
+    for c in per_doc.values():
+        cf.update(c)
+    total = float(sum(cf.values()))
+    want = {}
+    for i, c in per_doc.items():
+        if not c:
+            continue
+        nll = sum(
+            int(round(math.log(total / cf[t]) * float(n) * 1e10))
+            for t, n in c.items()
+        )
+        n_tokens = sum(c.values())
+        mean = nll // n_tokens
+        bucket = (
+            "head" if mean < PPL_HEAD_E10
+            else ("middle" if mean < PPL_TAIL_E10 else "tail")
+        )
+        want[i] = (n_tokens, nll, mean, bucket)
+    got = {
+        r.doc_id: (r.n_tokens, r.nll_e10, r.mean_nll_e10, r.bucket)
+        for r in out.itertuples()
+    }
+    assert got == want
+    buckets = {b for (_, _, _, b) in want.values()}
+    assert buckets == {"head", "middle", "tail"}  # thresholds split fixture
+
+
+def test_perplexity_cf_attach_plans_agree(ray_session):
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.webtext import perplexity_buckets
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        perplexity_buckets(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        perplexity_buckets(docs, cf_broadcast_limit=0)  # force join plan
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

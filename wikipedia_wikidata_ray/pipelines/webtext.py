@@ -497,42 +497,45 @@ def _tf_batch(t: pa.Table) -> pa.Table:
 TFIDF_DF_BROADCAST_LIMIT = 20_000_000
 
 
-def attach_df(tf: Dataset, df_broadcast_limit: int | None = None) -> Dataset:
-    """Append each token's document frequency as an int64 ``df`` column to
-    a term-frequency Dataset (any schema carrying a ``token`` column).
-    Inner semantics (df is derived FROM tf, so every row matches).
+def attach_token_stat(
+    tf: Dataset,
+    stat_ds: Dataset,
+    stat_col: str,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """Append a per-token int64 statistic (``stat_ds``: one row per token
+    with column ``stat_col``) to any Dataset carrying a ``token`` column.
+    Inner semantics — callers derive the stat FROM the tf side, so every
+    row matches. Two physical plans, gated on vocabulary size: ≤ limit →
+    broadcast Arrow string vocab + one ``pc.index_in`` probe per batch
+    (no per-row Python, no object-dtype searchsorted); above →
+    token-keyed distributed hash join, both sides shuffle once."""
+    from ..stages.salted import default_partitions
 
-    Two physical plans, gated on vocabulary size (shared by TF-IDF and
-    BM25): ≤ limit → broadcast Arrow string vocab + one ``pc.index_in``
-    probe per batch (no per-row Python, no object-dtype searchsorted);
-    above → token-keyed distributed hash join, both sides shuffle once."""
-    from ..stages.salted import default_partitions, partial_count
+    vocab_rows = stat_ds.count()
+    if broadcast_limit is None:
+        broadcast_limit = TFIDF_DF_BROADCAST_LIMIT
 
-    df_ds = partial_count(tf, ["token"], out="df").materialize()
-    vocab_rows = df_ds.count()
-    if df_broadcast_limit is None:
-        df_broadcast_limit = TFIDF_DF_BROADCAST_LIMIT
-
-    if vocab_rows <= df_broadcast_limit:
-        # broadcast plan: Arrow string array + aligned df vector, assembled
-        # from zero-copy plasma block views
+    if vocab_rows <= broadcast_limit:
+        # broadcast plan: Arrow string array + aligned stat vector,
+        # assembled from zero-copy plasma block views
         tbl = pa.concat_tables(
-            [ray.get(r) for r in df_ds.to_arrow_refs()]
+            [ray.get(r) for r in stat_ds.to_arrow_refs()]
         ).combine_chunks()
         tok_values = pc.cast(tbl.column("token"), pa.string()).combine_chunks()
-        df_arr = tbl.column("df").to_numpy().astype(np.int64)
-        ref = ray.put((tok_values, df_arr))
+        stat_arr = tbl.column(stat_col).to_numpy().astype(np.int64)
+        ref = ray.put((tok_values, stat_arr))
 
         def attach(t: pa.Table) -> pa.Table:
-            toks_v, dfs = ray.get(ref)
+            toks_v, stats = ray.get(ref)
             idx = pc.index_in(
                 pc.cast(t.column("token"), pa.string()), value_set=toks_v
             ).to_numpy(zero_copy_only=False).astype(np.int64)
-            return t.append_column("df", pa.array(dfs[idx]))
+            return t.append_column(stat_col, pa.array(stats[idx]))
 
         return tf.map_batches(attach, batch_format="pyarrow")
 
-    # join plan: tf ⋈ df on token — both sides shuffle once; nothing is
+    # join plan: tf ⋈ stat on token — both sides shuffle once; nothing is
     # broadcast. Key dtypes normalized to pa.string() (house rule).
     def tf_keyed(t: pa.Table) -> pa.Table:
         return t.set_column(
@@ -540,29 +543,40 @@ def attach_df(tf: Dataset, df_broadcast_limit: int | None = None) -> Dataset:
             pc.cast(t.column("token"), pa.string()),
         )
 
-    def df_keyed(t: pa.Table) -> pa.Table:
+    def stat_keyed(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "df_token": pc.cast(t.column("token"), pa.string()),
-                "df": t.column("df"),
+                "_stat_token": pc.cast(t.column("token"), pa.string()),
+                stat_col: t.column(stat_col),
             }
         )
 
     joined = tf.map_batches(tf_keyed, batch_format="pyarrow").join(
-        df_ds.map_batches(df_keyed, batch_format="pyarrow"),
+        stat_ds.map_batches(stat_keyed, batch_format="pyarrow"),
         "inner",
         num_partitions=default_partitions(),
         on=("token",),
-        right_on=("df_token",),
+        right_on=("_stat_token",),
     )
 
     def shape(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["df_token"]) if "df_token" in t.column_names else t
+        if "_stat_token" in t.column_names:
+            t = t.drop_columns(["_stat_token"])
         return t.set_column(
-            t.column_names.index("df"), "df", pc.cast(t.column("df"), pa.int64())
+            t.column_names.index(stat_col), stat_col,
+            pc.cast(t.column(stat_col), pa.int64()),
         )
 
     return joined.map_batches(shape, batch_format="pyarrow")
+
+
+def attach_df(tf: Dataset, df_broadcast_limit: int | None = None) -> Dataset:
+    """Append each token's document frequency as an int64 ``df`` column
+    (shared by TF-IDF and BM25) — the df instance of attach_token_stat."""
+    from ..stages.salted import partial_count
+
+    df_ds = partial_count(tf, ["token"], out="df").materialize()
+    return attach_token_stat(tf, df_ds, "df", df_broadcast_limit)
 
 
 def tfidf_top_terms(docs: Dataset, n_docs: int, k: int = TFIDF_K,
@@ -1251,3 +1265,121 @@ FROM e
 
 WEBTEXT_QUERIES["pii_scrub"] = q_pii_scrub
 WEBTEXT_ORACLES["pii_scrub"] = SQL_PII_SCRUB
+
+
+# ---------------------------------------------------------------------------
+# Q: perplexity_buckets — CCNet-style language-model quality scoring
+# (Wenzek et al. 2020: bucket documents into head/middle/tail by LM
+# perplexity before training). The LM here is the corpus's own unigram
+# model — a production deployment broadcasts an EXTERNAL pretrained
+# logprob table through the same attach_token_stat plan (the table is
+# vocabulary-sized BY DEFINITION; the token-keyed hash join is the named
+# >limit fallback). Per-token negative log-prob is moved to exact
+# integer space per the house e10 policy (ln/×/round are the identical
+# IEEE op sequence on both sides; integer sums are order-free at any
+# parallelism), and the per-doc mean is int64 floor division. Plan: ONE
+# tokenization pass → cf partial-sums (vocab-sized, never re-shuffled)
+# → gated cf attach → per-doc integer partials through one combiner
+# merge. Movement: (doc × distinct-token) tf rows once; text never
+# moves after tokenization.
+
+# Bucket thresholds are CONFIG CONSTANTS (CCNet picks them as corpus
+# percentiles offline); these split the synthetic fixture ≈ 35/40/25 at
+# both test scales so every branch is exercised.
+PPL_HEAD_E10 = 34_000_000_000  # mean nll < 3.40 nats → "head"
+PPL_TAIL_E10 = 34_050_000_000  # mean nll ≥ 3.405 nats → "tail"
+
+
+def perplexity_buckets(docs: Dataset, cf_broadcast_limit: int | None = None) -> Dataset:
+    from ..stages.salted import merge_group_sums, partial_sum
+
+    tf = docs.map_batches(_tf_batch, batch_format="pyarrow").materialize()
+    cf_ds = partial_sum(tf, ["token"], "tf", out="cf").materialize()
+    total_tokens = float(cf_ds.sum("cf"))  # ONE bounded scalar pull (E4)
+
+    withcf = attach_token_stat(tf, cf_ds, "cf", cf_broadcast_limit)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_v = t.column("tf").to_numpy().astype(np.float64)
+        cf_v = t.column("cf").to_numpy().astype(np.float64)
+        # op sequence mirrored EXACTLY in SQL: LN(T/cf) * tf * 1e10, round
+        s = np.round(
+            np.log(total_tokens / cf_v) * tf_v * 10000000000.0
+        ).astype(np.int64)
+        part = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pc.cast(t.column("tf"), pa.int64()),
+                "nll_e10": pa.array(s),
+            }
+        )
+        g = part.group_by(["doc_id"]).aggregate(
+            [("n_tokens", "sum"), ("nll_e10", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_tokens", "nll_e10"])
+
+    agg = merge_group_sums(
+        withcf.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        ["n_tokens", "nll_e10"],
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        nll = t.column("nll_e10").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        mean = nll // n  # non-negative int64: floor == trunc == SQL //
+        lab = np.where(
+            mean < PPL_HEAD_E10,
+            "head",
+            np.where(mean < PPL_TAIL_E10, "middle", "tail"),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "nll_e10": t.column("nll_e10"),
+                "mean_nll_e10": pa.array(mean),
+                "bucket": pa.array(lab),
+            }
+        )
+
+    return agg.map_batches(bucket, batch_format="pyarrow")
+
+
+def q_perplexity_buckets(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return perplexity_buckets(docs)
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+cf AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+tt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM tf),
+scored AS (
+  SELECT t.doc_id, CAST(t.tf AS BIGINT) AS tf_i,
+         CAST(ROUND(
+           LN((SELECT t FROM tt) / CAST(c.cf AS DOUBLE))
+           * CAST(t.tf AS DOUBLE) * 10000000000.0, 0) AS BIGINT) AS s
+  FROM tf t JOIN cf c USING (token)
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(tf_i) AS BIGINT) AS n_tokens,
+         CAST(SUM(s) AS BIGINT) AS nll_e10
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_tokens, nll_e10,
+       CAST(nll_e10 // n_tokens AS BIGINT) AS mean_nll_e10,
+       CASE WHEN nll_e10 // n_tokens < {PPL_HEAD_E10} THEN 'head'
+            WHEN nll_e10 // n_tokens < {PPL_TAIL_E10} THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM agg
+"""
+
+WEBTEXT_QUERIES["perplexity_buckets"] = q_perplexity_buckets
+WEBTEXT_ORACLES["perplexity_buckets"] = SQL_PERPLEXITY_BUCKETS
