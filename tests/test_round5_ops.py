@@ -787,3 +787,53 @@ def test_perplexity_cf_attach_plans_agree(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def _triangles_bruteforce(n: int) -> dict[int, int]:
+    edges = set()
+    for i in range(n):
+        for t in ((i * 3 + 1) % n, (i * 5 + 2) % n, i % 2):
+            if t != i:
+                edges.add((min(i, t), max(i, t)))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c counts each triangle once
+                for v in (a, b, c):
+                    counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import q_triangle_counts
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    out = q_triangle_counts(sf).to_pandas()
+    want = _triangles_bruteforce(n)
+    got = dict(zip(out.doc_id.tolist(), out.n_triangles.tolist()))
+    assert got == want
+    assert sum(want.values()) % 3 == 0 and sum(want.values()) > 0
+
+
+def test_triangle_deg_attach_plans_agree(ray_session):
+    import pandas as pd
+
+    from wikipedia_wikidata_ray.pipelines.queries import q_triangle_counts
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_triangle_counts(sf)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        q_triangle_counts(sf, deg_broadcast_limit=0)  # force join plan
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -836,6 +836,302 @@ SQL_PAGERANK_3ITER = _sql_pagerank_3iter()
 
 
 # ---------------------------------------------------------------------------
+# Q: triangle_counts — exact per-node triangle counts over the closed-form
+# link graph (the clustering-coefficient numerator; third member of the
+# graph-analytics family after E1-degree/PageRank and ops/cc components).
+# DEGREE-ORIENTED wedge counting (the classical O(m^1.5) plan: Chiba-
+# Nishizeki / Suri-Vassilvitskii "Counting triangles and the curse of the
+# last reducer"): orient every undirected edge from its (deg, id)-smaller
+# endpoint to its larger one, emit wedges only at each edge's SOURCE, and
+# close each wedge (u; x, y) with ONE hash join of the degree-ordered
+# pair (x, y) against the oriented edge set — each triangle is counted
+# exactly once, at its (deg, id)-minimum vertex. Why orientation matters:
+# the id%2 edge makes nodes 0/1 receive N/2 edges each; id-orientation
+# would generate C(N/2, 2) ≈ N²/8 wedges AT the hubs, while degree
+# orientation caps out-degree at O(√m) so total wedge volume is
+# O(m^1.5) — the hub wedges simply never exist (hubs are sinks).
+# Degree attach is gated: node degrees are a dense 0..N-1 int64 array
+# (doc-count-bounded) broadcast once below the limit; above, two
+# node-keyed hash joins (plan-equality pytest). Movement: edges ≤ 3N
+# (int64, int64) rows; wedges O(m^1.5) 24-B rows shuffle once into the
+# closing join; per-node counts ride the I7 combiner.
+
+TRI_DEG_BROADCAST_LIMIT = 20_000_000
+
+
+def q_triangle_counts(
+    sf_dir: str, deg_broadcast_limit: int | None = None
+) -> Dataset:
+    import pyarrow.parquet as pq
+
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import (
+        default_partitions,
+        merge_group_aggs,
+        merge_group_sums,
+        partial_count,
+    )
+
+    if deg_broadcast_limit is None:
+        deg_broadcast_limit = TRI_DEG_BROADCAST_LIMIT
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edge_arms(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        tgts = np.concatenate(
+            [(ids * 3 + 1) % n_docs, (ids * 5 + 2) % n_docs, ids % 2]
+        )
+        srcs = np.tile(ids, 3)
+        keep = srcs != tgts  # drop self-loops
+        srcs, tgts = srcs[keep], tgts[keep]
+        lo = np.minimum(srcs, tgts)
+        hi = np.maximum(srcs, tgts)
+        p = pa.table(
+            {
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+                "one": pa.array(np.ones(len(lo), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["lo", "hi"]).aggregate([("one", "min")])
+        return g.rename_columns(["lo", "hi", "one"])
+
+    edges = merge_group_aggs(
+        docs.map_batches(edge_arms, batch_format="pyarrow"),
+        ["lo", "hi"],
+        [("one", "min")],
+    ).materialize()  # edge set consumed 3× (degrees, wedges, closing join)
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("lo").combine_chunks().cast(pa.int64()),
+                        t.column("hi").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg_ds = partial_count(
+        edges.map_batches(both_ends, batch_format="pyarrow"),
+        ["node"],
+        out="deg",
+    ).materialize()
+
+    import ray
+
+    if n_docs <= deg_broadcast_limit:
+        # broadcast plan: degrees as ONE dense int64 array indexed by node
+        # id (the node space is 0..N-1 by construction) — ray.put once,
+        # zero-copy read per task
+        deg_arr = np.zeros(n_docs, dtype=np.int64)
+        tbl = pa.concat_tables([ray.get(r) for r in deg_ds.to_arrow_refs()])
+        deg_arr[tbl.column("node").to_numpy()] = tbl.column("deg").to_numpy()
+        ref = ray.put(deg_arr)
+
+        def attach_deg(t: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "lo": t["lo"],
+                    "hi": t["hi"],
+                    "dlo": pa.array(d[lo]),
+                    "dhi": pa.array(d[hi]),
+                }
+            )
+
+        dedges = edges.map_batches(attach_deg, batch_format="pyarrow")
+    else:
+        # join plan: two node-keyed hash joins (lo then hi); degrees table
+        # shuffles instead of broadcasting
+        nparts = max(2, min(default_partitions(), edges.count() // 100_000 + 1))
+
+        def lo_key(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node_lo": t.column("lo").cast(pa.int64()), "hi": t["hi"]}
+            )
+
+        j1 = edges.map_batches(lo_key, batch_format="pyarrow").join(
+            deg_ds.map_batches(
+                lambda t: pa.table(
+                    {"n1": t.column("node").cast(pa.int64()), "dlo": t["deg"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            num_partitions=nparts,
+            on=("node_lo",),
+            right_on=("n1",),
+        )
+        j2 = j1.map_batches(
+            lambda t: pa.table(
+                {
+                    "lo": t["node_lo"],
+                    "node_hi": t.column("hi").cast(pa.int64()),
+                    "dlo": t["dlo"],
+                }
+            ),
+            batch_format="pyarrow",
+        ).join(
+            deg_ds.map_batches(
+                lambda t: pa.table(
+                    {"n2": t.column("node").cast(pa.int64()), "dhi": t["deg"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            "inner",
+            num_partitions=nparts,
+            on=("node_hi",),
+            right_on=("n2",),
+        )
+        dedges = j2.map_batches(
+            lambda t: pa.table(
+                {
+                    "lo": t["lo"],
+                    "hi": t["node_hi"],
+                    "dlo": t["dlo"],
+                    "dhi": t["dhi"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # orient: src = (deg, id)-smaller endpoint; pack oriented edge key.
+    # node ids < 2^31 (pack stride) — holds to 2G docs, asserted.
+    assert n_docs < (1 << 31)
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        dlo = t.column("dlo").to_numpy(zero_copy_only=False)
+        dhi = t.column("dhi").to_numpy(zero_copy_only=False)
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        ddst = np.where(lo_first, dhi, dlo)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "ddst": pa.array(ddst),
+            }
+        )
+
+    oriented = dedges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(t: pa.Table) -> pa.Table:
+        empty = pa.table({"wkey": pa.array([], type=pa.int64()),
+                          "apex": pa.array([], type=pa.int64())})
+        if len(t) == 0:
+            return empty
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        ddst = t.column("ddst").to_numpy(zero_copy_only=False)
+        n = len(src)
+        starts = run_starts([src])
+        run_start_idx = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        local = np.arange(n) - run_start_idx
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(n), local)
+        offsets = np.concatenate(([0], np.cumsum(local)))[:-1]
+        a_idx = (
+            np.arange(total)
+            - np.repeat(offsets, local)
+            + np.repeat(run_start_idx, local)
+        )
+        xa, ya = dst[a_idx], dst[b_idx]
+        da, db = ddst[a_idx], ddst[b_idx]
+        # degree-order the wedge pair so it matches the oriented edge key
+        a_first = (da < db) | ((da == db) & (xa < ya))
+        first = np.where(a_first, xa, ya)
+        second = np.where(a_first, ya, xa)
+        return pa.table(
+            {
+                "wkey": pa.array(first * (1 << 31) + second),
+                "apex": pa.array(src[b_idx]),
+            }
+        )
+
+    wedge_ds = sorted_group_apply(oriented, ["src"], wedges)
+
+    ekeys = oriented.map_batches(
+        lambda t: pa.table(
+            {
+                "ekey": pa.array(
+                    t.column("src").to_numpy(zero_copy_only=False) * (1 << 31)
+                    + t.column("dst").to_numpy(zero_copy_only=False)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    nparts = max(2, min(default_partitions(), edges.count() // 100_000 + 1))
+    closed = wedge_ds.join(
+        ekeys, "inner", num_partitions=nparts, on=("wkey",), right_on=("ekey",)
+    )
+
+    def scatter_nodes(t: pa.Table) -> pa.Table:
+        wkey = t.column("wkey").to_numpy(zero_copy_only=False)
+        apex = t.column("apex").to_numpy(zero_copy_only=False)
+        x = wkey >> 31
+        y = wkey & ((1 << 31) - 1)
+        nodes = np.concatenate([apex, x, y])
+        p = pa.table(
+            {
+                "doc_id": pa.array(nodes),
+                "n_triangles": pa.array(np.ones(len(nodes), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["doc_id"]).aggregate([("n_triangles", "sum")])
+        return g.rename_columns(["doc_id", "n_triangles"])
+
+    return merge_group_sums(
+        closed.map_batches(scatter_nodes, batch_format="pyarrow"),
+        ["doc_id"],
+        ["n_triangles"],
+    )
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_hotspots — hotspot detection: the global top-K tiles by 3×3
 # Moore-neighborhood page count (the ranked consumption of the stencil
 # raster — "where are the densest regions"). Deterministic tie-break
@@ -3060,6 +3356,7 @@ QUERIES = {
     "tile_quality_stats": q_tile_quality_stats,
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
+    "triangle_counts": q_triangle_counts,
     "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
@@ -3117,6 +3414,7 @@ ORACLES = {
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
+    "triangle_counts": SQL_TRIANGLE_COUNTS,
     "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
@@ -3163,7 +3461,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
