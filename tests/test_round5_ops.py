@@ -837,3 +837,47 @@ def test_triangle_deg_attach_plans_agree(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_event_funnel_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import q_event_funnel
+
+    sf = "/root/testdata/sf0.001"
+    out = q_event_funnel(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).to_pandas()
+    ev = ev[ev.event_type.isin(["view", "click", "purchase"])]
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    n_a = n_b = n_c = 0
+    for _, g in ev.groupby("user_id"):
+        types = g.event_type.tolist()
+        pa_ = next((i for i, t in enumerate(types) if t == "view"), None)
+        if pa_ is None:
+            continue
+        n_a += 1
+        pb = next(
+            (i for i in range(pa_ + 1, len(types)) if types[i] == "click"),
+            None,
+        )
+        if pb is None:
+            continue
+        n_b += 1
+        if any(t == "purchase" for t in types[pb + 1:]):
+            n_c += 1
+    want = {
+        k: v
+        for k, v in {
+            "view": n_a, "view_click": n_b, "view_click_purchase": n_c,
+        }.items()
+        if v
+    }
+    got = dict(zip(out.stage.tolist(), out.n_users.tolist()))
+    assert got == want
+    assert want.get("view", 0) >= want.get("view_click", 0) >= want.get(
+        "view_click_purchase", 0
+    )
+    assert want.get("view_click_purchase", 0) > 0  # full funnel exercised

@@ -977,3 +977,139 @@ GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2
 
 TEMPORAL_MEDIA_QUERIES["covisit_tile_pairs"] = q_covisit_tile_pairs
 TEMPORAL_MEDIA_ORACLES["covisit_tile_pairs"] = SQL_COVISIT_TILE_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Q: event_funnel — ordered-sequence funnel analysis (view → click →
+# purchase): how many users reach each stage IN ORDER (the conversion
+# drop-off table of product analytics; J18 family — one more consumer of
+# the sorted-run idiom). Per user the stage anchors are sequential
+# first-match scans, but the whole block vectorizes: one lexsort by
+# (user, ts, event_id) — the deterministic tie policy BOTH sides share
+# (round-5 rule) — then three segmented `np.minimum.reduceat` passes
+# (first view; first click after it; first purchase after that) over run
+# offsets. Only (stage, n_users) count partials leave the block — output
+# is 3 rows regardless of scale; movement is the one range sort of
+# (user, type, ts, id) rows.
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_event_funnel(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        code = pc.index_in(
+            t["event_type"], value_set=pa.array(list(FUNNEL_STAGES))
+        )
+        keep = pc.is_valid(code)
+        return pa.table(
+            {
+                "user_id": pc.filter(t["user_id"], keep),
+                "ts_us": pc.filter(t["ts"].cast(pa.int64()), keep),
+                "event_id": pc.filter(t["event_id"], keep),
+                "stage": pc.filter(code.cast(pa.int8()), keep),
+            }
+        )
+
+    def funnel_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "stage": pa.array([], type=pa.string()),
+                "n_users": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        st = t.column("stage").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, st = u[order], st[order]
+        n = len(u)
+        starts = run_starts([u])
+        offs = np.flatnonzero(starts)
+        run_id = np.cumsum(starts) - 1
+        r = np.arange(n, dtype=np.int64)
+        BIG = np.int64(n + 1)
+        first_a = np.minimum.reduceat(np.where(st == 0, r, BIG), offs)
+        gate = first_a[run_id]
+        first_b = np.minimum.reduceat(
+            np.where((st == 1) & (r > gate), r, BIG), offs
+        )
+        gate = first_b[run_id]
+        first_c = np.minimum.reduceat(
+            np.where((st == 2) & (r > gate), r, BIG), offs
+        )
+        counts = [
+            int((first_a < BIG).sum()),
+            int((first_b < BIG).sum()),
+            int((first_c < BIG).sum()),
+        ]
+        names = ["view", "view_click", "view_click_purchase"]
+        keep = [i for i, c in enumerate(counts) if c]
+        return pa.table(
+            {
+                "stage": pa.array([names[i] for i in keep]),
+                "n_users": pa.array(
+                    np.asarray([counts[i] for i in keep], dtype=np.int64)
+                ),
+            }
+        )
+
+    partials = sorted_group_apply(
+        events.map_batches(slim, batch_format="pyarrow"),
+        ["user_id"],
+        funnel_block,
+    )
+    return merge_group_sums(partials, ["stage"], ["n_users"])
+
+
+SQL_EVENT_FUNNEL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pos
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+fa AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN pos END) AS pa
+  FROM seq GROUP BY 1
+),
+fb AS (
+  SELECT s.user_id, MIN(s.pos) AS pb
+  FROM seq s JOIN fa USING (user_id)
+  WHERE s.event_type = 'click' AND fa.pa IS NOT NULL AND s.pos > fa.pa
+  GROUP BY 1
+),
+fc AS (
+  SELECT s.user_id, MIN(s.pos) AS pc2
+  FROM seq s JOIN fb USING (user_id)
+  WHERE s.event_type = 'purchase' AND s.pos > fb.pb
+  GROUP BY 1
+)
+SELECT stage, n_users FROM (
+  SELECT 'view' AS stage,
+         CAST((SELECT COUNT(*) FROM fa WHERE pa IS NOT NULL) AS BIGINT)
+           AS n_users
+  UNION ALL
+  SELECT 'view_click', CAST((SELECT COUNT(*) FROM fb) AS BIGINT)
+  UNION ALL
+  SELECT 'view_click_purchase', CAST((SELECT COUNT(*) FROM fc) AS BIGINT)
+) WHERE n_users > 0
+"""
+
+TEMPORAL_MEDIA_QUERIES["event_funnel"] = q_event_funnel
+TEMPORAL_MEDIA_ORACLES["event_funnel"] = SQL_EVENT_FUNNEL
