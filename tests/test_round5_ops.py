@@ -881,3 +881,46 @@ def test_event_funnel_matches_bruteforce(ray_session):
         "view_click_purchase", 0
     )
     assert want.get("view_click_purchase", 0) > 0  # full funnel exercised
+
+
+def test_idw_grid_matches_bruteforce(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        IDW_CUTOFF,
+        IDW_EPS,
+        q_idw_grid,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_idw_grid(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "value"])
+    eid = ev["event_id"].to_numpy()
+    val = ev["value"].to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    cy = np.floor(lat).astype(np.int64)
+    cx = np.floor(lon).astype(np.int64)
+    cells = sorted(set(zip(cy.tolist(), cx.tolist())))
+    want: dict = {}
+    for y, x in cells:
+        dlat = lat - (y + 0.5)
+        dlon = lon - (x + 0.5)
+        near = (np.abs(cy - y) <= 1) & (np.abs(cx - x) <= 1)
+        d = np.sqrt(dlat * dlat + dlon * dlon)
+        keep = near & (d <= IDW_CUTOFF)
+        if not keep.any():
+            continue
+        w = 1.0 / (IDW_EPS + d[keep])
+        w_e10 = np.round(w * 1e10).astype(np.int64)
+        wv_e10 = np.round(w * val[keep] * 1e10).astype(np.int64)
+        want[(y, x)] = (int(keep.sum()), int(w_e10.sum()), int(wv_e10.sum()))
+    got = {
+        (r.cy, r.cx): (r.n_pts, r.w_e10, r.wv_e10) for r in out.itertuples()
+    }
+    assert got == want
+    # every occupied cell center must attract at least its own events
+    assert len(want) == len(cells)

@@ -1113,3 +1113,176 @@ SELECT stage, n_users FROM (
 
 TEMPORAL_MEDIA_QUERIES["event_funnel"] = q_event_funnel
 TEMPORAL_MEDIA_ORACLES["event_funnel"] = SQL_EVENT_FUNNEL
+
+
+# ---------------------------------------------------------------------------
+# Q: idw_grid — inverse-distance-weighted spatial interpolation of the
+# event `value` field at the centers of occupied 1°×1° cells (the
+# kriging-lite surface-estimation op of spatial analytics). Same
+# one-join shape as within_radius_pairs: occupied-cell CENTERS scatter
+# to their 3×3 neighborhood, events stay exact, one hash join on the
+# packed cell key, per-batch vectorized distance/weight math. Weights
+# w = 1/(ε+d) (ε = 1e-3 dodges the d→0 singularity), cutoff d ≤ 1°.
+# Float policy: w and w·value are rounded per-PAIR to e10 int64 and
+# summed as integers (order-free at any parallelism; sqrt/divide are
+# IEEE-correctly-rounded so per-pair values are bitwise equal to
+# DuckDB's). The published result is the exact integer sums
+# (cluster_centroids house norm) — the idw ratio wv/w is a trivial
+# consumer-side epilogue, and publishing the sums keeps every column
+# order-free and overflow-safe at any points-per-cell. Movement:
+# (cell-center ×9 + event) rows into one join; only e10 partials
+# shuffle after it.
+
+IDW_EPS = 0.001
+IDW_CUTOFF = 1.0
+
+
+def q_idw_grid(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.salted import default_partitions, merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def ev_side(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        cy = np.floor(lat).astype(np.int64)
+        cx = np.floor(lon).astype(np.int64)
+        return pa.table(
+            {
+                "ecell": pa.array((cy + 9000) * 100000 + (cx + 18000)),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+                "value": t["value"],
+            }
+        )
+
+    pts = events.map_batches(ev_side, batch_format="pyarrow").materialize()
+
+    def cells(t: pa.Table) -> pa.Table:
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        cy = np.floor(lat).astype(np.int64)
+        cx = np.floor(lon).astype(np.int64)
+        p = pa.table(
+            {
+                "cy": pa.array(cy),
+                "cx": pa.array(cx),
+                "one": pa.array(np.ones(len(cy), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["cy", "cx"]).aggregate([("one", "min")])
+        return g.rename_columns(["cy", "cx", "one"])
+
+    from ..stages.salted import merge_group_aggs
+
+    occupied = merge_group_aggs(
+        pts.map_batches(cells, batch_format="pyarrow"),
+        ["cy", "cx"],
+        [("one", "min")],
+    )
+
+    def scatter_centers(t: pa.Table) -> pa.Table:
+        cy = t.column("cy").to_numpy(zero_copy_only=False)
+        cx = t.column("cx").to_numpy(zero_copy_only=False)
+        n = len(cy)
+        d = np.array([-1, 0, 1], dtype=np.int64)
+        rep = np.repeat(np.arange(n), 9)
+        dy = np.tile(np.repeat(d, 3), n)
+        dx = np.tile(np.tile(d, 3), n)
+        cell = (cy[rep] + dy + 9000) * 100000 + (cx[rep] + dx + 18000)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "cy": pa.array(cy[rep]),
+                "cx": pa.array(cx[rep]),
+            }
+        )
+
+    joined = occupied.map_batches(scatter_centers, batch_format="pyarrow").join(
+        pts,
+        "inner",
+        num_partitions=default_partitions(),
+        on=("cell",),
+        right_on=("ecell",),
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        cy = t.column("cy").to_numpy(zero_copy_only=False)
+        cx = t.column("cx").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        dlat = lat - (cy + 0.5)
+        dlon = lon - (cx + 0.5)
+        dist = np.sqrt(dlat * dlat + dlon * dlon)
+        keep = dist <= IDW_CUTOFF
+        w = 1.0 / (IDW_EPS + dist[keep])
+        w_e10 = np.round(w * 10000000000.0).astype(np.int64)
+        wv_e10 = np.round(w * val[keep] * 10000000000.0).astype(np.int64)
+        p = pa.table(
+            {
+                "cy": pa.array(cy[keep]),
+                "cx": pa.array(cx[keep]),
+                "n_pts": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                "w_e10": pa.array(w_e10),
+                "wv_e10": pa.array(wv_e10),
+            }
+        )
+        g = p.group_by(["cy", "cx"]).aggregate(
+            [("n_pts", "sum"), ("w_e10", "sum"), ("wv_e10", "sum")]
+        )
+        return g.rename_columns(["cy", "cx", "n_pts", "w_e10", "wv_e10"])
+
+    return merge_group_sums(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        ["cy", "cx"],
+        ["n_pts", "w_e10", "wv_e10"],
+    )
+
+
+SQL_IDW_GRID = f"""
+WITH ev AS (
+  SELECT value,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+cells AS (
+  SELECT DISTINCT CAST(FLOOR(lat) AS BIGINT) AS cy,
+                  CAST(FLOOR(lon) AS BIGINT) AS cx
+  FROM ev
+),
+pairs AS (
+  SELECT c.cy, c.cx, e.value,
+         SQRT((e.lat - (c.cy + 0.5)) * (e.lat - (c.cy + 0.5))
+              + (e.lon - (c.cx + 0.5)) * (e.lon - (c.cx + 0.5))) AS d
+  FROM cells c JOIN ev e
+    ON CAST(FLOOR(e.lat) AS BIGINT) BETWEEN c.cy - 1 AND c.cy + 1
+   AND CAST(FLOOR(e.lon) AS BIGINT) BETWEEN c.cx - 1 AND c.cx + 1
+),
+kept AS (
+  SELECT cy, cx,
+         CAST(ROUND((1.0 / ({IDW_EPS!r} + d)) * 10000000000.0, 0) AS BIGINT)
+           AS w_e10,
+         CAST(ROUND((1.0 / ({IDW_EPS!r} + d)) * value * 10000000000.0, 0)
+           AS BIGINT) AS wv_e10
+  FROM pairs WHERE d <= {IDW_CUTOFF!r}
+),
+agg AS (
+  SELECT cy, cx, CAST(COUNT(*) AS BIGINT) AS n_pts,
+         CAST(SUM(w_e10) AS BIGINT) AS w_e10,
+         CAST(SUM(wv_e10) AS BIGINT) AS wv_e10
+  FROM kept GROUP BY 1, 2
+)
+SELECT cy, cx, n_pts, w_e10, wv_e10 FROM agg
+"""
+
+TEMPORAL_MEDIA_QUERIES["idw_grid"] = q_idw_grid
+TEMPORAL_MEDIA_ORACLES["idw_grid"] = SQL_IDW_GRID
