@@ -924,3 +924,42 @@ def test_idw_grid_matches_bruteforce(ray_session):
     assert got == want
     # every occupied cell center must attract at least its own events
     assert len(want) == len(cells)
+
+
+def test_degree_family_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        q_degree_assortativity,
+        q_degree_distribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    edges = set()
+    for i in range(n):
+        for t in ((i * 3 + 1) % n, (i * 5 + 2) % n, i % 2):
+            if t != i:
+                edges.add((min(i, t), max(i, t)))
+    deg: collections.Counter = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    dist = collections.Counter(deg.values())
+    out = q_degree_distribution(sf).to_pandas()
+    assert dict(zip(out.deg.tolist(), out.n_nodes.tolist())) == dict(dist)
+
+    s1 = sum(deg[a] + deg[b] for a, b in edges)
+    s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    s3 = sum(deg[a] * deg[b] for a, b in edges)
+    got = q_degree_assortativity(sf).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.n_edges, r.s1, r.s2, r.s3) == (len(edges), s1, s2, s3)
+    # the sufficient statistics must yield a well-defined Pearson r
+    m = 2 * len(edges)
+    num = m * (2 * s3) - s1 * s1
+    den = m * s2 - s1 * s1
+    assert den != 0 and -1.0 <= num / den <= 1.0

@@ -859,23 +859,17 @@ SQL_PAGERANK_3ITER = _sql_pagerank_3iter()
 TRI_DEG_BROADCAST_LIMIT = 20_000_000
 
 
-def q_triangle_counts(
-    sf_dir: str, deg_broadcast_limit: int | None = None
-) -> Dataset:
+def _link_graph_edges(sf_dir: str) -> tuple[Dataset, int]:
+    """Canonical undirected simple edge set of the closed-form link graph
+    (lo < hi, self-loops dropped, parallel arms deduped): the shared
+    substrate of the graph-analytics family (PageRank / triangles /
+    degree distribution / k-core). Materialized — ≤ 3N int64 pairs,
+    consumed multiple times downstream."""
     import pyarrow.parquet as pq
 
-    from ..ops.runs import run_starts, sorted_group_apply
-    from ..stages.salted import (
-        default_partitions,
-        merge_group_aggs,
-        merge_group_sums,
-        partial_count,
-    )
+    from ..stages.salted import merge_group_aggs
 
-    if deg_broadcast_limit is None:
-        deg_broadcast_limit = TRI_DEG_BROADCAST_LIMIT
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def edge_arms(t: pa.Table) -> pa.Table:
@@ -902,7 +896,14 @@ def q_triangle_counts(
         docs.map_batches(edge_arms, batch_format="pyarrow"),
         ["lo", "hi"],
         [("one", "min")],
-    ).materialize()  # edge set consumed 3× (degrees, wedges, closing join)
+    ).materialize()
+    return edges, n_docs
+
+
+def _edge_degrees(edges: Dataset) -> Dataset:
+    """(node, deg) from a canonical (lo, hi) edge Dataset — both-endpoint
+    scatter through count partials; node-space-sized output."""
+    from ..stages.salted import partial_count
 
     def both_ends(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -916,11 +917,24 @@ def q_triangle_counts(
             }
         )
 
-    deg_ds = partial_count(
+    return partial_count(
         edges.map_batches(both_ends, batch_format="pyarrow"),
         ["node"],
         out="deg",
     ).materialize()
+
+
+def q_triangle_counts(
+    sf_dir: str, deg_broadcast_limit: int | None = None
+) -> Dataset:
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import default_partitions, merge_group_sums
+
+    if deg_broadcast_limit is None:
+        deg_broadcast_limit = TRI_DEG_BROADCAST_LIMIT
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    deg_ds = _edge_degrees(edges)
 
     import ray
 
@@ -1175,6 +1189,123 @@ ranked AS (
 SELECT tile_x, tile_y, n_pages_3x3, CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= {HOTSPOT_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Q: degree_distribution / degree_assortativity — the remaining two
+# members of the graph-analytics family over the shared
+# _link_graph_edges substrate. Distribution: two count-partial passes
+# (node degree → nodes-per-degree); output is distinct-degree-sized.
+# Assortativity: the EXACT integer sufficient statistics of the degree-
+# correlation Pearson r over the symmetrized edge list (n_edges,
+# s1 = Σ(du+dv), s2 = Σ(du²+dv²), s3 = Σ(du·dv)) — degrees are ints, so
+# every sum is exact int64 and order-free (no float policy needed; r is
+# a consumer epilogue). 64-bit exactness holds while Σ deg³ < 2⁶³ —
+# hub-degenerate graphs (hub deg ≳ 10⁷) would need split-limb 128-bit
+# sums, named not implemented. Degree attach shares q_triangle_counts'
+# gated dense-array broadcast (plan-equality covered by the triangle
+# pytest; this op uses the broadcast plan below the same limit).
+
+
+def q_degree_distribution(sf_dir: str) -> Dataset:
+    from ..stages.salted import partial_count
+
+    edges, _ = _link_graph_edges(sf_dir)
+    deg_ds = _edge_degrees(edges)
+    return partial_count(
+        deg_ds.select_columns(["deg"]), ["deg"], out="n_nodes"
+    )
+
+
+SQL_DEGREE_DISTRIBUTION = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY 1
+)
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+"""
+
+
+def q_degree_assortativity(
+    sf_dir: str, deg_broadcast_limit: int | None = None
+) -> Dataset:
+    import ray
+
+    from ..stages.salted import merge_group_sums
+
+    if deg_broadcast_limit is None:
+        deg_broadcast_limit = TRI_DEG_BROADCAST_LIMIT
+    edges, n_docs = _link_graph_edges(sf_dir)
+    deg_ds = _edge_degrees(edges)
+    assert n_docs <= deg_broadcast_limit  # dense-array broadcast plan
+    deg_arr = np.zeros(n_docs, dtype=np.int64)
+    tbl = pa.concat_tables([ray.get(r) for r in deg_ds.to_arrow_refs()])
+    deg_arr[tbl.column("node").to_numpy()] = tbl.column("deg").to_numpy()
+    ref = ray.put(deg_arr)
+
+    def stats(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        du = d[t.column("lo").to_numpy(zero_copy_only=False)]
+        dv = d[t.column("hi").to_numpy(zero_copy_only=False)]
+        part = pa.table(
+            {
+                "_g": pa.array(np.zeros(1, dtype=np.int32)),
+                "n_edges": pa.array([np.int64(len(du))]),
+                "s1": pa.array([np.add.reduce(du + dv)]),
+                "s2": pa.array([np.add.reduce(du * du + dv * dv)]),
+                "s3": pa.array([np.add.reduce(du * dv)]),
+            }
+        )
+        return part
+
+    merged = merge_group_sums(
+        edges.map_batches(stats, batch_format="pyarrow"),
+        ["_g"],
+        ["n_edges", "s1", "s2", "s3"],
+    )
+    return merged.map_batches(
+        lambda t: t.drop_columns(["_g"]), batch_format="pyarrow"
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(da.deg + db.deg) AS BIGINT) AS s1,
+       CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS s2,
+       CAST(SUM(da.deg * db.deg) AS BIGINT) AS s3
+FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b
+"""
+
 
 
 # ---------------------------------------------------------------------------
@@ -3357,6 +3488,8 @@ QUERIES = {
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
     "triangle_counts": q_triangle_counts,
+    "degree_distribution": q_degree_distribution,
+    "degree_assortativity": q_degree_assortativity,
     "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
@@ -3415,6 +3548,8 @@ ORACLES = {
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
+    "degree_distribution": SQL_DEGREE_DISTRIBUTION,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
@@ -3461,7 +3596,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
