@@ -963,3 +963,41 @@ def test_degree_family_matches_bruteforce(ray_session):
     num = m * (2 * s3) - s1 * s1
     den = m * s2 - s1 * s1
     assert den != 0 and -1.0 <= num / den <= 1.0
+
+
+def test_morans_i_stats_matches_bruteforce(ray_session):
+    import collections
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _geotagged,
+        q_morans_i_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_morans_i_stats(sf).to_pandas()
+    assert len(out) == 1
+    geo = _geotagged(sf).to_pandas()
+    geo = geo[geo.tile_x.notna()]
+    cnt = collections.Counter(
+        zip(geo.tile_x.astype(int).tolist(), geo.tile_y.astype(int).tolist())
+    )
+    n = len(cnt)
+    s = sum(cnt.values())
+    d = {k: v * n - s for k, v in cnt.items()}
+    num = 0
+    pairs = 0
+    for (x, y), dv in d.items():
+        for nb in ((x + 1, y), (x, y + 1)):
+            if nb in d:
+                pairs += 1
+                num += dv * d[nb]
+    den = sum(v * v for v in d.values())
+    r = out.iloc[0]
+    assert (r.n_tiles, r.s_total, r.n_pairs, r.num_scaled, r.den_scaled) == (
+        n, s, pairs, 2 * num, den
+    )
+    # well-defined epilogue (Moran's I is NOT confined to [-1, 1] for
+    # sparse irregular weight graphs — the fixture's few clustered
+    # adjacent pairs push it ~5)
+    assert pairs > 0 and den > 0
+    _ = (n / (2 * pairs)) * (2 * num) / den

@@ -1,0 +1,108 @@
+"""Round-5 second-batch operator suite bench: best-of-two wall times for
+the session's new operators at sf0.1, one JSON line with the embedded
+host probe (the BASELINE.md evidence convention — ratios/pairs quoted
+only from saved JSON). Run standalone:
+
+    python tools/bench_r5b_suite.py [sf_dir]
+
+Same session policy as bench_r5_suite.py (all sections best-of-two in one
+fresh process); the probe self-documents the host phase.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def host_probe() -> dict:
+    import numpy as np
+
+    t0 = time.time()
+    a = np.random.rand(2000, 2000)
+    _ = a @ a
+    t1 = time.time()
+    x = np.empty(64 * 1024 * 1024 // 8)
+    x[::512] = 1.0
+    t2 = time.time()
+    return {
+        "matmul_2k_sec": round(t1 - t0, 3),
+        "fault_64mb_sec": round(t2 - t1, 3),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    probe = host_probe()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+    from wikipedia_wikidata_ray.pipelines import queries as q
+    from wikipedia_wikidata_ray.pipelines import temporal_media as tm
+    from wikipedia_wikidata_ray.pipelines import webtext as wt
+
+    sections = {
+        "tile_retention": lambda: tm.q_tile_retention(sf_dir)
+        .materialize()
+        .count(),
+        "ripley_pair_counts": lambda: q.q_ripley_pair_counts(sf_dir)
+        .materialize()
+        .count(),
+        "covisit_tile_pairs": lambda: tm.q_covisit_tile_pairs(sf_dir)
+        .materialize()
+        .count(),
+        "perplexity_buckets": lambda: wt.q_perplexity_buckets(sf_dir)
+        .materialize()
+        .count(),
+        "triangle_counts": lambda: q.q_triangle_counts(sf_dir)
+        .materialize()
+        .count(),
+        "event_funnel": lambda: tm.q_event_funnel(sf_dir)
+        .materialize()
+        .count(),
+        "idw_grid": lambda: tm.q_idw_grid(sf_dir).materialize().count(),
+        "degree_distribution": lambda: q.q_degree_distribution(sf_dir)
+        .materialize()
+        .count(),
+        "degree_assortativity": lambda: q.q_degree_assortativity(sf_dir)
+        .materialize()
+        .count(),
+    }
+    runs: dict[str, list[float]] = {k: [] for k in sections}
+    rows: dict[str, int] = {}
+    for _ in range(2):
+        for name, fn in sections.items():
+            gc.collect()
+            t0 = time.perf_counter()
+            rows[name] = fn()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    out = {
+        "metric": "round-5b operator suite best-of-two wall sec",
+        "sections": {k: min(v) for k, v in runs.items()},
+        "runs": runs,
+        "rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "host_probe": probe,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -415,6 +415,162 @@ FROM tl a JOIN tl b
 
 
 # ---------------------------------------------------------------------------
+# Q: morans_i_stats — the FULL Moran's I global spatial-autocorrelation
+# statistic over the z12 occupancy raster (joincount's numerator grown
+# into the complete normalized form), published as EXACT INTEGER
+# sufficient statistics. With per-tile counts c_i, n occupied tiles and
+# S = Σc, the scaled deviation d_i = c_i·n − S = n·(c_i − c̄) is an
+# integer, so Σ_w d_i·d_j (rook adjacency, both directions) and Σ d_i²
+# are exact order-free int64 sums and
+#   I = (n / S0) · num_scaled / den_scaled   (the n² factors cancel)
+# is a consumer-side epilogue. Same zero-hash-join plan as
+# spatial_joincount (every occupied tile emits 1 base + 2 forward-probe
+# rows; ONE range sort multiplies base × probe-sum per key — products
+# distribute over the probe sum even with negative deviations). Global
+# (n, S) are two bounded scalar pulls from the tile-count aggregate
+# (E4). 64-bit exactness holds while n²·Σ(c−c̄)² < 2⁶³ (hub tiles at
+# ≥10⁷ occupied tiles would need split-limb sums — named, same caveat
+# family as degree_assortativity).
+
+
+def q_morans_i_stats(sf_dir: str) -> Dataset:
+    from ..ops.runs import sorted_group_apply
+
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(
+            ["tile_x", "tile_y"]
+        ),
+        batch_format="pyarrow",
+    )
+    counts = partial_count(geo, ["tile_x", "tile_y"], out="c").materialize()
+    n_tiles = counts.count()
+    s_total = int(counts.sum("c"))
+
+    def scatter(t: pa.Table) -> pa.Table:
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = c * n_tiles - s_total
+        zero = np.zeros(len(tx), dtype=np.int64)
+        key = np.concatenate(
+            [tx * 8192 + ty, (tx + 1) * 8192 + ty, tx * 8192 + ty + 1]
+        )
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "base_d": pa.array(np.concatenate([d, zero, zero])),
+                "base_occ": pa.array(
+                    np.concatenate([np.ones(len(tx), dtype=np.int64), zero, zero])
+                ),
+                "probe_d": pa.array(np.concatenate([zero, d, d])),
+                "probe_occ": pa.array(
+                    np.concatenate(
+                        [zero, np.ones(len(tx), dtype=np.int64),
+                         np.ones(len(tx), dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        one = pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_pairs": pa.array([0], type=pa.int64()),
+                "num_fwd": pa.array([0], type=pa.int64()),
+                "den": pa.array([0], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return one
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        bd = t.column("base_d").to_numpy(zero_copy_only=False)
+        bo = t.column("base_occ").to_numpy(zero_copy_only=False)
+        pd_ = t.column("probe_d").to_numpy(zero_copy_only=False)
+        po = t.column("probe_occ").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        bd, bo, pd_, po = bd[order], bo[order], pd_[order], po[order]
+        new = np.empty(len(key), dtype=bool)
+        new[0] = True
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        base_d = np.add.reduceat(bd, starts)
+        base_occ = np.add.reduceat(bo, starts)
+        probe_d = np.add.reduceat(pd_, starts)
+        probe_occ = np.add.reduceat(po, starts)
+        hit = base_occ > 0  # probes always come FROM occupied tiles
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_pairs": pa.array(
+                    [int(probe_occ[hit].sum())], type=pa.int64()
+                ),
+                "num_fwd": pa.array(
+                    [int((base_d[hit] * probe_d[hit]).sum())], type=pa.int64()
+                ),
+                "den": pa.array(
+                    [int((base_d[hit] * base_d[hit]).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    scattered = counts.map_batches(scatter, batch_format="pyarrow")
+    partials = sorted_group_apply(scattered, ["key"], pair_block)
+    merged = merge_group_sums(partials, ["k"], ["n_pairs", "num_fwd", "den"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_tiles": pa.array(
+                    np.full(len(t), n_tiles, dtype=np.int64)
+                ),
+                "s_total": pa.array(
+                    np.full(len(t), s_total, dtype=np.int64)
+                ),
+                "n_pairs": t.column("n_pairs"),
+                "num_scaled": pc.multiply(
+                    t.column("num_fwd"), pa.scalar(2, type=pa.int64())
+                ),
+                "den_scaled": t.column("den"),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_MORANS_I_STATS = f"""
+WITH {SQL_GEO_CTE},
+tl AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         COUNT(*) AS c
+  FROM geo
+  GROUP BY 1, 2
+),
+sc AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM tl),
+d AS (
+  SELECT tile_x, tile_y,
+         CAST(c * (SELECT n FROM sc) - (SELECT s FROM sc) AS BIGINT) AS d
+  FROM tl
+),
+fwd AS (
+  SELECT a.d AS da, b.d AS db FROM d a JOIN d b
+    ON (b.tile_x = a.tile_x + 1 AND b.tile_y = a.tile_y)
+    OR (b.tile_x = a.tile_x AND b.tile_y = a.tile_y + 1)
+)
+SELECT CAST((SELECT n FROM sc) AS BIGINT) AS n_tiles,
+       CAST((SELECT s FROM sc) AS BIGINT) AS s_total,
+       CAST((SELECT COUNT(*) FROM fwd) AS BIGINT) AS n_pairs,
+       CAST(2 * COALESCE((SELECT SUM(da * db) FROM fwd), 0) AS BIGINT)
+         AS num_scaled,
+       CAST((SELECT SUM(d * d) FROM d) AS BIGINT) AS den_scaled
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_dup_stats — exact-dedup × geo cross: per z12 tile, the page
 # count and how many of those pages are exact-content duplicates (text
 # occurring ≥2 times among the geotagged corpus) — the spatial view of
@@ -481,13 +637,26 @@ def q_tile_dup_stats(sf_dir: str,
 
     hashed = ds.map_batches(hash_tile, batch_format="pyarrow").materialize()
     counts = partial_count(hashed, ["content_hash"], out="cnt")
-    dups = counts.filter(expr="cnt > 1").select_columns(["content_hash"])
-    dups = dups.materialize()
+    # filter+project in ONE map op (not Dataset.filter(expr) followed by
+    # select_columns): under in-session load the planner's fused
+    # filter/select pair was observed emitting blocks with drifting
+    # schemas (content_hash vs content_hash+cnt), crashing the broadcast
+    # concat below
+    dups = counts.map_batches(
+        lambda t: pa.table(
+            {
+                "content_hash": pc.filter(
+                    t["content_hash"], pc.greater(t["cnt"], 1)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
     n_dup_hashes = dups.count()
 
     if n_dup_hashes <= dup_broadcast_limit:
         dup_tbl = pa.concat_tables(
-            [ray.get(r) for r in dups.to_arrow_refs()]
+            [ray.get(r).select(["content_hash"]) for r in dups.to_arrow_refs()]
         ).combine_chunks()
         dup_ref = ray.put(
             dup_tbl.column("content_hash").combine_chunks()
@@ -3484,6 +3653,7 @@ QUERIES = {
     "tile_top_lang": q_tile_top_lang,
     "tile_lang_entropy": q_tile_lang_entropy,
     "spatial_joincount": q_spatial_joincount,
+    "morans_i_stats": q_morans_i_stats,
     "tile_quality_stats": q_tile_quality_stats,
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
@@ -3544,6 +3714,7 @@ ORACLES = {
     "tile_top_lang": SQL_TILE_TOP_LANG,
     "tile_lang_entropy": SQL_TILE_LANG_ENTROPY,
     "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
+    "morans_i_stats": SQL_MORANS_I_STATS,
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
@@ -3596,7 +3767,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
