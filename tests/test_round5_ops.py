@@ -1001,3 +1001,40 @@ def test_morans_i_stats_matches_bruteforce(ray_session):
     # adjacent pairs push it ~5)
     assert pairs > 0 and den > 0
     _ = (n / (2 * pairs)) * (2 * num) / den
+
+
+def test_tile_decayed_popularity_matches_bruteforce(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        DECAY_TAU_US,
+        q_tile_decayed_popularity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_decayed_popularity(sf).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_id", "ts"])
+    ts = ev["ts"].cast("int64").to_numpy()
+    eid = ev["event_id"].to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    t_max = int(ts.max())
+    age = (t_max - ts).astype(np.float64)
+    w_e10 = np.round(np.exp(-(age / float(DECAY_TAU_US))) * 1e10).astype(
+        np.int64
+    )
+    want: dict = collections.defaultdict(lambda: [0, 0])
+    for x, y, w in zip(tx.tolist(), ty.tolist(), w_e10.tolist()):
+        want[(x, y)][0] += 1
+        want[(x, y)][1] += w
+    got = {
+        (r.tile_x, r.tile_y): [r.n_events, r.w_e10] for r in out.itertuples()
+    }
+    assert got == dict(want)
+    # decay must be non-trivial: newest events weigh ~1e10, oldest ≪
+    assert w_e10.max() > 9_000_000_000 and w_e10.min() < 1_000_000_000

@@ -1286,3 +1286,88 @@ SELECT cy, cx, n_pts, w_e10, wv_e10 FROM agg
 
 TEMPORAL_MEDIA_QUERIES["idw_grid"] = q_idw_grid
 TEMPORAL_MEDIA_ORACLES["idw_grid"] = SQL_IDW_GRID
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_decayed_popularity — exponentially time-decayed popularity per
+# z12 tile (the freshness-weighted ranking signal of spatial search /
+# trending detection): each event contributes weight exp(−age/τ) with
+# age measured back from the corpus's max timestamp and τ = 7 days. The
+# reference time comes from the same zero-pass parquet FOOTER STATISTICS
+# as tile_retention. Float policy: the per-event weight is one
+# EXP(one double op) — IEEE-identical on both sides (same family as the
+# LN/SQRT/TAN precedents) — rounded to e10 int64 per event and summed as
+# integers (order-free at any parallelism). Movement: only
+# (tile, w_e10, n) partials shuffle through one combiner merge.
+
+DECAY_TAU_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+def q_tile_decayed_popularity(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.tiles import latlng_to_tile
+    from ..stages.salted import merge_group_sums
+
+    _, t_max = _events_ts_bounds_us(sf_dir)
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        age = (t_max - t.column("ts").cast(pa.int64()).to_numpy()).astype(
+            np.float64
+        )
+        w = np.exp(-(age / float(DECAY_TAU_US)))
+        w_e10 = np.round(w * 10000000000.0).astype(np.int64)
+        p = pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "n_events": pa.array(np.ones(len(tx), dtype=np.int64)),
+                "w_e10": pa.array(w_e10),
+            }
+        )
+        g = p.group_by(["tile_x", "tile_y"]).aggregate(
+            [("n_events", "sum"), ("w_e10", "sum")]
+        )
+        return g.rename_columns(["tile_x", "tile_y", "n_events", "w_e10"])
+
+    return merge_group_sums(
+        events.map_batches(weigh, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["n_events", "w_e10"],
+    )
+
+
+SQL_TILE_DECAYED_POPULARITY = f"""
+WITH mx AS (SELECT CAST(epoch_us(MAX(ts)) AS BIGINT) AS t FROM events),
+ev AS (
+  SELECT epoch_us(ts) AS ts_us,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+w AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y,
+         CAST(ROUND(
+           EXP(-(CAST((SELECT t FROM mx) - ts_us AS DOUBLE)
+                 / {float(DECAY_TAU_US)!r}))
+           * 10000000000.0, 0) AS BIGINT) AS w_e10
+  FROM ev
+)
+SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w_e10) AS BIGINT) AS w_e10
+FROM w GROUP BY 1, 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["tile_decayed_popularity"] = q_tile_decayed_popularity
+TEMPORAL_MEDIA_ORACLES["tile_decayed_popularity"] = SQL_TILE_DECAYED_POPULARITY
