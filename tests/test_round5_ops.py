@@ -1038,3 +1038,45 @@ def test_tile_decayed_popularity_matches_bruteforce(ray_session):
     assert got == dict(want)
     # decay must be non-trivial: newest events weigh ~1e10, oldest ≪
     assert w_e10.max() > 9_000_000_000 and w_e10.min() < 1_000_000_000
+
+
+def test_pq_codes_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        PQ_K,
+        PQ_M,
+        _pq_codebooks,
+        q_pq_codes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_pq_codes(sf).to_pandas()
+    emb = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb = _pq_codebooks()
+    got = {
+        (r.vec_id, r.m): (r.code, r.d2_e10) for r in out.itertuples()
+    }
+    vids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    used_codes: set = set()
+    for vid, v in zip(vids, vecs):
+        x = np.asarray(v, dtype=np.float32).astype(np.float64)
+        for m in range(PQ_M):
+            sub = x[m * 8:(m + 1) * 8]
+            d2s = [
+                int(np.round((sub - cb[m, k]) * (sub - cb[m, k]) * 1e10)
+                    .astype(np.int64).sum())
+                for k in range(PQ_K)
+            ]
+            best = min(range(PQ_K), key=lambda k: (d2s[k], k))
+            assert got[(vid, m)] == (best, d2s[best])
+            used_codes.add((m, best))
+    assert len(out) == len(vids) * PQ_M
+    # the codebooks must be non-degenerate on the fixture: several codes
+    # in use per subspace
+    per_m = {m: sum(1 for mm, _ in used_codes if mm == m) for m in range(PQ_M)}
+    assert min(per_m.values()) >= 3

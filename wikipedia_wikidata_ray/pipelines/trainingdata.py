@@ -991,3 +991,99 @@ FROM documents
 
 TRAININGDATA_QUERIES["warc_extract_text"] = q_warc_extract_text
 TRAININGDATA_ORACLES["warc_extract_text"] = SQL_WARC_EXTRACT_TEXT
+
+
+# ---------------------------------------------------------------------------
+# Q: pq_codes — product-quantization encoding of the embedding table (the
+# memory side of large-scale ANN: 64-dim float32 → M=8 one-byte codes,
+# 32× compression; Jégou et al. 2011 "Product quantization for nearest
+# neighbor search"). Codebooks here are CLOSED-FORM (deterministic
+# formula over (m, k, j), range-matched to the fixture's ±0.5 values) so
+# the encode is SQL-replicable end-to-end; a production deployment fits
+# them with the per-subspace k-means machinery the IVF path already has
+# (ops/ann.py bounded driver-sample fit — named seam, same contract).
+# Float policy: each squared-difference TERM is rounded to e10 int64 and
+# the 8-term subspace distance summed as integers (order-free; the
+# argmin over 16 codes is then exact, ties → lowest code, mirrored by
+# ORDER BY d2_e10, k). Plan: stateless vectorized map_batches — ZERO
+# shuffle, no state; codes would pack to an M-byte binary column for
+# storage via the J17 bytes-move pattern (named).
+
+PQ_M = 8  # subspaces (64-dim → 8 dims each)
+PQ_K = 16  # codes per subspace
+
+
+def _pq_codebooks() -> np.ndarray:
+    """(M, K, 8) closed-form centroids in [-0.5, 0.5]; j is 1-based in
+    the formula to match the SQL's 1-based list indexing."""
+    m = np.arange(PQ_M)[:, None, None]
+    k = np.arange(PQ_K)[None, :, None]
+    j = np.arange(1, 9)[None, None, :]
+    return ((m * 37 + k * 17 + j * 7) % 21 - 10) / 20.0
+
+
+def q_pq_codes(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
+
+    cb = _pq_codebooks()  # tiny constant: ships in the task closure
+
+    def encode(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t.column("embedding")).astype(np.float64)
+        n = len(t)
+        sub = x.reshape(n, PQ_M, 1, 8)
+        diff = sub - cb[None]
+        terms = np.round(diff * diff * 10000000000.0).astype(np.int64)
+        d2 = terms.sum(axis=3)  # (n, M, K) exact int64
+        code = d2.argmin(axis=2)  # first min = lowest code id
+        d2min = np.take_along_axis(d2, code[:, :, None], axis=2)[:, :, 0]
+        vid = t.column("vec_id").to_numpy()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, PQ_M)),
+                "m": pa.array(np.tile(np.arange(PQ_M), n)),
+                "code": pa.array(code.reshape(-1)),
+                "d2_e10": pa.array(d2min.reshape(-1)),
+            }
+        )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return emb.map_batches(encode, batch_format="pyarrow")
+
+
+def _sql_pq_codes() -> str:
+    rows = ", ".join(
+        f"({m}, {k}, {j}, {((m * 37 + k * 17 + j * 7) % 21 - 10) / 20.0!r})"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+        for j in range(1, 9)
+    )
+    return f"""
+WITH cent(m, k, j, c) AS (VALUES {rows}),
+per_term AS (
+  SELECT e.vec_id, cent.m, cent.k,
+         CAST(ROUND(
+           (CAST(e.embedding[cent.m * 8 + cent.j] AS DOUBLE) - cent.c)
+           * (CAST(e.embedding[cent.m * 8 + cent.j] AS DOUBLE) - cent.c)
+           * 10000000000.0, 0) AS BIGINT) AS t
+  FROM embeddings e CROSS JOIN cent
+),
+d2 AS (
+  SELECT vec_id, m, k, CAST(SUM(t) AS BIGINT) AS d2_e10
+  FROM per_term GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id, m ORDER BY d2_e10, k) AS rn
+  FROM d2
+)
+SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(k AS BIGINT) AS code, d2_e10
+FROM ranked WHERE rn = 1
+"""
+
+
+SQL_PQ_CODES = _sql_pq_codes()
+
+TRAININGDATA_QUERIES["pq_codes"] = q_pq_codes
+TRAININGDATA_ORACLES["pq_codes"] = SQL_PQ_CODES
