@@ -1080,3 +1080,50 @@ def test_pq_codes_matches_bruteforce(ray_session):
     # in use per subspace
     per_m = {m: sum(1 for mm, _ in used_codes if mm == m) for m in range(PQ_M)}
     assert min(per_m.values()) >= 3
+
+
+def test_pq_adc_topk_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        PQ_K,
+        PQ_M,
+        PQ_QUERY_MOD,
+        PQ_TOPK,
+        _pq_codebooks,
+        q_pq_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_pq_adc_topk(sf).to_pandas()
+    emb = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb = _pq_codebooks()
+    vids = emb["vec_id"].to_numpy()
+    X = np.array(emb["embedding"].to_pylist(), dtype=np.float32).astype(
+        np.float64
+    )
+    n = len(vids)
+    d = X.reshape(n, PQ_M, 1, 8) - cb[None]
+    terms = np.round(d * d * 1e10).astype(np.int64)
+    d2 = terms.sum(axis=3)
+    codes = d2.argmin(axis=2)
+    qsel = vids % PQ_QUERY_MOD == 0
+    want = {}
+    for qi in np.flatnonzero(qsel):
+        lut = d2[qi]  # (M, K) — query's own distances ARE the LUT
+        adc = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+        order = sorted(
+            (int(a), int(v))
+            for a, v in zip(adc, vids)
+            if v != vids[qi]
+        )[:PQ_TOPK]
+        for r, (a, v) in enumerate(order, 1):
+            want[(int(vids[qi]), r)] = (v, a)
+    got = {
+        (r.qid, r.rank): (r.vec_id, r.adc_e10) for r in out.itertuples()
+    }
+    assert got == want
+    assert len(out) == int(qsel.sum()) * PQ_TOPK

@@ -1087,3 +1087,133 @@ SQL_PQ_CODES = _sql_pq_codes()
 
 TRAININGDATA_QUERIES["pq_codes"] = q_pq_codes
 TRAININGDATA_ORACLES["pq_codes"] = SQL_PQ_CODES
+
+
+# ---------------------------------------------------------------------------
+# Q: pq_adc_topk — the SEARCH half of product quantization: asymmetric
+# distance computation (Jégou et al. 2011 §IV). Queries (the house
+# vec_id % 50 == 0 modular convention) never touch raw database vectors:
+# each query precomputes a (M × K) lookup table of subspace distances to
+# every centroid, and a database vector's approximate distance is the
+# sum of M table lookups at its PQ codes. LUT terms reuse pq_codes'
+# per-term e10 integer rounding, so every ADC distance is an exact
+# order-free int64 and the per-query top-k is deterministic (ties →
+# lowest vec_id). Plan: the query LUT is a tiny (Q × M × K) int64
+# closure constant; ONE stateless map_batches fuses encode + LUT-sum
+# (codes never leave the batch, avoiding any row-split hazard), emitting
+# (qid, vec_id, adc_e10) score rows — Q rows per vector — into
+# ops/topk.grouped_topk's block-pruned sorted-run top-k. At 10⁹ vectors
+# the scores stage moves Q×n 24-B rows; the block-local k-prune keeps
+# the shuffle at k rows per (query, block).
+
+PQ_QUERY_MOD = 50
+PQ_TOPK = 5
+
+
+def q_pq_adc_topk(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
+    from ..ops.topk import grouped_topk
+
+    cb = _pq_codebooks()
+
+    # bounded query-side pull: Q = n/50 vectors BY CONVENTION (the query
+    # set is small by definition; at scale it ships exactly like this —
+    # a LUT closure, never the database side)
+    qtbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qmask = np.asarray(qtbl["vec_id"].to_numpy()) % PQ_QUERY_MOD == 0
+    qids = qtbl["vec_id"].to_numpy()[qmask]
+    qx = _as_matrix(qtbl.column("embedding"))[qmask].astype(np.float64)
+    # LUT[q, m, k] = Σ_j round((q_sub_j − c_j)² · 1e10)  — same per-term
+    # rounding as the encode, so ADC sums are exact ints
+    sub = qx.reshape(len(qids), PQ_M, 1, 8)
+    diff = sub - cb[None]
+    lut = np.round(diff * diff * 10000000000.0).astype(np.int64).sum(axis=3)
+
+    def score(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t.column("embedding")).astype(np.float64)
+        n = len(t)
+        d = x.reshape(n, PQ_M, 1, 8) - cb[None]
+        terms = np.round(d * d * 10000000000.0).astype(np.int64)
+        code = terms.sum(axis=3).argmin(axis=2)  # (n, M)
+        # adc[i, q] = Σ_m lut[q, m, code[i, m]]
+        gathered = lut[:, np.arange(PQ_M)[None, :], code]  # (Q, n, M)
+        adc = gathered.sum(axis=2)  # (Q, n)
+        vid = t.column("vec_id").to_numpy()
+        qrep = np.repeat(qids, n)
+        vrep = np.tile(vid, len(qids))
+        keep = qrep != vrep  # exclude self-matches
+        return pa.table(
+            {
+                "qid": pa.array(qrep[keep]),
+                "vec_id": pa.array(vrep[keep]),
+                "adc_e10": pa.array(adc.reshape(-1)[keep]),
+            }
+        )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    scores = emb.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scores,
+        ["qid"],
+        [("adc_e10", True), ("vec_id", True)],
+        PQ_TOPK,
+        rank_col="rank",
+    )
+
+
+def _sql_pq_adc_topk() -> str:
+    rows = ", ".join(
+        f"({m}, {k}, {j}, {((m * 37 + k * 17 + j * 7) % 21 - 10) / 20.0!r})"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+        for j in range(1, 9)
+    )
+    return f"""
+WITH cent(m, k, j, c) AS (VALUES {rows}),
+per_term AS (
+  SELECT e.vec_id, cent.m, cent.k,
+         CAST(ROUND(
+           (CAST(e.embedding[cent.m * 8 + cent.j] AS DOUBLE) - cent.c)
+           * (CAST(e.embedding[cent.m * 8 + cent.j] AS DOUBLE) - cent.c)
+           * 10000000000.0, 0) AS BIGINT) AS t
+  FROM embeddings e CROSS JOIN cent
+),
+d2 AS (
+  SELECT vec_id, m, k, CAST(SUM(t) AS BIGINT) AS d2_e10
+  FROM per_term GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, m ORDER BY d2_e10, k) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS qid, m, k, d2_e10 AS lut_e10 FROM d2
+  WHERE vec_id % {PQ_QUERY_MOD} = 0
+),
+adc AS (
+  SELECT l.qid, c.vec_id, CAST(SUM(l.lut_e10) AS BIGINT) AS adc_e10
+  FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
+  WHERE c.vec_id <> l.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY adc_e10, vec_id) AS rank
+  FROM adc
+)
+SELECT qid, vec_id, adc_e10, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {PQ_TOPK}
+"""
+
+
+SQL_PQ_ADC_TOPK = _sql_pq_adc_topk()
+
+TRAININGDATA_QUERIES["pq_adc_topk"] = q_pq_adc_topk
+TRAININGDATA_ORACLES["pq_adc_topk"] = SQL_PQ_ADC_TOPK
