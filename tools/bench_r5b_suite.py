@@ -53,6 +53,7 @@ def main() -> int:
 
     from wikipedia_wikidata_ray.pipelines import queries as q
     from wikipedia_wikidata_ray.pipelines import temporal_media as tm
+    from wikipedia_wikidata_ray.pipelines import trainingdata as td
     from wikipedia_wikidata_ray.pipelines import webtext as wt
 
     sections = {
@@ -79,6 +80,18 @@ def main() -> int:
         .materialize()
         .count(),
         "degree_assortativity": lambda: q.q_degree_assortativity(sf_dir)
+        .materialize()
+        .count(),
+        "morans_i_stats": lambda: q.q_morans_i_stats(sf_dir)
+        .materialize()
+        .count(),
+        "tile_decayed_popularity": lambda: tm.q_tile_decayed_popularity(
+            sf_dir
+        )
+        .materialize()
+        .count(),
+        "pq_codes": lambda: td.q_pq_codes(sf_dir).materialize().count(),
+        "pq_adc_topk": lambda: td.q_pq_adc_topk(sf_dir)
         .materialize()
         .count(),
     }
