@@ -1127,3 +1127,38 @@ def test_pq_adc_topk_matches_bruteforce(ray_session):
     }
     assert got == want
     assert len(out) == int(qsel.sum()) * PQ_TOPK
+
+
+def test_mixture_sample_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        MIXTURE_PERMILLE,
+        q_mixture_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_mixture_sample(sf).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "source", "lang"]
+    ).to_pandas()
+    cnt = collections.Counter(docs.source)
+    total = len(docs)
+    wts = {s: int(s[3:]) % 4 + 1 for s in cnt}
+    sw = sum(wts.values())
+    pm = {
+        s: min(1000, (wts[s] * total * MIXTURE_PERMILLE) // (sw * cnt[s]))
+        for s in cnt
+    }
+    keep = docs[
+        ((docs.doc_id * 2654435761) & 2147483647) % 1000
+        < docs.source.map(pm)
+    ]
+    assert sorted(out.doc_id.tolist()) == sorted(keep.doc_id.tolist())
+    # the mixture must actually reweight: rates differ across sources and
+    # higher-weight sources sample at higher rates
+    assert len(set(pm.values())) >= 3
+    assert pm["src3"] > pm["src0"]  # wt 4 vs wt 1
+    assert 0 < len(out) < total

@@ -1217,3 +1217,88 @@ SQL_PQ_ADC_TOPK = _sql_pq_adc_topk()
 
 TRAININGDATA_QUERIES["pq_adc_topk"] = q_pq_adc_topk
 TRAININGDATA_ORACLES["pq_adc_topk"] = SQL_PQ_ADC_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Q: mixture_sample — data-mixture reweighting (the "sampling weights per
+# source" step of LLM pre-training data assembly: up/down-sample each
+# source toward target mixture proportions — the Pile / LLaMA-style
+# recipe). Target weights are CLOSED-FORM per source (W_s = suffix%4 + 1)
+# so the whole op is SQL-replicable; a production run reads them from a
+# config table broadcast the same way. Per-source sampling rates are
+# EXACT INTEGER per-mille: pm_s = min(1000, (W_s·N·PM) // (ΣW·c_s)) —
+# every quantity an int64, no float rounding anywhere — and row
+# selection is the house Knuth multiplicative hash (deterministic,
+# parallelism-independent, same stream family as hash_sample at a
+# different modulus). Plan: per-source counts are a bounded aggregate
+# (sources ≪ corpus BY DEFINITION — the mixture table is human-curated;
+# same bounded-pull contract as D10 top_languages); the rate table ships
+# as an Arrow value_set + aligned thresholds in the task closure; the
+# sample itself is a stateless vectorized filter — zero shuffle.
+
+MIXTURE_PERMILLE = 200  # overall 20% target sample
+
+
+def q_mixture_sample(sf_dir: str) -> Dataset:
+    from ..stages.salted import partial_count
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+    counts_ds = partial_count(
+        docs.map_batches(
+            lambda t: t.select(["source"]), batch_format="pyarrow"
+        ),
+        ["source"],
+        out="c",
+    )
+    counts_tbl = pa.concat_tables(
+        [ray.get(r).select(["source", "c"]) for r in
+         counts_ds.materialize().to_arrow_refs()]
+    )
+    sources = counts_tbl.column("source").to_pylist()
+    cs = counts_tbl.column("c").to_pylist()
+    total = sum(cs)
+    wts = [int(s[3:]) % 4 + 1 for s in sources]
+    sw = sum(wts)
+    pms = [
+        min(1000, (w * total * MIXTURE_PERMILLE) // (sw * c))
+        for w, c in zip(wts, cs)
+    ]
+    src_arr = pa.array(sources, type=pa.string())
+    pm_arr = np.asarray(pms, dtype=np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            pc.cast(t.column("source"), pa.string()), value_set=src_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = pm_arr[idx]
+        ids = t["doc_id"].to_numpy()
+        h = (ids * np.int64(2654435761)) & np.int64((1 << 31) - 1)
+        return t.filter(pa.array(h % 1000 < thr))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH w AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUBSTR(source, 4) AS BIGINT) % 4 + 1 AS wt
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(wt) AS BIGINT) AS sw FROM w
+),
+r AS (
+  SELECT source,
+         LEAST(1000, (wt * (SELECT n FROM tot) * {MIXTURE_PERMILLE})
+                     // ((SELECT sw FROM tot) * c)) AS pm
+  FROM w
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN r USING (source)
+WHERE ((d.doc_id * 2654435761) & 2147483647) % 1000 < r.pm
+"""
+
+TRAININGDATA_QUERIES["mixture_sample"] = q_mixture_sample
+TRAININGDATA_ORACLES["mixture_sample"] = SQL_MIXTURE_SAMPLE
