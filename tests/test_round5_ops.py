@@ -1162,3 +1162,32 @@ def test_mixture_sample_matches_bruteforce(ray_session):
     assert len(set(pm.values())) >= 3
     assert pm["src3"] > pm["src0"]  # wt 4 vs wt 1
     assert 0 < len(out) < total
+
+
+def test_quality_ppl_crosstab_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import _gate_features
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        q_perplexity_buckets,
+        q_quality_ppl_crosstab,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_quality_ppl_crosstab(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    _, _, _, passing = _gate_features(docs)
+    passed = dict(zip(docs["doc_id"].to_pylist(), passing.tolist()))
+    ppl = q_perplexity_buckets(sf).to_pandas()
+    want: collections.Counter = collections.Counter(
+        (b, int(passed[d]))
+        for d, b in zip(ppl.doc_id.tolist(), ppl.bucket.tolist())
+    )
+    got = {
+        (r.bucket, r.passed): r.n_docs for r in out.itertuples()
+    }
+    assert got == dict(want)
+    # both gate outcomes must appear (the cross-tab is non-degenerate)
+    assert {p for _, p in got} == {0, 1}

@@ -1383,3 +1383,87 @@ FROM agg
 
 WEBTEXT_QUERIES["perplexity_buckets"] = q_perplexity_buckets
 WEBTEXT_ORACLES["perplexity_buckets"] = SQL_PERPLEXITY_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# Q: quality_ppl_crosstab — signal-correlation cross-tab: how the Gopher
+# integer quality gate (J9, corpusops._gate_features) and the CCNet
+# perplexity bucket (perplexity_buckets above) agree — the calibration
+# dashboard every curation pipeline keeps (are the cheap rules and the
+# LM-based score rejecting the SAME documents?). Plan: the gate flag is
+# ONE stateless text pass (doc_id, passed); the bucket side reuses the
+# perplexity pipeline; both are doc-keyed int64 tables and DENSE (every
+# tokenized doc appears on each side), so the combine is one int64 hash
+# join with floored partitions (round-4 sparse-side rule does not bite),
+# then (bucket, passed) count partials through one combiner merge —
+# constant-size output.
+
+
+def q_quality_ppl_crosstab(sf_dir: str) -> Dataset:
+    from ..stages.salted import default_partitions, merge_group_sums
+    from .corpusops import _gate_features
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        _, _, _, passing = _gate_features(t)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "passed": pa.array(np.asarray(passing, dtype=np.int64)),
+            }
+        )
+
+    flag_ds = docs.map_batches(flags, batch_format="pyarrow")
+    ppl = perplexity_buckets(docs).map_batches(
+        lambda t: pa.table(
+            {
+                "p_doc": pc.cast(t["doc_id"], pa.int64()),
+                "bucket": t["bucket"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_docs = docs.count()
+    nparts = max(2, min(default_partitions(), n_docs // 100_000 + 1))
+    joined = ppl.join(
+        flag_ds, "inner", num_partitions=nparts,
+        on=("p_doc",), right_on=("doc_id",),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = pa.table(
+            {
+                "bucket": t["bucket"],
+                "passed": t["passed"],
+                "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["bucket", "passed"]).aggregate([("n_docs", "sum")])
+        return g.rename_columns(["bucket", "passed", "n_docs"])
+
+    return merge_group_sums(
+        joined.map_batches(partials, batch_format="pyarrow"),
+        ["bucket", "passed"],
+        ["n_docs"],
+    )
+
+
+def _sql_quality_ppl_crosstab() -> str:
+    from .corpusops import SQL_QUALITY_FILTER
+
+    return f"""
+WITH ppl AS ({SQL_PERPLEXITY_BUCKETS}),
+qf AS (SELECT doc_id FROM ({SQL_QUALITY_FILTER}))
+SELECT p.bucket,
+       CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS passed,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ppl p LEFT JOIN qf q ON q.doc_id = p.doc_id
+GROUP BY 1, 2
+"""
+
+
+WEBTEXT_QUERIES["quality_ppl_crosstab"] = q_quality_ppl_crosstab
+WEBTEXT_ORACLES["quality_ppl_crosstab"] = _sql_quality_ppl_crosstab()
