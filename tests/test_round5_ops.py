@@ -1191,3 +1191,55 @@ def test_quality_ppl_crosstab_matches_bruteforce(ray_session):
     assert got == dict(want)
     # both gate outcomes must appear (the cross-tab is non-degenerate)
     assert {p for _, p in got} == {0, 1}
+
+
+def test_pq_recall_eval_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        PQ_M,
+        PQ_QUERY_MOD,
+        PQ_RECALL_K,
+        _pq_codebooks,
+        q_pq_recall_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_pq_recall_eval(sf).to_pandas()
+    emb = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cb = _pq_codebooks()
+    vids = emb["vec_id"].to_numpy()
+    X = np.array(emb["embedding"].to_pylist(), dtype=np.float32).astype(
+        np.float64
+    )
+    n = len(vids)
+    d = X.reshape(n, PQ_M, 1, 8) - cb[None]
+    d2 = np.round(d * d * 1e10).astype(np.int64).sum(axis=3)
+    codes = d2.argmin(axis=2)
+    want = {}
+    for qi in np.flatnonzero(vids % PQ_QUERY_MOD == 0):
+        lut = d2[qi]
+        adc = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+        adc_top = [
+            v for _, v in sorted(
+                (int(a), int(v)) for a, v in zip(adc, vids) if v != vids[qi]
+            )[:PQ_RECALL_K]
+        ]
+        diff = X[qi][None, :] - X
+        ed2 = np.round(diff * diff * 1e10).astype(np.int64).sum(axis=1)
+        exact_top = [
+            v for _, v in sorted(
+                (int(e), int(v)) for e, v in zip(ed2, vids) if v != vids[qi]
+            )[:PQ_RECALL_K]
+        ]
+        hits = len(set(adc_top) & set(exact_top))
+        if hits:
+            want[int(vids[qi])] = hits
+    got = dict(zip(out.qid.tolist(), out.n_hits.tolist()))
+    assert got == want
+    # every fixture query must register hits at k=20 (coarse codebooks
+    # still recover part of the true neighborhood)
+    assert len(want) == int((vids % PQ_QUERY_MOD == 0).sum())

@@ -1108,9 +1108,10 @@ TRAININGDATA_ORACLES["pq_codes"] = SQL_PQ_CODES
 
 PQ_QUERY_MOD = 50
 PQ_TOPK = 5
+PQ_RECALL_K = 20
 
 
-def q_pq_adc_topk(sf_dir: str) -> Dataset:
+def q_pq_adc_topk(sf_dir: str, k: int = PQ_TOPK) -> Dataset:
     from ..ops.ann import _as_matrix
     from ..ops.topk import grouped_topk
 
@@ -1160,12 +1161,12 @@ def q_pq_adc_topk(sf_dir: str) -> Dataset:
         scores,
         ["qid"],
         [("adc_e10", True), ("vec_id", True)],
-        PQ_TOPK,
+        k,
         rank_col="rank",
     )
 
 
-def _sql_pq_adc_topk() -> str:
+def _sql_pq_adc_topk(k: int = PQ_TOPK) -> str:
     rows = ", ".join(
         f"({m}, {k}, {j}, {((m * 37 + k * 17 + j * 7) % 21 - 10) / 20.0!r})"
         for m in range(PQ_M)
@@ -1209,7 +1210,7 @@ ranked AS (
   FROM adc
 )
 SELECT qid, vec_id, adc_e10, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= {PQ_TOPK}
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1302,3 +1303,159 @@ WHERE ((d.doc_id * 2654435761) & 2147483647) % 1000 < r.pm
 
 TRAININGDATA_QUERIES["mixture_sample"] = q_mixture_sample
 TRAININGDATA_ORACLES["mixture_sample"] = SQL_MIXTURE_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Q: pq_recall_eval — the evaluation half of the ANN stack: recall@k of
+# the PQ-ADC search against the EXACT L2 top-k for the same query set
+# (the accuracy/compression trade-off number every ANN deployment
+# tracks; the IVF path so far had recall bounds only in pytest — this is
+# the fully-oracled eval). Determinism: the exact side also ranks by
+# per-element e10-rounded integer L2 (Σ_j round((q_j−b_j)²·1e10)) —
+# float sqrt/sum-order ranking could flip near-ties between Ray and SQL,
+# integer ranking cannot (ties → lowest vec_id on both sides). Plan: the
+# exact side is one stateless map against the broadcast query matrix →
+# grouped_topk; the hit count is an inner join of two (Q·k)-row tables —
+# constant-size movement. Output (qid, n_hits) with recall@k = n_hits/k
+# as the consumer epilogue. k = 20 (not the retrieval default 5): with
+# UNTRAINED closed-form codebooks the quantization is coarse, and @20
+# every fixture query has non-zero hits at both test scales — the eval
+# measures exactly that coarseness.
+
+
+def q_pq_recall_eval(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
+    from ..ops.topk import grouped_topk
+    from ..stages.salted import merge_group_sums
+
+    qtbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qmask = np.asarray(qtbl["vec_id"].to_numpy()) % PQ_QUERY_MOD == 0
+    qids = qtbl["vec_id"].to_numpy()[qmask]
+    qx = _as_matrix(qtbl.column("embedding"))[qmask].astype(np.float64)
+
+    def exact_scores(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t.column("embedding")).astype(np.float64)
+        n = len(t)
+        diff = qx[:, None, :] - x[None, :, :]  # (Q, n, 64)
+        terms = np.round(diff * diff * 10000000000.0).astype(np.int64)
+        d2 = terms.sum(axis=2)  # (Q, n) exact int64
+        vid = t.column("vec_id").to_numpy()
+        qrep = np.repeat(qids, n)
+        vrep = np.tile(vid, len(qids))
+        keep = qrep != vrep
+        return pa.table(
+            {
+                "qid": pa.array(qrep[keep]),
+                "vec_id": pa.array(vrep[keep]),
+                "d2_e10": pa.array(d2.reshape(-1)[keep]),
+            }
+        )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact_top = grouped_topk(
+        emb.map_batches(exact_scores, batch_format="pyarrow"),
+        ["qid"],
+        [("d2_e10", True), ("vec_id", True)],
+        PQ_RECALL_K,
+    ).map_batches(
+        lambda t: pa.table(
+            {"e_qid": t["qid"], "e_vec": pc.cast(t["vec_id"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    adc_top = q_pq_adc_topk(sf_dir, k=PQ_RECALL_K).map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.add(
+                    pc.multiply(
+                        pc.cast(t["qid"], pa.int64()),
+                        pa.scalar(1 << 31, type=pa.int64()),
+                    ),
+                    pc.cast(t["vec_id"], pa.int64()),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ekeys = exact_top.map_batches(
+        lambda t: pa.table(
+            {
+                "ekey": pc.add(
+                    pc.multiply(
+                        pc.cast(t["e_qid"], pa.int64()),
+                        pa.scalar(1 << 31, type=pa.int64()),
+                    ),
+                    t["e_vec"],
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    hits = adc_top.join(ekeys, "inner", num_partitions=2,
+                        on=("key",), right_on=("ekey",))
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        p = pa.table(
+            {
+                "qid": pa.array(key >> 31),
+                "n_hits": pa.array(np.ones(len(key), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["qid"]).aggregate([("n_hits", "sum")])
+        return g.rename_columns(["qid", "n_hits"])
+
+    return merge_group_sums(
+        hits.map_batches(count_hits, batch_format="pyarrow"),
+        ["qid"],
+        ["n_hits"],
+    )
+
+
+def _sql_pq_recall_eval() -> str:
+    adc_sql = _sql_pq_adc_topk().strip().removeprefix("WITH")
+    dims = ", ".join(f"({j})" for j in range(1, 65))
+    return f"""
+WITH {adc_sql.split("SELECT qid, vec_id, adc_e10,")[0]},
+adc_top AS (
+  SELECT qid, vec_id FROM ranked WHERE rank <= {PQ_RECALL_K}
+),
+dims(j) AS (VALUES {dims}),
+eterms AS (
+  SELECT q.vec_id AS qid, b.vec_id,
+         CAST(ROUND(
+           (CAST(q.embedding[dims.j] AS DOUBLE)
+            - CAST(b.embedding[dims.j] AS DOUBLE))
+           * (CAST(q.embedding[dims.j] AS DOUBLE)
+              - CAST(b.embedding[dims.j] AS DOUBLE))
+           * 10000000000.0, 0) AS BIGINT) AS t
+  FROM embeddings q
+  JOIN embeddings b ON b.vec_id <> q.vec_id
+  CROSS JOIN dims
+  WHERE q.vec_id % {PQ_QUERY_MOD} = 0
+),
+ed2 AS (
+  SELECT qid, vec_id, CAST(SUM(t) AS BIGINT) AS d2 FROM eterms GROUP BY 1, 2
+),
+exact_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY d2, vec_id) AS rn
+    FROM ed2
+  ) WHERE rn <= {PQ_RECALL_K}
+)
+SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM adc_top a JOIN exact_top e ON e.qid = a.qid AND e.vec_id = a.vec_id
+GROUP BY 1
+"""
+
+
+SQL_PQ_RECALL_EVAL = _sql_pq_recall_eval()
+
+TRAININGDATA_QUERIES["pq_recall_eval"] = q_pq_recall_eval
+TRAININGDATA_ORACLES["pq_recall_eval"] = SQL_PQ_RECALL_EVAL
