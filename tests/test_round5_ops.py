@@ -1243,3 +1243,44 @@ def test_pq_recall_eval_matches_bruteforce(ray_session):
     # every fixture query must register hits at k=20 (coarse codebooks
     # still recover part of the true neighborhood)
     assert len(want) == int((vids % PQ_QUERY_MOD == 0).sum())
+
+
+def test_tile_bearing_histogram_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_tile_bearing_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_bearing_histogram(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).to_pandas()
+    eid = ev.event_id.to_numpy()
+    ev["lat"] = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    ev["lon"] = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    want: collections.Counter = collections.Counter()
+    for _, g in ev.groupby("user_id"):
+        lat = g.lat.to_numpy()
+        lon = g.lon.to_numpy()
+        for i in range(len(g) - 1):
+            dlat = lat[i + 1] - lat[i]
+            dlon = lon[i + 1] - lon[i]
+            if dlat == 0.0 and dlon == 0.0:
+                continue
+            if abs(dlon) >= abs(dlat):
+                b = "E" if dlon >= 0.0 else "W"
+            else:
+                b = "N" if dlat > 0.0 else "S"
+            tx, ty = latlng_to_tile(lat[i:i + 1], lon[i:i + 1], 12)
+            want[(int(tx[0]), int(ty[0]), b)] += 1
+    got = {
+        (r.tile_x, r.tile_y, r.bearing): r.n_moves for r in out.itertuples()
+    }
+    assert got == dict(want)
+    assert {b for _, _, b in want} == {"N", "E", "S", "W"}

@@ -1371,3 +1371,134 @@ FROM w GROUP BY 1, 2
 
 TEMPORAL_MEDIA_QUERIES["tile_decayed_popularity"] = q_tile_decayed_popularity
 TEMPORAL_MEDIA_ORACLES["tile_decayed_popularity"] = SQL_TILE_DECAYED_POPULARITY
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_bearing_histogram — per-tile cardinal movement-direction
+# histogram (the flow-field / commute-direction view of mobility
+# analytics; third consumer of the OD sorted-run machinery). Each
+# consecutive same-user event pair contributes one move, attributed to
+# its FROM tile, binned into N/E/S/W by COMPARISON-ONLY rules (no
+# atan2): E/W when |dlon| ≥ |dlat| (sign of dlon, ties → E side), else
+# N/S by sign of dlat — every boundary decided by exact float
+# comparisons on bitwise-identical derived coordinates, so the binning
+# cannot drift between Ray and SQL. Zero-displacement pairs are skipped
+# on both sides. One range sort, per-block lexsorted pair derivation,
+# (tile, bearing) count partials through one combiner merge.
+
+
+def q_tile_bearing_histogram(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+            }
+        )
+
+    BEARINGS = np.array(["E", "W", "N", "S"])
+
+    def moves_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tile_x": pa.array([], type=pa.int32()),
+                "tile_y": pa.array([], type=pa.int32()),
+                "bearing": pa.array([], type=pa.string()),
+                "n_moves": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, lat, lon = u[order], lat[order], lon[order]
+        same = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            same[:-1] = u[:-1] == u[1:]
+        src = np.flatnonzero(same)
+        if len(src) == 0:
+            return empty
+        dlat = lat[src + 1] - lat[src]
+        dlon = lon[src + 1] - lon[src]
+        nz = (dlat != 0.0) | (dlon != 0.0)
+        src, dlat, dlon = src[nz], dlat[nz], dlon[nz]
+        if len(src) == 0:
+            return empty
+        ew = np.abs(dlon) >= np.abs(dlat)
+        code = np.where(
+            ew,
+            np.where(dlon >= 0.0, 0, 1),  # E / W
+            np.where(dlat > 0.0, 2, 3),  # N / S
+        )
+        tx, ty = latlng_to_tile(lat[src], lon[src], 12)
+        p = pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "bearing": pa.array(BEARINGS[code]),
+                "n_moves": pa.array(np.ones(len(src), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["tile_x", "tile_y", "bearing"]).aggregate(
+            [("n_moves", "sum")]
+        )
+        return g.rename_columns(["tile_x", "tile_y", "bearing", "n_moves"])
+
+    pts = events.map_batches(derive, batch_format="pyarrow")
+    partials = sorted_group_apply(pts, ["user_id"], moves_block)
+    return merge_group_sums(
+        partials, ["tile_x", "tile_y", "bearing"], ["n_moves"]
+    )
+
+
+SQL_TILE_BEARING_HISTOGRAM = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+mv AS (
+  SELECT lat, lon,
+         LEAD(lat) OVER w - lat AS dlat,
+         LEAD(lon) OVER w - lon AS dlon
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+binned AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y,
+         CASE WHEN ABS(dlon) >= ABS(dlat)
+              THEN CASE WHEN dlon >= 0.0 THEN 'E' ELSE 'W' END
+              ELSE CASE WHEN dlat > 0.0 THEN 'N' ELSE 'S' END
+         END AS bearing
+  FROM mv
+  WHERE dlat IS NOT NULL AND (dlat <> 0.0 OR dlon <> 0.0)
+)
+SELECT tile_x, tile_y, bearing, CAST(COUNT(*) AS BIGINT) AS n_moves
+FROM binned GROUP BY 1, 2, 3
+"""
+
+TEMPORAL_MEDIA_QUERIES["tile_bearing_histogram"] = q_tile_bearing_histogram
+TEMPORAL_MEDIA_ORACLES["tile_bearing_histogram"] = SQL_TILE_BEARING_HISTOGRAM
