@@ -94,6 +94,20 @@ def main() -> int:
         "pq_adc_topk": lambda: td.q_pq_adc_topk(sf_dir)
         .materialize()
         .count(),
+        "pq_recall_eval": lambda: td.q_pq_recall_eval(sf_dir)
+        .materialize()
+        .count(),
+        "mixture_sample": lambda: td.q_mixture_sample(sf_dir)
+        .materialize()
+        .count(),
+        "quality_ppl_crosstab": lambda: wt.q_quality_ppl_crosstab(sf_dir)
+        .materialize()
+        .count(),
+        "tile_bearing_histogram": lambda: tm.q_tile_bearing_histogram(
+            sf_dir
+        )
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
