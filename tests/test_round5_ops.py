@@ -1284,3 +1284,55 @@ def test_tile_bearing_histogram_matches_bruteforce(ray_session):
     }
     assert got == dict(want)
     assert {b for _, _, b in want} == {"N", "E", "S", "W"}
+
+
+def test_kmeans_2iter_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        KM_ITERS,
+        KM_K,
+        _km_init_centroids,
+        q_kmeans_2iter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_kmeans_2iter(sf).to_pandas()
+    emb = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vids = emb["vec_id"].to_pylist()
+    X = np.array(emb["embedding"].to_pylist(), dtype=np.float32).astype(
+        np.float64
+    )
+
+    def assign(x, cents):
+        diff = x[:, None, :] - cents[None]
+        d2 = np.round(diff * diff * 1e10).astype(np.int64).sum(axis=2)
+        return d2.argmin(axis=1), d2
+
+    cents = _km_init_centroids()
+    for _ in range(KM_ITERS):
+        lab, _ = assign(X, cents)
+        xe6 = np.round(X * 1e6).astype(np.int64)
+        nxt = cents.copy()
+        for k in range(KM_K):
+            m = lab == k
+            if m.sum():
+                nxt[k] = xe6[m].sum(axis=0).astype(np.float64) / (
+                    float(m.sum()) * 1e6
+                )
+        cents = nxt
+    lab, d2 = assign(X, cents)
+    want = {
+        v: (int(lb), int(d2[i, lb]))
+        for i, (v, lb) in enumerate(zip(vids, lab))
+    }
+    got = {r.vec_id: (r.cluster, r.d2_e10) for r in out.itertuples()}
+    assert got == want
+    # the fit must be non-degenerate: several clusters populated, and the
+    # iterations must actually move assignments vs the init
+    assert len(set(lab.tolist())) >= 3
+    lab0, _ = assign(X, _km_init_centroids())
+    assert (lab0 != lab).sum() > 0

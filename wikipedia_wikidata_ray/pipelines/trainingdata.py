@@ -1459,3 +1459,183 @@ SQL_PQ_RECALL_EVAL = _sql_pq_recall_eval()
 
 TRAININGDATA_QUERIES["pq_recall_eval"] = q_pq_recall_eval
 TRAININGDATA_ORACLES["pq_recall_eval"] = SQL_PQ_RECALL_EVAL
+
+
+# ---------------------------------------------------------------------------
+# Q: kmeans_2iter — distributed Lloyd's k-means over the embedding table,
+# 2 FIXED iterations in fixed-point arithmetic, fully SQL-oracled (the
+# iterative-ML twin the IVF path lacks: ann_topk_ivf's driver-sample fit
+# is rows-only BY DESIGN; this is the oracle-green machinery proof for
+# the same algorithm class, like langid_scores_seeded was for langid).
+# Determinism policy: (a) assignment distances are per-element e10
+# integer sums (ties → lowest cluster id) — exact at any parallelism;
+# (b) the centroid update quantizes each coordinate to e6 integers
+# (round(x·10⁶)) so the per-cluster numerators are EXACT int64 sums and
+# the next centroid c = sum_e6 / (n·10⁶) is ONE IEEE division — bitwise
+# identical on both sides; empty clusters keep their previous centroid
+# (COALESCE rule, both sides). Plan per iteration: ONE stateless
+# map_batches assigns AND emits long-format (cluster, dim, sum_e6, n)
+# partials (≤ K·d rows per batch) → combiner merge → K·d-row bounded
+# driver pull (centroids are the E4 scalar-broadcast family) → next
+# closure. Movement per iteration: K·d·blocks partial rows — vectors
+# never shuffle, ever.
+
+KM_K = 8
+KM_ITERS = 2
+
+
+def _km_init_centroids() -> np.ndarray:
+    """(K, 64) closed-form init in [-0.45, 0.45]."""
+    k = np.arange(KM_K)[:, None]
+    j = np.arange(64)[None, :]
+    return ((k * 29 + j * 13) % 19 - 9) / 20.0
+
+
+def q_kmeans_2iter(sf_dir: str) -> Dataset:
+    import ray
+
+    from ..ops.ann import _as_matrix
+    from ..stages.salted import merge_group_sums
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        diff = x[:, None, :] - cents[None]  # (n, K, 64)
+        d2 = np.round(diff * diff * 10000000000.0).astype(np.int64).sum(
+            axis=2
+        )
+        return d2.argmin(axis=1), d2
+
+    cents = _km_init_centroids()
+    for _ in range(KM_ITERS):
+        c_now = cents  # bind per-iteration closure value
+
+        def partials(t: pa.Table, _c=c_now) -> pa.Table:
+            x = _as_matrix(t.column("embedding")).astype(np.float64)
+            lab, _ = assign(x, _c)
+            xe6 = np.round(x * 1000000.0).astype(np.int64)  # (n, 64)
+            out_k, out_j, out_s, out_n = [], [], [], []
+            for k in range(KM_K):
+                m = lab == k
+                nk = int(m.sum())
+                if nk == 0:
+                    continue
+                s = xe6[m].sum(axis=0)
+                out_k.append(np.full(64, k, dtype=np.int64))
+                out_j.append(np.arange(64, dtype=np.int64))
+                out_s.append(s)
+                out_n.append(np.full(64, nk, dtype=np.int64))
+            if not out_k:
+                return pa.table(
+                    {
+                        "k": pa.array([], type=pa.int64()),
+                        "j": pa.array([], type=pa.int64()),
+                        "sum_e6": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "k": pa.array(np.concatenate(out_k)),
+                    "j": pa.array(np.concatenate(out_j)),
+                    "sum_e6": pa.array(np.concatenate(out_s)),
+                    "n": pa.array(np.concatenate(out_n)),
+                }
+            )
+
+        merged = merge_group_sums(
+            emb.map_batches(partials, batch_format="pyarrow"),
+            ["k", "j"],
+            ["sum_e6", "n"],
+        )
+        tbl = pa.concat_tables(
+            [ray.get(r).select(["k", "j", "sum_e6", "n"])
+             for r in merged.materialize().to_arrow_refs()]
+        )
+        nxt = cents.copy()  # empty cluster → previous centroid
+        kk = tbl.column("k").to_numpy()
+        jj = tbl.column("j").to_numpy()
+        ss = tbl.column("sum_e6").to_numpy()
+        nn = tbl.column("n").to_numpy()
+        nxt[kk, jj] = ss.astype(np.float64) / (nn.astype(np.float64) * 1000000.0)
+        cents = nxt
+
+    c_fin = cents
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t.column("embedding")).astype(np.float64)
+        lab, d2 = assign(x, c_fin)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(lab.astype(np.int64)),
+                "d2_e10": pa.array(
+                    np.take_along_axis(d2, lab[:, None], axis=1)[:, 0]
+                ),
+            }
+        )
+
+    return emb.map_batches(final_assign, batch_format="pyarrow")
+
+
+def _sql_kmeans_2iter() -> str:
+    c0 = _km_init_centroids()
+    cent_rows = ", ".join(
+        f"({k}, {j}, {c0[k, j]!r})" for k in range(KM_K) for j in range(64)
+    )
+    sql = f"""
+WITH cent0(k, j, c) AS (VALUES {cent_rows}),
+x AS (
+  SELECT e.vec_id, d.j, CAST(e.embedding[d.j + 1] AS DOUBLE) AS v
+  FROM embeddings e CROSS JOIN (SELECT j FROM cent0 WHERE k = 0) d
+)"""
+    prev = "cent0"
+    for it in range(1, KM_ITERS + 1):
+        sql += f""",
+t{it} AS (
+  SELECT x.vec_id, c.k,
+         CAST(SUM(CAST(ROUND((x.v - c.c) * (x.v - c.c)
+                              * 10000000000.0, 0) AS BIGINT)) AS BIGINT) AS d2
+  FROM x JOIN {prev} c USING (j) GROUP BY 1, 2
+),
+a{it} AS (
+  SELECT vec_id, k AS cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d2, k) AS rn FROM t{it}
+  ) WHERE rn = 1
+),
+u{it} AS (
+  SELECT a.cluster AS k, x.j,
+         CAST(SUM(CAST(ROUND(x.v * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+           AS sum_e6,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x JOIN a{it} a USING (vec_id) GROUP BY 1, 2
+),
+cent{it} AS (
+  SELECT c.k, c.j,
+         COALESCE(CAST(u.sum_e6 AS DOUBLE) / (CAST(u.n AS DOUBLE)
+                  * 1000000.0), c.c) AS c
+  FROM {prev} c LEFT JOIN u{it} u ON u.k = c.k AND u.j = c.j
+)"""
+        prev = f"cent{it}"
+    sql += f""",
+tf AS (
+  SELECT x.vec_id, c.k,
+         CAST(SUM(CAST(ROUND((x.v - c.c) * (x.v - c.c)
+                              * 10000000000.0, 0) AS BIGINT)) AS BIGINT) AS d2
+  FROM x JOIN {prev} c USING (j) GROUP BY 1, 2
+)
+SELECT vec_id, CAST(k AS BIGINT) AS cluster, d2 AS d2_e10 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+  FROM tf
+) WHERE rn = 1
+"""
+    return sql
+
+
+SQL_KMEANS_2ITER = _sql_kmeans_2iter()
+
+TRAININGDATA_QUERIES["kmeans_2iter"] = q_kmeans_2iter
+TRAININGDATA_ORACLES["kmeans_2iter"] = SQL_KMEANS_2ITER
