@@ -1336,3 +1336,65 @@ def test_kmeans_2iter_matches_bruteforce(ray_session):
     assert len(set(lab.tolist())) >= 3
     lab0, _ = assign(X, _km_init_centroids())
     assert (lab0 != lab).sum() > 0
+
+
+def test_ann_topk_ivf_kmeans_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        KM_ITERS,
+        KM_K,
+        _km_init_centroids,
+        q_ann_topk_ivf_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_ann_topk_ivf_kmeans(sf).to_pandas()
+    emb = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vids = np.asarray(emb["vec_id"].to_pylist())
+    X = np.array(emb["embedding"].to_pylist(), dtype=np.float32).astype(
+        np.float64
+    )
+
+    def assign(x, cents):
+        diff = x[:, None, :] - cents[None]
+        d2 = np.round(diff * diff * 1e10).astype(np.int64).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    cents = _km_init_centroids()
+    for _ in range(KM_ITERS):
+        lab = assign(X, cents)
+        xe6 = np.round(X * 1e6).astype(np.int64)
+        nxt = cents.copy()
+        for k in range(KM_K):
+            m = lab == k
+            if m.sum():
+                nxt[k] = xe6[m].sum(axis=0).astype(np.float64) / (
+                    float(m.sum()) * 1e6
+                )
+        cents = nxt
+    lab = assign(X, cents)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = {}
+    for ki in range(KM_K):
+        idx = np.flatnonzero(lab == ki)
+        if len(idx) <= 1:
+            continue
+        sims = Xn[idx] @ Xn[idx].T
+        np.fill_diagonal(sims, -np.inf)
+        k = min(5, len(idx) - 1)
+        for row, vi in enumerate(idx):
+            order = sorted(
+                range(len(idx)),
+                key=lambda c: (-sims[row, c], vids[idx[c]]),
+            )[:k]
+            for r, c in enumerate(order, 1):
+                want[(int(vids[vi]), r)] = int(vids[idx[c]])
+    got = {
+        (r.vec_id, r.rank): r.neighbor_id for r in out.itertuples()
+    }
+    assert got == want
+    assert len(out) > 0

@@ -552,8 +552,44 @@ FROM scored WHERE rnk <= 5
 # construction (a query's own bucket).
 
 
-def q_ann_topk_ivf_grid(sf_dir: str) -> Dataset:
+def _bucket_cosine_topk(group: pa.Table) -> pa.Table:
+    """In-bucket brute cosine top-5 (shared by the sign-grid and k-means
+    IVF twins; the ROUND(sim, 6) output convention the driver compare is
+    green on since round 3)."""
     from ..ops.ann import _as_matrix, _normalize
+
+    ids = group["vec_id"].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int32()),
+            "sim": pa.array([], type=pa.float64()),
+        }
+    )
+    if n <= 1:
+        return empty  # a lone vector has no in-bucket neighbors
+    m = _normalize(_as_matrix(group.column("embedding")))
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    k = min(5, n - 1)
+    order = np.lexsort((np.broadcast_to(ids, (n, n)), -sims), axis=1)[:, :k]
+    rows = np.arange(n)[:, None]
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, k)),
+            "neighbor_id": pa.array(ids[order].ravel()),
+            "rank": pa.array(
+                np.tile(np.arange(1, k + 1, dtype=np.int32), n)
+            ),
+            "sim": pa.array(np.round(sims[rows, order].ravel(), 6)),
+        }
+    )
+
+
+def q_ann_topk_ivf_grid(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
 
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -569,42 +605,12 @@ def q_ann_topk_ivf_grid(sf_dir: str) -> Dataset:
         )
         return t.append_column("_bucket", pa.array(b))
 
-    def topk(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        empty = pa.table(
-            {
-                "vec_id": pa.array([], type=pa.int64()),
-                "neighbor_id": pa.array([], type=pa.int64()),
-                "rank": pa.array([], type=pa.int32()),
-                "sim": pa.array([], type=pa.float64()),
-            }
-        )
-        if n <= 1:
-            return empty  # a lone vector has no in-bucket neighbors
-        m = _normalize(_as_matrix(group.column("embedding")))
-        sims = m @ m.T
-        np.fill_diagonal(sims, -np.inf)
-        k = min(5, n - 1)
-        order = np.lexsort((np.broadcast_to(ids, (n, n)), -sims), axis=1)[:, :k]
-        rows = np.arange(n)[:, None]
-        return pa.table(
-            {
-                "vec_id": pa.array(np.repeat(ids, k)),
-                "neighbor_id": pa.array(ids[order].ravel()),
-                "rank": pa.array(
-                    np.tile(np.arange(1, k + 1, dtype=np.int32), n)
-                ),
-                "sim": pa.array(np.round(sims[rows, order].ravel(), 6)),
-            }
-        )
-
     # FEW (≤16) LARGE buckets — the regime where map_groups is the right
     # tool (CLAUDE.md tiny-group rule applies to MANY tiny groups)
     return (
         emb.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_groups(_bucket_cosine_topk, batch_format="pyarrow")
     )
 
 
@@ -1491,22 +1497,20 @@ def _km_init_centroids() -> np.ndarray:
     return ((k * 29 + j * 13) % 19 - 9) / 20.0
 
 
-def q_kmeans_2iter(sf_dir: str) -> Dataset:
+def _km_assign(x: np.ndarray, cents: np.ndarray):
+    diff = x[:, None, :] - cents[None]  # (n, K, 64)
+    d2 = np.round(diff * diff * 10000000000.0).astype(np.int64).sum(axis=2)
+    return d2.argmin(axis=1), d2
+
+
+def kmeans_fit_centroids(emb) -> np.ndarray:
+    """The distributed fixed-point Lloyd fit (see q_kmeans_2iter header):
+    KM_ITERS rounds of assign+partial map → combiner merge → K·d-row
+    bounded driver pull. Returns the (K, 64) final centroids."""
     import ray
 
     from ..ops.ann import _as_matrix
     from ..stages.salted import merge_group_sums
-
-    emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).materialize()
-
-    def assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
-        diff = x[:, None, :] - cents[None]  # (n, K, 64)
-        d2 = np.round(diff * diff * 10000000000.0).astype(np.int64).sum(
-            axis=2
-        )
-        return d2.argmin(axis=1), d2
 
     cents = _km_init_centroids()
     for _ in range(KM_ITERS):
@@ -1514,7 +1518,7 @@ def q_kmeans_2iter(sf_dir: str) -> Dataset:
 
         def partials(t: pa.Table, _c=c_now) -> pa.Table:
             x = _as_matrix(t.column("embedding")).astype(np.float64)
-            lab, _ = assign(x, _c)
+            lab, _ = _km_assign(x, _c)
             xe6 = np.round(x * 1000000.0).astype(np.int64)  # (n, 64)
             out_k, out_j, out_s, out_n = [], [], [], []
             for k in range(KM_K):
@@ -1561,8 +1565,24 @@ def q_kmeans_2iter(sf_dir: str) -> Dataset:
         nn = tbl.column("n").to_numpy()
         nxt[kk, jj] = ss.astype(np.float64) / (nn.astype(np.float64) * 1000000.0)
         cents = nxt
+    return cents
 
-    c_fin = cents
+
+def q_kmeans_2iter(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        diff = x[:, None, :] - cents[None]  # (n, K, 64)
+        d2 = np.round(diff * diff * 10000000000.0).astype(np.int64).sum(
+            axis=2
+        )
+        return d2.argmin(axis=1), d2
+
+    c_fin = kmeans_fit_centroids(emb)
 
     def final_assign(t: pa.Table) -> pa.Table:
         x = _as_matrix(t.column("embedding")).astype(np.float64)
@@ -1639,3 +1659,62 @@ SQL_KMEANS_2ITER = _sql_kmeans_2iter()
 
 TRAININGDATA_QUERIES["kmeans_2iter"] = q_kmeans_2iter
 TRAININGDATA_ORACLES["kmeans_2iter"] = SQL_KMEANS_2ITER
+
+
+# ---------------------------------------------------------------------------
+# Q: ann_topk_ivf_kmeans — the FULLY-ORACLED end-to-end IVF: the
+# fixed-point k-means fit (kmeans_fit_centroids — bitwise
+# SQL-replicable) buckets the vectors, then the shared in-bucket brute
+# cosine top-5 (_bucket_cosine_topk). Together with kmeans_2iter this
+# upgrades the IVF family's evidence: ann_topk_ivf / _partitioned stay
+# rows-only BY DESIGN (driver-sample fit on random projections), but
+# every machinery stage — iterative fit, bucket assignment, probe,
+# in-bucket top-k — now has an oracle-green twin. nprobe=1 (own
+# cluster), same movement story as ann_topk_ivf_grid: vectors shuffle
+# ONCE into ≤K large groups (map_groups' correct regime).
+
+
+def q_ann_topk_ivf_kmeans(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    cents = kmeans_fit_centroids(emb)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t.column("embedding")).astype(np.float64)
+        lab, _ = _km_assign(x, cents)
+        return t.append_column("_bucket", pa.array(lab.astype(np.int64)))
+
+    return (
+        emb.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(_bucket_cosine_topk, batch_format="pyarrow")
+    )
+
+
+SQL_ANN_TOPK_IVF_KMEANS = f"""
+WITH asg AS ({SQL_KMEANS_2ITER}),
+b AS (
+  SELECT e.vec_id, e.embedding, a.cluster
+  FROM embeddings e JOIN asg a USING (vec_id)
+),
+scored AS (
+  SELECT a.vec_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS s,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id
+         ) AS rnk
+  FROM b a JOIN b c ON a.cluster = c.cluster AND a.vec_id <> c.vec_id
+)
+SELECT vec_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, ROUND(s, 6) AS sim
+FROM scored WHERE rnk <= 5
+"""
+
+TRAININGDATA_QUERIES["ann_topk_ivf_kmeans"] = q_ann_topk_ivf_kmeans
+TRAININGDATA_ORACLES["ann_topk_ivf_kmeans"] = SQL_ANN_TOPK_IVF_KMEANS
