@@ -108,6 +108,12 @@ def main() -> int:
         )
         .materialize()
         .count(),
+        "kmeans_2iter": lambda: td.q_kmeans_2iter(sf_dir)
+        .materialize()
+        .count(),
+        "ann_topk_ivf_kmeans": lambda: td.q_ann_topk_ivf_kmeans(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
