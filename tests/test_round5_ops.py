@@ -1398,3 +1398,42 @@ def test_ann_topk_ivf_kmeans_matches_bruteforce(ray_session):
     }
     assert got == want
     assert len(out) > 0
+
+
+def test_media_ahash_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import q_media_ahash
+
+    sf = "/root/testdata/sf0.001"
+    out = q_media_ahash(sf).to_pandas()
+    ids = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    want = {}
+    pop_bits = []
+    for did in ids.tolist():
+        w = 32 + (did % 5) * 16
+        h = 24 + (did % 3) * 16
+        i = np.arange(w * h, dtype=np.int64)
+        px = (did * 31 + i * 7) % 256
+        img = px.reshape(h, w)
+        blocks = img.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+        total = int(blocks.sum())
+        bits = (64 * blocks > total).astype(np.int64)
+        sh = np.arange(64, dtype=np.int64).reshape(8, 8)
+        lo = int((bits[:4] << sh[:4]).sum())
+        hi = int((bits[4:] << (sh[4:] - 32)).sum())
+        want[did] = (w, h, hi, lo)
+        pop_bits.append(int(bits.sum()))
+    got = {
+        r.doc_id: (r.width, r.height, r.hash_hi, r.hash_lo)
+        for r in out.itertuples()
+    }
+    assert got == want
+    # the hash must be non-degenerate: bits split roughly half/half
+    assert 10 <= np.mean(pop_bits) <= 54
+    # both halves must be exercised and sign-safe
+    assert all(0 <= v[2] < 1 << 32 and 0 <= v[3] < 1 << 32
+               for v in want.values())

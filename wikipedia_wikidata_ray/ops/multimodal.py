@@ -164,3 +164,60 @@ def frame_samples(sf_dir: str, stride: int = 4) -> Dataset:
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+class AHasher:
+    """Actor-pool stage: decode → 8×8 average-hash perceptual fingerprint
+    (the multimodal × dedup cross: aHash is the standard near-dup
+    primitive for images; Hamming banding over these fingerprints rides
+    the existing simhash machinery, ops/dedup.py). Bit rule is EXACT
+    INTEGER — bit(r,c) = 64·block_sum > total_sum (the cross-multiplied
+    block-mean > global-mean comparison; every fixture (w, h) divides
+    8×8 evenly so blocks are equal-sized and the rule is this clean) —
+    and the 64 bits publish as two int64 halves (hash_hi = rows 4-7,
+    hash_lo = rows 0-3) so no bit ever lands in the int64 sign position
+    on either side. Codec state per actor, same seam as MediaFeaturizer.
+    """
+
+    def __init__(self, codec=None):
+        self.codec = codec or FakeCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, his, los = [], [], [], [], []
+        for j, payload in enumerate(batch["payload"].to_pylist()):
+            img, w, h = self.codec.decode(payload)
+            bh, bw = h // 8, w // 8
+            blocks = (
+                img.astype(np.int64)
+                .reshape(8, bh, 8, bw)
+                .sum(axis=(1, 3))
+            )  # (8, 8) integer block sums
+            total = int(blocks.sum())
+            bits = (64 * blocks > total).astype(np.int64)
+            sh = np.arange(64, dtype=np.int64).reshape(8, 8)
+            lo = int((bits[:4] << (sh[:4])).sum())
+            hi = int((bits[4:] << (sh[4:] - 32)).sum())
+            ids.append(batch["doc_id"][j].as_py())
+            ws.append(w)
+            hs.append(h)
+            his.append(hi)
+            los.append(lo)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "hash_hi": pa.array(his, type=pa.int64()),
+                "hash_lo": pa.array(los, type=pa.int64()),
+            }
+        )
+
+
+def media_ahash(sf_dir: str, concurrency=(1, 8), batch_size: int = 256) -> Dataset:
+    return media_table_for(sf_dir).map_batches(
+        AHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

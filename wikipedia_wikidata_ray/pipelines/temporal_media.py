@@ -1502,3 +1502,58 @@ FROM binned GROUP BY 1, 2, 3
 
 TEMPORAL_MEDIA_QUERIES["tile_bearing_histogram"] = q_tile_bearing_histogram
 TEMPORAL_MEDIA_ORACLES["tile_bearing_histogram"] = SQL_TILE_BEARING_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# Q: media_ahash — perceptual average-hash fingerprints for the media
+# table (multimodal × dedup: the image analog of simhash_fingerprints;
+# see ops/multimodal.AHasher for the exact-integer bit rule and the
+# sign-safe two-half packing). Fully oracled because the FakeCodec
+# pixel contract is closed-form; a real codec drops in behind the same
+# actor seam and the op becomes rows-only like any fitted/model stage.
+
+
+def q_media_ahash(sf_dir: str) -> Dataset:
+    from ..ops.multimodal import media_ahash
+
+    return media_ahash(sf_dir)
+
+
+SQL_MEDIA_AHASH = """
+WITH dims AS (
+  SELECT doc_id,
+         32 + (doc_id % 5) * 16 AS width,
+         24 + (doc_id % 3) * 16 AS height
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.width, d.height, i.i,
+         (d.doc_id * 31 + i.i * 7) % 256 AS v
+  FROM dims d, range(0, 5376) i(i)
+  WHERE i.i < d.width * d.height
+),
+blocks AS (
+  SELECT doc_id, width, height,
+         (i // width) // (height // 8) AS br,
+         (i % width) // (width // 8) AS bc,
+         CAST(SUM(v) AS BIGINT) AS bs
+  FROM px GROUP BY 1, 2, 3, 4, 5
+),
+tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ts FROM px GROUP BY 1),
+bits AS (
+  SELECT b.doc_id, b.width, b.height, b.br, b.bc,
+         CASE WHEN 64 * b.bs > t.ts THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN tot t USING (doc_id)
+)
+SELECT doc_id, width, height,
+       CAST(SUM(CASE WHEN br >= 4
+                     THEN bit << (br * 8 + bc - 32) ELSE 0 END) AS BIGINT)
+         AS hash_hi,
+       CAST(SUM(CASE WHEN br < 4
+                     THEN bit << (br * 8 + bc) ELSE 0 END) AS BIGINT)
+         AS hash_lo
+FROM bits GROUP BY 1, 2, 3
+"""
+
+TEMPORAL_MEDIA_QUERIES["media_ahash"] = q_media_ahash
+TEMPORAL_MEDIA_ORACLES["media_ahash"] = SQL_MEDIA_AHASH
