@@ -1437,3 +1437,30 @@ def test_media_ahash_matches_bruteforce(ray_session):
     # both halves must be exercised and sign-safe
     assert all(0 <= v[2] < 1 << 32 and 0 <= v[3] < 1 << 32
                for v in want.values())
+
+
+def test_media_ahash_neardups_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_media_ahash,
+        q_media_ahash_neardups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_media_ahash_neardups(sf).to_pandas()
+    fp = q_media_ahash(sf).to_pandas()
+    h = (
+        fp.hash_hi.to_numpy().astype(np.uint64) << np.uint64(32)
+    ) | fp.hash_lo.to_numpy().astype(np.uint64)
+    ids = fp.doc_id.to_numpy()
+    want = {}
+    for i in range(len(ids)):
+        x = h[i] ^ h[i + 1:]
+        hd = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.flatnonzero(hd <= 3):
+            a, b = ids[i], ids[i + 1 + j]
+            want[(min(a, b), max(a, b))] = int(hd[j])
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out.itertuples()}
+    assert got == want
+    assert len(want) > 0 and min(want.values()) == 0  # exact-equal pair

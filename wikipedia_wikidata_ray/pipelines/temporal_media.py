@@ -1557,3 +1557,66 @@ FROM bits GROUP BY 1, 2, 3
 
 TEMPORAL_MEDIA_QUERIES["media_ahash"] = q_media_ahash
 TEMPORAL_MEDIA_ORACLES["media_ahash"] = SQL_MEDIA_AHASH
+
+
+# ---------------------------------------------------------------------------
+# Q: media_ahash_neardups — near-duplicate IMAGE pairs by perceptual-hash
+# Hamming distance ≤ 3 (the visual-dedup op: re-encoded / lightly-edited
+# images collide in aHash space). Rides the EXACT simhash machinery
+# (ops/dedup._lsh_bucket_pairs): the 64-bit fingerprint (hi≪32 | lo)
+# bands into 4 × 16-bit chunks (pigeonhole: hamming ≤ 3 ⟹ ≥1 band
+# equal), candidates verify in place, cross-band dedup on the min-merge.
+# The fixture's closed-form pixels give a real pair population (hamming
+# 0–3 pairs exist at both test scales). SQL verifies the pair set with
+# the O(n²) bit_count self-join (oracle scale only).
+
+
+def q_media_ahash_neardups(sf_dir: str, max_hamming: int = 3) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.dedup import _lsh_bucket_pairs, merge_group_aggs
+
+    fp = q_media_ahash(sf_dir).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        hi = t.column("hash_hi").to_numpy().astype(np.uint64)
+        lo = t.column("hash_lo").to_numpy().astype(np.uint64)
+        h = (hi << np.uint64(32)) | lo
+        n = len(ids)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        chunk = np.empty(4 * n, dtype=np.uint64)
+        for bnd in range(4):
+            chunk[bnd::4] = (h >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(h, 4)),
+                "band_id": pa.array(band),
+                "band_hash": pa.array(chunk),
+            }
+        )
+
+    pairs = _lsh_bucket_pairs(
+        fp.map_batches(explode, batch_format="pyarrow"),
+        4096,
+        value_col="simhash",
+        max_hamming=max_hamming,
+    )
+    return merge_group_aggs(pairs, ["doc_a", "doc_b"], [("hamming", "min")])
+
+
+SQL_MEDIA_AHASH_NEARDUPS = f"""
+WITH h AS ({SQL_MEDIA_AHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(a.hash_hi, b.hash_hi) AS BIGINT))
+            + bit_count(CAST(xor(a.hash_lo, b.hash_lo) AS BIGINT))
+         AS BIGINT) AS hamming
+FROM h a JOIN h b ON b.doc_id > a.doc_id
+WHERE bit_count(CAST(xor(a.hash_hi, b.hash_hi) AS BIGINT))
+      + bit_count(CAST(xor(a.hash_lo, b.hash_lo) AS BIGINT)) <= 3
+"""
+
+TEMPORAL_MEDIA_QUERIES["media_ahash_neardups"] = q_media_ahash_neardups
+TEMPORAL_MEDIA_ORACLES["media_ahash_neardups"] = SQL_MEDIA_AHASH_NEARDUPS
