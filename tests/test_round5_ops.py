@@ -1464,3 +1464,30 @@ def test_media_ahash_neardups_matches_bruteforce(ray_session):
     got = {(r.doc_a, r.doc_b): r.hamming for r in out.itertuples()}
     assert got == want
     assert len(want) > 0 and min(want.values()) == 0  # exact-equal pair
+
+
+def test_props_extract_stats_matches_bruteforce(ray_session):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_props_extract_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_props_extract_stats(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_type", "props"]
+    ).to_pandas()
+    ev["k"] = ev.props.map(lambda s: json.loads(s)["k"])
+    want = {
+        et: (len(g), int(g.k.sum()), int(g.k.min()), int(g.k.max()))
+        for et, g in ev.groupby("event_type")
+    }
+    got = {
+        r.event_type: (r.n_events, r.sum_k, r.min_k, r.max_k)
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert len(want) == 5

@@ -1620,3 +1620,76 @@ WHERE bit_count(CAST(xor(a.hash_hi, b.hash_hi) AS BIGINT))
 
 TEMPORAL_MEDIA_QUERIES["media_ahash_neardups"] = q_media_ahash_neardups
 TEMPORAL_MEDIA_ORACLES["media_ahash_neardups"] = SQL_MEDIA_AHASH_NEARDUPS
+
+
+# ---------------------------------------------------------------------------
+# Q: props_extract_stats — semi-structured column handling: the events
+# table's `props` JSON strings ({"k": N}) parse via ONE vectorized
+# Arrow `pc.extract_regex` kernel (no per-row json.loads — the Python
+# loop would be the hot-path sin on a 100-TB event stream; a full JSON
+# decoder drops in as an actor stage only when the schema is truly
+# dynamic — named), then per-event-type exact integer stats ride the
+# combined min/max/sum combiner merge (I7 `merge_group_aggs`).
+
+
+def q_props_extract_stats(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.salted import merge_group_aggs
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        p = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_events": pa.array(np.ones(len(t), dtype=np.int64)),
+                "sum_k": k,
+                "min_k": k,
+                "max_k": k,
+            }
+        )
+        g = p.group_by(["event_type"]).aggregate(
+            [
+                ("n_events", "sum"),
+                ("sum_k", "sum"),
+                ("min_k", "min"),
+                ("max_k", "max"),
+            ]
+        )
+        return g.rename_columns(
+            ["event_type", "n_events", "sum_k", "min_k", "max_k"]
+        )
+
+    return merge_group_aggs(
+        events.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        [
+            ("n_events", "sum"),
+            ("sum_k", "sum"),
+            ("min_k", "min"),
+            ("max_k", "max"),
+        ],
+    )
+
+
+SQL_PROPS_EXTRACT_STATS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["props_extract_stats"] = q_props_extract_stats
+TEMPORAL_MEDIA_ORACLES["props_extract_stats"] = SQL_PROPS_EXTRACT_STATS
