@@ -1491,3 +1491,37 @@ def test_props_extract_stats_matches_bruteforce(ray_session):
     }
     assert got == want
     assert len(want) == 5
+
+
+def test_audio_features_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_audio_features,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_audio_features(sf).to_pandas()
+    ids = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    want = {}
+    for did in ids.tolist():
+        n = 8000 + (did % 7) * 1000
+        i = np.arange(n, dtype=np.int64)
+        s = ((did * 17 + i * 11) % 4096) - 2048
+        nn = s >= 0
+        want[did] = (
+            n,
+            int((s * s).sum()),
+            int((nn[:-1] != nn[1:]).sum()),
+            int(np.abs(s).max()),
+        )
+    got = {
+        r.doc_id: (r.n_samples, r.energy, r.zero_crossings, r.peak)
+        for r in out.itertuples()
+    }
+    assert got == want
+    # the waveform must actually oscillate
+    assert min(v[2] for v in want.values()) > 10

@@ -221,3 +221,92 @@ def media_ahash(sf_dir: str, concurrency=(1, 8), batch_size: int = 256) -> Datas
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+AUDIO_MAGIC = b"FAKEAUD!"
+_AHDR = len(AUDIO_MAGIC) + 4
+
+# Synthetic audio contract (closed-form from doc_id, SQL-replicable):
+# - n_samples = 8000 + (doc_id % 7) * 1000
+# - sample[i] = ((doc_id * 17 + i * 11) % 4096) - 2048   (int16)
+# - payload   = b"FAKEAUD!" + n_samples:uint32le + samples:int16le
+
+
+def audio_table_for(sf_dir: str) -> Dataset:
+    """Deterministic audio fixture derived from ``documents`` (schema:
+    doc_id, kind, payload:large_binary)."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        payloads = []
+        for did in ids:
+            n = 8000 + (did % 7) * 1000
+            i = np.arange(n, dtype=np.int64)
+            s = (((did * 17 + i * 11) % 4096) - 2048).astype(np.int16)
+            payloads.append(
+                AUDIO_MAGIC + int(n).to_bytes(4, "little") + s.tobytes()
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "kind": pa.array(["audio"] * len(ids), type=pa.string()),
+                "payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(gen, batch_format="pyarrow")
+
+
+class FakeAudioCodec:
+    """Deterministic stand-in decoder (real deployment: soundfile/ffmpeg
+    behind the same seam)."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not payload.startswith(AUDIO_MAGIC):
+            raise NotImplementedError(
+                "real audio decoding requires an audio codec "
+                "(soundfile/ffmpeg) not present in this container"
+            )
+        n = int.from_bytes(payload[len(AUDIO_MAGIC):_AHDR], "little")
+        return np.frombuffer(payload, dtype=np.int16, offset=_AHDR, count=n)
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: decode → exact-integer waveform features
+    (n_samples, energy = Σs², zero crossings by the nonneg-XOR rule,
+    peak = max |s|) — every feature int64, SQL-replicable under the
+    FAKEAUD contract. Codec per actor (J17 seam)."""
+
+    def __init__(self, codec=None):
+        self.codec = codec or FakeAudioCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, en, zc, pk = [], [], [], [], []
+        for j, payload in enumerate(batch["payload"].to_pylist()):
+            s = self.codec.decode(payload).astype(np.int64)
+            ids.append(batch["doc_id"][j].as_py())
+            ns.append(len(s))
+            en.append(int((s * s).sum()))
+            nn = s >= 0
+            zc.append(int((nn[:-1] != nn[1:]).sum()))
+            pk.append(int(np.abs(s).max()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "energy": pa.array(en, type=pa.int64()),
+                "zero_crossings": pa.array(zc, type=pa.int64()),
+                "peak": pa.array(pk, type=pa.int64()),
+            }
+        )
+
+
+def audio_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 256) -> Dataset:
+    return audio_table_for(sf_dir).map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

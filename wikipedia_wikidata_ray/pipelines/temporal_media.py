@@ -1693,3 +1693,42 @@ FROM events GROUP BY 1
 
 TEMPORAL_MEDIA_QUERIES["props_extract_stats"] = q_props_extract_stats
 TEMPORAL_MEDIA_ORACLES["props_extract_stats"] = SQL_PROPS_EXTRACT_STATS
+
+
+# ---------------------------------------------------------------------------
+# Q: audio_features — the audio modality of the J17 multimodal family
+# (image = media_features/media_ahash, video = media_frame_samples,
+# audio = this): exact-integer waveform features through an actor-pool
+# decode stage (ops/multimodal.AudioFeaturizer). Fully oracled under
+# the closed-form FAKEAUD contract; a real soundfile/ffmpeg codec drops
+# in behind the same seam.
+
+
+def q_audio_features(sf_dir: str) -> Dataset:
+    from ..ops.multimodal import audio_features
+
+    return audio_features(sf_dir)
+
+
+SQL_AUDIO_FEATURES = """
+WITH dims AS (
+  SELECT doc_id, 8000 + (doc_id % 7) * 1000 AS n FROM documents
+),
+sm AS (
+  SELECT d.doc_id, d.n, i.i,
+         (d.doc_id * 17 + i.i * 11) % 4096 - 2048 AS v,
+         (d.doc_id * 17 + (i.i + 1) * 11) % 4096 - 2048 AS vnext
+  FROM dims d, range(0, 14000) i(i)
+  WHERE i.i < d.n
+)
+SELECT doc_id,
+       CAST(MIN(n) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN i < n - 1 AND ((v >= 0) <> (vnext >= 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM sm GROUP BY 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["audio_features"] = q_audio_features
+TEMPORAL_MEDIA_ORACLES["audio_features"] = SQL_AUDIO_FEATURES
