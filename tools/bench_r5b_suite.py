@@ -114,6 +114,18 @@ def main() -> int:
         "ann_topk_ivf_kmeans": lambda: td.q_ann_topk_ivf_kmeans(sf_dir)
         .materialize()
         .count(),
+        "media_ahash": lambda: tm.q_media_ahash(sf_dir)
+        .materialize()
+        .count(),
+        "media_ahash_neardups": lambda: tm.q_media_ahash_neardups(sf_dir)
+        .materialize()
+        .count(),
+        "props_extract_stats": lambda: tm.q_props_extract_stats(sf_dir)
+        .materialize()
+        .count(),
+        "audio_features": lambda: tm.q_audio_features(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
