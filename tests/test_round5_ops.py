@@ -1525,3 +1525,33 @@ def test_audio_features_matches_bruteforce(ray_session):
     assert got == want
     # the waveform must actually oscillate
     assert min(v[2] for v in want.values()) > 10
+
+
+def test_weighted_sample_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        WSAMPLE_K,
+        q_weighted_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_weighted_sample(sf).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    ids = docs["doc_id"].to_numpy()
+    w = docs["n_chars"].to_numpy().astype(np.float64)
+    h = (ids * np.int64(2654435761)) & np.int64((1 << 31) - 1)
+    u = (h.astype(np.float64) + 1.0) / 2147483648.0
+    key = np.round((np.log(u) / w) * 1e10).astype(np.int64)
+    order = sorted(zip(key.tolist(), ids.tolist()))[:WSAMPLE_K]
+    want = {(d, r) for r, (_, d) in enumerate(order, 1)}
+    got = {(r.doc_id, r.rank) for r in out.itertuples()}
+    assert got == want
+    # weighting must matter: the sample's mean n_chars exceeds the corpus
+    # mean (longer docs proportionally likelier)
+    sampled = set(d for d, _ in want)
+    m_s = w[np.isin(ids, list(sampled))].mean()
+    assert m_s > w.mean()

@@ -1718,3 +1718,75 @@ FROM scored WHERE rnk <= 5
 
 TRAININGDATA_QUERIES["ann_topk_ivf_kmeans"] = q_ann_topk_ivf_kmeans
 TRAININGDATA_ORACLES["ann_topk_ivf_kmeans"] = SQL_ANN_TOPK_IVF_KMEANS
+
+
+# ---------------------------------------------------------------------------
+# Q: weighted_sample — deterministic weighted sampling WITHOUT
+# replacement (Efraimidis–Spirakis 2006: draw u ~ U(0,1) per row, keep
+# the k smallest ln(u)/w keys — equivalent to keeping the k largest
+# u^(1/w)). The "randomness" is the house Knuth hash mapped to
+# (0, 1) — reproducible and parallelism-independent like hash_sample —
+# and the key rounds to e10 int64 (LN and division are single IEEE ops,
+# the established parity family) so the global top-k is exact. Weights =
+# n_chars (longer docs proportionally likelier — the length-balanced
+# sampling a curation pipeline uses). Plan: stateless key map → ONE
+# grouped_topk on a constant key (block-local k-prune; k rows per block
+# shuffle). Zero joins.
+
+WSAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> Dataset:
+    from ..ops.topk import grouped_topk
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        w = t["n_chars"].to_numpy().astype(np.float64)
+        h = (ids * np.int64(2654435761)) & np.int64((1 << 31) - 1)
+        u = (h.astype(np.float64) + 1.0) / 2147483648.0  # (0, 1]
+        key = np.round((np.log(u) / w) * 10000000000.0).astype(np.int64)
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(len(t), dtype=np.int32)),
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "key_e10": pa.array(key),
+            }
+        )
+
+    top = grouped_topk(
+        docs.map_batches(keys, batch_format="pyarrow"),
+        ["_g"],
+        [("key_e10", True), ("doc_id", True)],
+        k,
+        rank_col="rank",
+    )
+    return top.map_batches(
+        lambda t: t.drop_columns(["_g"]), batch_format="pyarrow"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(ROUND(
+           (LN((CAST((doc_id * 2654435761) & 2147483647 AS DOUBLE) + 1.0)
+               / 2147483648.0)
+            / CAST(n_chars AS DOUBLE)) * 10000000000.0, 0) AS BIGINT)
+           AS key_e10
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY key_e10, doc_id) AS rank
+  FROM keyed
+)
+SELECT doc_id, n_chars, key_e10, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {WSAMPLE_K}
+"""
+
+TRAININGDATA_QUERIES["weighted_sample"] = q_weighted_sample
+TRAININGDATA_ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE
