@@ -1546,7 +1546,7 @@ def test_weighted_sample_matches_bruteforce(ray_session):
     h = (ids * np.int64(2654435761)) & np.int64((1 << 31) - 1)
     u = (h.astype(np.float64) + 1.0) / 2147483648.0
     key = np.round((np.log(u) / w) * 1e10).astype(np.int64)
-    order = sorted(zip(key.tolist(), ids.tolist()))[:WSAMPLE_K]
+    order = sorted(zip((-key).tolist(), ids.tolist()))[:WSAMPLE_K]
     want = {(d, r) for r, (_, d) in enumerate(order, 1)}
     got = {(r.doc_id, r.rank) for r in out.itertuples()}
     assert got == want

@@ -1723,8 +1723,8 @@ TRAININGDATA_ORACLES["ann_topk_ivf_kmeans"] = SQL_ANN_TOPK_IVF_KMEANS
 # ---------------------------------------------------------------------------
 # Q: weighted_sample — deterministic weighted sampling WITHOUT
 # replacement (Efraimidis–Spirakis 2006: draw u ~ U(0,1) per row, keep
-# the k smallest ln(u)/w keys — equivalent to keeping the k largest
-# u^(1/w)). The "randomness" is the house Knuth hash mapped to
+# the k LARGEST ln(u)/w keys — ln is monotonic, so this equals keeping
+# the k largest u^(1/w); higher weight pulls the negative key toward 0). The "randomness" is the house Knuth hash mapped to
 # (0, 1) — reproducible and parallelism-independent like hash_sample —
 # and the key rounds to e10 int64 (LN and division are single IEEE ops,
 # the established parity family) so the global top-k is exact. Weights =
@@ -1761,7 +1761,7 @@ def q_weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> Dataset:
     top = grouped_topk(
         docs.map_batches(keys, batch_format="pyarrow"),
         ["_g"],
-        [("key_e10", True), ("doc_id", True)],
+        [("key_e10", False), ("doc_id", True)],
         k,
         rank_col="rank",
     )
@@ -1781,7 +1781,7 @@ WITH keyed AS (
   FROM documents
 ),
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY key_e10, doc_id) AS rank
+  SELECT *, ROW_NUMBER() OVER (ORDER BY key_e10 DESC, doc_id) AS rank
   FROM keyed
 )
 SELECT doc_id, n_chars, key_e10, CAST(rank AS BIGINT) AS rank
