@@ -1555,3 +1555,48 @@ def test_weighted_sample_matches_bruteforce(ray_session):
     sampled = set(d for d, _ in want)
     m_s = w[np.isin(ids, list(sampled))].mean()
     assert m_s > w.mean()
+
+
+def test_curated_tile_corpus_matches_bruteforce(ray_session):
+    import collections
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import _gate_features
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _geotagged,
+        q_curated_tile_corpus,
+    )
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = q_curated_tile_corpus(sf).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    n_words_arr, _, _, passing = _gate_features(docs)
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    first_by_text: dict = {}
+    for i, (d, tx) in enumerate(zip(ids, texts)):
+        if passing[i] and (tx not in first_by_text
+                           or d < first_by_text[tx]):
+            first_by_text[tx] = d
+    keep = set(first_by_text.values())
+    geo = _geotagged(sf).to_pandas()
+    geo = geo[geo.tile_x.notna()]
+    tile_of = {
+        int(r.doc_id): (int(r.tile_x), int(r.tile_y))
+        for r in geo.itertuples()
+    }
+    want: dict = collections.defaultdict(lambda: [0, 0])
+    for i, d in enumerate(ids):
+        if d in keep and d in tile_of:
+            key = (*tile_of[d], langs[i])
+            want[key][0] += 1
+            want[key][1] += int(n_words_arr[i])
+    got = {
+        (r.tile_x, r.tile_y, r.lang): [r.n_docs, r.total_words]
+        for r in out.itertuples()
+    }
+    assert got == dict(want)
+    assert len(want) > 0

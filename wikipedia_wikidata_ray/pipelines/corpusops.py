@@ -229,6 +229,50 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 # corpus_curation — gate → exact dedup → per-language totals, end to end
 
 
+def curate_survivors(docs: Dataset) -> Dataset:
+    """Steps 1-3 of the curation pipeline (gate → hash-dedup →
+    semi-join) as a reusable Dataset of surviving rows
+    (doc_id, lang, n_words, content_hash) — consumed by curate_corpus's
+    per-language rollup and by the geo composite
+    (queries.q_curated_tile_corpus). Returns None when the gate passes
+    zero rows (the caller short-circuits — empty-side join guard)."""
+
+    def gate_hash(t: pa.Table) -> pa.Table:
+        n_words, _, _, passing = _gate_features(t)
+        kept = t.filter(pa.array(passing))
+        h = sha256_hex_col(kept["text"])
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "lang": kept["lang"],
+                "n_words": pa.array(n_words[passing]),
+                "content_hash": pa.array(h, type=pa.string()),
+            }
+        )
+
+    gated = docs.map_batches(gate_hash, batch_format="pyarrow")
+    # consumed twice (dedup partials + semi-join left side); pin it
+    gated = gated.materialize()
+    if gated.count() == 0:
+        return None
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["content_hash"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["content_hash", "doc_id"])
+
+    keep_ids = merge_group_aggs(
+        gated.map_batches(hash_partial, batch_format="pyarrow"),
+        ["content_hash"],
+        [("doc_id", "min")],
+    ).select_columns(["doc_id"])
+    return gated.join(
+        keep_ids,
+        "left_semi",
+        num_partitions=default_partitions(),
+        on=("doc_id",),
+    )
+
+
 def curate_corpus(docs: Dataset) -> Dataset:
     """The composed curation pipeline over (doc_id, text, lang) rows:
 
@@ -248,26 +292,8 @@ def curate_corpus(docs: Dataset) -> Dataset:
     DISTINCT + per-language GROUP BY sequence of
     steps/wikidata_process.sh:28-66, fused into one streaming plan."""
 
-    def gate_hash(t: pa.Table) -> pa.Table:
-        n_words, _, _, passing = _gate_features(t)
-        kept = t.filter(pa.array(passing))
-        # buffer-view sha256 (ops/dedup.sha256_hex_col): ~5× over
-        # to_pylist+encode, bitwise identical (round-3 lesson)
-        h = sha256_hex_col(kept["text"])
-        return pa.table(
-            {
-                "doc_id": kept["doc_id"],
-                "lang": kept["lang"],
-                "n_words": pa.array(n_words[passing]),
-                "content_hash": pa.array(h, type=pa.string()),
-            }
-        )
-
-    gated = docs.map_batches(gate_hash, batch_format="pyarrow")
-    # the gate output is consumed twice (dedup partials + semi-join left
-    # side); pin it so the tokenize/hash pass runs once
-    gated = gated.materialize()
-    if gated.count() == 0:  # empty-side join guard (legitimate: strict gate)
+    surv = curate_survivors(docs)
+    if surv is None:  # empty-side join guard (legitimate: strict gate)
         return rd.from_arrow(
             pa.table(
                 {
@@ -277,22 +303,6 @@ def curate_corpus(docs: Dataset) -> Dataset:
                 }
             )
         )
-
-    def hash_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["content_hash"]).aggregate([("doc_id", "min")])
-        return g.rename_columns(["content_hash", "doc_id"])
-
-    keep_ids = merge_group_aggs(
-        gated.map_batches(hash_partial, batch_format="pyarrow"),
-        ["content_hash"],
-        [("doc_id", "min")],
-    ).select_columns(["doc_id"])
-    surv = gated.join(
-        keep_ids,
-        "left_semi",
-        num_partitions=default_partitions(),
-        on=("doc_id",),
-    )
 
     def lang_partial(t: pa.Table) -> pa.Table:
         t = t.append_column("n_docs", pa.array(np.ones(len(t), dtype=np.int64)))

@@ -3767,7 +3767,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
@@ -3790,6 +3790,131 @@ def _prioritize(d: dict) -> dict:
     head.update({k: v for k, v in d.items() if k not in head})
     return head
 
+
+
+# ---------------------------------------------------------------------------
+# Q: curated_tile_corpus — the COMPOSABILITY capstone: the curation
+# pipeline (J9 Gopher gate → J1 exact dedup first-wins, reused verbatim
+# via corpusops.curate_survivors) chained into the geo layer (the
+# pages-corpus geocoder + z12 tiling) to answer "how much CLEAN, UNIQUE
+# text do we have per map tile and language" — the question a
+# geo-balanced training-data curriculum starts from. One int64 doc_id
+# hash join connects the two halves (both sides dense, floored
+# partitions); output is (tile, lang) count partials through one
+# combiner merge. Everything upstream is the already-oracled machinery —
+# this query proves the operators COMPOSE.
+
+
+def q_curated_tile_corpus(sf_dir: str) -> Dataset:
+    from .corpusops import curate_survivors
+    from ..stages.salted import default_partitions
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    surv = curate_survivors(docs)
+    if surv is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "tile_x": pa.array([], type=pa.int32()),
+                    "tile_y": pa.array([], type=pa.int32()),
+                    "lang": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "total_words": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    surv_keyed = surv.map_batches(
+        lambda t: pa.table(
+            {
+                "s_doc": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "n_words": pc.cast(t["n_words"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    geo = _geotagged(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "g_doc": pc.cast(
+                    t.filter(pc.is_valid(t["tile_x"]))["doc_id"], pa.int64()
+                ),
+                "tile_x": t.filter(pc.is_valid(t["tile_x"]))["tile_x"],
+                "tile_y": t.filter(pc.is_valid(t["tile_x"]))["tile_y"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_docs = docs.count()
+    nparts = max(2, min(8, n_docs // 100_000 + 1))
+    joined = surv_keyed.join(
+        geo, "inner", num_partitions=nparts, on=("s_doc",), right_on=("g_doc",)
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "n_docs", pa.array(np.ones(len(t), dtype=np.int64))
+        )
+        g = t.group_by(["tile_x", "tile_y", "lang"]).aggregate(
+            [("n_docs", "sum"), ("n_words", "sum")]
+        )
+        return g.rename_columns(
+            ["tile_x", "tile_y", "lang", "n_docs", "total_words"]
+        )
+
+    return merge_group_sums(
+        joined.map_batches(partials, batch_format="pyarrow"),
+        ["tile_x", "tile_y", "lang"],
+        ["n_docs", "total_words"],
+    )
+
+
+def _sql_curated_tile_corpus() -> str:
+    from .corpusops import _STOP_SQL
+    from ..ops.textstats import TOKEN_PATTERN
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, text, len(tk) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+              AS BIGINT) AS n_alpha,
+         len(list_filter(tk, x -> x IN ({_STOP_SQL}))) AS n_stop
+  FROM t
+),
+gated AS (
+  SELECT doc_id, lang, text, n_words FROM s
+  WHERE n_words BETWEEN 30 AND 80
+    AND n_alpha >= 3 * n_words AND n_alpha <= 8 * n_words
+    AND n_stop >= 2
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+{SQL_GEO_CTE.strip()},
+tiled AS (
+  SELECT doc_id,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS INTEGER) AS tile_y
+  FROM geo
+)
+SELECT d.tile_x, d.tile_y, g.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(g.n_words) AS BIGINT) AS total_words
+FROM gated g
+SEMI JOIN keep k ON g.doc_id = k.doc_id
+JOIN tiled d ON d.doc_id = g.doc_id
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES["curated_tile_corpus"] = q_curated_tile_corpus
+ORACLES["curated_tile_corpus"] = _sql_curated_tile_corpus()
 
 QUERIES = _prioritize(QUERIES)
 ORACLES = _prioritize(ORACLES)
