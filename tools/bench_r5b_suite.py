@@ -126,6 +126,12 @@ def main() -> int:
         "audio_features": lambda: tm.q_audio_features(sf_dir)
         .materialize()
         .count(),
+        "weighted_sample": lambda: td.q_weighted_sample(sf_dir)
+        .materialize()
+        .count(),
+        "curated_tile_corpus": lambda: q.q_curated_tile_corpus(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
