@@ -1600,3 +1600,46 @@ def test_curated_tile_corpus_matches_bruteforce(ray_session):
     }
     assert got == dict(want)
     assert len(want) > 0
+
+
+def test_tile_dwell_median_matches_bruteforce(ray_session):
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_tile_dwell_median,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_dwell_median(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).to_pandas()
+    eid = ev.event_id.to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    ev["tx"], ev["ty"] = tx, ty
+    ev["ts_us"] = ev.ts.astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    stays: dict = collections.defaultdict(list)
+    for _, g in ev.groupby("user_id"):
+        tsv = g.ts_us.to_numpy()
+        txv = g.tx.to_numpy()
+        tyv = g.ty.to_numpy()
+        for i in range(len(g) - 1):
+            stays[(int(txv[i]), int(tyv[i]))].append(
+                int((tsv[i + 1] - tsv[i]) // 60_000_000)
+            )
+    want = {}
+    for k, vals in stays.items():
+        vals.sort()
+        want[k] = vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+    got = {
+        (r.tile_x, r.tile_y): r.median_dwell_min for r in out.itertuples()
+    }
+    assert got == want
+    assert max(want.values()) > 0  # minute quantization is non-trivial

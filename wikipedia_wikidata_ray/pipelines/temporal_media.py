@@ -1732,3 +1732,153 @@ FROM sm GROUP BY 1
 
 TEMPORAL_MEDIA_QUERIES["audio_features"] = q_audio_features
 TEMPORAL_MEDIA_ORACLES["audio_features"] = SQL_AUDIO_FEATURES
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_dwell_median — per-tile MEDIAN stay duration (the robust
+# central-tendency companion to tile_dwell_time's sums: median dwell is
+# the standard "how long do people actually stay here" metric, immune
+# to the one user who left a session open). Exact PERCENTILE_DISC(0.5)
+# on the histogram-partials path (segment_median_balance machinery):
+# dwell quantizes to MINUTES (dwell_us // 60e6 — the declared statistic;
+# microsecond medians would degenerate the histogram to raw rows), so
+# per-block (tile, dwell_min, count) partials merge in ONE shuffle and
+# no tile's raw stays ever co-locate. Same (ts, event_id) tie rule as
+# the whole OD family.
+
+
+def q_tile_dwell_median(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.runs import sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+            }
+        )
+
+    def hist_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tile_x": pa.array([], type=pa.int32()),
+                "tile_y": pa.array([], type=pa.int32()),
+                "dwell_min": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, tx, ty = u[order], ts[order], tx[order], ty[order]
+        same = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            same[:-1] = u[:-1] == u[1:]
+        src = np.flatnonzero(same)
+        if len(src) == 0:
+            return empty
+        dwell_min = (ts[src + 1] - ts[src]) // 60_000_000
+        p = pa.table(
+            {
+                "tile_x": pa.array(tx[src]),
+                "tile_y": pa.array(ty[src]),
+                "dwell_min": pa.array(dwell_min),
+                "cnt": pa.array(np.ones(len(src), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["tile_x", "tile_y", "dwell_min"]).aggregate(
+            [("cnt", "sum")]
+        )
+        return g.rename_columns(["tile_x", "tile_y", "dwell_min", "cnt"])
+
+    pts = events.map_batches(derive, batch_format="pyarrow")
+    partials = sorted_group_apply(pts, ["user_id"], hist_block)
+    merged = merge_group_sums(
+        partials, ["tile_x", "tile_y", "dwell_min"], ["cnt"]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        tx = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("dwell_min").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        key = tx * 8192 + ty
+        o = np.lexsort((v, key))
+        key, v, c, tx, ty = key[o], v[o], c[o], tx[o], ty[o]
+        out_x, out_y, out_m = [], [], []
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1]))
+        )
+        bounds = np.append(starts, len(key))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            cs = np.cumsum(c[a:b])
+            idx = max(1, int(np.ceil(0.5 * int(cs[-1]))))
+            out_x.append(tx[a])
+            out_y.append(ty[a])
+            out_m.append(v[a:b][np.searchsorted(cs, idx)])
+        return pa.table(
+            {
+                "tile_x": pa.array(np.asarray(out_x, dtype=np.int64)),
+                "tile_y": pa.array(np.asarray(out_y, dtype=np.int64)),
+                "median_dwell_min": pa.array(
+                    np.asarray(out_m, dtype=np.int64)
+                ),
+            }
+        )
+
+    # histogram-sized by construction (tiles × distinct minutes)
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_TILE_DWELL_MEDIAN = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+tiled AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS BIGINT) AS tile_y
+  FROM ev
+),
+st AS (
+  SELECT tile_x, tile_y,
+         CAST(DATE_DIFF('microsecond', ts, LEAD(ts) OVER w) AS BIGINT)
+           // 60000000 AS dwell_min
+  FROM tiled WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT tile_x, tile_y,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY dwell_min)
+         AS BIGINT) AS median_dwell_min
+FROM st WHERE dwell_min IS NOT NULL
+GROUP BY 1, 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["tile_dwell_median"] = q_tile_dwell_median
+TEMPORAL_MEDIA_ORACLES["tile_dwell_median"] = SQL_TILE_DWELL_MEDIAN
