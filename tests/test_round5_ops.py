@@ -1643,3 +1643,41 @@ def test_tile_dwell_median_matches_bruteforce(ray_session):
     }
     assert got == want
     assert max(want.values()) > 0  # minute quantization is non-trivial
+
+
+def test_bfs_hops_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        BFS_ROUNDS,
+        q_bfs_hops,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    out = q_bfs_hops(sf).to_pandas()
+    adj: dict = collections.defaultdict(set)
+    for i in range(n):
+        for t in ((i * 3 + 1) % n, (i * 5 + 2) % n, i % 2):
+            if t != i:
+                adj[i].add(t)
+                adj[t].add(i)
+    dist = {0: 0}
+    frontier = [0]
+    r = 0
+    while frontier:
+        r += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = r
+                    nxt.append(v)
+        frontier = nxt
+    got = dict(zip(out.doc_id.tolist(), out.hops.tolist()))
+    assert got == dist
+    # the fixed SQL chain must BE the fixpoint: eccentricity < rounds
+    assert max(dist.values()) <= BFS_ROUNDS - 1
+    assert len(dist) == n  # the hub topology reaches everything

@@ -1450,6 +1450,126 @@ def q_degree_assortativity(
     )
 
 
+# ---------------------------------------------------------------------------
+# Q: bfs_hops — breadth-first hop distance from node 0 over the link
+# graph: the FRONTIER-EXPANSION iteration shape (the fourth of the
+# iterative family — PageRank = full scatter, CC = label propagation,
+# k-means = assign/update, BFS = expanding frontier). FIXED 4 rounds
+# (the hub topology makes the true eccentricity 3 — node 0 reaches the
+# evens directly, node 1 reaches the odds, 0—1 are adjacent; pytest
+# asserts round 4 adds nothing, i.e. the fixed chain IS the fixpoint).
+# Plan per round: the dist array (dense int64 over 0..N-1, doc-count-
+# bounded) broadcasts via ray.put; ONE stateless edge scan emits
+# (unseen-node, r+1) candidates pre-deduped per block; merge_group_aggs
+# min + a bounded pull update the array — the same gated-array family
+# as CC's small-graph path, with the dist-as-Dataset join-update plan
+# as the named >limit fallback. Movement per round: candidate int64
+# pairs bounded by the frontier's edge cut.
+
+BFS_ROUNDS = 4
+
+
+def q_bfs_hops(sf_dir: str) -> Dataset:
+    import ray
+
+    from ..stages.salted import merge_group_aggs
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    dist = np.full(n_docs, -1, dtype=np.int64)
+    dist[0] = 0
+    for r in range(BFS_ROUNDS):
+        ref = ray.put(dist)
+        rr = r
+
+        def scan(t: pa.Table, _ref=ref, _r=rr) -> pa.Table:
+            d = ray.get(_ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            out = []
+            for a, b in ((lo, hi), (hi, lo)):
+                m = (d[a] == _r) & (d[b] < 0)
+                out.append(b[m])
+            cand = np.concatenate(out)
+            p = pa.table(
+                {
+                    "node": pa.array(cand),
+                    "hops": pa.array(
+                        np.full(len(cand), _r + 1, dtype=np.int64)
+                    ),
+                }
+            )
+            g = p.group_by(["node"]).aggregate([("hops", "min")])
+            return g.rename_columns(["node", "hops"])
+
+        new = merge_group_aggs(
+            edges.map_batches(scan, batch_format="pyarrow"),
+            ["node"],
+            [("hops", "min")],
+        )
+        blocks = [
+            b.select(["node", "hops"])
+            for b in (ray.get(r_) for r_ in new.materialize().to_arrow_refs())
+            if b.num_rows and "node" in b.column_names
+        ]
+        if not blocks:
+            break
+        tbl = pa.concat_tables(blocks)
+        dist = dist.copy()
+        dist[tbl.column("node").to_numpy()] = tbl.column("hops").to_numpy()
+
+    reached = np.flatnonzero(dist >= 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(reached.astype(np.int64)),
+                "hops": pa.array(dist[reached]),
+            }
+        )
+    )
+
+
+def _sql_bfs_hops() -> str:
+    levels = []
+    prev_all = "f0"
+    for r in range(1, BFS_ROUNDS + 1):
+        prev_frontier = f"f{r - 1}"
+        seen = " UNION ".join(f"SELECT node FROM f{i}" for i in range(r))
+        levels.append(
+            f"""
+f{r} AS (
+  SELECT DISTINCT adj.v AS node
+  FROM adj JOIN {prev_frontier} p ON adj.u = p.node
+  WHERE adj.v NOT IN ({seen})
+)"""
+        )
+        prev_all = f"f{r}"
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT node, {i} AS hops FROM f{i}" for i in range(BFS_ROUNDS + 1)
+    )
+    return f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+f0(node) AS (VALUES (0)),{",".join(levels)}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(hops AS BIGINT) AS hops FROM (
+{arms}
+)
+"""
+
+
+SQL_BFS_HOPS = _sql_bfs_hops()
+
+
 SQL_DEGREE_ASSORTATIVITY = """
 WITH n AS (SELECT COUNT(*) AS c FROM documents),
 l AS (
@@ -3660,6 +3780,7 @@ QUERIES = {
     "triangle_counts": q_triangle_counts,
     "degree_distribution": q_degree_distribution,
     "degree_assortativity": q_degree_assortativity,
+    "bfs_hops": q_bfs_hops,
     "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
@@ -3721,6 +3842,7 @@ ORACLES = {
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "bfs_hops": SQL_BFS_HOPS,
     "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
@@ -3767,7 +3889,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
