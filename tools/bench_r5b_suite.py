@@ -132,6 +132,10 @@ def main() -> int:
         "curated_tile_corpus": lambda: q.q_curated_tile_corpus(sf_dir)
         .materialize()
         .count(),
+        "tile_dwell_median": lambda: tm.q_tile_dwell_median(sf_dir)
+        .materialize()
+        .count(),
+        "bfs_hops": lambda: q.q_bfs_hops(sf_dir).materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
