@@ -1681,3 +1681,38 @@ def test_bfs_hops_matches_bruteforce(ray_session):
     # the fixed SQL chain must BE the fixpoint: eccentricity < rounds
     assert max(dist.values()) <= BFS_ROUNDS - 1
     assert len(dist) == n  # the hub topology reaches everything
+
+
+def test_quality_skyline_matches_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        q_perplexity_buckets,
+        q_quality_skyline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_quality_skyline(sf).to_pandas()
+    ppl = q_perplexity_buckets(sf).to_pandas()
+    rows = list(
+        zip(ppl.doc_id.tolist(), ppl.n_tokens.tolist(),
+            ppl.mean_nll_e10.tolist())
+    )
+    want = set()
+    for d, t, v in rows:
+        dominated = any(
+            (t2 >= t and v2 <= v and (t2 > t or v2 < v))
+            for _, t2, v2 in rows
+        )
+        if not dominated:
+            want.add((d, t, v))
+    got = {
+        (r.doc_id, r.n_tokens, r.mean_nll_e10) for r in out.itertuples()
+    }
+    assert got == want
+    # front is non-trivial: more than one point, far fewer than corpus
+    assert 1 < len(want) < len(rows) / 5
+    # Pareto property: sorted by tokens desc, nll must strictly improve
+    front = sorted(want, key=lambda x: (-x[1], x[2]))
+    for (_, t1, v1), (_, t2, v2) in zip(front, front[1:]):
+        assert t1 > t2 or (t1 == t2 and v1 == v2)
+        if t1 > t2:
+            assert v2 < v1

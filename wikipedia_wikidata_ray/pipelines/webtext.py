@@ -1467,3 +1467,77 @@ GROUP BY 1, 2
 
 WEBTEXT_QUERIES["quality_ppl_crosstab"] = q_quality_ppl_crosstab
 WEBTEXT_ORACLES["quality_ppl_crosstab"] = _sql_quality_ppl_crosstab()
+
+
+# ---------------------------------------------------------------------------
+# Q: quality_skyline — the SKYLINE (Pareto-front preference) operator
+# (Börzsönyi et al. 2001): documents not DOMINATED on the two quality
+# axes (maximize n_tokens, minimize mean_nll_e10 — "longer AND cleaner
+# wins"); b dominates a iff b.tokens ≥ a.tokens ∧ b.nll ≤ a.nll with at
+# least one strict. Both axes are the exact integers of
+# perplexity_buckets, so dominance is exact. Distributed plan: the
+# skyline DISTRIBUTES over union (every global skyline point survives
+# its own block's local skyline), so one vectorized local-skyline pass
+# per block (sort by tokens desc / nll asc + two segmented running
+# mins — dominated iff min-nll-among-strictly-more-tokens ≤ nll, or
+# min-nll-among-equal-tokens < nll) prunes each block to its Pareto
+# front, and ONE skyline-sized final pass over the coalesced candidates
+# is exact. Output is Pareto-front-sized (typically ≪ corpus; the
+# 2-D front over integer axes is bounded by the distinct token-count
+# range — documented bound).
+
+
+def _skyline_block(t: pa.Table) -> pa.Table:
+    if len(t) == 0:
+        return t
+    tok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+    nll = t.column("mean_nll_e10").to_numpy(zero_copy_only=False)
+    order = np.lexsort((nll, -tok))
+    tok_s, nll_s = tok[order], nll[order]
+    # running min nll over all STRICTLY-greater-token rows: group rows by
+    # token value (sorted desc), min-nll per group, exclusive prefix min
+    new_grp = np.concatenate(([True], tok_s[1:] != tok_s[:-1]))
+    starts = np.flatnonzero(new_grp)
+    grp_of = np.cumsum(new_grp) - 1
+    grp_min = np.minimum.reduceat(nll_s, starts)
+    prefix = np.minimum.accumulate(grp_min)
+    big = np.int64(np.iinfo(np.int64).max)
+    min_gt = np.concatenate(([big], prefix[:-1]))[grp_of]
+    dominated = (min_gt <= nll_s) | (grp_min[grp_of] < nll_s)
+    keep_idx = order[~dominated]
+    return t.take(pa.array(np.sort(keep_idx)))
+
+
+def q_quality_skyline(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ppl = perplexity_buckets(docs).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "mean_nll_e10"]),
+        batch_format="pyarrow",
+    )
+    local = ppl.map_batches(_skyline_block, batch_format="pyarrow")
+    # candidates are the union of per-block fronts — front-sized; the
+    # final exact pass runs on ONE coalesced block
+    return local.repartition(1).map_batches(
+        _skyline_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _sql_quality_skyline() -> str:
+    return f"""
+WITH ppl AS (
+  SELECT doc_id, n_tokens, mean_nll_e10 FROM ({SQL_PERPLEXITY_BUCKETS})
+)
+SELECT a.doc_id, a.n_tokens, a.mean_nll_e10
+FROM ppl a
+WHERE NOT EXISTS (
+  SELECT 1 FROM ppl b
+  WHERE b.n_tokens >= a.n_tokens AND b.mean_nll_e10 <= a.mean_nll_e10
+    AND (b.n_tokens > a.n_tokens OR b.mean_nll_e10 < a.mean_nll_e10)
+)
+"""
+
+
+WEBTEXT_QUERIES["quality_skyline"] = q_quality_skyline
+WEBTEXT_ORACLES["quality_skyline"] = _sql_quality_skyline()
