@@ -1716,3 +1716,60 @@ def test_quality_skyline_matches_bruteforce(ray_session):
         assert t1 > t2 or (t1 == t2 and v1 == v2)
         if t1 > t2:
             assert v2 < v1
+
+
+def test_order_rollup_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.relational import q_order_rollup
+
+    sf = "/root/testdata/sf0.001"
+    out = q_order_rollup(sf).to_pandas()
+    o = pq.read_table(
+        f"{sf}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    ).to_pandas()
+    o["cents"] = (o.o_totalprice * 100.0).round().astype("int64")
+    want = {}
+    for (s_, p_), g in o.groupby(["o_orderstatus", "o_orderpriority"]):
+        want[(s_, p_)] = (len(g), int(g.cents.sum()))
+    for s_, g in o.groupby("o_orderstatus"):
+        want[(s_, None)] = (len(g), int(g.cents.sum()))
+    want[(None, None)] = (len(o), int(o.cents.sum()))
+    got = {
+        (
+            None if r.o_orderstatus is None or r.o_orderstatus != r.o_orderstatus
+            else r.o_orderstatus,
+            None if r.o_orderpriority is None
+            or r.o_orderpriority != r.o_orderpriority
+            else r.o_orderpriority,
+        ): (r.n_orders, r.total_cents)
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert (None, None) in got  # grand total row present
+
+
+def test_user_event_pivot_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.relational import (
+        PIVOT_TYPES,
+        q_user_event_pivot,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_user_event_pivot(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["user_id", "event_type"]
+    ).to_pandas()
+    want = {}
+    for u, g in ev.groupby("user_id"):
+        counts = g.event_type.value_counts()
+        want[u] = tuple(int(counts.get(t, 0)) for t in PIVOT_TYPES)
+    got = {
+        r.user_id: (r.n_view, r.n_click, r.n_purchase, r.n_signup, r.n_error)
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert sum(sum(v) for v in want.values()) == len(ev)  # partition of rows

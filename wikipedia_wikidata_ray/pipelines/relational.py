@@ -539,3 +539,118 @@ RELATIONAL_ORACLES = {
     "segment_stats": SQL_SEGMENT_STATS,
     "distinct_flag_status": SQL_DISTINCT_FLAG_STATUS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q: order_rollup — multi-dimensional subtotals (GROUP BY ROLLUP
+# (status, priority)): the OLAP cube slice every reporting layer needs.
+# ONE pass emits each row's THREE grouping-set keys (detail / per-status
+# / grand total) as count-sum partials with a sentinel-free NULL for the
+# rolled-up level — merge_group_sums' null-safe sort keys (the round-1
+# metro_counts hardening) carry them through a single combined shuffle;
+# no second aggregation pass, no union of three scans (movement = 3
+# partial rows per input group per block).
+
+
+def q_order_rollup(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        base = pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+                "total_cents": cents,
+            }
+        )
+        nulls_p = pa.nulls(len(t), pa.string())
+        lvl1 = base.set_column(1, "o_orderpriority", nulls_p)
+        lvl0 = lvl1.set_column(0, "o_orderstatus", nulls_p)
+        allp = pa.concat_tables([base, lvl1, lvl0])
+        g = allp.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("n_orders", "sum"), ("total_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "n_orders", "total_cents"]
+        )
+
+    return merge_group_sums(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        ["n_orders", "total_cents"],
+    )
+
+
+SQL_ORDER_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: user_event_pivot — long-to-wide reshaping (PIVOT): per user, one
+# column per event type with its count (the feature-vector layout ML
+# consumers want). Conditional-aggregation form on both sides: in-batch
+# per-(user) conditional sums → ONE combiner merge — the pivot itself
+# adds ZERO movement over a plain per-user count.
+
+PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_user_event_pivot(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    cols = [f"n_{et}" for et in PIVOT_TYPES]
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        data = {"user_id": t["user_id"]}
+        for name, typ in zip(cols, PIVOT_TYPES):
+            data[name] = pc.cast(pc.equal(et, typ), pa.int64())
+        p = pa.table(data)
+        g = p.group_by(["user_id"]).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["user_id", *cols])
+
+    return merge_group_sums(
+        events.map_batches(partials, batch_format="pyarrow"),
+        ["user_id"],
+        cols,
+    )
+
+
+SQL_USER_EVENT_PIVOT = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error
+FROM events GROUP BY 1
+"""
+
+RELATIONAL_QUERIES["order_rollup"] = q_order_rollup
+RELATIONAL_ORACLES["order_rollup"] = SQL_ORDER_ROLLUP
+RELATIONAL_QUERIES["user_event_pivot"] = q_user_event_pivot
+RELATIONAL_ORACLES["user_event_pivot"] = SQL_USER_EVENT_PIVOT
