@@ -52,6 +52,7 @@ def main() -> int:
         )
 
     from wikipedia_wikidata_ray.pipelines import queries as q
+    from wikipedia_wikidata_ray.pipelines import relational as rel
     from wikipedia_wikidata_ray.pipelines import temporal_media as tm
     from wikipedia_wikidata_ray.pipelines import trainingdata as td
     from wikipedia_wikidata_ray.pipelines import webtext as wt
@@ -136,6 +137,15 @@ def main() -> int:
         .materialize()
         .count(),
         "bfs_hops": lambda: q.q_bfs_hops(sf_dir).materialize().count(),
+        "quality_skyline": lambda: wt.q_quality_skyline(sf_dir)
+        .materialize()
+        .count(),
+        "order_rollup": lambda: rel.q_order_rollup(sf_dir)
+        .materialize()
+        .count(),
+        "user_event_pivot": lambda: rel.q_user_event_pivot(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
