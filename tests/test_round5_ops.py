@@ -1773,3 +1773,35 @@ def test_user_event_pivot_matches_bruteforce(ray_session):
     }
     assert got == want
     assert sum(sum(v) for v in want.values()) == len(ev)  # partition of rows
+
+
+def test_knn_label_eval_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_ann_topk,
+        q_knn_label_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_knn_label_eval(sf).to_pandas()
+    top = q_ann_topk(sf).to_pandas()
+    lab = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pandas()
+    labels = dict(zip(lab.vec_id.tolist(), lab.label.tolist()))
+    want: collections.Counter = collections.Counter()
+    for q, g in top.groupby("vec_id"):
+        votes: collections.Counter = collections.Counter(
+            labels[n] for n in g.neighbor_id.tolist()
+        )
+        pred = min(votes, key=lambda lb: (-votes[lb], lb))
+        want[(labels[q], pred)] += 1
+    got = {
+        (r.true_label, r.pred_label): r.n_vecs for r in out.itertuples()
+    }
+    assert got == dict(want)
+    # totals partition the vector set
+    assert sum(want.values()) == len(labels)

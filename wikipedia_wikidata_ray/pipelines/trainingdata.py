@@ -1790,3 +1790,121 @@ FROM ranked WHERE rank <= {WSAMPLE_K}
 
 TRAININGDATA_QUERIES["weighted_sample"] = q_weighted_sample
 TRAININGDATA_ORACLES["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Q: knn_label_eval — k-NN classifier evaluation over the embedding
+# table (the labels column's first consumer): each vector's label is
+# predicted by MAJORITY VOTE of its 5 exact cosine neighbors
+# (ann_topk's oracle-green output; ties → smallest label id), and the
+# confusion matrix (true_label, pred_label, n) is the published result —
+# the standard embedding-quality probe (do nearby vectors share
+# labels?). Plan: labels attach from a dense int64 array broadcast
+# (vec-id space is dense, doc-count-bounded — the triangle-counts deg
+# pattern; node-keyed join named above the limit); votes resolve on
+# ops/runs.sorted_group_apply over vec_id (5-row runs = MANY TINY
+# groups, exactly the sorted-run idiom's case); confusion partials ride
+# one combiner merge. Output is (labels × labels)-bounded.
+
+
+def q_knn_label_eval(sf_dir: str) -> Dataset:
+    import ray
+
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    lab_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    vids = lab_tbl["vec_id"].to_numpy()
+    n_vecs = int(vids.max()) + 1
+    lab_arr = np.zeros(n_vecs, dtype=np.int64)
+    lab_arr[vids] = lab_tbl["label"].to_numpy().astype(np.int64)
+    ref = ray.put(lab_arr)
+
+    top = q_ann_topk(sf_dir)
+
+    def vote_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "true_label": pa.array([], type=pa.int64()),
+                "pred_label": pa.array([], type=pa.int64()),
+                "n_vecs": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        labs = ray.get(ref)
+        q = t.column("vec_id").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(q, kind="stable")
+        q, nb = q[order], nb[order]
+        nl = labs[nb]
+        starts = run_starts([q])
+        offs = np.flatnonzero(starts)
+        n_lab = int(labs.max()) + 1
+        run_id = np.cumsum(starts) - 1
+        # votes[run, label] via bincount on a packed key
+        packed = run_id * n_lab + nl
+        votes = np.bincount(packed, minlength=len(offs) * n_lab).reshape(
+            len(offs), n_lab
+        )
+        pred = votes.argmax(axis=1)  # first max = smallest label id
+        true = labs[q[offs]]
+        p = pa.table(
+            {
+                "true_label": pa.array(true),
+                "pred_label": pa.array(pred.astype(np.int64)),
+                "n_vecs": pa.array(np.ones(len(offs), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["true_label", "pred_label"]).aggregate(
+            [("n_vecs", "sum")]
+        )
+        return g.rename_columns(["true_label", "pred_label", "n_vecs"])
+
+    partials = sorted_group_apply(
+        top.map_batches(
+            lambda t: t.select(["vec_id", "neighbor_id"]),
+            batch_format="pyarrow",
+        ),
+        ["vec_id"],
+        vote_block,
+    )
+    return merge_group_sums(
+        partials, ["true_label", "pred_label"], ["n_vecs"]
+    )
+
+
+SQL_KNN_LABEL_EVAL = """
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id
+         ) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+top5 AS (SELECT vec_id, neighbor_id FROM scored WHERE rnk <= 5),
+votes AS (
+  SELECT t.vec_id, CAST(l.label AS BIGINT) AS label, COUNT(*) AS c
+  FROM top5 t JOIN embeddings l ON l.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT vec_id, label FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY c DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT CAST(e.label AS BIGINT) AS true_label, p.label AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+GROUP BY 1, 2
+"""
+
+TRAININGDATA_QUERIES["knn_label_eval"] = q_knn_label_eval
+TRAININGDATA_ORACLES["knn_label_eval"] = SQL_KNN_LABEL_EVAL
