@@ -1805,3 +1805,29 @@ def test_knn_label_eval_matches_bruteforce(ray_session):
     assert got == dict(want)
     # totals partition the vector set
     assert sum(want.values()) == len(labels)
+
+
+def test_tile_gini_matches_bruteforce(ray_session):
+    import collections
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _geotagged,
+        q_tile_gini,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_gini(sf).to_pandas()
+    assert len(out) == 1
+    geo = _geotagged(sf).to_pandas()
+    geo = geo[geo.tile_x.notna()]
+    cnt = collections.Counter(
+        zip(geo.tile_x.astype(int).tolist(), geo.tile_y.astype(int).tolist())
+    )
+    xs = list(cnt.values())
+    n = len(xs)
+    total = sum(xs)
+    sad = sum(abs(a - b) for a in xs for b in xs)
+    r = out.iloc[0]
+    assert (r.n_tiles, r.total_pages, r.sum_abs_diff) == (n, total, sad)
+    g = sad / (2 * n * total)
+    assert 0.0 <= g < 1.0 and g > 0.0  # non-uniform but not degenerate

@@ -571,6 +571,80 @@ SELECT CAST((SELECT n FROM sc) AS BIGINT) AS n_tiles,
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_gini — spatial concentration of the corpus: the Gini
+# coefficient of per-tile page counts (0 = uniform coverage, →1 = all
+# pages in few tiles — the inequality statistic spatial sampling
+# decisions start from). Published as EXACT INTEGER sufficient pieces
+# (n_tiles, total_pages, sum_abs_diff = Σᵢⱼ|xᵢ−xⱼ|); G =
+# sum_abs_diff / (2·n·total) is the consumer epilogue. Exactness: with
+# the COUNT-OF-COUNTS histogram (value v, multiplicity m, cumulative
+# C_prev below v), the sorted-rank identity Σᵢ(2i−n−1)x₍ᵢ₎ collapses
+# per tie-block to v·m·(2·C_prev + m − n) — tie-order-independent, all
+# int64. Plan: per-tile counts → count-of-counts partials (distinct-
+# count-sized — Zipf-bounded ≪ tiles) → ONE merged histogram →
+# single-block finalize. No raw tile row reaches the driver.
+
+
+def q_tile_gini(sf_dir: str) -> Dataset:
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(
+            ["tile_x", "tile_y"]
+        ),
+        batch_format="pyarrow",
+    )
+    counts = partial_count(geo, ["tile_x", "tile_y"], out="c")
+    hist = partial_count(
+        counts.map_batches(
+            lambda t: t.select(["c"]), batch_format="pyarrow"
+        ),
+        ["c"],
+        out="m",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        v = t.column("c").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        o = np.argsort(v, kind="stable")
+        v, m = v[o], m[o]
+        n = int(m.sum())
+        total = int((v * m).sum())
+        c_prev = np.concatenate(([0], np.cumsum(m)))[:-1]
+        num = int((v * m * (2 * c_prev + m - n)).sum())
+        return pa.table(
+            {
+                "n_tiles": pa.array([n], type=pa.int64()),
+                "total_pages": pa.array([total], type=pa.int64()),
+                "sum_abs_diff": pa.array([2 * num], type=pa.int64()),
+            }
+        )
+
+    # count-of-counts histogram is distinct-count-sized — bounded
+    return hist.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_TILE_GINI = f"""
+WITH {SQL_GEO_CTE},
+tl AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM geo GROUP BY 1, 2
+),
+st AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM tl),
+ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM tl)
+SELECT CAST((SELECT n FROM st) AS BIGINT) AS n_tiles,
+       CAST((SELECT s FROM st) AS BIGINT) AS total_pages,
+       CAST(2 * SUM((2 * rn - (SELECT n FROM st) - 1) * c) AS BIGINT)
+         AS sum_abs_diff
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_dup_stats — exact-dedup × geo cross: per z12 tile, the page
 # count and how many of those pages are exact-content duplicates (text
 # occurring ≥2 times among the geotagged corpus) — the spatial view of
@@ -3774,6 +3848,7 @@ QUERIES = {
     "tile_lang_entropy": q_tile_lang_entropy,
     "spatial_joincount": q_spatial_joincount,
     "morans_i_stats": q_morans_i_stats,
+    "tile_gini": q_tile_gini,
     "tile_quality_stats": q_tile_quality_stats,
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
@@ -3836,6 +3911,7 @@ ORACLES = {
     "tile_lang_entropy": SQL_TILE_LANG_ENTROPY,
     "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
     "morans_i_stats": SQL_MORANS_I_STATS,
+    "tile_gini": SQL_TILE_GINI,
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
@@ -3889,7 +3965,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
