@@ -1831,3 +1831,42 @@ def test_tile_gini_matches_bruteforce(ray_session):
     assert (r.n_tiles, r.total_pages, r.sum_abs_diff) == (n, total, sad)
     g = sad / (2 * n * total)
     assert 0.0 <= g < 1.0 and g > 0.0  # non-uniform but not degenerate
+
+
+def test_cms_registers_estimator_property(ray_session):
+    import collections
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.ops.textstats import TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        CMS_D,
+        CMS_W,
+        q_cms_registers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_cms_registers(sf).to_pandas()
+    reg = {(r.row, r.col): r.total for r in out.itertuples()}
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    tok = re.compile(TOKEN_PATTERN)
+    cf: collections.Counter = collections.Counter()
+    for txt in docs["text"].to_pylist():
+        cf.update(tok.findall(txt.lower()))
+    # register totals partition the token stream per row
+    stream = sum(cf.values())
+    for j in range(CMS_D):
+        assert sum(v for (r, _), v in reg.items() if r == j) == stream
+    exact = 0
+    for t, c in cf.items():
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        est = min(
+            reg.get((j, (h >> (10 * j)) & (CMS_W - 1)), 0)
+            for j in range(CMS_D)
+        )
+        assert est >= c  # one-sided error, every token
+        if est == c:
+            exact += 1
+    assert exact >= len(cf) * 0.5  # most point queries exact at this scale

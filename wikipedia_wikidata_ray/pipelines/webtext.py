@@ -1541,3 +1541,101 @@ WHERE NOT EXISTS (
 
 WEBTEXT_QUERIES["quality_skyline"] = q_quality_skyline
 WEBTEXT_ORACLES["quality_skyline"] = _sql_quality_skyline()
+
+
+# ---------------------------------------------------------------------------
+# Q: cms_registers — Count-Min sketch register state over the corpus's
+# token stream (Cormode-Muthukrishnan 2005): the THIRD mergeable sketch
+# family after HLL (distinct) and Misra-Gries (heavy hitters) — CMS
+# answers point frequency queries with one-sided error (estimate =
+# min over rows of register[j][col_j(t)] ≥ true count, overestimate
+# bounded by N/w per row). d=4 rows × w=1024 columns; column hashes are
+# the 4 disjoint 10-bit slices of the md5-based 64-bit token hash
+# (SQL-replicable via the simhash idiom; md5 slices are independent
+# enough for the demo — production would draw d pairwise-independent
+# multipliers through the same closed-form-constant route as the seeded
+# MinHash). The register table IS the output (pure integer sums,
+# identical at any parallelism); the estimator + overestimate property
+# are pytest-checked. Plan: per-batch token counts hash their
+# DICTIONARY once (vocabulary-sized loop — Zipf-bounded, the sanctioned
+# exception) → 4 register partials per distinct (row, col) per block →
+# ONE combiner merge of ≤ d·w rows per block.
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def q_cms_registers(sf_dir: str) -> Dataset:
+    import hashlib
+
+    from ..stages.salted import merge_group_sums
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tf = docs.map_batches(_tf_batch, batch_format="pyarrow")
+
+    def registers(t: pa.Table) -> pa.Table:
+        toks = pc.cast(t.column("token"), pa.string())
+        cnt = t.column("tf").to_numpy().astype(np.int64)
+        uniq, inv = np.unique(
+            np.asarray(toks.to_pylist(), dtype=object), return_inverse=True
+        )
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(u.encode("utf-8")).digest()[:8], "big"
+                )
+                for u in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        hrow = h[inv]
+        parts = []
+        for j in range(CMS_D):
+            col = ((hrow >> np.uint64(10 * j)) & np.uint64(CMS_W - 1)).astype(
+                np.int64
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "row": pa.array(
+                            np.full(len(col), j, dtype=np.int64)
+                        ),
+                        "col": pa.array(col),
+                        "total": pa.array(cnt),
+                    }
+                )
+            )
+        allp = pa.concat_tables(parts)
+        g = allp.group_by(["row", "col"]).aggregate([("total", "sum")])
+        return g.rename_columns(["row", "col", "total"])
+
+    return merge_group_sums(
+        tf.map_batches(registers, batch_format="pyarrow"),
+        ["row", "col"],
+        ["total"],
+    )
+
+
+SQL_CMS_REGISTERS = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+th AS (
+  SELECT token, c,
+         CAST(('0x' || SUBSTR(md5(token), 1, 16)) AS UBIGINT) AS h
+  FROM cf
+)
+SELECT j.j AS row,
+       CAST((h >> CAST(10 * j.j AS INTEGER)) & {CMS_W - 1} AS BIGINT) AS col,
+       CAST(SUM(c) AS BIGINT) AS total
+FROM th, range(0, {CMS_D}) j(j)
+GROUP BY 1, 2
+"""
+
+WEBTEXT_QUERIES["cms_registers"] = q_cms_registers
+WEBTEXT_ORACLES["cms_registers"] = SQL_CMS_REGISTERS
