@@ -146,6 +146,13 @@ def main() -> int:
         "user_event_pivot": lambda: rel.q_user_event_pivot(sf_dir)
         .materialize()
         .count(),
+        "knn_label_eval": lambda: td.q_knn_label_eval(sf_dir)
+        .materialize()
+        .count(),
+        "tile_gini": lambda: q.q_tile_gini(sf_dir).materialize().count(),
+        "cms_registers": lambda: wt.q_cms_registers(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
