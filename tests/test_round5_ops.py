@@ -1870,3 +1870,66 @@ def test_cms_registers_estimator_property(ray_session):
         if est == c:
             exact += 1
     assert exact >= len(cf) * 0.5  # most point queries exact at this scale
+
+
+def test_window_top_terms_matches_bruteforce(ray_session):
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.ops.textstats import TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        WINDOW_BIN_S,
+        WINDOW_TOP_K,
+        _WARC_EPOCH_S,
+        q_window_top_terms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_window_top_terms(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(TOKEN_PATTERN)
+    per_bin: dict = collections.defaultdict(collections.Counter)
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        per_bin[(_WARC_EPOCH_S + d) // WINDOW_BIN_S].update(
+            tok.findall(txt.lower())
+        )
+    want = {}
+    for b, cnt in per_bin.items():
+        order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r, (t, c) in enumerate(order[:WINDOW_TOP_K], 1):
+            want[(b, r)] = (t, c)
+    got = {
+        (r.t_bucket, r.rank): (r.token, r.tf) for r in out.itertuples()
+    }
+    assert got == want
+    assert len(per_bin) >= 2  # multiple windows exercised
+
+
+def test_event_transition_matrix_matches_bruteforce(ray_session):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_event_transition_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_event_transition_matrix(sf).to_pandas()
+    ev = pq.read_table(
+        f"{sf}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    want: collections.Counter = collections.Counter()
+    for _, g in ev.groupby("user_id"):
+        types = g.event_type.tolist()
+        for a, b in zip(types, types[1:]):
+            want[(a, b)] += 1
+    got = {
+        (r.from_type, r.to_type): r.n_trans for r in out.itertuples()
+    }
+    assert got == dict(want)
+    assert len(got) == 25  # full 5x5 matrix populated on the fixture

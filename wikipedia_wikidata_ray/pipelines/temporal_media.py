@@ -1882,3 +1882,94 @@ GROUP BY 1, 2
 
 TEMPORAL_MEDIA_QUERIES["tile_dwell_median"] = q_tile_dwell_median
 TEMPORAL_MEDIA_ORACLES["tile_dwell_median"] = SQL_TILE_DWELL_MEDIAN
+
+
+# ---------------------------------------------------------------------------
+# Q: event_transition_matrix — first-order Markov behavior model: counts
+# of consecutive same-user (from_type → to_type) transitions (the
+# behavioral fingerprint product analytics fits funnels and anomaly
+# models against). Same OD sorted-run machinery and the same
+# (ts, event_id) tie rule; in-block lexsorted pair derivation emits
+# (from, to) count partials — output is |types|²-bounded.
+
+
+def q_event_transition_matrix(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.runs import sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    def trans_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], type=pa.string()),
+                "to_type": pa.array([], type=pa.string()),
+                "n_trans": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            same[:-1] = u[:-1] == u[1:]
+        src = np.flatnonzero(same)
+        if len(src) == 0:
+            return empty
+        p = pa.table(
+            {
+                "from_type": pa.array(et[src], type=pa.string()),
+                "to_type": pa.array(et[src + 1], type=pa.string()),
+                "n_trans": pa.array(np.ones(len(src), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["from_type", "to_type"]).aggregate(
+            [("n_trans", "sum")]
+        )
+        return g.rename_columns(["from_type", "to_type", "n_trans"])
+
+    partials = sorted_group_apply(
+        events.map_batches(slim, batch_format="pyarrow"),
+        ["user_id"],
+        trans_block,
+    )
+    return merge_group_sums(
+        partials, ["from_type", "to_type"], ["n_trans"]
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["event_transition_matrix"] = q_event_transition_matrix
+TEMPORAL_MEDIA_ORACLES["event_transition_matrix"] = SQL_EVENT_TRANSITION_MATRIX

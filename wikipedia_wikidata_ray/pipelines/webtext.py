@@ -1639,3 +1639,78 @@ GROUP BY 1, 2
 
 WEBTEXT_QUERIES["cms_registers"] = q_cms_registers
 WEBTEXT_ORACLES["cms_registers"] = SQL_CMS_REGISTERS
+
+
+# ---------------------------------------------------------------------------
+# Q: window_top_terms — trending vocabulary: the top-3 tokens of every
+# crawl-time window (5-minute bins over warc_ts = epoch + doc_id, the
+# fixture's closed-form timestamp) — the "what is being crawled NOW"
+# dashboard. ONE tokenization pass emits (bin, token, tf) partials
+# pre-combined in-batch; a combiner merge collapses them and
+# ops/topk.grouped_topk's sorted-run path takes k=3 per bin (ties →
+# token asc). Movement: (bin × distinct-token) partial rows, then k
+# rows per (bin, block).
+
+WINDOW_BIN_S = 300
+WINDOW_TOP_K = 3
+_WARC_EPOCH_S = 1_767_225_600  # 2026-01-01T00:00:00Z (fixture contract)
+
+
+def q_window_top_terms(sf_dir: str) -> Dataset:
+    from ..ops.topk import grouped_topk
+    from ..stages.salted import merge_group_sums
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tf = docs.map_batches(_tf_batch, batch_format="pyarrow")
+
+    def binned(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        tb = (_WARC_EPOCH_S + ids) // WINDOW_BIN_S
+        p = pa.table(
+            {
+                "t_bucket": pa.array(tb.astype(np.int64)),
+                "token": pc.cast(t["token"], pa.string()),
+                "tf": pc.cast(t["tf"], pa.int64()),
+            }
+        )
+        g = p.group_by(["t_bucket", "token"]).aggregate([("tf", "sum")])
+        return g.rename_columns(["t_bucket", "token", "tf"])
+
+    merged = merge_group_sums(
+        tf.map_batches(binned, batch_format="pyarrow"),
+        ["t_bucket", "token"],
+        ["tf"],
+    )
+    return grouped_topk(
+        merged,
+        ["t_bucket"],
+        [("tf", False), ("token", True)],
+        WINDOW_TOP_K,
+        rank_col="rank",
+    )
+
+
+SQL_WINDOW_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT CAST(({_WARC_EPOCH_S} + doc_id) // {WINDOW_BIN_S} AS BIGINT)
+           AS t_bucket,
+         UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT t_bucket, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY t_bucket ORDER BY tf DESC, token) AS rnk
+  FROM tf
+)
+SELECT t_bucket, token, tf, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {WINDOW_TOP_K}
+"""
+
+WEBTEXT_QUERIES["window_top_terms"] = q_window_top_terms
+WEBTEXT_ORACLES["window_top_terms"] = SQL_WINDOW_TOP_TERMS
