@@ -1933,3 +1933,38 @@ def test_event_transition_matrix_matches_bruteforce(ray_session):
     }
     assert got == dict(want)
     assert len(got) == 25  # full 5x5 matrix populated on the fixture
+
+
+def test_ship_delay_stats_matches_bruteforce(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.relational import (
+        q_ship_delay_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_ship_delay_stats(sf).to_pandas()
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).to_pandas()
+    o = pq.read_table(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).to_pandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["delay"] = (
+        j.l_shipdate.dt.normalize() - j.o_orderdate.dt.normalize()
+    ).dt.days
+    want = {}
+    for p_, g in j.groupby("o_orderpriority"):
+        vals = sorted(g.delay.tolist())
+        med = vals[max(1, math.ceil(0.5 * len(vals))) - 1]
+        want[p_] = (len(vals), int(g.delay.sum()), med)
+    got = {
+        r.o_orderpriority: (r.n_items, r.sum_delay_days, r.median_delay_days)
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert all(v[2] >= 0 for v in want.values())

@@ -654,3 +654,134 @@ RELATIONAL_QUERIES["order_rollup"] = q_order_rollup
 RELATIONAL_ORACLES["order_rollup"] = SQL_ORDER_ROLLUP
 RELATIONAL_QUERIES["user_event_pivot"] = q_user_event_pivot
 RELATIONAL_ORACLES["user_event_pivot"] = SQL_USER_EVENT_PIVOT
+
+
+# ---------------------------------------------------------------------------
+# Q: ship_delay_stats — per-priority order-to-ship latency: the classic
+# fact-to-fact date-arithmetic join (lineitem ⋈ orders on orderkey) with
+# exact integer day deltas, published as count/sum plus the exact
+# PERCENTILE_DISC(0.5) median on the histogram-partials path (delay
+# days are a small integer domain, so the (priority, delay) histogram
+# is bounded regardless of corpus size). Movement: the join moves only
+# (orderkey, days) vs (orderkey, priority, date) columns; after it,
+# histogram partials ride ONE combiner merge.
+
+
+def q_ship_delay_stats(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def li_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "ship_day": pc.cast(
+                    pc.cast(t["l_shipdate"], pa.date32()), pa.int32()
+                ),
+            }
+        )
+
+    def o_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "order_day": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.date32()), pa.int32()
+                ),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    joined = li.map_batches(li_keyed, batch_format="pyarrow").join(
+        orders.map_batches(o_keyed, batch_format="pyarrow"),
+        "inner",
+        num_partitions=default_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        days = pc.subtract(
+            pc.cast(t["ship_day"], pa.int64()),
+            pc.cast(t["order_day"], pa.int64()),
+        )
+        p = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "delay_days": days,
+                "cnt": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["o_orderpriority", "delay_days"]).aggregate(
+            [("cnt", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "delay_days", "cnt"])
+
+    merged = merge_group_sums(
+        joined.map_batches(hist, batch_format="pyarrow"),
+        ["o_orderpriority", "delay_days"],
+        ["cnt"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        pr = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+        v = t.column("delay_days").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, pr))
+        pr, v, c = pr[o], v[o], c[o]
+        out = {"o_orderpriority": [], "n_items": [], "sum_delay_days": [],
+               "median_delay_days": []}
+        for p_ in np.unique(pr):
+            m = pr == p_
+            cs = np.cumsum(c[m])
+            idx = max(1, int(np.ceil(0.5 * int(cs[-1]))))
+            out["o_orderpriority"].append(p_)
+            out["n_items"].append(int(cs[-1]))
+            out["sum_delay_days"].append(int((v[m] * c[m]).sum()))
+            out["median_delay_days"].append(
+                int(v[m][np.searchsorted(cs, idx)])
+            )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    out["o_orderpriority"], type=pa.string()
+                ),
+                "n_items": pa.array(out["n_items"], type=pa.int64()),
+                "sum_delay_days": pa.array(
+                    out["sum_delay_days"], type=pa.int64()
+                ),
+                "median_delay_days": pa.array(
+                    out["median_delay_days"], type=pa.int64()
+                ),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_SHIP_DELAY_STATS = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(delay_days) AS BIGINT) AS sum_delay_days,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY delay_days)
+         AS BIGINT) AS median_delay_days
+FROM j GROUP BY 1
+"""
+
+RELATIONAL_QUERIES["ship_delay_stats"] = q_ship_delay_stats
+RELATIONAL_ORACLES["ship_delay_stats"] = SQL_SHIP_DELAY_STATS
