@@ -153,6 +153,17 @@ def main() -> int:
         "cms_registers": lambda: wt.q_cms_registers(sf_dir)
         .materialize()
         .count(),
+        "window_top_terms": lambda: wt.q_window_top_terms(sf_dir)
+        .materialize()
+        .count(),
+        "event_transition_matrix": lambda: tm.q_event_transition_matrix(
+            sf_dir
+        )
+        .materialize()
+        .count(),
+        "ship_delay_stats": lambda: rel.q_ship_delay_stats(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
