@@ -1968,3 +1968,38 @@ def test_ship_delay_stats_matches_bruteforce(ray_session):
     }
     assert got == want
     assert all(v[2] >= 0 for v in want.values())
+
+
+def test_bigram_next_top3_matches_bruteforce(ray_session):
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.ops.textstats import TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.corpusops import (
+        q_bigram_next_top3,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_bigram_next_top3(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    tok = re.compile(TOKEN_PATTERN)
+    cnt: collections.Counter = collections.Counter()
+    for txt in docs["text"].to_pylist():
+        toks = tok.findall(txt.lower())
+        for a, b in zip(toks, toks[1:]):
+            cnt[(a, b)] += 1
+    by_left: dict = collections.defaultdict(list)
+    for (a, b), c in cnt.items():
+        by_left[a].append((b, c))
+    want = {}
+    for a, succ in by_left.items():
+        order = sorted(succ, key=lambda bc: (-bc[1], bc[0]))[:3]
+        for r, (b, c) in enumerate(order, 1):
+            want[(a, r)] = (b, c)
+    got = {
+        (r.left_tok, r.rank): (r.right_tok, r.cnt) for r in out.itertuples()
+    }
+    assert got == want
+    assert len(by_left) > 10

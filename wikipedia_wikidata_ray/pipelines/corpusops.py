@@ -574,3 +574,94 @@ CORPUSOPS_ORACLES = {
     "hll_distinct_tokens": SQL_HLL_DISTINCT_TOKENS,
     "heavy_hitter_tokens": SQL_HEAVY_HITTER_TOKENS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q: bigram_next_top3 — n-gram language-model table construction: for
+# every left token, its top-3 most likely successors with counts (the
+# artifact behind n-gram speculative-decoding / autocomplete tables —
+# the conditional-probability view of the J24 bigram machinery).
+# Per-batch (left, right) value-count partials on the combiner path
+# (doc-boundary bigrams excluded via list_parent_indices, same rule as
+# _vocab_topk_ds), ONE merge, then ops/topk.grouped_topk k=3 per left
+# token (ties → right asc). Output is vocabulary-bounded (≤ 3·|V|),
+# the natural size of an LM table; text never shuffles.
+
+
+def q_bigram_next_top3(sf_dir: str, k: int = 3) -> Dataset:
+    from ..ops.topk import grouped_topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = _token_lists(t["text"])
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy()
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        empty = pa.table(
+            {
+                "left_tok": pa.array([], type=pa.string()),
+                "right_tok": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) < 2:
+            return empty
+        same = pa.array(parent[:-1] == parent[1:])
+        left = flat.slice(0, len(flat) - 1).filter(same)
+        right = flat.slice(1).filter(same)
+        if len(left) == 0:
+            return empty
+        p = pa.table(
+            {
+                "left_tok": left,
+                "right_tok": right,
+                "cnt": pa.array(np.ones(len(left), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["left_tok", "right_tok"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["left_tok", "right_tok", "cnt"])
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    merged = merge_group_sums(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["left_tok", "right_tok"],
+        ["cnt"],
+    )
+    return grouped_topk(
+        merged,
+        ["left_tok"],
+        [("cnt", False), ("right_tok", True)],
+        k,
+        rank_col="rank",
+    )
+
+
+SQL_BIGRAM_NEXT_TOP3 = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+  FROM documents
+),
+bi AS (
+  SELECT tk[CAST(i.i AS INT)] AS left_tok,
+         tk[CAST(i.i AS INT) + 1] AS right_tok
+  FROM t, range(1, {ORACLE_TOKENS_CAP + 1}) i(i)
+  WHERE i.i <= len(tk) - 1
+),
+cnt AS (
+  SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bi GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY left_tok ORDER BY cnt DESC, right_tok) AS rnk
+  FROM cnt
+)
+SELECT left_tok, right_tok, cnt, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+CORPUSOPS_QUERIES["bigram_next_top3"] = q_bigram_next_top3
+CORPUSOPS_ORACLES["bigram_next_top3"] = SQL_BIGRAM_NEXT_TOP3
