@@ -2003,3 +2003,42 @@ def test_bigram_next_top3_matches_bruteforce(ray_session):
     }
     assert got == want
     assert len(by_left) > 10
+
+
+def test_customer_rfm_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.relational import (
+        RFM_F_CUTS,
+        RFM_M_CENTS,
+        RFM_R_DAYS,
+        q_customer_rfm,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_customer_rfm(sf).to_pandas()
+    o = pq.read_table(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    o["day"] = (
+        o.o_orderdate.dt.normalize()
+        - __import__("pandas").Timestamp("1970-01-01")
+    ).dt.days
+    o["cents"] = (o.o_totalprice * 100.0).round().astype("int64")
+    want = {}
+    for cust, g in o.groupby("o_custkey"):
+        d = int(g.day.max())
+        f = len(g)
+        m = int(g.cents.sum())
+        r_s = 1 + (d >= RFM_R_DAYS[0]) + (d >= RFM_R_DAYS[1])
+        f_s = 1 + (f >= RFM_F_CUTS[0]) + (f >= RFM_F_CUTS[1])
+        m_s = 1 + (m >= RFM_M_CENTS[0]) + (m >= RFM_M_CENTS[1])
+        want[cust] = (d, f, m, r_s * 100 + f_s * 10 + m_s)
+    got = {
+        r.o_custkey: (r.last_day, r.n_orders, r.total_cents, r.rfm_code)
+        for r in out.itertuples()
+    }
+    assert got == want
+    # thresholds must actually segment the fixture
+    assert len({v[3] for v in want.values()}) >= 4

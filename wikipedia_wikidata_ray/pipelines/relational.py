@@ -785,3 +785,108 @@ FROM j GROUP BY 1
 
 RELATIONAL_QUERIES["ship_delay_stats"] = q_ship_delay_stats
 RELATIONAL_ORACLES["ship_delay_stats"] = SQL_SHIP_DELAY_STATS
+
+
+# ---------------------------------------------------------------------------
+# Q: customer_rfm — RFM segmentation (recency / frequency / monetary),
+# the classic behavioral-scoring op of CRM analytics: per customer,
+# last-order day, order count and lifetime cents, each bucketed by
+# FIXED thresholds into 1-3 scores and combined into an RFM code. All
+# integer arithmetic (days since epoch, counts, cents) — exact at any
+# parallelism; per-batch combined min/max/sum partials ride ONE
+# `merge_group_aggs` shuffle (the I7 combined-aggregate path), buckets
+# are a stateless epilogue map.
+
+RFM_R_DAYS = (10000, 11000)  # day-number cuts (fixture span 9131-11535)
+RFM_F_CUTS = (9, 12)
+RFM_M_CENTS = (150_000_000, 300_000_000)
+
+
+def q_customer_rfm(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_aggs
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(t["o_orderdate"], pa.date32()).cast(pa.int32()),
+            pa.int64(),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        p = pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "last_day": day,
+                "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+                "total_cents": cents,
+            }
+        )
+        g = p.group_by(["o_custkey"]).aggregate(
+            [("last_day", "max"), ("n_orders", "sum"), ("total_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["o_custkey", "last_day", "n_orders", "total_cents"]
+        )
+
+    agg = merge_group_aggs(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("last_day", "max"), ("n_orders", "sum"), ("total_cents", "sum")],
+    )
+
+    def buckets(t: pa.Table) -> pa.Table:
+        d = t.column("last_day").to_numpy(zero_copy_only=False)
+        f = t.column("n_orders").to_numpy(zero_copy_only=False)
+        m = t.column("total_cents").to_numpy(zero_copy_only=False)
+        r_s = 1 + (d >= RFM_R_DAYS[0]).astype(np.int64) + (
+            d >= RFM_R_DAYS[1]
+        ).astype(np.int64)
+        f_s = 1 + (f >= RFM_F_CUTS[0]).astype(np.int64) + (
+            f >= RFM_F_CUTS[1]
+        ).astype(np.int64)
+        m_s = 1 + (m >= RFM_M_CENTS[0]).astype(np.int64) + (
+            m >= RFM_M_CENTS[1]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "last_day": t["last_day"],
+                "n_orders": t["n_orders"],
+                "total_cents": t["total_cents"],
+                "rfm_code": pa.array(r_s * 100 + f_s * 10 + m_s),
+            }
+        )
+
+    return agg.map_batches(buckets, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_RFM = f"""
+WITH agg AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+           AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, last_day, n_orders, total_cents,
+       CAST(
+         (1 + CASE WHEN last_day >= {RFM_R_DAYS[0]} THEN 1 ELSE 0 END
+            + CASE WHEN last_day >= {RFM_R_DAYS[1]} THEN 1 ELSE 0 END) * 100
+         + (1 + CASE WHEN n_orders >= {RFM_F_CUTS[0]} THEN 1 ELSE 0 END
+              + CASE WHEN n_orders >= {RFM_F_CUTS[1]} THEN 1 ELSE 0 END) * 10
+         + (1 + CASE WHEN total_cents >= {RFM_M_CENTS[0]} THEN 1 ELSE 0 END
+              + CASE WHEN total_cents >= {RFM_M_CENTS[1]} THEN 1 ELSE 0 END)
+       AS BIGINT) AS rfm_code
+FROM agg
+"""
+
+RELATIONAL_QUERIES["customer_rfm"] = q_customer_rfm
+RELATIONAL_ORACLES["customer_rfm"] = SQL_CUSTOMER_RFM
