@@ -2042,3 +2042,34 @@ def test_customer_rfm_matches_bruteforce(ray_session):
     assert got == want
     # thresholds must actually segment the fixture
     assert len({v[3] for v in want.values()}) >= 4
+
+
+def test_tile_lorenz_deciles_matches_bruteforce(ray_session):
+    import collections
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _geotagged,
+        q_tile_lorenz_deciles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_lorenz_deciles(sf).to_pandas()
+    geo = _geotagged(sf).to_pandas()
+    geo = geo[geo.tile_x.notna()]
+    cnt = collections.Counter(
+        zip(geo.tile_x.astype(int).tolist(), geo.tile_y.astype(int).tolist())
+    )
+    xs = sorted(cnt.values(), reverse=True)
+    n = len(xs)
+    want = {}
+    for d in range(1, 11):
+        k = (n * d) // 10
+        if k:
+            want[d] = (k, sum(xs[:k]))
+    got = {
+        r.decile: (r.n_top_tiles, r.pages_covered) for r in out.itertuples()
+    }
+    assert got == want
+    # Lorenz curve is concave-increasing and ends at the total
+    vals = [want[d][1] for d in sorted(want)]
+    assert vals == sorted(vals) and vals[-1] == sum(xs)

@@ -645,6 +645,94 @@ FROM ranked
 
 
 # ---------------------------------------------------------------------------
+# Q: tile_lorenz_deciles — the Lorenz concentration curve behind
+# tile_gini: for every decile d, how many pages the TOP d·10% of tiles
+# hold (the "90% of the corpus sits in x% of the map" readout that
+# drives spatial sampling budgets). Exact from the same count-of-counts
+# histogram (no raw tile row leaves the cluster): sort value-blocks
+# DESC, take the k_d = ⌊n·d/10⌋ largest counts via cumulative
+# block arithmetic — the partial block at the decile boundary
+# contributes boundary_count · value exactly. All int64.
+
+
+def q_tile_lorenz_deciles(sf_dir: str) -> Dataset:
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(
+            ["tile_x", "tile_y"]
+        ),
+        batch_format="pyarrow",
+    )
+    counts = partial_count(geo, ["tile_x", "tile_y"], out="c")
+    hist = partial_count(
+        counts.map_batches(
+            lambda t: t.select(["c"]), batch_format="pyarrow"
+        ),
+        ["c"],
+        out="m",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        v = t.column("c").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        o = np.argsort(-v, kind="stable")  # value blocks DESC
+        v, m = v[o], m[o]
+        n = int(m.sum())
+        cum_tiles = np.cumsum(m)
+        cum_pages = np.cumsum(v * m)
+        deciles, ks, pages = [], [], []
+        for d in range(1, 11):
+            k = (n * d) // 10
+            if k == 0:
+                continue
+            i = int(np.searchsorted(cum_tiles, k))
+            # tiles up to block i-1 fully, plus a partial block at i
+            full = int(cum_pages[i - 1]) if i > 0 else 0
+            prev_t = int(cum_tiles[i - 1]) if i > 0 else 0
+            part = (k - prev_t) * int(v[i]) if i < len(v) else 0
+            deciles.append(d)
+            ks.append(k)
+            pages.append(full + part)
+        return pa.table(
+            {
+                "decile": pa.array(np.asarray(deciles, dtype=np.int64)),
+                "n_top_tiles": pa.array(np.asarray(ks, dtype=np.int64)),
+                "pages_covered": pa.array(
+                    np.asarray(pages, dtype=np.int64)
+                ),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_TILE_LORENZ_DECILES = f"""
+WITH {SQL_GEO_CTE},
+tl AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM geo GROUP BY 1, 2
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tl),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tile_x, tile_y) AS rn
+  FROM tl
+)
+SELECT d.d AS decile,
+       CAST(((SELECT n FROM st) * d.d) // 10 AS BIGINT) AS n_top_tiles,
+       CAST(SUM(CASE WHEN rn <= ((SELECT n FROM st) * d.d) // 10
+                     THEN c ELSE 0 END) AS BIGINT) AS pages_covered
+FROM ranked, range(1, 11) d(d)
+WHERE ((SELECT n FROM st) * d.d) // 10 > 0
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_dup_stats — exact-dedup × geo cross: per z12 tile, the page
 # count and how many of those pages are exact-content duplicates (text
 # occurring ≥2 times among the geotagged corpus) — the spatial view of
@@ -3849,6 +3937,7 @@ QUERIES = {
     "spatial_joincount": q_spatial_joincount,
     "morans_i_stats": q_morans_i_stats,
     "tile_gini": q_tile_gini,
+    "tile_lorenz_deciles": q_tile_lorenz_deciles,
     "tile_quality_stats": q_tile_quality_stats,
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
@@ -3912,6 +4001,7 @@ ORACLES = {
     "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
     "morans_i_stats": SQL_MORANS_I_STATS,
     "tile_gini": SQL_TILE_GINI,
+    "tile_lorenz_deciles": SQL_TILE_LORENZ_DECILES,
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
@@ -3965,7 +4055,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm", "tile_lorenz_deciles",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
