@@ -51,6 +51,7 @@ def main() -> int:
             logging_level="ERROR",
         )
 
+    from wikipedia_wikidata_ray.pipelines import corpusops as co
     from wikipedia_wikidata_ray.pipelines import queries as q
     from wikipedia_wikidata_ray.pipelines import relational as rel
     from wikipedia_wikidata_ray.pipelines import temporal_media as tm
@@ -162,6 +163,15 @@ def main() -> int:
         .materialize()
         .count(),
         "ship_delay_stats": lambda: rel.q_ship_delay_stats(sf_dir)
+        .materialize()
+        .count(),
+        "bigram_next_top3": lambda: co.q_bigram_next_top3(sf_dir)
+        .materialize()
+        .count(),
+        "customer_rfm": lambda: rel.q_customer_rfm(sf_dir)
+        .materialize()
+        .count(),
+        "tile_lorenz_deciles": lambda: q.q_tile_lorenz_deciles(sf_dir)
         .materialize()
         .count(),
     }
