@@ -2073,3 +2073,28 @@ def test_tile_lorenz_deciles_matches_bruteforce(ray_session):
     # Lorenz curve is concave-increasing and ends at the total
     vals = [want[d][1] for d in sorted(want)]
     assert vals == sorted(vals) and vals[-1] == sum(xs)
+
+
+def test_type_token_ratio_matches_bruteforce(ray_session):
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.ops.textstats import TOKEN_PATTERN
+    from wikipedia_wikidata_ray.pipelines.webtext import q_type_token_ratio
+
+    sf = "/root/testdata/sf0.001"
+    out = q_type_token_ratio(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(TOKEN_PATTERN)
+    want = {}
+    for d, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        c = collections.Counter(tok.findall(txt.lower()))
+        if c:
+            want[d] = (len(c), sum(c.values()))
+    got = {r.doc_id: (r.n_types, r.n_tokens) for r in out.itertuples()}
+    assert got == want
+    # diversity varies across the fixture (the signal is non-constant)
+    ratios = {round(t / n, 3) for t, n in want.values()}
+    assert len(ratios) > 10

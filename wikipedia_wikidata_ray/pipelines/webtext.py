@@ -1714,3 +1714,58 @@ FROM ranked WHERE rnk <= {WINDOW_TOP_K}
 
 WEBTEXT_QUERIES["window_top_terms"] = q_window_top_terms
 WEBTEXT_ORACLES["window_top_terms"] = SQL_WINDOW_TOP_TERMS
+
+
+# ---------------------------------------------------------------------------
+# Q: type_token_ratio — lexical diversity per document (distinct-token /
+# total-token counts): the repetition-quality signal that complements
+# gram_repetition (low TTR = template/boilerplate text; Gopher-family
+# pipelines threshold it). ONE pass over the existing _tf_batch output:
+# a (doc, token, tf) row IS one type with tf occurrences, so per-doc
+# (n_types, n_tokens) are plain integer partials through one combiner
+# merge — no second tokenization, no text movement, ratio is a consumer
+# epilogue (exact integer pair published, house norm).
+
+
+def q_type_token_ratio(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tf = docs.map_batches(_tf_batch, batch_format="pyarrow")
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_types": pa.array(np.ones(len(t), dtype=np.int64)),
+                "n_tokens": pc.cast(t["tf"], pa.int64()),
+            }
+        )
+        g = p.group_by(["doc_id"]).aggregate(
+            [("n_types", "sum"), ("n_tokens", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_types", "n_tokens"])
+
+    return merge_group_sums(
+        tf.map_batches(partials, batch_format="pyarrow"),
+        ["doc_id"],
+        ["n_types", "n_tokens"],
+    )
+
+
+SQL_TYPE_TOKEN_RATIO = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+           AS token
+  FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM toks GROUP BY 1
+"""
+
+WEBTEXT_QUERIES["type_token_ratio"] = q_type_token_ratio
+WEBTEXT_ORACLES["type_token_ratio"] = SQL_TYPE_TOKEN_RATIO
