@@ -2098,3 +2098,37 @@ def test_type_token_ratio_matches_bruteforce(ray_session):
     # diversity varies across the fixture (the signal is non-constant)
     ratios = {round(t / n, 3) for t, n in want.values()}
     assert len(ratios) > 10
+
+
+def test_zone_language_counts_matches_bruteforce(ray_session):
+    import collections
+    import math
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _geotagged,
+        q_zone_language_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_zone_language_counts(sf).to_pandas()
+    geo = _geotagged(sf).to_pandas()
+    geo = geo[geo.has_geo]
+    want: collections.Counter = collections.Counter()
+    for r in geo.itertuples():
+        if r.lon >= 180.0 or r.lat >= 90.0:
+            code = None
+        else:
+            code = f"A{math.floor((r.lat + 90.0) / 30.0)}_" \
+                   f"{math.floor((r.lon + 180.0) / 30.0)}"
+        want[(code, r.lang)] += 1
+    got = {
+        (
+            None if r.admin_code != r.admin_code or r.admin_code is None
+            else r.admin_code,
+            r.lang,
+        ): r.n_pages
+        for r in out.itertuples()
+    }
+    assert got == dict(want)
+    # the matrix is genuinely two-dimensional on the fixture
+    assert len({c for c, _ in want}) > 3 and len({l for _, l in want}) > 3

@@ -3135,6 +3135,39 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Q: zone_language_counts — the PIP spatial join with a carried
+# DIMENSION column: per admin zone AND language, how many geotagged
+# pages (the localization matrix a multilingual geo corpus is balanced
+# against — which languages dominate which regions). Identical join
+# movement to admin_counts (the polygon set broadcasts once; only
+# (zone, lang, count) partials shuffle) — the lang column rides the
+# batch through the joiner for free.
+
+
+def q_zone_language_counts(sf_dir: str) -> Dataset:
+    ds = gp.pip_join(_geotagged(sf_dir))
+
+    def keep_geo(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("has_geo")).select(["admin_code", "lang"])
+
+    ds = ds.map_batches(keep_geo, batch_format="pyarrow")
+    return partial_count(ds, ["admin_code", "lang"], out="n_pages")
+
+
+SQL_ZONE_LANGUAGE_COUNTS = f"""
+WITH {SQL_GEO_CTE}
+SELECT CASE WHEN lon >= 180.0 OR lat >= 90.0 THEN NULL
+            ELSE 'A' || CAST(CAST(FLOOR((lat + 90.0) / 30.0) AS INTEGER) AS VARCHAR)
+                 || '_' || CAST(CAST(FLOOR((lon + 180.0) / 30.0) AS INTEGER) AS VARCHAR)
+       END AS admin_code,
+       lang,
+       COUNT(*) AS n_pages
+FROM geo
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: zone_event_counts — the PIP spatial join REUSED on a second point
 # table: events (dispersed-point closed form keyed by event_id, as
 # user_path_length) joined against the level-0 admin grid, counted per
@@ -3962,6 +3995,7 @@ QUERIES = {
     "bbox_counts": q_bbox_counts,
     "admin_counts": q_admin_counts,
     "zone_event_counts": q_zone_event_counts,
+    "zone_language_counts": q_zone_language_counts,
     "admin_counts_rasterized": q_admin_counts_rasterized,
     "admin_counts_partitioned": q_admin_counts_partitioned,
     "zonal_tile_counts": q_zonal_tile_counts,
@@ -4026,6 +4060,7 @@ ORACLES = {
     "bbox_counts": SQL_BBOX_COUNTS,
     "admin_counts": SQL_ADMIN_COUNTS,
     "zone_event_counts": SQL_ZONE_EVENT_COUNTS,
+    "zone_language_counts": SQL_ZONE_LANGUAGE_COUNTS,
     "admin_counts_rasterized": SQL_ADMIN_COUNTS,
     "admin_counts_partitioned": SQL_ADMIN_COUNTS,
     "zonal_tile_counts": SQL_ZONAL_TILE_COUNTS,
@@ -4055,7 +4090,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
-    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm", "tile_lorenz_deciles", "type_token_ratio",
+    "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm", "tile_lorenz_deciles", "type_token_ratio", "zone_language_counts",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
