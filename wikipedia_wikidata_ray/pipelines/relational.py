@@ -890,3 +890,111 @@ FROM agg
 
 RELATIONAL_QUERIES["customer_rfm"] = q_customer_rfm
 RELATIONAL_ORACLES["customer_rfm"] = SQL_CUSTOMER_RFM
+
+
+# ---------------------------------------------------------------------------
+# Q: bloom_semijoin_revenue — the distributed bloom-join (ops/bloom.py):
+# revenue per order priority for orders whose customer is in the
+# BUILDING market segment. The engine point is the JOIN PLAN, not the
+# aggregate: the build side (segment customers) is turned into a
+# ~2-byte/key Bloom filter, broadcast ONCE via ray.put, and the probe
+# side (orders — the big fact table) is prefiltered IN PLACE before any
+# shuffle; only bloom survivors (true matches + ~1% false positives)
+# reach the exact verify step. Verify follows the house gated-attach
+# contract: `pc.is_in` against the broadcast exact key set ≤ limit, a
+# key-partitioned hash join above it (plan-equality pytest both ways +
+# a no-false-negative property test in tests/test_bloom.py).
+# At 100 TB: orders never shuffles; movement = one m/8-byte filter image
+# per worker + the exact key set (or join shuffle of the ~segment-sized
+# survivor stream) — vs shipping every order row to a join.
+
+
+BLOOM_VERIFY_BROADCAST_LIMIT = 20_000_000
+
+
+def q_bloom_semijoin_revenue(
+    sf_dir: str, verify_broadcast_limit: int | None = None
+) -> Dataset:
+    import ray
+
+    from ..ops.bloom import bloom_contains, bloom_log2m, build_bloom
+    from ..stages.salted import merge_group_sums
+
+    if verify_broadcast_limit is None:
+        verify_broadcast_limit = BLOOM_VERIFY_BROADCAST_LIMIT
+
+    build = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    ).select_columns(["c_custkey"]).materialize()
+    n_build = build.count()
+
+    log2m = bloom_log2m(n_build, bits_per_key=16)
+    k = 6
+    words_ref = ray.put(build_bloom(build, "c_custkey", log2m, k))
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        words = ray.get(words_ref)  # plasma-cached per worker, zero-copy
+        keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_contains(keys, words, log2m, k)))
+
+    survivors = orders.map_batches(prefilter, batch_format="pyarrow")
+
+    if n_build <= verify_broadcast_limit:
+        keys_arr = pa.concat_tables(
+            [b.select(["c_custkey"]) for b in build.iter_batches(
+                batch_format="pyarrow")]
+        ).column("c_custkey").combine_chunks()
+        keys_ref = ray.put(keys_arr)
+
+        def verify(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            return t.filter(pc.is_in(t["o_custkey"], value_set=ks))
+
+        verified = survivors.map_batches(verify, batch_format="pyarrow")
+    else:
+        # >limit plan: key-partitioned hash join of the survivor stream
+        # (already bloom-thinned) against the build keys.
+        verified = survivors.join(
+            build,
+            "left_semi",
+            num_partitions=default_partitions(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+                "total_cents": _cents(t["o_totalprice"]),
+            }
+        ).group_by(["o_orderpriority"]).aggregate(
+            [("n_orders", "sum"), ("total_cents", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "n_orders", "total_cents"])
+
+    return merge_group_sums(
+        verified.map_batches(partials, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["n_orders", "total_cents"],
+    )
+
+
+SQL_BLOOM_SEMIJOIN_REVENUE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
+
+RELATIONAL_QUERIES["bloom_semijoin_revenue"] = q_bloom_semijoin_revenue
+RELATIONAL_ORACLES["bloom_semijoin_revenue"] = SQL_BLOOM_SEMIJOIN_REVENUE
