@@ -2132,3 +2132,87 @@ def test_zone_language_counts_matches_bruteforce(ray_session):
     assert got == dict(want)
     # the matrix is genuinely two-dimensional on the fixture
     assert len({c for c, _ in want}) > 3 and len({l for _, l in want}) > 3
+
+
+# ---------------------------------------------------------------------------
+# zorder_shards — the balanced range partitioner
+
+
+def test_morton12_matches_reference():
+    from wikipedia_wikidata_ray.pipelines.queries import _morton12
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 4096, size=500).astype(np.int64)
+    y = rng.integers(0, 4096, size=500).astype(np.int64)
+
+    def ref(a, b):
+        z = 0
+        for i in range(12):
+            z |= ((int(a) >> i) & 1) << (2 * i)
+            z |= ((int(b) >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = _morton12(x, y)
+    assert [ref(a, b) for a, b in zip(x, y)] == got.tolist()
+
+
+def test_zorder_shards_partitioner_properties(ray_session):
+    """The properties that make a range partitioner usable as an output
+    sharder: (a) balanced — shard sizes differ by at most 1 (exact NTILE
+    semantics); (b) ordered — shard key ranges never overlap (a shard's
+    max zkey ≤ the next shard's min; equality allowed only at a zkey tie
+    straddling the boundary)."""
+    from wikipedia_wikidata_ray.pipelines.queries import q_zorder_shards
+
+    df = q_zorder_shards("/root/testdata/sf0.001").to_pandas()
+    df = df.sort_values("shard_id", ignore_index=True)
+    assert len(df) > 1
+    sizes = df["n_docs"].to_numpy()
+    assert sizes.max() - sizes.min() <= 1, sizes
+    # contiguous shard ids from 0
+    assert df["shard_id"].tolist() == list(range(len(df)))
+    prev_max = df["zkey_max"].to_numpy()[:-1]
+    next_min = df["zkey_min"].to_numpy()[1:]
+    assert (prev_max <= next_min).all()
+
+
+def test_haversine_path_matches_scalar_bruteforce(ray_session):
+    """Per-user great-circle length == a scalar libm recomputation from
+    the raw events (order by ts, event_id), and every leg is a valid
+    central angle (≤ π) — semantics, not just SQL parity."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_haversine_path_length)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_haversine_path_length(sf).to_pandas().sort_values(
+        "user_id", ignore_index=True)
+
+    ev = rd.read_parquet(f"{sf}/events.parquet").to_pandas()
+    ev["lat"] = ((ev.event_id * 7919) % 1600001) / 10000.0 - 80.0
+    ev["lon"] = ((ev.event_id * 104729) % 3600001) / 10000.0 - 180.0
+    rows = []
+    for uid, g in ev.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        lat, lon = g.lat.to_numpy(), g.lon.to_numpy()
+        total, n = 0, 0
+        for i in range(1, len(lat)):
+            sdlat = math.sin(math.radians(lat[i] - lat[i - 1]) / 2.0)
+            sdlon = math.sin(math.radians(lon[i] - lon[i - 1]) / 2.0)
+            a = min(sdlat * sdlat
+                    + math.cos(math.radians(lat[i - 1]))
+                    * math.cos(math.radians(lat[i])) * sdlon * sdlon, 1.0)
+            leg = 2.0 * math.asin(math.sqrt(a))
+            assert 0.0 <= leg <= math.pi + 1e-12
+            total += round(leg * 1e8)
+            n += 1
+        if n:
+            rows.append({"user_id": uid, "n_legs": n, "path_e8": total})
+    want = pd.DataFrame(rows).sort_values("user_id", ignore_index=True)
+    # numpy's SIMD arcsin vs libm differ ≤1 ulp; after e8 rounding the
+    # integers must agree exactly
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -3958,6 +3958,154 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: zorder_shards — the engine's balanced RANGE PARTITIONER as an
+# oracled operator: assign every geotagged page to one of S shards of
+# (near-)equal size, contiguous in Z-order (Morton) key space — the
+# spatial analog of the output sharding every 100-TB write wants
+# (locality-preserving, resumable, skew-proof: a megacity splits across
+# shards instead of hot-spotting one). Requires an EXACT distributed
+# rank (rank·S // n), built without any driver-side sort:
+#   1. one stateless pass computes zkey (bit-interleaved z12 tile) and
+#      its leading-bits bucket (zkey >> 10 — keyspace ≤ 2^14, BOUNDED BY
+#      CONSTRUCTION independent of corpus size);
+#   2. per-bucket counts ride the combiner merge; the ≤16K-row histogram
+#      comes to the driver once, exclusive-prefix-sums into bucket rank
+#      offsets, and broadcasts via ray.put;
+#   3. ops/runs.sorted_group_apply on the bucket key: each block sorts
+#      its COMPLETE buckets by (zkey, doc_id), local position + bucket
+#      offset = exact global rank → shard id; per-shard (count, min/max
+#      zkey) partials collapse in one more combiner merge.
+# Movement: the one range sort of (doc_id, zkey, bucket) triples — the
+# page rows never shuffle. Pytest pins the partitioner properties
+# (shard sizes within 1; key ranges non-overlapping in shard order).
+
+ZSHARD_S = 16
+ZSHARD_BUCKET_SHIFT = 10  # bucket = zkey >> 10 → ≤ 2^14 buckets at z12
+
+
+def _morton12(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave two 12-bit coords into a 24-bit Z-order key (int64)."""
+    z = np.zeros(len(x), dtype=np.int64)
+    for b in range(12):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def q_zorder_shards(sf_dir: str) -> Dataset:
+    import ray
+
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import merge_group_aggs
+
+    geo = _geotagged(sf_dir)
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        x = t.column("tile_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("tile_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = _morton12(x, y)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "zkey": pa.array(z),
+                "bucket": pa.array(z >> ZSHARD_BUCKET_SHIFT),
+            }
+        )
+
+    zt = geo.map_batches(derive, batch_format="pyarrow")
+
+    # bounded driver pull: ≤ 2^14 bucket rows regardless of corpus size
+    hist = merge_group_sums(
+        partial_count(zt, ["bucket"], out="c"), ["bucket"], ["c"]
+    ).to_pandas()
+    hist = hist.sort_values("bucket", ignore_index=True)
+    buckets = hist["bucket"].to_numpy(dtype=np.int64)
+    counts = hist["c"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    n_total = int(counts.sum())
+    lut_ref = ray.put((buckets, offsets, n_total))
+
+    empty = pa.table(
+        {
+            "shard_id": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "zkey_min": pa.array([], type=pa.int64()),
+            "zkey_max": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def shard_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        bks, offs, n = ray.get(lut_ref)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        z = t.column("zkey").to_numpy(zero_copy_only=False)
+        o = np.lexsort((did, z))
+        z, did = z[o], did[o]
+        bk = z >> ZSHARD_BUCKET_SHIFT
+        starts = run_starts([bk])
+        run_first = np.maximum.accumulate(
+            np.where(starts, np.arange(len(bk)), 0)
+        )
+        local = np.arange(len(bk)) - run_first
+        rank = offs[np.searchsorted(bks, bk)] + local
+        shard = rank * ZSHARD_S // n
+        part = pa.table(
+            {
+                "shard_id": pa.array(shard),
+                "n_docs": pa.array(np.ones(len(shard), dtype=np.int64)),
+                "zkey_min": pa.array(z),
+                "zkey_max": pa.array(z),
+            }
+        )
+        g = part.group_by(["shard_id"]).aggregate(
+            [("n_docs", "sum"), ("zkey_min", "min"), ("zkey_max", "max")]
+        )
+        return g.rename_columns(["shard_id", "n_docs", "zkey_min", "zkey_max"])
+
+    partials = sorted_group_apply(zt, ["bucket"], shard_block)
+    return merge_group_aggs(
+        partials,
+        ["shard_id"],
+        [("n_docs", "sum"), ("zkey_min", "min"), ("zkey_max", "max")],
+    )
+
+
+def _sql_morton12(xc: str, yc: str) -> str:
+    return " + ".join(
+        f"((({xc} >> {b}) & 1) * {1 << (2 * b)}) + "
+        f"((({yc} >> {b}) & 1) * {1 << (2 * b + 1)})"
+        for b in range(12)
+    )
+
+
+SQL_ZORDER_SHARDS = f"""
+WITH {SQL_GEO_CTE},
+tl AS (
+  SELECT doc_id,
+         CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS BIGINT) AS tile_y
+  FROM geo
+),
+z AS (SELECT doc_id, {_sql_morton12('tile_x', 'tile_y')} AS zkey FROM tl),
+n AS (SELECT COUNT(*) AS c FROM z),
+r AS (
+  SELECT zkey,
+         (ROW_NUMBER() OVER (ORDER BY zkey, doc_id) - 1) * {ZSHARD_S}
+           // (SELECT c FROM n) AS shard_id
+  FROM z
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(zkey) AS BIGINT) AS zkey_min,
+       CAST(MAX(zkey) AS BIGINT) AS zkey_max
+FROM r GROUP BY 1
+"""
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_time_bins": q_tile_time_bins,
@@ -3971,6 +4119,7 @@ QUERIES = {
     "morans_i_stats": q_morans_i_stats,
     "tile_gini": q_tile_gini,
     "tile_lorenz_deciles": q_tile_lorenz_deciles,
+    "zorder_shards": q_zorder_shards,
     "tile_quality_stats": q_tile_quality_stats,
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
@@ -4036,6 +4185,7 @@ ORACLES = {
     "morans_i_stats": SQL_MORANS_I_STATS,
     "tile_gini": SQL_TILE_GINI,
     "tile_lorenz_deciles": SQL_TILE_LORENZ_DECILES,
+    "zorder_shards": SQL_ZORDER_SHARDS,
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
@@ -4091,7 +4241,7 @@ _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
     "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm", "tile_lorenz_deciles", "type_token_ratio", "zone_language_counts",
-    "bloom_semijoin_revenue",
+    "bloom_semijoin_revenue", "zorder_shards", "haversine_path_length",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",

@@ -1973,3 +1973,128 @@ GROUP BY 1, 2
 
 TEMPORAL_MEDIA_QUERIES["event_transition_matrix"] = q_event_transition_matrix
 TEMPORAL_MEDIA_ORACLES["event_transition_matrix"] = SQL_EVENT_TRANSITION_MATRIX
+
+
+# ---------------------------------------------------------------------------
+# Q: haversine_path_length — user_path_length's GREAT-CIRCLE twin: per
+# user, trajectory length on the unit sphere (central angle in radians —
+# multiply by R≈6371 km downstream) instead of planar degrees. The
+# haversine `a` term (sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)) is BITWISE
+# equal between numpy and DuckDB (sin/cos/×/+ all correctly rounded;
+# property-verified at 200K fixture legs), but the final asin is NOT
+# (numpy's SIMD arcsin differs from libm/DuckDB by 1 ulp on ~25% of
+# inputs), so per-leg central angles round to e8 integers on both sides
+# (~0.06 mm on Earth; a 1-ulp ≈ 2e-16 discrepancy flips an e8 rounding
+# only within 2e-16/1e-8 = 2e-8 of a boundary — negligible at any gate
+# scale, vs ~2e-6 per leg had we kept the e10 policy here). Integer
+# per-user sums stay order-free at any parallelism. Deterministic under
+# ts ties via the event_id tiebreaker ON BOTH SIDES (the OD-matrix
+# rule). Same movement shape as user_path_length: ONE range sort, no
+# join, no broadcast.
+
+
+def q_haversine_path_length(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.runs import sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "lat": pa.array(((eid * 7919) % 1600001) / 10000.0 - 80.0),
+                "lon": pa.array(((eid * 104729) % 3600001) / 10000.0 - 180.0),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_legs": pa.array([], type=pa.int64()),
+            "path_e8": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def path_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, lat, lon = uid[order], lat[order], lon[order]
+        if len(uid) < 2:
+            return empty
+        same = uid[1:] == uid[:-1]
+        # the exact op order of the SQL mirror: RADIANS on each operand,
+        # halves, sin², cos·cos product, one fused `a`, LEAST clamp
+        rl1 = np.radians(lat[:-1])
+        rl2 = np.radians(lat[1:])
+        sdlat = np.sin(np.radians(lat[1:] - lat[:-1]) / 2.0)
+        sdlon = np.sin(np.radians(lon[1:] - lon[:-1]) / 2.0)
+        a = sdlat * sdlat + np.cos(rl1) * np.cos(rl2) * sdlon * sdlon
+        a = np.minimum(a, 1.0)  # SQL LEAST(a, 1.0) — same bitwise input
+        leg = (2.0 * np.arcsin(np.sqrt(a)))[same]
+        if len(leg) == 0:
+            return empty
+        gu = uid[1:][same]
+        le = np.round(leg * 100000000.0).astype(np.int64)
+        part = pa.table(
+            {
+                "user_id": pa.array(gu),
+                "n_legs": pa.array(np.ones(len(gu), dtype=np.int64)),
+                "path_e8": pa.array(le),
+            }
+        )
+        g = part.group_by(["user_id"]).aggregate(
+            [("n_legs", "sum"), ("path_e8", "sum")]
+        )
+        return g.rename_columns(["user_id", "n_legs", "path_e8"])
+
+    pts = events.map_batches(derive, batch_format="pyarrow")
+    return sorted_group_apply(pts, ["user_id"], path_block)
+
+
+SQL_HAVERSINE_PATH_LENGTH = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+pairs AS (
+  SELECT user_id, lat, lon,
+         LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+-- NB: the first-event NULL pair must be dropped BEFORE the LEAST clamp:
+-- DuckDB's LEAST skips NULL arguments, so LEAST(NULL_a, 1.0) = 1.0 and
+-- every user would gain a phantom π leg (caught by the gate first run)
+legs AS (
+  SELECT user_id,
+         2.0 * ASIN(SQRT(LEAST(
+             SIN(RADIANS(lat - plat) / 2.0) * SIN(RADIANS(lat - plat) / 2.0)
+           + COS(RADIANS(plat)) * COS(RADIANS(lat))
+               * SIN(RADIANS(lon - plon) / 2.0)
+               * SIN(RADIANS(lon - plon) / 2.0),
+           1.0))) AS leg
+  FROM pairs WHERE plat IS NOT NULL
+)
+SELECT user_id, CAST(COUNT(leg) AS BIGINT) AS n_legs,
+       CAST(SUM(CAST(ROUND(leg * 100000000.0, 0) AS BIGINT)) AS BIGINT)
+         AS path_e8
+FROM legs WHERE leg IS NOT NULL GROUP BY 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["haversine_path_length"] = q_haversine_path_length
+TEMPORAL_MEDIA_ORACLES["haversine_path_length"] = SQL_HAVERSINE_PATH_LENGTH
