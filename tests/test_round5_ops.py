@@ -2216,3 +2216,35 @@ def test_haversine_path_matches_scalar_bruteforce(ray_session):
     # numpy's SIMD arcsin vs libm differ ≤1 ulp; after e8 rounding the
     # integers must agree exactly
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_inverted_postings_semantics(ray_session):
+    """Posting lists are strictly increasing doc_ids, df equals the list
+    length, the band holds, and a spot token's postings match a
+    brute-force scan of the raw documents."""
+    import re
+
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        POSTINGS_DF_MAX, POSTINGS_DF_MIN, q_inverted_postings)
+
+    sf = "/root/testdata/sf0.001"
+    df = q_inverted_postings(sf).to_pandas()
+    assert len(df) > 0
+    for _, r in df.iterrows():
+        ids = [int(x) for x in r.postings.split(",")]
+        assert ids == sorted(set(ids))
+        assert r.df == len(ids)
+        assert POSTINGS_DF_MIN <= r.df <= POSTINGS_DF_MAX
+
+    docs = rd.read_parquet(f"{sf}/documents.parquet").to_pandas()
+    tok = df.sort_values("token").iloc[0].token
+    want = []
+    for _, d in docs.iterrows():
+        toks = re.findall(r"[a-z0-9]+", d.text.lower())
+        if any(f"{a} {b}" == tok for a, b in zip(toks, toks[1:])):
+            want.append(int(d.doc_id))
+    got = [int(x) for x in
+           df[df.token == tok].iloc[0].postings.split(",")]
+    assert got == sorted(want)

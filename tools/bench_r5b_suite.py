@@ -174,6 +174,23 @@ def main() -> int:
         "tile_lorenz_deciles": lambda: q.q_tile_lorenz_deciles(sf_dir)
         .materialize()
         .count(),
+        "type_token_ratio": lambda: wt.q_type_token_ratio(sf_dir)
+        .materialize()
+        .count(),
+        "zone_language_counts": lambda: q.q_zone_language_counts(sf_dir)
+        .materialize()
+        .count(),
+        "bloom_semijoin_revenue": lambda: rel.q_bloom_semijoin_revenue(
+            sf_dir
+        )
+        .materialize()
+        .count(),
+        "zorder_shards": lambda: q.q_zorder_shards(sf_dir)
+        .materialize()
+        .count(),
+        "haversine_path_length": lambda: tm.q_haversine_path_length(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -1769,3 +1769,162 @@ FROM toks GROUP BY 1
 
 WEBTEXT_QUERIES["type_token_ratio"] = q_type_token_ratio
 WEBTEXT_ORACLES["type_token_ratio"] = SQL_TYPE_TOKEN_RATIO
+
+
+# ---------------------------------------------------------------------------
+# Q: inverted_postings — the search-index BUILD artifact behind
+# bm25_search: for every mid-band BIGRAM phrase (2 ≤ df ≤ 60 — rare
+# enough to be discriminative, the band a phrase-index pruner keeps
+# hot; bigrams because they are where phrase search actually needs a
+# prebuilt index), its document-frequency, corpus tf, and the doc_id
+# posting list ORDERED BY doc_id (delta-encodable downstream),
+# serialized as a CSV string so the driver's value hash covers the
+# exact list CONTENT AND ORDER.
+# Plan: one vectorized bigram-tf pass (the _tf_batch idiom on the
+# vocab_topk bigram construction), df via the gated attach_df plan
+# (broadcast ≤20M vocab, token join above), the band filter drops the
+# corpus-sized head/tail BEFORE any sort, then ONE sorted_group_apply
+# on token builds each posting list vectorized (ListArray.from_arrays
+# over run offsets + pc.binary_join — no per-token Python). Movement
+# after the filter is band-sized (≤ df_max rows/term).
+
+
+POSTINGS_DF_MIN = 2
+POSTINGS_DF_MAX = 60
+
+
+def _bigram_tf_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, token=bigram, tf) rows, fully vectorized: adjacent-token
+    join within each doc (vocab_topk's construction) then ONE lexsort +
+    run-length count per (doc, bigram)."""
+    ids = t.column("doc_id").to_numpy()
+    col = t.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "token": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(t) == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    nonempty = pc.not_equal(flat, "")
+    flat = pc.filter(flat, nonempty)
+    parent = pc.filter(pc.list_parent_indices(toks), nonempty).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    if len(parent) < 2:
+        return empty
+    left = flat.slice(0, len(flat) - 1)
+    right = flat.slice(1)
+    bi = pc.binary_join_element_wise(left, right, " ")
+    same_doc = parent[:-1] == parent[1:]
+    bi = bi.filter(pa.array(same_doc))
+    bparent = parent[:-1][same_doc]
+    if len(bparent) == 0:
+        return empty
+    enc = pc.dictionary_encode(bi)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    order = np.lexsort((codes, bparent))
+    ps, cs = bparent[order], codes[order]
+    new = np.ones(len(ps), dtype=bool)
+    new[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(ps)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[ps[starts]], type=pa.int64()),
+            "token": enc.dictionary.take(pa.array(cs[starts])),
+            "tf": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def q_inverted_postings(sf_dir: str) -> Dataset:
+    from ..ops.runs import run_starts, sorted_group_apply
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tf = docs.map_batches(
+        _bigram_tf_batch, batch_format="pyarrow"
+    ).materialize()
+    banded = attach_df(tf).filter(
+        expr=f"(df >= {POSTINGS_DF_MIN}) and (df <= {POSTINGS_DF_MAX})"
+    )
+
+    empty = pa.table(
+        {
+            "token": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "total_tf": pa.array([], type=pa.int64()),
+            "postings": pa.array([], type=pa.string()),
+        }
+    )
+
+    def build_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        tok = pc.cast(t.column("token"), pa.string()).combine_chunks()
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tfv = t.column("tf").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(tok)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((did, codes))
+        codes, did, tfv = codes[order], did[order], tfv[order]
+        starts = np.flatnonzero(run_starts([codes]))
+        ends = np.append(starts[1:], len(codes))
+        doc_strs = pc.cast(pa.array(did, type=pa.int64()), pa.string())
+        offsets = pa.array(
+            np.append(starts, len(codes)).astype(np.int32)
+        )
+        lists = pa.ListArray.from_arrays(offsets, doc_strs)
+        postings = pc.binary_join(lists, ",")
+        return pa.table(
+            {
+                "token": enc.dictionary.take(pa.array(codes[starts])),
+                "df": pa.array(ends - starts),
+                "total_tf": pa.array(
+                    np.add.reduceat(tfv, starts).astype(np.int64)
+                ),
+                "postings": postings,
+            }
+        )
+
+    return sorted_group_apply(
+        banded.select_columns(["token", "doc_id", "tf"]),
+        ["token"],
+        build_block,
+    )
+
+
+SQL_INVERTED_POSTINGS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS tk
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, tk[CAST(i.i AS INT)] || ' ' || tk[CAST(i.i AS INT) + 1]
+           AS token
+  FROM t, range(1, 4001) i(i) WHERE i.i <= len(tk) - 1
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM bi GROUP BY 1, 2)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY token
+HAVING COUNT(*) BETWEEN {POSTINGS_DF_MIN} AND {POSTINGS_DF_MAX}
+"""
+
+WEBTEXT_QUERIES["inverted_postings"] = q_inverted_postings
+WEBTEXT_ORACLES["inverted_postings"] = SQL_INVERTED_POSTINGS
