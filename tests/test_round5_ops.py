@@ -2248,3 +2248,29 @@ def test_inverted_postings_semantics(ray_session):
     got = [int(x) for x in
            df[df.token == tok].iloc[0].postings.split(",")]
     assert got == sorted(want)
+
+
+def test_tile_lisa_stats_bruteforce(ray_session):
+    """k_nb / sum_c_nb equal a dict-based recomputation from the tile
+    counts, and phantom (unoccupied) tiles never appear."""
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _geotagged, q_tile_lisa_stats)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_tile_lisa_stats(sf).to_pandas()
+    geo = _geotagged(sf).to_pandas()
+    geo = geo[geo.tile_x.notna()]
+    counts = geo.groupby(["tile_x", "tile_y"]).size().to_dict()
+    assert len(got) == len(counts)
+    for _, r in got.iterrows():
+        key = (r.tile_x, r.tile_y)
+        assert counts[key] == r.c
+        nb = [
+            counts.get((r.tile_x + dx, r.tile_y + dy))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+        nb = [v for v in nb if v is not None]
+        assert r.k_nb == len(nb)
+        assert r.sum_c_nb == sum(nb)

@@ -4106,6 +4106,98 @@ FROM r GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: tile_lisa_stats — LOCAL spatial autocorrelation (the per-tile LISA
+# sufficient statistics behind Anselin's local Moran's I, the hotspot/
+# coldspot classifier): for every OCCUPIED z12 tile, its page count c,
+# its occupied-8-neighbor count k_nb, and the sum of those neighbors'
+# counts sum_c_nb — all exact int64 (the consumer forms
+# Iᵢ ∝ (n·cᵢ−S)·Σⱼ(n·cⱼ−S) from these plus tile_gini's global pieces).
+# Unlike tile_heat_smooth (which scatters COUNT PARTIALS and keeps
+# phantom tiles), k_nb is a property of the FINAL per-tile count, so the
+# plan is: one combiner merge to per-tile counts, ONE scatter of each
+# merged tile to itself (c,0,0) and its 8 neighbors (0,c,1), one more
+# tile-sized combiner merge, then drop the phantom rows (c = 0). Both
+# shuffles move occupied-tile-sized rows only.
+
+
+def q_tile_lisa_stats(sf_dir: str) -> Dataset:
+    ds = _geotagged(sf_dir)
+    geo = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tile_x"])).select(
+            ["tile_x", "tile_y"]
+        ),
+        batch_format="pyarrow",
+    )
+    merged = merge_group_sums(
+        partial_count(geo, ["tile_x", "tile_y"], out="c"),
+        ["tile_x", "tile_y"],
+        ["c"],
+    )
+
+    def scatter(t: pa.Table) -> pa.Table:
+        tx = t.column("tile_x").to_numpy().astype(np.int64)
+        ty = t.column("tile_y").to_numpy().astype(np.int64)
+        c = t.column("c").to_numpy().astype(np.int64)
+        # slot 0 = the tile itself (carries c); slots 1-8 = neighbors
+        # (carry the neighbor-sum/neighbor-count contribution)
+        dx = np.array([0, -1, -1, -1, 0, 0, 1, 1, 1], dtype=np.int64)
+        dy = np.array([0, -1, 0, 1, -1, 1, -1, 0, 1], dtype=np.int64)
+        n = len(tx)
+        self_slot = np.tile(
+            np.array([1, 0, 0, 0, 0, 0, 0, 0, 0], dtype=np.int64), n
+        )
+        crep = np.repeat(c, 9)
+        out = pa.table(
+            {
+                "tile_x": pa.array(
+                    (tx[:, None] + dx[None, :]).ravel().astype(np.int32)
+                ),
+                "tile_y": pa.array(
+                    (ty[:, None] + dy[None, :]).ravel().astype(np.int32)
+                ),
+                "c": pa.array(crep * self_slot),
+                "sum_c_nb": pa.array(crep * (1 - self_slot)),
+                "k_nb": pa.array(1 - self_slot),
+            }
+        )
+        g = out.group_by(["tile_x", "tile_y"]).aggregate(
+            [("c", "sum"), ("sum_c_nb", "sum"), ("k_nb", "sum")]
+        )
+        return g.rename_columns(
+            ["tile_x", "tile_y", "c", "sum_c_nb", "k_nb"]
+        )
+
+    both = merge_group_sums(
+        merged.map_batches(scatter, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        ["c", "sum_c_nb", "k_nb"],
+    )
+    return both.filter(expr="c > 0")
+
+
+SQL_TILE_LISA_STATS = f"""
+WITH {SQL_GEO_CTE},
+counts AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         COUNT(*) AS c
+  FROM geo
+  GROUP BY 1, 2
+)
+SELECT a.tile_x, a.tile_y, CAST(a.c AS BIGINT) AS c,
+       CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS sum_c_nb,
+       CAST(COUNT(b.tile_x) AS BIGINT) AS k_nb
+FROM counts a
+LEFT JOIN counts b
+  ON b.tile_x BETWEEN a.tile_x - 1 AND a.tile_x + 1
+ AND b.tile_y BETWEEN a.tile_y - 1 AND a.tile_y + 1
+ AND NOT (b.tile_x = a.tile_x AND b.tile_y = a.tile_y)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_time_bins": q_tile_time_bins,
@@ -4120,6 +4212,7 @@ QUERIES = {
     "tile_gini": q_tile_gini,
     "tile_lorenz_deciles": q_tile_lorenz_deciles,
     "zorder_shards": q_zorder_shards,
+    "tile_lisa_stats": q_tile_lisa_stats,
     "tile_quality_stats": q_tile_quality_stats,
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
@@ -4186,6 +4279,7 @@ ORACLES = {
     "tile_gini": SQL_TILE_GINI,
     "tile_lorenz_deciles": SQL_TILE_LORENZ_DECILES,
     "zorder_shards": SQL_ZORDER_SHARDS,
+    "tile_lisa_stats": SQL_TILE_LISA_STATS,
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
@@ -4241,7 +4335,7 @@ _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
     "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm", "tile_lorenz_deciles", "type_token_ratio", "zone_language_counts",
-    "bloom_semijoin_revenue", "zorder_shards", "haversine_path_length", "inverted_postings",
+    "bloom_semijoin_revenue", "zorder_shards", "haversine_path_length", "inverted_postings", "tile_lisa_stats",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
