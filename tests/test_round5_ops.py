@@ -2274,3 +2274,26 @@ def test_tile_lisa_stats_bruteforce(ray_session):
         nb = [v for v in nb if v is not None]
         assert r.k_nb == len(nb)
         assert r.sum_c_nb == sum(nb)
+
+
+def test_new_user_cumulative_semantics(ray_session):
+    """cum_new is the prefix sum of n_new, ends at the number of distinct
+    users, and n_new recomputes from a pandas first-seen scan."""
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_new_user_cumulative)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_new_user_cumulative(sf).to_pandas().sort_values(
+        "hour", ignore_index=True)
+    assert (got.cum_new == got.n_new.cumsum()).all()
+    assert got.hour.is_monotonic_increasing
+
+    ev = rd.read_parquet(f"{sf}/events.parquet").to_pandas()
+    ev["hour"] = ev.ts.values.astype("datetime64[h]").astype("int64")
+    first = ev.groupby("user_id").hour.min()
+    assert got.cum_new.iloc[-1] == first.size
+    want = first.value_counts().sort_index()
+    assert got.n_new.tolist() == want.tolist()
+    assert got.hour.tolist() == want.index.tolist()

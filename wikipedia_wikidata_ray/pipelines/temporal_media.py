@@ -2098,3 +2098,81 @@ FROM legs WHERE leg IS NOT NULL GROUP BY 1
 
 TEMPORAL_MEDIA_QUERIES["haversine_path_length"] = q_haversine_path_length
 TEMPORAL_MEDIA_ORACLES["haversine_path_length"] = SQL_HAVERSINE_PATH_LENGTH
+
+
+# ---------------------------------------------------------------------------
+# Q: new_user_cumulative — the user-growth curve (hourly new users and
+# the cumulative audience, the DAU/MAU-dashboard primitive): each
+# user's FIRST-SEEN hour (min over a monotone per-row epoch-hour map —
+# equal to hour-of-min-ts), hourly new-user counts, and the running
+# total. Hour bins (the fixture spans days, not months — day bins gave
+# 2 rows) via integer microsecond division, non-negative so trunc ==
+# floor on both sides (the DuckDB // rule).
+# Plan: per-batch (user, min hour) partials → one user-keyed combiner
+# merge → per-hour count partials → one hour-keyed merge. The hour
+# histogram is BOUNDED BY THE CALENDAR (≤ ~9K rows/year at any corpus
+# size), so the cumulative sum finalizes in a single block — the same
+# bounded-finalize shape as tile_gini.
+
+
+def q_new_user_cumulative(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.salted import (merge_group_aggs, merge_group_sums,
+                                 partial_count)
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def hour_partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))
+        g = pa.table(
+            {"user_id": t["user_id"], "hour": hour}
+        ).group_by(["user_id"]).aggregate([("hour", "min")])
+        return g.rename_columns(["user_id", "hour"])
+
+    first = merge_group_aggs(
+        events.map_batches(hour_partials, batch_format="pyarrow"),
+        ["user_id"],
+        [("hour", "min")],
+    )
+    hist = merge_group_sums(
+        partial_count(first, ["hour"], out="n_new"), ["hour"], ["n_new"]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        hour = t.column("hour").to_numpy(zero_copy_only=False)
+        n = t.column("n_new").to_numpy(zero_copy_only=False)
+        o = np.argsort(hour, kind="stable")
+        hour, n = hour[o], n[o]
+        return pa.table(
+            {
+                "hour": pa.array(hour, type=pa.int64()),
+                "n_new": pa.array(n, type=pa.int64()),
+                "cum_new": pa.array(np.cumsum(n).astype(np.int64)),
+            }
+        )
+
+    # calendar-bounded single-block finalize
+    return hist.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_NEW_USER_CUMULATIVE = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // 3600000000) AS hour
+  FROM events GROUP BY 1
+),
+d AS (SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+SELECT CAST(hour AS BIGINT) AS hour, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY hour) AS BIGINT) AS cum_new
+FROM d
+"""
+
+TEMPORAL_MEDIA_QUERIES["new_user_cumulative"] = q_new_user_cumulative
+TEMPORAL_MEDIA_ORACLES["new_user_cumulative"] = SQL_NEW_USER_CUMULATIVE
