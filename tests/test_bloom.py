@@ -92,3 +92,52 @@ def test_bloom_semijoin_plans_equal(ray_session):
     want = want[sorted(want.columns)].sort_values(
         sorted(want.columns), ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fk_orphan_audit_plans_equal_and_orphans_found(ray_session):
+    """Broadcast is_in plan == forced left_anti-join plan; the
+    events→customer relation has a NONZERO orphan count (user_id 0) so
+    the orphan branch is actually exercised; the real FK relations are
+    clean."""
+    from wikipedia_wikidata_ray.pipelines.profiling import q_fk_orphan_audit
+
+    def sdf(ds):
+        df = ds.to_pandas()
+        return df.sort_values("relation", ignore_index=True)
+
+    got = sdf(q_fk_orphan_audit("/root/testdata/sf0.001"))
+    forced = sdf(
+        q_fk_orphan_audit("/root/testdata/sf0.001",
+                          parent_broadcast_limit=0)
+    )
+    pd.testing.assert_frame_equal(got, forced)
+
+    by_rel = got.set_index("relation")
+    assert by_rel.loc[
+        "events.user_id->customer.c_custkey", "n_orphans"] > 0
+    assert by_rel.loc[
+        "orders.o_custkey->customer.c_custkey", "n_orphans"] == 0
+    assert by_rel.loc[
+        "lineitem.l_orderkey->orders.o_orderkey", "n_orphans"] == 0
+    assert (by_rel.n_child > 0).all()
+
+
+def test_column_stats_matches_pandas(ray_session):
+    """Every profiled column's stats equal a pandas recomputation."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.profiling import (
+        PROFILE_COLUMNS, q_column_stats)
+
+    got = q_column_stats("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == len(PROFILE_COLUMNS)
+    for tbl, col in PROFILE_COLUMNS:
+        s = pq.read_table(
+            f"/root/testdata/sf0.001/{tbl}.parquet", columns=[col]
+        ).to_pandas()[col]
+        r = got[(got.tbl == tbl) & (got.col == col)].iloc[0]
+        assert r.n_rows == len(s)
+        assert r.n_nulls == s.isna().sum()
+        assert r.n_distinct == s.dropna().nunique()
+        assert r.min_val == s.dropna().min()
+        assert r.max_val == s.dropna().max()

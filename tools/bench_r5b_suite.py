@@ -191,6 +191,15 @@ def main() -> int:
         "haversine_path_length": lambda: tm.q_haversine_path_length(sf_dir)
         .materialize()
         .count(),
+        "inverted_postings": lambda: wt.q_inverted_postings(sf_dir)
+        .materialize()
+        .count(),
+        "tile_lisa_stats": lambda: q.q_tile_lisa_stats(sf_dir)
+        .materialize()
+        .count(),
+        "new_user_cumulative": lambda: tm.q_new_user_cumulative(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
