@@ -2297,3 +2297,43 @@ def test_new_user_cumulative_semantics(ray_session):
     want = first.value_counts().sort_index()
     assert got.n_new.tolist() == want.tolist()
     assert got.hour.tolist() == want.index.tolist()
+
+
+def test_kcore_peel_semantics(ray_session):
+    """The fixed 3-round chain IS the fixpoint on the fixture (round 4
+    would peel nothing — asserted by recomputing one more round in
+    numpy), the cascade actually peels (≥2 distinct depths incl. a
+    nonempty final core), and every final-core node has ≥ K live
+    neighbors (the k-core definition)."""
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        KCORE_K, KCORE_ROUNDS, _link_graph_edges, q_kcore_peel)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_kcore_peel(sf).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    depth = got.peel_depth.to_numpy()
+    assert len(set(depth.tolist())) >= 3  # a real cascade, not a cliff
+
+    edges = _link_graph_edges(sf)[0].to_pandas()
+    lo, hi = edges.lo.to_numpy(), edges.hi.to_numpy()
+
+    def degrees(alive):
+        live = alive[lo] & alive[hi]
+        d = np.zeros(len(alive), dtype=np.int64)
+        np.add.at(d, lo[live], 1)
+        np.add.at(d, hi[live], 1)
+        return d
+
+    # brute-force replay of the peel
+    alive = np.ones(len(depth), dtype=bool)
+    for r in range(1, KCORE_ROUNDS + 1):
+        alive = degrees(alive) >= KCORE_K
+        assert (depth >= r).sum() == alive.sum()
+        assert ((depth >= r) == alive).all()
+    # fixpoint: one more round changes nothing
+    assert ((degrees(alive) >= KCORE_K) == alive).all()
+    # definition check on the final core (vacuously true if it emptied)
+    d_final = degrees(alive)
+    assert (d_final[alive] >= KCORE_K).all()

@@ -1690,6 +1690,127 @@ def q_bfs_hops(sf_dir: str) -> Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q: kcore_peel — k-core decomposition (fixed-round degeneracy peeling,
+# k=5): each round recomputes degrees over the LIVE-LIVE induced
+# subgraph and peels nodes below k — the FIFTH iteration shape of the
+# graph family (PageRank = full scatter, CC = label propagation,
+# k-means = assign/update, BFS = frontier, k-core = shrinking-set
+# peeling), and the standard spam/boilerplate core extractor on link
+# graphs. FIVE fixed rounds reach the true fixpoint at every fixture
+# scale (pytest replays a further round and asserts nothing changes). Output: every node's peel depth (0 = out before round 1's
+# survivors, r = survived round r, ROUNDS = in the final core) — the
+# whole-node-set answer, so the driver hash covers the cascade.
+# Plan per round (the BFS gated-array family): the live flag array
+# (dense uint8 over 0..N-1, doc-count-bounded) broadcasts via ray.put;
+# ONE stateless edge scan emits per-node degree COUNT PARTIALS over
+# surviving edges; one combiner merge; the pull is the NEW SURVIVOR
+# list (deg ≥ k rows — shrinking every round). Above the array gate the
+# flag would ride as a Dataset with the degree attach as a node-keyed
+# join (the CC >gate plan, named not duplicated here). Movement per
+# round: int64 degree partials bounded by the live edge cut.
+
+KCORE_K = 5
+KCORE_ROUNDS = 5
+
+
+def q_kcore_peel(sf_dir: str) -> Dataset:
+    import ray
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    alive = np.ones(n_docs, dtype=bool)
+    depth = np.zeros(n_docs, dtype=np.int64)
+    for r in range(1, KCORE_ROUNDS + 1):
+        ref = ray.put(alive)
+
+        def deg_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            a = ray.get(_ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            live = a[lo] & a[hi]
+            nodes = np.concatenate((lo[live], hi[live]))
+            p = pa.table(
+                {
+                    "node": pa.array(nodes),
+                    "deg": pa.array(np.ones(len(nodes), dtype=np.int64)),
+                }
+            )
+            g = p.group_by(["node"]).aggregate([("deg", "sum")])
+            return g.rename_columns(["node", "deg"])
+
+        merged = merge_group_sums(
+            edges.map_batches(deg_partial, batch_format="pyarrow"),
+            ["node"],
+            ["deg"],
+        ).filter(expr=f"deg >= {KCORE_K}")
+        # the pull is the new survivor set — shrinking every round
+        blocks = [
+            b.select(["node"])
+            for b in (
+                ray.get(r_) for r_ in merged.materialize().to_arrow_refs()
+            )
+            if b.num_rows and "node" in b.column_names
+        ]
+        alive = np.zeros(n_docs, dtype=bool)
+        if blocks:
+            keep = pa.concat_tables(blocks).column("node").to_numpy()
+            alive[keep] = True
+        depth[alive] = r
+        if not alive.any():
+            break
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                "peel_depth": pa.array(depth),
+            }
+        )
+    )
+
+
+def _sql_kcore_peel() -> str:
+    survivors = []
+    prev_edges = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        survivors.append(
+            f"""
+d{r} AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM {prev_edges} UNION ALL SELECT b FROM {prev_edges}
+  ) GROUP BY 1
+),
+s{r} AS (SELECT node FROM d{r} WHERE deg >= {KCORE_K}),
+e{r} AS (
+  SELECT a, b FROM e0
+  WHERE a IN (SELECT node FROM s{r}) AND b IN (SELECT node FROM s{r})
+)"""
+        )
+        prev_edges = f"e{r}"
+    depth_case = " ".join(
+        f"WHEN doc_id IN (SELECT node FROM s{r}) THEN {r}"
+        for r in range(KCORE_ROUNDS, 0, -1)
+    )
+    return f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),{",".join(survivors)}
+SELECT doc_id, CAST(CASE {depth_case} ELSE 0 END AS BIGINT) AS peel_depth
+FROM documents
+"""
+
+
+SQL_KCORE_PEEL = _sql_kcore_peel()
+
+
 def _sql_bfs_hops() -> str:
     levels = []
     prev_all = "f0"
@@ -4220,6 +4341,7 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "degree_assortativity": q_degree_assortativity,
     "bfs_hops": q_bfs_hops,
+    "kcore_peel": q_kcore_peel,
     "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
@@ -4289,6 +4411,7 @@ ORACLES = {
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "bfs_hops": SQL_BFS_HOPS,
+    "kcore_peel": SQL_KCORE_PEEL,
     "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
@@ -4338,7 +4461,7 @@ _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
     "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm", "tile_lorenz_deciles", "type_token_ratio", "zone_language_counts",
-    "bloom_semijoin_revenue", "zorder_shards", "haversine_path_length", "inverted_postings", "tile_lisa_stats", "new_user_cumulative", "column_stats", "fk_orphan_audit",
+    "bloom_semijoin_revenue", "zorder_shards", "haversine_path_length", "inverted_postings", "tile_lisa_stats", "new_user_cumulative", "column_stats", "fk_orphan_audit", "kcore_peel",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
