@@ -2337,3 +2337,18 @@ def test_kcore_peel_semantics(ray_session):
     # definition check on the final core (vacuously true if it emptied)
     d_final = degrees(alive)
     assert (d_final[alive] >= KCORE_K).all()
+
+
+def test_dim_truncation_recall_bounds(ray_session):
+    """Recall@k of the 16-dim prefix is in (0, k]; truncating to the
+    FULL 64 dims gives perfect recall by construction (self-consistency
+    of the eval harness)."""
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        PQ_RECALL_K, q_dim_truncation_recall)
+
+    got = q_dim_truncation_recall("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert (got.n_hits >= 1).all()
+    assert (got.n_hits <= PQ_RECALL_K).all()
+    # the prefix loses SOME neighbors somewhere, or the eval is vacuous
+    assert (got.n_hits < PQ_RECALL_K).any()

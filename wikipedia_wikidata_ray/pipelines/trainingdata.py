@@ -1908,3 +1908,146 @@ GROUP BY 1, 2
 
 TRAININGDATA_QUERIES["knn_label_eval"] = q_knn_label_eval
 TRAININGDATA_ORACLES["knn_label_eval"] = SQL_KNN_LABEL_EVAL
+
+
+# ---------------------------------------------------------------------------
+# Q: dim_truncation_recall — the Matryoshka / truncated-dimension
+# retrieval eval (Kusupati et al. 2022's deployment question: how much
+# recall do the first 16 of 64 dims keep?): recall@20 of exact integer-
+# L2 top-k computed on the 16-dim PREFIX against the exact 64-dim
+# ground truth, per query (vec_id % 50 == 0, the PQ eval's query set).
+# Both rankings use the e10 integer policy (per-element rounded terms,
+# ties → lowest vec_id) so the whole eval is bitwise SQL-replicable —
+# same determinism argument as pq_recall_eval. Plan: TWO stateless
+# scoring passes against the broadcast query matrix (each block scores
+# its vectors for all queries, (Q·k)-bounded output via grouped_topk's
+# block-local prune), then one (Q·k)-row inner join on the packed
+# (qid, vec) key counts overlaps. Vectors never shuffle.
+
+TRUNC_DIMS = 16
+
+
+def q_dim_truncation_recall(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
+    from ..ops.topk import grouped_topk
+    from ..stages.salted import merge_group_sums
+
+    qtbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qmask = np.asarray(qtbl["vec_id"].to_numpy()) % PQ_QUERY_MOD == 0
+    qids = qtbl["vec_id"].to_numpy()[qmask]
+    qx = _as_matrix(qtbl.column("embedding"))[qmask].astype(np.float64)
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def topk_pairs(dims: int, tag: str) -> Dataset:
+        qsub = qx[:, :dims]
+
+        def scores(t: pa.Table, _q=qsub) -> pa.Table:
+            x = _as_matrix(t.column("embedding")).astype(
+                np.float64
+            )[:, :dims]
+            n = len(t)
+            diff = _q[:, None, :] - x[None, :, :]
+            terms = np.round(diff * diff * 10000000000.0).astype(np.int64)
+            d2 = terms.sum(axis=2)
+            vid = t.column("vec_id").to_numpy()
+            qrep = np.repeat(qids, n)
+            vrep = np.tile(vid, len(qids))
+            keep = qrep != vrep
+            return pa.table(
+                {
+                    "qid": pa.array(qrep[keep]),
+                    "vec_id": pa.array(vrep[keep]),
+                    "d2_e10": pa.array(d2.reshape(-1)[keep]),
+                }
+            )
+
+        top = grouped_topk(
+            emb.map_batches(scores, batch_format="pyarrow"),
+            ["qid"],
+            [("d2_e10", True), ("vec_id", True)],
+            PQ_RECALL_K,
+        )
+        return top.map_batches(
+            lambda t, _tag=tag: pa.table(
+                {
+                    _tag: pc.add(
+                        pc.multiply(
+                            pc.cast(t["qid"], pa.int64()),
+                            pa.scalar(1 << 31, type=pa.int64()),
+                        ),
+                        pc.cast(t["vec_id"], pa.int64()),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    trunc = topk_pairs(TRUNC_DIMS, "key")
+    full = topk_pairs(64, "fkey")
+    hits = trunc.join(full, "inner", num_partitions=2,
+                      on=("key",), right_on=("fkey",))
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        p = pa.table(
+            {
+                "qid": pa.array(key >> 31),
+                "n_hits": pa.array(np.ones(len(key), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["qid"]).aggregate([("n_hits", "sum")])
+        return g.rename_columns(["qid", "n_hits"])
+
+    return merge_group_sums(
+        hits.map_batches(count_hits, batch_format="pyarrow"),
+        ["qid"],
+        ["n_hits"],
+    )
+
+
+def _sql_dim_truncation_recall() -> str:
+    def top_cte(dims: int, name: str) -> str:
+        vals = ", ".join(f"({j})" for j in range(1, dims + 1))
+        return f"""
+d{name}(j) AS (VALUES {vals}),
+t{name} AS (
+  SELECT q.vec_id AS qid, b.vec_id,
+         CAST(ROUND(
+           (CAST(q.embedding[d{name}.j] AS DOUBLE)
+            - CAST(b.embedding[d{name}.j] AS DOUBLE))
+           * (CAST(q.embedding[d{name}.j] AS DOUBLE)
+              - CAST(b.embedding[d{name}.j] AS DOUBLE))
+           * 10000000000.0, 0) AS BIGINT) AS t
+  FROM embeddings q
+  JOIN embeddings b ON b.vec_id <> q.vec_id
+  CROSS JOIN d{name}
+  WHERE q.vec_id % {PQ_QUERY_MOD} = 0
+),
+s{name} AS (
+  SELECT qid, vec_id, CAST(SUM(t) AS BIGINT) AS d2 FROM t{name} GROUP BY 1, 2
+),
+top{name} AS (
+  SELECT qid, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY d2, vec_id) AS rn
+    FROM s{name}
+  ) WHERE rn <= {PQ_RECALL_K}
+)"""
+
+    return f"""
+WITH {top_cte(TRUNC_DIMS, 'tr').lstrip()},{top_cte(64, 'fu')}
+SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM toptr a JOIN topfu e ON e.qid = a.qid AND e.vec_id = a.vec_id
+GROUP BY 1
+"""
+
+
+SQL_DIM_TRUNCATION_RECALL = _sql_dim_truncation_recall()
+
+TRAININGDATA_QUERIES["dim_truncation_recall"] = q_dim_truncation_recall
+TRAININGDATA_ORACLES["dim_truncation_recall"] = SQL_DIM_TRUNCATION_RECALL
