@@ -2352,3 +2352,35 @@ def test_dim_truncation_recall_bounds(ray_session):
     assert (got.n_hits <= PQ_RECALL_K).all()
     # the prefix loses SOME neighbors somewhere, or the eval is vacuous
     assert (got.n_hits < PQ_RECALL_K).any()
+
+
+def test_tile_weighted_sample_semantics(ray_session):
+    """Per-tile sample: ≤ k rows per tile, every sampled doc actually in
+    that tile, and the E-S key direction is right — longer docs are
+    overrepresented (mean sampled length > mean tile length) on tiles
+    with enough candidates to choose from."""
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        TILE_WSAMPLE_K, _geotagged, q_tile_weighted_sample)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_tile_weighted_sample(sf).to_pandas()
+    geo = _geotagged(sf).to_pandas()
+    geo = geo[geo.tile_x.notna()]
+    geo["n_chars"] = geo.text.str.len()
+    per_tile = got.groupby(["tile_x", "tile_y"]).size()
+    assert (per_tile <= TILE_WSAMPLE_K).all()
+    tile_docs = geo.groupby(["tile_x", "tile_y"]).doc_id.apply(set)
+    for _, r in got.iterrows():
+        assert r.doc_id in tile_docs[(r.tile_x, r.tile_y)]
+    # anti-weighting check (the weighted_sample round-5 lesson): pick
+    # tiles with ≥ 4·k candidates, sampled mean length must exceed the
+    # tile mean on average
+    big = geo.groupby(["tile_x", "tile_y"]).filter(
+        lambda g: len(g) >= 4 * TILE_WSAMPLE_K)
+    if len(big):
+        keys = set(map(tuple, big[["tile_x", "tile_y"]].drop_duplicates()
+                       .to_numpy()))
+        samp = got[[tuple(k) in keys for k in
+                    got[["tile_x", "tile_y"]].to_numpy()]]
+        lens = geo.set_index("doc_id").n_chars
+        assert lens[samp.doc_id].mean() > big.n_chars.mean()

@@ -4319,6 +4319,77 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: tile_weighted_sample — weighted_sample's GROUPED twin: per z12
+# tile, the k=2 length-weighted Efraimidis–Spirakis sample of its pages
+# (the per-cell training-data picker: every map region keeps its
+# longest-ish representatives with reproducible randomness). Same key
+# stream as weighted_sample (house Knuth hash → u ∈ (0,1], key =
+# ln(u)/w rounded to e10 int64, w = character length — LN and division
+# are single IEEE ops, the established parity family; keep the LARGEST
+# keys), but ranked WITHIN each tile by ONE grouped_topk (block-local
+# k-prune — ≤ k rows per tile per block shuffle; no per-group dispatch,
+# no joins).
+
+TILE_WSAMPLE_K = 2
+
+
+def q_tile_weighted_sample(sf_dir: str) -> Dataset:
+    from ..ops.topk import grouped_topk
+
+    ds = _geotagged(sf_dir)
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        h = (ids * np.int64(2654435761)) & np.int64((1 << 31) - 1)
+        u = (h.astype(np.float64) + 1.0) / 2147483648.0  # (0, 1]
+        key = np.round((np.log(u) / w) * 10000000000.0).astype(np.int64)
+        return pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "doc_id": t["doc_id"],
+                "key_e10": pa.array(key),
+            }
+        )
+
+    return grouped_topk(
+        ds.map_batches(keys, batch_format="pyarrow"),
+        ["tile_x", "tile_y"],
+        [("key_e10", False), ("doc_id", True)],
+        TILE_WSAMPLE_K,
+        rank_col="rank",
+    )
+
+
+SQL_TILE_WEIGHTED_SAMPLE = f"""
+WITH {SQL_GEO_CTE},
+keyed AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(g.lat)) + 1.0 / COS(RADIANS(g.lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         g.doc_id,
+         CAST(ROUND(
+           (LN((CAST((g.doc_id * 2654435761) & 2147483647 AS DOUBLE) + 1.0)
+               / 2147483648.0)
+            / CAST(length(d.text) AS DOUBLE)) * 10000000000.0, 0) AS BIGINT)
+           AS key_e10
+  FROM geo g JOIN documents d ON d.doc_id = g.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY tile_x, tile_y ORDER BY key_e10 DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT tile_x, tile_y, doc_id, key_e10, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TILE_WSAMPLE_K}
+"""
+
+
 QUERIES = {
     "extract_text": q_extract_text,
     "tile_time_bins": q_tile_time_bins,
@@ -4334,6 +4405,7 @@ QUERIES = {
     "tile_lorenz_deciles": q_tile_lorenz_deciles,
     "zorder_shards": q_zorder_shards,
     "tile_lisa_stats": q_tile_lisa_stats,
+    "tile_weighted_sample": q_tile_weighted_sample,
     "tile_quality_stats": q_tile_quality_stats,
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
@@ -4404,6 +4476,7 @@ ORACLES = {
     "tile_lorenz_deciles": SQL_TILE_LORENZ_DECILES,
     "zorder_shards": SQL_ZORDER_SHARDS,
     "tile_lisa_stats": SQL_TILE_LISA_STATS,
+    "tile_weighted_sample": SQL_TILE_WEIGHTED_SAMPLE,
     "tile_quality_stats": SQL_TILE_QUALITY_STATS,
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
@@ -4461,7 +4534,7 @@ _DRIVER_PRIORITY = [
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
     "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm", "tile_lorenz_deciles", "type_token_ratio", "zone_language_counts",
-    "bloom_semijoin_revenue", "zorder_shards", "haversine_path_length", "inverted_postings", "tile_lisa_stats", "new_user_cumulative", "column_stats", "fk_orphan_audit", "kcore_peel", "dim_truncation_recall",
+    "bloom_semijoin_revenue", "zorder_shards", "haversine_path_length", "inverted_postings", "tile_lisa_stats", "new_user_cumulative", "column_stats", "fk_orphan_audit", "kcore_peel", "dim_truncation_recall", "tile_weighted_sample",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
