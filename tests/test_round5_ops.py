@@ -2384,3 +2384,27 @@ def test_tile_weighted_sample_semantics(ray_session):
                     got[["tile_x", "tile_y"]].to_numpy()]]
         lens = geo.set_index("doc_id").n_chars
         assert lens[samp.doc_id].mean() > big.n_chars.mean()
+
+
+def test_delta_exact_dups_semantics(ray_session):
+    """Recrawl dedup: every unchanged delta doc is flagged dup against
+    its own original; every ' v2'-suffixed doc is new (no corpus text
+    carries the suffix); counts split exactly by the doc_id % 3 rule."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_delta_exact_dups)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_delta_exact_dups(sf).to_pandas()
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    orig = got.delta_id - n
+    unchanged = got[orig % 3 == 0]
+    changed = got[orig % 3 == 1]
+    assert len(unchanged) + len(changed) == len(got)
+    assert (unchanged.is_dup == 1).all()
+    # an unchanged doc's dup group representative is MIN doc_id of its
+    # text group — itself when the text is unique (raw corpus is)
+    assert (unchanged.dup_of == unchanged.delta_id - n).all()
+    assert (changed.is_dup == 0).all()
+    assert changed.dup_of.isna().all()

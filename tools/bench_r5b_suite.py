@@ -52,6 +52,7 @@ def main() -> int:
         )
 
     from wikipedia_wikidata_ray.pipelines import corpusops as co
+    from wikipedia_wikidata_ray.pipelines import profiling as pf
     from wikipedia_wikidata_ray.pipelines import queries as q
     from wikipedia_wikidata_ray.pipelines import relational as rel
     from wikipedia_wikidata_ray.pipelines import temporal_media as tm
@@ -198,6 +199,19 @@ def main() -> int:
         .materialize()
         .count(),
         "new_user_cumulative": lambda: tm.q_new_user_cumulative(sf_dir)
+        .materialize()
+        .count(),
+        "column_stats": lambda: pf.q_column_stats(sf_dir)
+        .materialize()
+        .count(),
+        "fk_orphan_audit": lambda: pf.q_fk_orphan_audit(sf_dir)
+        .materialize()
+        .count(),
+        "kcore_peel": lambda: q.q_kcore_peel(sf_dir).materialize().count(),
+        "dim_truncation_recall": lambda: td.q_dim_truncation_recall(sf_dir)
+        .materialize()
+        .count(),
+        "tile_weighted_sample": lambda: q.q_tile_weighted_sample(sf_dir)
         .materialize()
         .count(),
     }

@@ -2051,3 +2051,119 @@ SQL_DIM_TRUNCATION_RECALL = _sql_dim_truncation_recall()
 
 TRAININGDATA_QUERIES["dim_truncation_recall"] = q_dim_truncation_recall
 TRAININGDATA_ORACLES["dim_truncation_recall"] = SQL_DIM_TRUNCATION_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Q: delta_exact_dups — INCREMENTAL ingest dedup: a new crawl batch
+# checked against the existing corpus (the production shape of J1 —
+# dedup is rarely one-shot at 100 TB; every nightly batch dedups against
+# what's already stored). The delta batch is closed-form on both sides
+# (the house augmentation convention): every doc_id % 3 == 0 document
+# re-crawled UNCHANGED (must be flagged dup) and every doc_id % 3 == 1
+# re-crawled with a ' v2' suffix (changed content — must be kept as
+# new), so BOTH branches are exercised. Output per delta doc: the
+# matched corpus doc (MIN doc_id per text, the exact-dedup group rule)
+# or NULL + an is_dup flag.
+# Plan: both sides collapse to (sha256-hex, id) rows at the source
+# (text never moves — the J1/J20 shape; hex string key per the join
+# dtype house rule); the corpus side pre-collapses to one MIN-id row
+# per hash (combiner merge), then ONE left-outer hash join on the
+# 64B/row streams. No broadcast: at scale the corpus hash set is
+# corpus-sized BY DEFINITION, so the shuffle join IS the default plan
+# (unlike attach_df's vocabulary, which is small by Heap's law).
+
+DELTA_SUFFIX = " v2"
+
+
+def q_delta_exact_dups(sf_dir: str) -> Dataset:
+    from ..ops.dedup import sha256_hex_col
+    from ..stages.salted import default_partitions, merge_group_aggs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def corpus_hashes(t: pa.Table) -> pa.Table:
+        h = pa.array(sha256_hex_col(t["text"]), type=pa.string())
+        g = pa.table(
+            {"h": h, "dup_of": t["doc_id"]}
+        ).group_by(["h"]).aggregate([("dup_of", "min")])
+        return g.rename_columns(["h", "dup_of"])
+
+    corpus = merge_group_aggs(
+        docs.map_batches(corpus_hashes, batch_format="pyarrow"),
+        ["h"],
+        [("dup_of", "min")],
+    )
+
+    def delta_hashes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        unchanged = t.filter(pa.array(ids % 3 == 0))
+        changed = t.filter(pa.array(ids % 3 == 1))
+        changed = changed.set_column(
+            changed.column_names.index("text"), "text",
+            pc.binary_join_element_wise(
+                changed["text"], pa.scalar(DELTA_SUFFIX), ""
+            ),
+        )
+        both = pa.concat_tables([unchanged, changed])
+        return pa.table(
+            {
+                "delta_id": pc.add(
+                    both["doc_id"], pa.scalar(n, type=pa.int64())
+                ),
+                "dh": pa.array(
+                    sha256_hex_col(both["text"]), type=pa.string()
+                ),
+            }
+        )
+
+    # join key dtypes must match EXACTLY (the _cast_str house rule) —
+    # the merge path upgrades to large_string
+    corpus = corpus.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("h"), "h", pc.cast(t["h"], pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    delta = docs.map_batches(delta_hashes, batch_format="pyarrow")
+    joined = delta.join(
+        corpus,
+        "left_outer",
+        num_partitions=default_partitions(),
+        on=("dh",),
+        right_on=("h",),
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        dup_of = t.column("dup_of")
+        return pa.table(
+            {
+                "delta_id": pc.cast(t["delta_id"], pa.int64()),
+                "dup_of": pc.cast(dup_of, pa.int64()),
+                "is_dup": pc.cast(pc.is_valid(dup_of), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
+SQL_DELTA_EXACT_DUPS = f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+delta AS (
+  SELECT doc_id + (SELECT c FROM n) AS delta_id, text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + (SELECT c FROM n), text || '{DELTA_SUFFIX}'
+  FROM documents WHERE doc_id % 3 = 1
+),
+corpus AS (SELECT text, MIN(doc_id) AS dup_of FROM documents GROUP BY 1)
+SELECT d.delta_id, c.dup_of,
+       CAST(CASE WHEN c.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_dup
+FROM delta d LEFT JOIN corpus c USING (text)
+"""
+
+TRAININGDATA_QUERIES["delta_exact_dups"] = q_delta_exact_dups
+TRAININGDATA_ORACLES["delta_exact_dups"] = SQL_DELTA_EXACT_DUPS
