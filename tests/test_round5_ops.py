@@ -2408,3 +2408,55 @@ def test_delta_exact_dups_semantics(ray_session):
     assert (unchanged.dup_of == unchanged.delta_id - n).all()
     assert (changed.is_dup == 0).all()
     assert changed.dup_of.isna().all()
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1,
+                           prev[i - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_lev1_verify_kernel_bruteforce():
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        _lev1_verify_ids)
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 100000, size=4000).astype(np.int64)
+    b = rng.integers(0, 100000, size=4000).astype(np.int64)
+    m = a != b
+    a, b = a[m], b[m]
+    got = _lev1_verify_ids(a, b)
+    want = np.array([_lev(str(x), str(y)) == 1 for x, y in zip(a, b)])
+    assert (got == want).all()
+
+
+def test_title_typo_pairs_complete_vs_bruteforce(ray_session):
+    """Deletion-neighborhood blocking misses NOTHING: the distributed
+    result equals the brute-force all-pairs lev==1 set on titles."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_title_typo_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_title_typo_pairs(sf).to_pandas()
+    gset = set(map(tuple, got[["doc_a", "doc_b"]].to_numpy()))
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"]).column("doc_id").to_pylist()
+    titles = {i: f"Doc_{i}" for i in ids}
+    want = {
+        (x, y)
+        for i, x in enumerate(ids)
+        for y in ids[i + 1:]
+        if abs(len(titles[x]) - len(titles[y])) <= 1
+        and _lev(titles[x], titles[y]) == 1
+    }
+    want = {(min(p), max(p)) for p in want}
+    assert gset == want

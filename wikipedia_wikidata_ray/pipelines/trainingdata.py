@@ -2167,3 +2167,161 @@ FROM delta d LEFT JOIN corpus c USING (text)
 
 TRAININGDATA_QUERIES["delta_exact_dups"] = q_delta_exact_dups
 TRAININGDATA_ORACLES["delta_exact_dups"] = SQL_DELTA_EXACT_DUPS
+
+
+# ---------------------------------------------------------------------------
+# Q: title_typo_pairs — the FUZZY-MATCH join family (entity resolution /
+# typo-pair detection): all title pairs at Levenshtein distance EXACTLY
+# 1, found without an all-pairs scan via SymSpell-style DELETION-
+# NEIGHBORHOOD blocking (Garbe 2012, public algorithm): two strings are
+# within distance 1 only if one equals the other or one equals a
+# 1-deletion of the other — so every title emits itself + its ≤|t|
+# 1-deletion variants (Arrow slice kernels, one vectorized call per
+# deletion position), candidate pairs are same-variant-bucket pairs
+# (ops/runs.sorted_group_apply — one range sort, lag-k pair expansion
+# over runs), and each UNIQUE candidate verifies exactly.
+# Verification never touches strings: titles are 'Doc_' || id, so
+# lev(title_a, title_b) = lev(dec(a), dec(b)), checked on least-
+# significant-digit matrices with sentinel padding — hamming == 1 for
+# equal lengths, one vectorized shift-compare for the insert/delete
+# case. All integer, bitwise-free, exact.
+# Scale: candidates are bucket-bounded (deletion buckets are tiny by
+# construction); movement = the variant-row sort + (candidate-pair,
+# count) combiner merge. No join carries strings.
+
+
+def _lev1_verify_ids(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """True where lev(dec(a), dec(b)) == 1, fully vectorized."""
+    W = 12
+    cols = np.arange(W)
+
+    def digits_and_len(x):
+        d = (x[:, None] // 10 ** cols[None, :]) % 10
+        ln = np.maximum(np.floor(np.log10(np.maximum(x, 1))), 0).astype(
+            np.int64
+        ) + 1
+        d[cols[None, :] >= ln[:, None]] = -1  # sentinel beyond length
+        return d, ln
+
+    da, la = digits_and_len(a)
+    db, lb = digits_and_len(b)
+    # orient so a is the shorter side
+    swap = la > lb
+    da[swap], db[swap] = db[swap], da[swap].copy()
+    la[swap], lb[swap] = lb[swap], la[swap].copy()
+
+    same_len = la == lb
+    ham = (da != db).sum(axis=1)
+    ok_sub = same_len & (ham == 1)
+
+    indel = lb - la == 1
+    mism = da != db
+    p = np.where(mism.any(axis=1), mism.argmax(axis=1), la)
+    db_shift = np.concatenate(
+        [db[:, 1:], np.full((len(b), 1), -1, dtype=db.dtype)], axis=1
+    )
+    ok_del = indel & (
+        ((da == db_shift) | (cols[None, :] < p[:, None])).all(axis=1)
+    )
+    return ok_sub | ok_del
+
+
+def q_title_typo_pairs(sf_dir: str) -> Dataset:
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import merge_group_sums, partial_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        title = pc.binary_join_element_wise(
+            pa.scalar("Doc_"), pc.cast(ids, pa.string()), ""
+        )
+        ln = pc.utf8_length(title).to_numpy(zero_copy_only=False)
+        outs = [pa.table({"vkey": title, "doc_id": ids})]
+        for d in range(int(ln.max()) if len(ln) else 0):
+            m = pa.array(ln > d)
+            sub_t = title.filter(m)
+            sub_i = ids.filter(m)
+            v = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub_t, 0, d),
+                pc.utf8_slice_codeunits(sub_t, d + 1, 32),
+                "",
+            )
+            outs.append(pa.table({"vkey": v, "doc_id": sub_i}))
+        out = pa.concat_tables(outs)
+        return pa.table(
+            {
+                "vkey": pc.cast(out["vkey"], pa.string()),
+                "doc_id": pc.cast(out["doc_id"], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {"pair": pa.array([], type=pa.int64()),
+         "n": pa.array([], type=pa.int64())}
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        vk = pc.cast(t["vkey"], pa.string()).combine_chunks()
+        enc = pc.dictionary_encode(vk)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        run = enc.indices.to_numpy().astype(np.int64)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((did, run))
+        run, did = run[o], did[o]
+        sizes = np.diff(
+            np.append(np.flatnonzero(run_starts([run])), len(run))
+        )
+        max_s = int(sizes.max()) if len(sizes) else 0
+        pairs = []
+        for k in range(1, max_s):
+            same = run[k:] == run[:-k]
+            a, b = did[:-k][same], did[k:][same]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            pairs.append(lo * (1 << 31) + hi)
+        if not pairs:
+            return empty
+        key = np.unique(np.concatenate(pairs))
+        return pa.table(
+            {
+                "pair": pa.array(key),
+                "n": pa.array(np.ones(len(key), dtype=np.int64)),
+            }
+        )
+
+    cand = sorted_group_apply(
+        docs.map_batches(variants, batch_format="pyarrow"),
+        ["vkey"],
+        bucket_pairs,
+    )
+    uniq = merge_group_sums(cand, ["pair"], ["n"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        key = t.column("pair").to_numpy(zero_copy_only=False)
+        a, b = key >> 31, key & ((1 << 31) - 1)
+        ok = _lev1_verify_ids(a, b)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[ok].astype(np.int64)),
+                "doc_b": pa.array(b[ok].astype(np.int64)),
+            }
+        )
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
+
+
+SQL_TITLE_TYPO_PAIRS = """
+WITH t AS (
+  SELECT doc_id, 'Doc_' || CAST(doc_id AS VARCHAR) AS title FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) = 1
+"""
+
+TRAININGDATA_QUERIES["title_typo_pairs"] = q_title_typo_pairs
+TRAININGDATA_ORACLES["title_typo_pairs"] = SQL_TITLE_TYPO_PAIRS
