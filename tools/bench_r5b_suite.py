@@ -214,6 +214,12 @@ def main() -> int:
         "tile_weighted_sample": lambda: q.q_tile_weighted_sample(sf_dir)
         .materialize()
         .count(),
+        "delta_exact_dups": lambda: td.q_delta_exact_dups(sf_dir)
+        .materialize()
+        .count(),
+        "title_typo_pairs": lambda: td.q_title_typo_pairs(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

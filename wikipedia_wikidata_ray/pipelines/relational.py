@@ -998,3 +998,62 @@ GROUP BY 1
 
 RELATIONAL_QUERIES["bloom_semijoin_revenue"] = q_bloom_semijoin_revenue
 RELATIONAL_ORACLES["bloom_semijoin_revenue"] = SQL_BLOOM_SEMIJOIN_REVENUE
+
+
+# ---------------------------------------------------------------------------
+# Q: order_cube — GROUP BY CUBE (status, priority): order_rollup's
+# four-grouping-set completion ((s,p), (s), (p), ()) — the full OLAP
+# cross-tab. Same ONE-pass shape: each row scatters to its FOUR
+# grouping-set keys with NULLs at rolled-up levels, all four sets ride
+# one combined null-safe merge (movement = 4 partial rows per input
+# group per block; no second pass, no union of scans).
+
+
+def q_order_cube(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        base = pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "n_orders": pa.array(np.ones(len(t), dtype=np.int64)),
+                "total_cents": cents,
+            }
+        )
+        nulls = pa.nulls(len(t), pa.string())
+        no_p = base.set_column(1, "o_orderpriority", nulls)
+        no_s = base.set_column(0, "o_orderstatus", nulls)
+        none = no_p.set_column(0, "o_orderstatus", nulls)
+        allp = pa.concat_tables([base, no_p, no_s, none])
+        g = allp.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("n_orders", "sum"), ("total_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "n_orders", "total_cents"]
+        )
+
+    return merge_group_sums(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        ["n_orders", "total_cents"],
+    )
+
+
+SQL_ORDER_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+RELATIONAL_QUERIES["order_cube"] = q_order_cube
+RELATIONAL_ORACLES["order_cube"] = SQL_ORDER_CUBE

@@ -2176,3 +2176,63 @@ FROM d
 
 TEMPORAL_MEDIA_QUERIES["new_user_cumulative"] = q_new_user_cumulative
 TEMPORAL_MEDIA_ORACLES["new_user_cumulative"] = SQL_NEW_USER_CUMULATIVE
+
+
+# ---------------------------------------------------------------------------
+# Q: session_length_histogram — the engagement-distribution readout on
+# top of sessionize (bounce-rate analytics: the n_events == 1 bucket IS
+# the bounce count): how many sessions have exactly k events. Composes
+# the oracled sessionize (ops/windows.py — one range sort, per-block
+# complete users) with one count-partials merge over the histogram key;
+# output is bounded by the longest session, not the corpus. Movement
+# beyond sessionize: (k, count) partial rows only.
+
+
+def q_session_length_histogram(sf_dir: str) -> Dataset:
+    from ..ops.windows import sessionize
+    from ..stages.salted import merge_group_sums, partial_count
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    sess = sessionize(events, gap_minutes=30)
+    lens = sess.map_batches(
+        lambda t: t.select(["n_events"]), batch_format="pyarrow"
+    )
+    return merge_group_sums(
+        partial_count(lens, ["n_events"], out="n_sessions"),
+        ["n_events"],
+        ["n_sessions"],
+    )
+
+
+SQL_SESSION_LENGTH_HISTOGRAM = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTES THEN 1 ELSE 0 END
+           AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM sess GROUP BY 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["session_length_histogram"] = (
+    q_session_length_histogram
+)
+TEMPORAL_MEDIA_ORACLES["session_length_histogram"] = (
+    SQL_SESSION_LENGTH_HISTOGRAM
+)
