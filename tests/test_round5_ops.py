@@ -2460,3 +2460,47 @@ def test_title_typo_pairs_complete_vs_bruteforce(ray_session):
     }
     want = {(min(p), max(p)) for p in want}
     assert gset == want
+
+
+def test_hourly_events_ma3_semantics(ray_session):
+    """ma3 equals the calendar-neighbor sum recomputed from the hourly
+    histogram, and every occupied hour appears exactly once."""
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_hourly_events_ma3)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_hourly_events_ma3(sf).to_pandas().sort_values(
+        "hour", ignore_index=True)
+    ev = rd.read_parquet(f"{sf}/events.parquet").to_pandas()
+    hours = ev.ts.values.astype("datetime64[h]").astype("int64")
+    import collections
+
+    cnt = collections.Counter(hours.tolist())
+    assert got.hour.tolist() == sorted(cnt)
+    for _, r in got.iterrows():
+        assert r.c == cnt[r.hour]
+        assert r.ma3 == (cnt.get(r.hour - 1, 0) + cnt[r.hour]
+                         + cnt.get(r.hour + 1, 0))
+
+
+def test_numeric_column_stats_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.profiling import (
+        NUMERIC_PROFILE_COLUMNS, q_numeric_column_stats)
+
+    got = q_numeric_column_stats("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == len(NUMERIC_PROFILE_COLUMNS)
+    for tbl, col, money in NUMERIC_PROFILE_COLUMNS:
+        s = pq.read_table(
+            f"/root/testdata/sf0.001/{tbl}.parquet", columns=[col]
+        ).to_pandas()[col]
+        v = (s * 100).round().astype("int64") if money else s.astype(
+            "int64")
+        r = got[(got.tbl == tbl) & (got.col == col)].iloc[0]
+        assert r.n_rows == len(s)
+        assert r.n_nulls == s.isna().sum()
+        assert r.min_e2 == v.min() and r.max_e2 == v.max()
+        assert r.sum_e2 == v.sum()

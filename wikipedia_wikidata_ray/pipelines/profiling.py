@@ -269,3 +269,94 @@ PROFILING_ORACLES = {
     "column_stats": SQL_COLUMN_STATS,
     "fk_orphan_audit": SQL_FK_ORPHAN_AUDIT,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q: numeric_column_stats — the numeric half of the ANALYZE layer:
+# exact (n_rows, n_nulls, min, max, sum) for the catalog's measure
+# columns. Money/ratio doubles are exact at 2 dp in this schema, so
+# sums ride the integer-cents rule (×100 → int64 — order-free at any
+# parallelism, the house float policy); int64 columns sum natively.
+# min/max published ×100 too so every output cell is exact int64.
+# Plan: single-row partials per batch (5 int64 cells each) → one
+# null-safe combined merge per column → union. Raw rows never move.
+
+NUMERIC_PROFILE_COLUMNS = [
+    ("orders", "o_totalprice", True),
+    ("lineitem", "l_quantity", True),
+    ("lineitem", "l_extendedprice", True),
+    ("customer", "c_acctbal", True),
+    ("events", "value", True),
+    ("documents", "n_chars", False),
+]
+
+
+def q_numeric_column_stats(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_aggs
+
+    parts = []
+    for tbl, col, is_money in NUMERIC_PROFILE_COLUMNS:
+        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet", columns=[col])
+
+        def one(t: pa.Table, _t=tbl, _c=col, _m=is_money) -> pa.Table:
+            v = t[_c]
+            nn = len(t) - pc.sum(
+                pc.cast(pc.is_valid(v), pa.int64())
+            ).as_py()
+            if _m:
+                iv = pc.cast(
+                    pc.round(pc.multiply(pc.cast(v, pa.float64()),
+                                         pa.scalar(100.0))),
+                    pa.int64(),
+                )
+            else:
+                iv = pc.cast(v, pa.int64())
+            return pa.table(
+                {
+                    "tbl": pa.array([_t], type=pa.string()),
+                    "col": pa.array([_c], type=pa.string()),
+                    "n_rows": pa.array([len(t)], type=pa.int64()),
+                    "n_nulls": pa.array([nn], type=pa.int64()),
+                    "min_e2": pa.array(
+                        [pc.min(iv).as_py()], type=pa.int64()
+                    ),
+                    "max_e2": pa.array(
+                        [pc.max(iv).as_py()], type=pa.int64()
+                    ),
+                    "sum_e2": pa.array(
+                        [pc.sum(iv).as_py() or 0], type=pa.int64()
+                    ),
+                }
+            )
+
+        parts.append(ds.map_batches(one, batch_format="pyarrow"))
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.union(p)
+    return merge_group_aggs(
+        union,
+        ["tbl", "col"],
+        [("n_rows", "sum"), ("n_nulls", "sum"), ("min_e2", "min"),
+         ("max_e2", "max"), ("sum_e2", "sum")],
+    )
+
+
+SQL_NUMERIC_COLUMN_STATS = "\nUNION ALL\n".join(
+    f"""SELECT '{tbl}' AS tbl, '{col}' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(MIN({expr}) AS BIGINT) AS min_e2,
+       CAST(MAX({expr}) AS BIGINT) AS max_e2,
+       CAST(SUM({expr}) AS BIGINT) AS sum_e2
+FROM {tbl}"""
+    for tbl, col, money in NUMERIC_PROFILE_COLUMNS
+    for expr in [
+        f"CAST(ROUND({col} * 100.0, 0) AS BIGINT)" if money
+        else f"CAST({col} AS BIGINT)"
+    ]
+)
+
+PROFILING_QUERIES["numeric_column_stats"] = q_numeric_column_stats
+PROFILING_ORACLES["numeric_column_stats"] = SQL_NUMERIC_COLUMN_STATS

@@ -2236,3 +2236,74 @@ TEMPORAL_MEDIA_QUERIES["session_length_histogram"] = (
 TEMPORAL_MEDIA_ORACLES["session_length_histogram"] = (
     SQL_SESSION_LENGTH_HISTOGRAM
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: hourly_events_ma3 — the 1-D TEMPORAL stencil (tile_heat_smooth's
+# time-axis twin): hourly event counts plus the centered 3-hour moving
+# sum, CALENDAR semantics (an hour with no events contributes 0 to its
+# neighbors — the self-join mirror, not a ROWS window over present rows
+# only). Exact ints. Plan: per-hour COUNT PARTIALS scatter to (h-1, h,
+# h+1) before the ONE combiner merge — neighbor math happens on partial
+# rows, the merged row count stays calendar-bounded; occupied hours
+# filter at the end (c > 0 drops the phantom edge rows, the
+# tile_lisa_stats rule).
+
+
+def q_hourly_events_ma3(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(
+            us, pa.scalar(3_600_000_000, type=pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {"hour": pa.array(hour),
+             "c": pa.array(np.ones(len(hour), dtype=np.int64))}
+        ).group_by(["hour"]).aggregate([("c", "sum")]).rename_columns(
+            ["hour", "c"]
+        )
+        h = g.column("hour").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        off = np.array([-1, 0, 1], dtype=np.int64)
+        self_slot = np.tile(np.array([0, 1, 0], dtype=np.int64), len(h))
+        crep = np.repeat(c, 3)
+        out = pa.table(
+            {
+                "hour": pa.array((h[:, None] + off[None, :]).ravel()),
+                "c": pa.array(crep * self_slot),
+                "ma3": pa.array(crep),
+            }
+        )
+        g2 = out.group_by(["hour"]).aggregate([("c", "sum"), ("ma3", "sum")])
+        return g2.rename_columns(["hour", "c", "ma3"])
+
+    merged = merge_group_sums(
+        events.map_batches(partials, batch_format="pyarrow"),
+        ["hour"],
+        ["c", "ma3"],
+    )
+    return merged.filter(expr="c > 0")
+
+
+SQL_HOURLY_EVENTS_MA3 = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+)
+SELECT CAST(a.hour AS BIGINT) AS hour, a.c,
+       CAST(SUM(b.c) AS BIGINT) AS ma3
+FROM h a JOIN h b ON b.hour BETWEEN a.hour - 1 AND a.hour + 1
+GROUP BY 1, 2
+"""
+
+TEMPORAL_MEDIA_QUERIES["hourly_events_ma3"] = q_hourly_events_ma3
+TEMPORAL_MEDIA_ORACLES["hourly_events_ma3"] = SQL_HOURLY_EVENTS_MA3
