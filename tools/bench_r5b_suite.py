@@ -220,6 +220,20 @@ def main() -> int:
         "title_typo_pairs": lambda: td.q_title_typo_pairs(sf_dir)
         .materialize()
         .count(),
+        "order_cube": lambda: rel.q_order_cube(sf_dir)
+        .materialize()
+        .count(),
+        "session_length_histogram": lambda: tm.q_session_length_histogram(
+            sf_dir
+        )
+        .materialize()
+        .count(),
+        "numeric_column_stats": lambda: pf.q_numeric_column_stats(sf_dir)
+        .materialize()
+        .count(),
+        "hourly_events_ma3": lambda: tm.q_hourly_events_ma3(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
