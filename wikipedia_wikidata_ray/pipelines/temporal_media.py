@@ -2307,3 +2307,140 @@ GROUP BY 1, 2
 
 TEMPORAL_MEDIA_QUERIES["hourly_events_ma3"] = q_hourly_events_ma3
 TEMPORAL_MEDIA_ORACLES["hourly_events_ma3"] = SQL_HOURLY_EVENTS_MA3
+
+
+# ---------------------------------------------------------------------------
+# Q: daily_active_users — exact DAU (the companion of
+# new_user_cumulative: not first-seen but ACTIVE-that-day): per day,
+# COUNT(DISTINCT user). Two combiner-merged passes — (day, user) dedup
+# partials, then per-day counts — the tile_user_reach shape keyed by
+# calendar day; at extreme user cardinality the same plan ships the
+# distinct piece on per-day HLL registers (ops/sketch.py — named
+# fallback). Movement: (day, user) int64 pairs once, then day-bounded
+# counts. Day via the date32→int32 hop.
+
+
+def q_daily_active_users(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.salted import merge_group_sums, partial_count
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def day_user_partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()), pa.int64()
+        )
+        g = pa.table(
+            {"day": day, "user_id": t["user_id"]}
+        ).group_by(["day", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "user_id", "_c"]).select(
+            ["day", "user_id"]
+        )
+
+    pairs = events.map_batches(day_user_partials, batch_format="pyarrow")
+    # pass 1: exact (day, user) dedup on the combiner path
+    dedup = partial_count(pairs, ["day", "user_id"], out="_n")
+    merged = merge_group_sums(dedup, ["day", "user_id"], ["_n"])
+    days = merged.map_batches(
+        lambda t: t.select(["day"]), batch_format="pyarrow"
+    )
+    # pass 2: per-day distinct counts
+    return merge_group_sums(
+        partial_count(days, ["day"], out="dau"), ["day"], ["dau"]
+    )
+
+
+SQL_DAILY_ACTIVE_USERS = """
+SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["daily_active_users"] = q_daily_active_users
+TEMPORAL_MEDIA_ORACLES["daily_active_users"] = SQL_DAILY_ACTIVE_USERS
+
+
+# ---------------------------------------------------------------------------
+# Q: event_trigram_paths — third-order user journeys (the length-3
+# extension of event_transition_matrix): counts of consecutive
+# (t1 → t2 → t3) event-type triples per user timeline, the
+# journey-mining table funnels and UX flows read. Deterministic under
+# ts ties via the event_id tiebreaker ON BOTH SIDES. Plan: ONE range
+# sort on user_id (sorted_group_apply), per-block vectorized triple
+# derivation over complete users, (t1,t2,t3) count partials through one
+# combiner merge — output |types|³-bounded.
+
+
+def q_event_trigram_paths(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.runs import sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    empty = pa.table(
+        {
+            "t1": pa.array([], type=pa.string()),
+            "t2": pa.array([], type=pa.string()),
+            "t3": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def triples(t: pa.Table) -> pa.Table:
+        if len(t) < 3:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        order = np.lexsort((eid, ts, uid))
+        uid = uid[order]
+        et = et.take(pa.array(order))
+        same = (uid[2:] == uid[:-2]) & (uid[2:] == uid[1:-1])
+        if not same.any():
+            return empty
+        idx = np.flatnonzero(same)
+        part = pa.table(
+            {
+                "t1": et.take(pa.array(idx)),
+                "t2": et.take(pa.array(idx + 1)),
+                "t3": et.take(pa.array(idx + 2)),
+                "n": pa.array(np.ones(len(idx), dtype=np.int64)),
+            }
+        )
+        g = part.group_by(["t1", "t2", "t3"]).aggregate([("n", "sum")])
+        return g.rename_columns(["t1", "t2", "t3", "n"])
+
+    parts = sorted_group_apply(events, ["user_id"], triples)
+    return merge_group_sums(parts, ["t1", "t2", "t3"], ["n"])
+
+
+SQL_EVENT_TRIGRAM_PATHS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS nxt,
+         LEAD(event_type, 2) OVER w AS nxt2,
+         LEAD(user_id, 2) OVER w AS u2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS t1, nxt AS t2, nxt2 AS t3,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE u2 = user_id AND nxt2 IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+TEMPORAL_MEDIA_QUERIES["event_trigram_paths"] = q_event_trigram_paths
+TEMPORAL_MEDIA_ORACLES["event_trigram_paths"] = SQL_EVENT_TRIGRAM_PATHS
