@@ -43,10 +43,28 @@ PROFILE_COLUMNS = [
 ]
 
 
+def _branch_blocks(n_branches: int) -> int:
+    """Per-branch read parallelism for multi-branch union plans: Ray's
+    default splits EVERY tiny read to ~CPU blocks, so an 8-branch union
+    feeds 8×64 micro-blocks into the one merge sort (measured 17 s of
+    pure task overhead at sf0.1). Cap so the UNION totals ≈ cluster
+    CPUs; at real scale per-file parallelism reappears naturally."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // max(1, n_branches))
+
+
 def q_column_stats(sf_dir: str) -> Dataset:
     parts = []
+    nb = _branch_blocks(len(PROFILE_COLUMNS))
     for tbl, col in PROFILE_COLUMNS:
-        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet", columns=[col])
+        ds = rd.read_parquet(
+            f"{sf_dir}/{tbl}.parquet", columns=[col], override_num_blocks=nb
+        )
 
         def value_partial(t: pa.Table, _tbl=tbl, _col=col) -> pa.Table:
             g = pa.table({"val": t[_col]}).group_by(["val"]).aggregate(
@@ -177,14 +195,20 @@ def q_fk_orphan_audit(
                 lambda t, _k=child_key: _augment_child(t, _k),
                 batch_format="pyarrow",
             )
-        parent = rd.read_parquet(
-            f"{sf_dir}/{parent_tbl}.parquet", columns=[parent_key]
-        ).materialize()
-        n_parent = parent.count()
+        # parent cardinality from the parquet FOOTER (zero-pass — the
+        # footer-stats house pattern); a stats-free source would fall
+        # back to a count() pass
+        import pyarrow.parquet as pq
+
+        n_parent = pq.read_metadata(
+            f"{sf_dir}/{parent_tbl}.parquet"
+        ).num_rows
 
         if n_parent <= parent_broadcast_limit:
-            keys = pa.concat_tables(
-                [b for b in parent.iter_batches(batch_format="pyarrow")]
+            # bounded-by-the-gate driver column read (≤ limit keys by
+            # construction), broadcast once
+            keys = pq.read_table(
+                f"{sf_dir}/{parent_tbl}.parquet", columns=[parent_key]
             ).column(parent_key).combine_chunks()
             keys_ref = ray.put(pc.cast(keys, pa.int64()))
 
@@ -215,6 +239,9 @@ def q_fk_orphan_audit(
             def pkey_cast(t: pa.Table, _pk=parent_key) -> pa.Table:
                 return pa.table({_pk: pc.cast(t[_pk], pa.int64())})
 
+            parent = rd.read_parquet(
+                f"{sf_dir}/{parent_tbl}.parquet", columns=[parent_key]
+            )
             n_child_total = child.count()
             orphans = child.map_batches(
                 key_cast, batch_format="pyarrow"
@@ -295,8 +322,11 @@ def q_numeric_column_stats(sf_dir: str) -> Dataset:
     from ..stages.salted import merge_group_aggs
 
     parts = []
+    nb = _branch_blocks(len(NUMERIC_PROFILE_COLUMNS))
     for tbl, col, is_money in NUMERIC_PROFILE_COLUMNS:
-        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet", columns=[col])
+        ds = rd.read_parquet(
+            f"{sf_dir}/{tbl}.parquet", columns=[col], override_num_blocks=nb
+        )
 
         def one(t: pa.Table, _t=tbl, _c=col, _m=is_money) -> pa.Table:
             v = t[_c]
