@@ -2504,3 +2504,41 @@ def test_numeric_column_stats_matches_pandas(ray_session):
         assert r.n_nulls == s.isna().sum()
         assert r.min_e2 == v.min() and r.max_e2 == v.max()
         assert r.sum_e2 == v.sum()
+
+
+def test_daily_active_users_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_daily_active_users)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_daily_active_users(sf).to_pandas().sort_values(
+        "day", ignore_index=True)
+    ev = rd.read_parquet(f"{sf}/events.parquet").to_pandas()
+    ev["day"] = ev.ts.values.astype("datetime64[D]").astype("int64")
+    want = ev.groupby("day").user_id.nunique().sort_index()
+    assert got.day.tolist() == want.index.tolist()
+    assert got.dau.tolist() == want.tolist()
+
+
+def test_event_trigram_paths_matches_pandas(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_event_trigram_paths)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_event_trigram_paths(sf).to_pandas()
+    ev = rd.read_parquet(f"{sf}/events.parquet").to_pandas()
+    cnt = collections.Counter()
+    for _, g in ev.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"):
+        ts = g.event_type.tolist()
+        for i in range(len(ts) - 2):
+            cnt[(ts[i], ts[i + 1], ts[i + 2])] += 1
+    assert len(got) == len(cnt)
+    for _, r in got.iterrows():
+        assert cnt[(r.t1, r.t2, r.t3)] == r.n

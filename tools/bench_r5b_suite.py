@@ -234,6 +234,12 @@ def main() -> int:
         "hourly_events_ma3": lambda: tm.q_hourly_events_ma3(sf_dir)
         .materialize()
         .count(),
+        "daily_active_users": lambda: tm.q_daily_active_users(sf_dir)
+        .materialize()
+        .count(),
+        "event_trigram_paths": lambda: tm.q_event_trigram_paths(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
