@@ -2542,3 +2542,45 @@ def test_event_trigram_paths_matches_pandas(ray_session):
     assert len(got) == len(cnt)
     for _, r in got.iterrows():
         assert cnt[(r.t1, r.t2, r.t3)] == r.n
+
+
+def test_jsonl_roundtrip_byte_exact(ray_session):
+    """The JSONL serialize→vectorized-parse roundtrip reproduces the
+    original rows byte-for-byte (ids, langs, texts)."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.sources.jsonl import (
+        ensure_docs_jsonl, read_docs_jsonl)
+
+    sf = "/root/testdata/sf0.001"
+    path = ensure_docs_jsonl(sf)
+    got = read_docs_jsonl(path).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    want = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.lang.tolist() == want.lang.tolist()
+    assert got.text.tolist() == want.text.tolist()
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.ops.ann import _as_matrix
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_embedding_dim_stats)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_dim_stats(sf).to_pandas().sort_values(
+        "dim", ignore_index=True)
+    x = _as_matrix(
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")
+    ).astype(np.float64)
+    e6 = np.trunc(x * 1e6).astype(np.int64)
+    e3 = np.trunc(x * 1e3).astype(np.int64)
+    assert got.n.tolist() == [x.shape[0]] * x.shape[1]
+    assert got.sum_e6.tolist() == e6.sum(axis=0).tolist()
+    assert got.sumsq_e6.tolist() == (e3 * e3).sum(axis=0).tolist()

@@ -240,6 +240,12 @@ def main() -> int:
         "event_trigram_paths": lambda: tm.q_event_trigram_paths(sf_dir)
         .materialize()
         .count(),
+        "jsonl_doc_stats": lambda: co.q_jsonl_doc_stats(sf_dir)
+        .materialize()
+        .count(),
+        "embedding_dim_stats": lambda: td.q_embedding_dim_stats(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -665,3 +665,54 @@ FROM ranked WHERE rnk <= 3
 
 CORPUSOPS_QUERIES["bigram_next_top3"] = q_bigram_next_top3
 CORPUSOPS_ORACLES["bigram_next_top3"] = SQL_BIGRAM_NEXT_TOP3
+
+
+# ---------------------------------------------------------------------------
+# Q: jsonl_doc_stats — the JSONL ingestion roundtrip (sources/jsonl.py):
+# documents are serialized to sharded line-delimited JSON once (the
+# cached deterministic fixture step), read back through the vectorized
+# extract_regex reader (zero per-row Python; escape-free subset asserted
+# per batch, json.loads fallback named), and aggregated per language —
+# the oracle runs over the ORIGINAL parquet, so a green row proves the
+# serialize→parse roundtrip byte-preserving END TO END, not just parsy.
+# Movement: per-lang (count, char) partials through one combiner merge.
+
+
+def q_jsonl_doc_stats(sf_dir: str) -> Dataset:
+    from ..sources.jsonl import ensure_docs_jsonl, read_docs_jsonl
+    from ..stages.salted import merge_group_sums
+
+    path = ensure_docs_jsonl(sf_dir)
+    docs = read_docs_jsonl(path)
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": pa.array(np.ones(len(t), dtype=np.int64)),
+                "sum_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "min_doc": pc.cast(t["doc_id"], pa.int64()),
+            }
+        ).group_by(["lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum"), ("min_doc", "min")]
+        )
+        return g.rename_columns(["lang", "n_docs", "sum_chars", "min_doc"])
+
+    from ..stages.salted import merge_group_aggs
+
+    return merge_group_aggs(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        ["lang"],
+        [("n_docs", "sum"), ("sum_chars", "sum"), ("min_doc", "min")],
+    )
+
+
+SQL_JSONL_DOC_STATS = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents GROUP BY 1
+"""
+
+CORPUSOPS_QUERIES["jsonl_doc_stats"] = q_jsonl_doc_stats
+CORPUSOPS_ORACLES["jsonl_doc_stats"] = SQL_JSONL_DOC_STATS

@@ -2325,3 +2325,66 @@ WHERE levenshtein(a.title, b.title) = 1
 
 TRAININGDATA_QUERIES["title_typo_pairs"] = q_title_typo_pairs
 TRAININGDATA_ORACLES["title_typo_pairs"] = SQL_TITLE_TYPO_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Q: embedding_dim_stats — per-dimension moment statistics over the
+# embedding table (the whitening / normalization fit every embedding
+# pipeline runs before indexing): for each of the 64 dims, n, Σx and
+# Σx² as exact integers. Scales are chosen for GLOBAL overflow headroom,
+# not convenience: sums truncate at e6 (the tile_embedding_centroids
+# convention — |Σ| < 1e6·n, safe to ~9×10¹² rows) while squares
+# truncate the VALUE at e3 first (x_e3² ≤ 1e6 per row for |x| ≤ 1 →
+# Σ safe to ~9×10¹² rows; squaring the e6 int instead would overflow
+# int64 at ~10⁷ rows). Plan: one stateless pass emits 64 partial rows
+# per batch (long format), one combiner merge — vectors never shuffle.
+
+
+def q_embedding_dim_stats(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
+    from ..stages.salted import merge_group_sums
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t.column("embedding")).astype(np.float64)
+        e6 = np.trunc(x * 1e6).astype(np.int64)
+        e3 = np.trunc(x * 1e3).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(
+                    np.arange(1, x.shape[1] + 1, dtype=np.int64)
+                ),
+                "n": pa.array(
+                    np.full(x.shape[1], x.shape[0], dtype=np.int64)
+                ),
+                "sum_e6": pa.array(e6.sum(axis=0)),
+                "sumsq_e6": pa.array((e3 * e3).sum(axis=0)),
+            }
+        )
+
+    return merge_group_sums(
+        emb.map_batches(partials, batch_format="pyarrow"),
+        ["dim"],
+        ["n", "sum_e6", "sumsq_e6"],
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+SELECT CAST(i.i AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(TRUNC(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+                           * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_e6,
+       CAST(SUM(CAST(TRUNC(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+                           * 1000.0) AS BIGINT)
+                * CAST(TRUNC(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+                             * 1000.0) AS BIGINT)) AS BIGINT) AS sumsq_e6
+FROM embeddings, range(1, 65) i(i)
+WHERE i.i <= len(embedding)
+GROUP BY 1
+"""
+
+TRAININGDATA_QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
+TRAININGDATA_ORACLES["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
