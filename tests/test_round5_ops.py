@@ -2584,3 +2584,25 @@ def test_embedding_dim_stats_matches_numpy(ray_session):
     assert got.n.tolist() == [x.shape[0]] * x.shape[1]
     assert got.sum_e6.tolist() == e6.sum(axis=0).tolist()
     assert got.sumsq_e6.tolist() == (e3 * e3).sum(axis=0).tolist()
+
+
+def test_lang_confusion_matrix_semantics(ray_session):
+    """Matrix totals equal the corpus size, every cell is positive, and
+    the diagonal dominance equals the seeded scorer's accuracy on the
+    same docs (cross-checked against langid_scores_seeded + true langs)."""
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_lang_confusion_matrix, q_langid_scores_seeded)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_lang_confusion_matrix(sf).to_pandas()
+    docs = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    assert got.n.sum() == len(docs)
+    preds = q_langid_scores_seeded(sf).to_pandas().merge(
+        docs, on="doc_id")
+    want = preds.groupby(["lang", "pred_lang"]).size()
+    for _, r in got.iterrows():
+        assert want[(r.true_lang, r.pred_lang)] == r.n

@@ -246,6 +246,9 @@ def main() -> int:
         "embedding_dim_stats": lambda: td.q_embedding_dim_stats(sf_dir)
         .materialize()
         .count(),
+        "lang_confusion_matrix": lambda: td.q_lang_confusion_matrix(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -2388,3 +2388,74 @@ GROUP BY 1
 
 TRAININGDATA_QUERIES["embedding_dim_stats"] = q_embedding_dim_stats
 TRAININGDATA_ORACLES["embedding_dim_stats"] = SQL_EMBEDDING_DIM_STATS
+
+
+# ---------------------------------------------------------------------------
+# Q: lang_confusion_matrix — the language-ID EVAL artifact on the
+# oracle-green seeded scorer (langid_scores_seeded's consumer): the
+# (true_lang, pred_lang, n) confusion matrix — the routing-quality
+# readout a multilingual curation pipeline tracks. True labels attach
+# from a dense doc-id-indexed array broadcast (doc ids are dense
+# 0..N-1; the knn_label_eval pattern, ≤20M docs by the established
+# gate, doc-keyed join named above it); (true, pred) count partials
+# ride one combiner merge — output is |langs|²-bounded.
+
+
+def q_lang_confusion_matrix(sf_dir: str) -> Dataset:
+    from ..ops.textstats import LangIdSeeded
+    from ..stages.salted import merge_group_sums
+
+    lt = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    n = lt.num_rows
+    dense = np.empty(n, dtype=object)
+    dense[lt.column("doc_id").to_numpy()] = np.asarray(
+        lt.column("lang").to_pylist(), dtype=object
+    )
+    langs_ref = ray.put(pa.array(dense, type=pa.string()))
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    preds = docs.map_batches(
+        LangIdSeeded,
+        fn_constructor_args=(_LANGID_SEED_PROFILES,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        labels = ray.get(langs_ref)
+        true = labels.take(t["doc_id"])
+        g = pa.table(
+            {
+                "true_lang": true,
+                "pred_lang": t["pred_lang"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by(["true_lang", "pred_lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["true_lang", "pred_lang", "n"])
+
+    return merge_group_sums(
+        preds.map_batches(partials, batch_format="pyarrow"),
+        ["true_lang", "pred_lang"],
+        ["n"],
+    )
+
+
+def _sql_lang_confusion_matrix() -> str:
+    seeded = _sql_langid_seeded().strip()
+    return f"""
+WITH pred AS ({seeded})
+SELECT d.lang AS true_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+SQL_LANG_CONFUSION_MATRIX = _sql_lang_confusion_matrix()
+
+TRAININGDATA_QUERIES["lang_confusion_matrix"] = q_lang_confusion_matrix
+TRAININGDATA_ORACLES["lang_confusion_matrix"] = SQL_LANG_CONFUSION_MATRIX
