@@ -131,3 +131,15 @@ def test_export_broadcast_eq_join(ray_session):
     join = run(0)
     assert len(bcast) > 0
     pd.testing.assert_frame_equal(bcast, join)
+
+
+def test_part_brand_revenue_plans_equal(ray_session):
+    """Part-dimension attach: broadcast index_in plan == forced
+    partkey-keyed hash join plan (the largest-TPC-H-dimension gate)."""
+    from wikipedia_wikidata_ray.pipelines.relational import (
+        q_part_brand_revenue)
+
+    got = _sorted_df(q_part_brand_revenue(SF_DIR))
+    forced = _sorted_df(
+        q_part_brand_revenue(SF_DIR, part_broadcast_limit=0))
+    pd.testing.assert_frame_equal(got, forced)

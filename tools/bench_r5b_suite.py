@@ -249,6 +249,12 @@ def main() -> int:
         "lang_confusion_matrix": lambda: td.q_lang_confusion_matrix(sf_dir)
         .materialize()
         .count(),
+        "region_trade_flows": lambda: rel.q_region_trade_flows(sf_dir)
+        .materialize()
+        .count(),
+        "part_brand_revenue": lambda: rel.q_part_brand_revenue(sf_dir)
+        .materialize()
+        .count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

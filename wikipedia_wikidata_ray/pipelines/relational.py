@@ -1057,3 +1057,238 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 RELATIONAL_QUERIES["order_cube"] = q_order_cube
 RELATIONAL_ORACLES["order_cube"] = SQL_ORDER_CUBE
+
+
+# ---------------------------------------------------------------------------
+# Q: region_trade_flows — the TPC-H Q7 "volume shipping" shape over the
+# FULL dimension hierarchy (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+# region on the demand side, lineitem ⋈ supplier ⋈ nation ⋈ region on
+# the supply side): revenue flowing from each supplier region to each
+# customer region. Star-join plan, not five shuffles: the two FACT
+# tables join ONCE each (lineitem⋈orders, →customer); supplier /
+# nation / region are dimensions BY SCHEMA (bounded: suppliers ≈ 10⁴ ×
+# SF, nations 25, regions 5) and attach via `pc.index_in` broadcast
+# lookups (the D4 idiom; a supplier set past the broadcast gate would
+# ride one more key join — named fallback). Revenue in exact cents×100
+# ints (the pricing_summary policy). Output is |regions|²-bounded.
+
+
+def q_region_trade_flows(sf_dir: str) -> Dataset:
+    import pyarrow.parquet as pq
+
+    from ..stages.salted import merge_group_sums
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    # dimension broadcast maps (suppkey→nationkey, nationkey→regionkey,
+    # regionkey→name), all bounded by schema
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    sup_keys = pc.cast(sup["s_suppkey"], pa.int64()).combine_chunks()
+    sup_nat = sup["s_nationkey"].to_numpy().astype(np.int64)
+    nat_keys = pc.cast(nat["n_nationkey"], pa.int64()).combine_chunks()
+    nat_reg = nat["n_regionkey"].to_numpy().astype(np.int64)
+    reg_keys = pc.cast(reg["r_regionkey"], pa.int64()).combine_chunks()
+    reg_names = pc.cast(reg["r_name"], pa.string()).combine_chunks()
+
+    import ray
+
+    dims_ref = ray.put(
+        (sup_keys, sup_nat, nat_keys, nat_reg, reg_keys, reg_names)
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "rev_c4": pc.multiply(
+                    price_c,
+                    pc.subtract(pa.scalar(100, type=pa.int64()), disc_c),
+                ),
+            }
+        )
+
+    j1 = li.map_batches(rev, batch_format="pyarrow").join(
+        orders, "inner", num_partitions=default_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    j2 = j1.join(
+        cust, "inner", num_partitions=default_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def flows(t: pa.Table) -> pa.Table:
+        sk, sn, nk, nr, rk, rn = ray.get(dims_ref)
+
+        def lookup(keys_arr, idx_vals):
+            pos = pc.index_in(keys_arr, value_set=idx_vals).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            return pos
+
+        spos = lookup(pc.cast(t["l_suppkey"], pa.int64()), sk)
+        s_region = nr[
+            lookup(pa.array(sn[spos]), nk)
+        ]
+        cpos = lookup(pc.cast(t["c_nationkey"], pa.int64()), nk)
+        c_region = nr[cpos]
+        rpos_s = lookup(pa.array(s_region), rk)
+        rpos_c = lookup(pa.array(c_region), rk)
+        g = pa.table(
+            {
+                "supp_region": rn.take(pa.array(rpos_s)),
+                "cust_region": rn.take(pa.array(rpos_c)),
+                "n_items": pa.array(np.ones(len(t), dtype=np.int64)),
+                "rev_c4": t["rev_c4"],
+            }
+        ).group_by(["supp_region", "cust_region"]).aggregate(
+            [("n_items", "sum"), ("rev_c4", "sum")]
+        )
+        return g.rename_columns(
+            ["supp_region", "cust_region", "n_items", "rev_c4"]
+        )
+
+    return merge_group_sums(
+        j2.map_batches(flows, batch_format="pyarrow"),
+        ["supp_region", "cust_region"],
+        ["n_items", "rev_c4"],
+    )
+
+
+SQL_REGION_TRADE_FLOWS = """
+SELECT rs.r_name AS supp_region, rc.r_name AS cust_region,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100.0, 0) AS BIGINT)))
+            AS BIGINT) AS rev_c4
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN region rs ON rs.r_regionkey = ns.n_regionkey
+GROUP BY 1, 2
+"""
+
+RELATIONAL_QUERIES["region_trade_flows"] = q_region_trade_flows
+RELATIONAL_ORACLES["region_trade_flows"] = SQL_REGION_TRADE_FLOWS
+
+
+# ---------------------------------------------------------------------------
+# Q: part_brand_revenue — the part-dimension attach (TPC-H Q14 family):
+# revenue and volume per part brand. Parts are the LARGEST TPC-H
+# dimension (200K × SF — NOT trivially broadcastable at warehouse
+# scale), so the attach is GATED: `pc.index_in` broadcast of the
+# (partkey → brand) map ≤ limit, a partkey-keyed hash join above it
+# (plan-equality pytest with the limit forced to 0). Revenue in exact
+# cents×100 ints; output |brands|-bounded.
+
+PART_BROADCAST_LIMIT = 20_000_000
+
+
+def q_part_brand_revenue(
+    sf_dir: str, part_broadcast_limit: int | None = None
+) -> Dataset:
+    import pyarrow.parquet as pq
+
+    from ..stages.salted import merge_group_sums
+
+    if part_broadcast_limit is None:
+        part_broadcast_limit = PART_BROADCAST_LIMIT
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "rev_c4": pc.multiply(
+                    price_c,
+                    pc.subtract(pa.scalar(100, type=pa.int64()), disc_c),
+                ),
+            }
+        )
+
+    keyed = li.map_batches(rev, batch_format="pyarrow")
+
+    n_parts = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    if n_parts <= part_broadcast_limit:
+        import ray
+
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand"])
+        ref = ray.put(
+            (
+                pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+                pc.cast(part["p_brand"], pa.string()).combine_chunks(),
+            )
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, brands = ray.get(ref)
+            pos = pc.index_in(t["l_partkey"], value_set=keys)
+            return t.append_column("p_brand", brands.take(pos))
+
+        branded = keyed.map_batches(attach, batch_format="pyarrow")
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        part_ds = part_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                    "p_brand": pc.cast(t["p_brand"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        branded = keyed.join(
+            part_ds, "inner", num_partitions=default_partitions(),
+            on=("l_partkey",), right_on=("p_partkey",),
+        )
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "n_items": pa.array(np.ones(len(t), dtype=np.int64)),
+                "rev_c4": t["rev_c4"],
+            }
+        ).group_by(["p_brand"]).aggregate(
+            [("n_items", "sum"), ("rev_c4", "sum")]
+        )
+        return g.rename_columns(["p_brand", "n_items", "rev_c4"])
+
+    return merge_group_sums(
+        branded.map_batches(partials, batch_format="pyarrow"),
+        ["p_brand"],
+        ["n_items", "rev_c4"],
+    )
+
+
+SQL_PART_BRAND_REVENUE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100.0, 0) AS BIGINT)))
+            AS BIGINT) AS rev_c4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1
+"""
+
+RELATIONAL_QUERIES["part_brand_revenue"] = q_part_brand_revenue
+RELATIONAL_ORACLES["part_brand_revenue"] = SQL_PART_BRAND_REVENUE
