@@ -4531,10 +4531,16 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # CORRECTNESS_r04.json (all were green on an earlier board and re-verified
 # green via the full local gate at r4 code each session).
 _DRIVER_PRIORITY = [
+    # Third-session machinery first: the 50-query board cap means some
+    # round-5 queries ride local-gate evidence only; the prefix
+    # prioritizes the NOVEL machinery families (bloom join, exact
+    # NTILE, fuzzy join, ANALYZE layer, JSONL source, Q7 star join)
+    # whose nearest green siblings are most distant.
+    "bloom_semijoin_revenue", "zorder_shards", "kcore_peel", "tile_lisa_stats", "title_typo_pairs", "delta_exact_dups", "column_stats", "fk_orphan_audit", "inverted_postings", "haversine_path_length", "dim_truncation_recall", "jsonl_doc_stats", "region_trade_flows", "part_brand_revenue", "lang_confusion_matrix", "new_user_cumulative",
     # new in round 5 (never driver-checked)
     "langid_scores_seeded", "tile_time_bins", "tile_first_seen", "tile_sample",
     "tile_embedding_centroids", "tile_od_matrix", "tile_lang_entropy", "spatial_joincount", "tile_top_terms", "tile_dup_stats", "tile_dwell_time", "region_ann_topk", "tile_quality_stats", "zone_event_counts", "tile_hotspots", "pagerank_3iter", "tile_user_reach", "tile_retention", "ripley_pair_counts", "covisit_tile_pairs", "perplexity_buckets", "triangle_counts", "event_funnel", "idw_grid", "degree_distribution", "degree_assortativity", "morans_i_stats", "tile_decayed_popularity", "pq_codes", "pq_adc_topk", "mixture_sample", "quality_ppl_crosstab", "pq_recall_eval", "tile_bearing_histogram", "kmeans_2iter", "ann_topk_ivf_kmeans", "media_ahash", "media_ahash_neardups", "props_extract_stats", "audio_features", "weighted_sample", "curated_tile_corpus", "tile_dwell_median", "bfs_hops", "quality_skyline", "order_rollup", "user_event_pivot", "knn_label_eval", "tile_gini", "cms_registers", "window_top_terms", "event_transition_matrix", "ship_delay_stats", "bigram_next_top3", "customer_rfm", "tile_lorenz_deciles", "type_token_ratio", "zone_language_counts",
-    "bloom_semijoin_revenue", "zorder_shards", "haversine_path_length", "inverted_postings", "tile_lisa_stats", "new_user_cumulative", "column_stats", "fk_orphan_audit", "kcore_peel", "dim_truncation_recall", "tile_weighted_sample", "delta_exact_dups", "title_typo_pairs", "order_cube", "session_length_histogram", "numeric_column_stats", "hourly_events_ma3", "daily_active_users", "event_trigram_paths", "jsonl_doc_stats", "embedding_dim_stats", "lang_confusion_matrix", "region_trade_flows", "part_brand_revenue",
+    "tile_weighted_sample", "order_cube", "session_length_histogram", "numeric_column_stats", "hourly_events_ma3", "daily_active_users", "event_trigram_paths", "embedding_dim_stats",
     # rotated off the r4 driver board by the 50-query cap
     "dup_clusters", "corpus_curation", "hll_distinct_tokens",
     "heavy_hitter_tokens", "pricing_summary", "top_orders",
