@@ -2606,3 +2606,69 @@ def test_lang_confusion_matrix_semantics(ray_session):
     want = preds.groupby(["lang", "pred_lang"]).size()
     for _, r in got.iterrows():
         assert want[(r.true_lang, r.pred_lang)] == r.n
+
+
+def _brute_lpa(n_docs: int, rounds: int) -> dict[int, int]:
+    """Reference synchronous LPA over the closed-form link graph:
+    majority neighbor label, ties to the smallest label, keep own label
+    when a node has no neighbors."""
+    edges = set()
+    for i in range(n_docs):
+        for t in ((i * 3 + 1) % n_docs, (i * 5 + 2) % n_docs, i % 2):
+            if t != i:
+                edges.add((min(i, t), max(i, t)))
+    adj: dict[int, list[int]] = {i: [] for i in range(n_docs)}
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    lbl = {i: i for i in range(n_docs)}
+    for _ in range(rounds):
+        nxt = {}
+        for v in range(n_docs):
+            votes: dict[int, int] = {}
+            for u in adj[v]:
+                votes[lbl[u]] = votes.get(lbl[u], 0) + 1
+            if not votes:
+                nxt[v] = lbl[v]
+            else:
+                nxt[v] = min(votes, key=lambda l: (-votes[l], l))
+        lbl = nxt
+    return lbl
+
+
+def test_label_prop_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        LPA_ROUNDS, q_label_prop_2round)
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    got = (
+        q_label_prop_2round(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = _brute_lpa(n_docs, LPA_ROUNDS)
+    assert got.label.tolist() == [want[i] for i in range(n_docs)]
+    # 2 rounds must actually coarsen: strictly fewer communities than nodes
+    assert got.label.nunique() < n_docs
+
+
+def test_label_prop_plans_equal(ray_session):
+    """Endpoint-label attach gate: broadcast-searchsorted plan == forced
+    node-keyed hash-join plan (limit=0), full output equality."""
+    import pandas as pd
+
+    from wikipedia_wikidata_ray.pipelines.queries import q_label_prop_2round
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(limit):
+        return (
+            q_label_prop_2round(sf, labels_broadcast_limit=limit)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    pd.testing.assert_frame_equal(run(None), run(0))

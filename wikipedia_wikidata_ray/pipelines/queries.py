@@ -1853,6 +1853,200 @@ SELECT CAST(node AS BIGINT) AS doc_id, CAST(hops AS BIGINT) AS hops FROM (
 SQL_BFS_HOPS = _sql_bfs_hops()
 
 
+# ---------------------------------------------------------------------------
+# Q: label_prop_2round — synchronous label propagation (community
+# detection; Raghavan et al. 2007) over the closed-form link graph: 2
+# FIXED rounds, each node adopts the most frequent label among its
+# neighbors, ties broken by the SMALLEST label; a node with no neighbor
+# votes keeps its previous label via a zero-count self row (the pagerank
+# zero-self-row idiom). The fixed-round SYNCHRONOUS variant is chosen
+# deliberately: asynchronous/convergence LPA is update-order-dependent
+# (plan-dependent results), while 2 synchronous rounds are deterministic
+# and SQL-expressible. Fifth member of the graph family (E1 degree /
+# PageRank / CC / k-core / BFS) on the shared `_link_graph_edges`
+# substrate.
+# Plan per round: label attach to both edge endpoints is GATED — dense
+# node-space broadcast ≤ LABELS_BROADCAST_LIMIT (labels are doc-count-
+# bounded int64 pairs), two node-keyed hash joins above (plan-equality
+# pytest); neighbor-label votes pre-combine per block before the ONE
+# (node,label)-keyed `merge_group_sums` shuffle; the per-node majority is
+# `grouped_topk` k=1 on (cnt desc, label asc) — the sorted-run path, no
+# per-group pandas. Movement per round: ≤ 2·|E| (node,label,cnt) partials
+# + N self rows; hot nodes (0/1 receive N/2 edges) collapse to ≤1 partial
+# row per block per label (the I7 combiner answer).
+
+LPA_ROUNDS = 2
+
+
+def _lpa_attach_edge_labels(
+    edges: Dataset, labels: Dataset, limit: int | None = None
+) -> Dataset:
+    """(lo, hi) edges + (node, label) labels → (lo, hi, llo, lhi): the
+    per-round endpoint-label attach, gated broadcast-vs-join like
+    `_attach_labels` (two probes share one broadcast here)."""
+    import ray
+
+    from ..stages.salted import default_partitions
+
+    limit = LABELS_BROADCAST_LIMIT if limit is None else limit
+    lab_mat = labels.materialize()
+    n_labels = lab_mat.count()
+    if n_labels <= limit:
+        tbl = pa.concat_tables(
+            [t.select(["node", "label"]) for t in ray.get(lab_mat.to_arrow_refs())]
+        )
+        nodes_np = tbl["node"].to_numpy(zero_copy_only=False)
+        lab_np = tbl["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes_np)
+        ref = ray.put((nodes_np[order], lab_np[order]))
+
+        def probe(t: pa.Table) -> pa.Table:
+            keys, vals = ray.get(ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            # every edge endpoint IS in the label map by construction
+            return pa.table(
+                {
+                    "lo": t.column("lo"),
+                    "hi": t.column("hi"),
+                    "llo": pa.array(vals[np.searchsorted(keys, lo)]),
+                    "lhi": pa.array(vals[np.searchsorted(keys, hi)]),
+                }
+            )
+
+        return edges.map_batches(probe, batch_format="pyarrow")
+    # >limit plan: two node-keyed hash joins (partition floor per the
+    # sparse-side schema rule)
+    nparts = max(min(default_partitions(), n_labels // 100_000 + 1), 1)
+    j1 = edges.join(
+        lab_mat.map_batches(
+            lambda t: t.rename_columns(["lo", "llo"]), batch_format="pyarrow"
+        ),
+        "inner",
+        num_partitions=nparts,
+        on=("lo",),
+        right_on=("lo",),
+    )
+    return j1.join(
+        lab_mat.map_batches(
+            lambda t: t.rename_columns(["hi", "lhi"]), batch_format="pyarrow"
+        ),
+        "inner",
+        num_partitions=nparts,
+        on=("hi",),
+        right_on=("hi",),
+    )
+
+
+def q_label_prop_2round(
+    sf_dir: str, labels_broadcast_limit: int | None = None
+) -> Dataset:
+    from ..ops.topk import grouped_topk
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    edges = edges.select_columns(["lo", "hi"]).materialize()
+
+    labels = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"node": t["doc_id"], "label": t["doc_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def votes(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        llo = t.column("llo").to_numpy(zero_copy_only=False)
+        lhi = t.column("lhi").to_numpy(zero_copy_only=False)
+        p = pa.table(
+            {
+                # each endpoint votes for its NEIGHBOR's label
+                "node": pa.array(np.concatenate([lo, hi])),
+                "lbl": pa.array(np.concatenate([lhi, llo])),
+                "cnt": pa.array(
+                    np.ones(2 * len(t), dtype=np.int64)
+                ),
+            }
+        )
+        g = p.group_by(["node", "lbl"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["node", "lbl", "cnt"])
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "lbl": t["label"],
+                "cnt": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    for _ in range(LPA_ROUNDS):
+        tagged = _lpa_attach_edge_labels(
+            edges, labels, limit=labels_broadcast_limit
+        )
+        cand = tagged.map_batches(votes, batch_format="pyarrow").union(
+            labels.map_batches(self_rows, batch_format="pyarrow")
+        )
+        merged = merge_group_sums(cand, ["node", "lbl"], ["cnt"])
+        labels = grouped_topk(
+            merged, ["node"], [("cnt", False), ("lbl", True)], 1
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["lbl"]}),
+            batch_format="pyarrow",
+        )
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "label"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_label_prop_2round() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"""
+v{k} AS (
+  SELECT a.u AS node, t.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM adj a JOIN {prev} t ON t.node = a.v GROUP BY 1, 2
+  UNION ALL SELECT node, lbl, 0 FROM {prev}
+),
+m{k} AS (SELECT node, lbl, SUM(cnt) AS cnt FROM v{k} GROUP BY 1, 2),
+l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+    FROM m{k}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{k}"
+    body = ",".join(rounds)
+    return f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+adj AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),{body}
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(lbl AS BIGINT) AS label FROM {prev}
+"""
+
+
+SQL_LABEL_PROP_2ROUND = _sql_label_prop_2round()
+
+
 SQL_DEGREE_ASSORTATIVITY = """
 WITH n AS (SELECT COUNT(*) AS c FROM documents),
 l AS (
@@ -4414,6 +4608,7 @@ QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "bfs_hops": q_bfs_hops,
     "kcore_peel": q_kcore_peel,
+    "label_prop_2round": q_label_prop_2round,
     "tile_dup_stats": q_tile_dup_stats,
     "geo_cell_dedup": q_geo_cell_dedup,
     "segment_tile_cover": q_segment_tile_cover,
@@ -4485,6 +4680,7 @@ ORACLES = {
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "bfs_hops": SQL_BFS_HOPS,
     "kcore_peel": SQL_KCORE_PEEL,
+    "label_prop_2round": SQL_LABEL_PROP_2ROUND,
     "tile_dup_stats": SQL_TILE_DUP_STATS,
     "geo_cell_dedup": SQL_GEO_CELL_DEDUP,
     "segment_tile_cover": SQL_SEGMENT_TILE_COVER,
