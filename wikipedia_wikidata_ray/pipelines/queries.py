@@ -1255,11 +1255,16 @@ def _edge_degrees(edges: Dataset) -> Dataset:
     ).materialize()
 
 
-def q_triangle_counts(
+def _closed_triangle_wedges(
     sf_dir: str, deg_broadcast_limit: int | None = None
-) -> Dataset:
+) -> tuple[Dataset, Dataset, int]:
+    """Shared triangle-enumeration core (degree-oriented wedge closure):
+    returns (closed, edges, n_docs) where ``closed`` holds one row per
+    triangle as (wkey = packed non-apex pair, apex) and ``edges`` is the
+    canonical undirected edge set. Consumed by q_triangle_counts (corner
+    count scatter) and q_clustering_coefficients (corner + degree merge)."""
     from ..ops.runs import run_starts, sorted_group_apply
-    from ..stages.salted import default_partitions, merge_group_sums
+    from ..stages.salted import default_partitions
 
     if deg_broadcast_limit is None:
         deg_broadcast_limit = TRI_DEG_BROADCAST_LIMIT
@@ -1423,6 +1428,15 @@ def q_triangle_counts(
     closed = wedge_ds.join(
         ekeys, "inner", num_partitions=nparts, on=("wkey",), right_on=("ekey",)
     )
+    return closed, edges, n_docs
+
+
+def q_triangle_counts(
+    sf_dir: str, deg_broadcast_limit: int | None = None
+) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    closed, _edges, _n = _closed_triangle_wedges(sf_dir, deg_broadcast_limit)
 
     def scatter_nodes(t: pa.Table) -> pa.Table:
         wkey = t.column("wkey").to_numpy(zero_copy_only=False)
@@ -1473,6 +1487,122 @@ nodes AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: clustering_coefficients — per-node LOCAL clustering coefficient over
+# the link graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the classic
+# Watts–Strogatz local density statistic (reference analog: link-graph
+# importance signals, steps/wikipedia_process.sh:28-71 compute inlink
+# counts; cc is the natural second-order neighbor statistic on the same
+# edges). ZERO joins: triangle-corner partials (tri=1, deg=0) and edge-
+# endpoint partials (tri=0, deg=1) flow through ONE merge_group_sums —
+# the grouped-min-merge "fold a subset into its superset" idiom (round-4
+# rule) applied to sums, so deg-only nodes materialize tri=0 without a
+# left join (Ray's hash join would also hit the sparse-side schema-less
+# crash here). cc is ONE IEEE division of exactly-representable integer
+# products — bitwise-equal to the DuckDB oracle (round-5 e10 rule: a
+# single correctly-rounded op needs no fixed-point). Movement: triangle
+# corners (3 int64 rows/triangle) + edge endpoints (2/edge), all count
+# partials; node-space-sized output. Scales with triangle_counts.
+
+
+def q_clustering_coefficients(
+    sf_dir: str, deg_broadcast_limit: int | None = None
+) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    closed, edges, _n = _closed_triangle_wedges(sf_dir, deg_broadcast_limit)
+
+    def corner_partials(t: pa.Table) -> pa.Table:
+        wkey = t.column("wkey").to_numpy(zero_copy_only=False)
+        apex = t.column("apex").to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([apex, wkey >> 31, wkey & ((1 << 31) - 1)])
+        p = pa.table(
+            {
+                "doc_id": pa.array(nodes),
+                "n_triangles": pa.array(np.ones(len(nodes), dtype=np.int64)),
+                "deg": pa.array(np.zeros(len(nodes), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["doc_id"]).aggregate(
+            [("n_triangles", "sum"), ("deg", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_triangles", "deg"])
+
+    def degree_partials(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t.column("lo").to_numpy(zero_copy_only=False),
+                t.column("hi").to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        p = pa.table(
+            {
+                "doc_id": pa.array(nodes),
+                "n_triangles": pa.array(np.zeros(len(nodes), dtype=np.int64)),
+                "deg": pa.array(np.ones(len(nodes), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["doc_id"]).aggregate(
+            [("n_triangles", "sum"), ("deg", "sum")]
+        )
+        return g.rename_columns(["doc_id", "n_triangles", "deg"])
+
+    partials = closed.map_batches(
+        corner_partials, batch_format="pyarrow"
+    ).union(edges.map_batches(degree_partials, batch_format="pyarrow"))
+    merged = merge_group_sums(partials, ["doc_id"], ["n_triangles", "deg"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("deg"), 2))
+        tri = t.column("n_triangles").to_numpy(zero_copy_only=False)
+        deg = t.column("deg").to_numpy(zero_copy_only=False)
+        # exact int→float64 products, ONE correctly-rounded division —
+        # bitwise-equal to the SQL `(2.0*tri) / (deg*(deg-1.0))`
+        cc = (2.0 * tri) / (deg * (deg - 1.0))
+        return t.append_column("cc", pa.array(cc))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CLUSTERING_COEFFICIENTS = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tc AS (SELECT doc_id, COUNT(*) AS n_triangles FROM corners GROUP BY 1),
+deg AS (
+  SELECT doc_id, COUNT(*) AS deg FROM (
+    SELECT a AS doc_id FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(d.deg AS BIGINT) AS deg,
+       (2.0 * COALESCE(tc.n_triangles, 0)) / (d.deg * (d.deg - 1.0)) AS cc
+FROM deg d LEFT JOIN tc ON tc.doc_id = d.doc_id
+WHERE d.deg >= 2
 """
 
 
@@ -4604,6 +4734,7 @@ QUERIES = {
     "tile_hotspots": q_tile_hotspots,
     "pagerank_3iter": q_pagerank_3iter,
     "triangle_counts": q_triangle_counts,
+    "clustering_coefficients": q_clustering_coefficients,
     "degree_distribution": q_degree_distribution,
     "degree_assortativity": q_degree_assortativity,
     "bfs_hops": q_bfs_hops,
@@ -4676,6 +4807,7 @@ ORACLES = {
     "tile_hotspots": SQL_TILE_HOTSPOTS,
     "pagerank_3iter": SQL_PAGERANK_3ITER,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
+    "clustering_coefficients": SQL_CLUSTERING_COEFFICIENTS,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "bfs_hops": SQL_BFS_HOPS,
@@ -4727,6 +4859,8 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # CORRECTNESS_r04.json (all were green on an earlier board and re-verified
 # green via the full local gate at r4 code each session).
 _DRIVER_PRIORITY = [
+    # Fourth-session machinery first (never driver-checked).
+    "clustering_coefficients",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact
