@@ -78,3 +78,59 @@ def test_clustering_coefficients_plans_agree(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def _hits_bruteforce(n: int) -> tuple[dict, dict]:
+    edges = set()
+    for i in range(n):
+        for t in ((i * 3 + 1) % n, (i * 5 + 2) % n, i % 2):
+            if t != i:
+                edges.add((i, t))
+    a1: dict[int, int] = {}
+    for _, v in edges:
+        a1[v] = a1.get(v, 0) + 1
+    h1: dict[int, int] = {}
+    for u, v in edges:
+        h1[u] = h1.get(u, 0) + a1.get(v, 0)
+    a2: dict[int, int] = {}
+    for u, v in edges:
+        a2[v] = a2.get(v, 0) + h1.get(u, 0)
+    h2: dict[int, int] = {}
+    for u, v in edges:
+        h2[u] = h2.get(u, 0) + a2.get(v, 0)
+    return a2, h2
+
+
+def test_hits_2iter_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_hits_2iter
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    auth, hub = _hits_bruteforce(n)
+    out = q_hits_2iter(SF).to_pandas().sort_values("doc_id")
+    assert len(out) == n
+    got_a = dict(zip(out.doc_id.tolist(), out.auth.tolist()))
+    got_h = dict(zip(out.doc_id.tolist(), out.hub.tolist()))
+    for v in range(n):
+        assert got_a[v] == auth.get(v, 0)
+        assert got_h[v] == hub.get(v, 0)
+    # semantics: the i%2 sinks (nodes 0/1) must dominate authority
+    top2 = set(out.nlargest(2, "auth").doc_id.tolist())
+    assert top2 == {0, 1}
+
+
+def test_hits_2iter_plans_agree(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_hits_2iter
+
+    a = (
+        q_hits_2iter(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_hits_2iter(SF, broadcast_limit=0)  # force the join plan
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

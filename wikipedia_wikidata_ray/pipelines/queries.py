@@ -1607,6 +1607,224 @@ WHERE d.deg >= 2
 
 
 # ---------------------------------------------------------------------------
+# Q: hits_2iter — HITS hubs & authorities (Kleinberg) over the DIRECTED
+# link graph, two exact synchronous iterations (reference analog: the
+# inlink-importance signal of steps/wikipedia_process.sh:28-71 is the
+# first HITS authority half-step; this is its second-order refinement).
+# Un-normalized integer updates keep every round bitwise SQL-replicable
+# (the round-5 e10 rule taken to its limit: stay in int64 — auth/hub
+# magnitudes are ≤ deg_max²·N so the published round-2 scores hold to
+# ~3e9 docs; beyond that publish per-round partials and normalize
+# downstream). Per-round movement: each round is attach-score +
+# group-sum — score attach is the GATED pattern (dense int64 array
+# broadcast ≤20M docs, node-keyed hash join above, plan-equality
+# pytest), and the group-sum runs on merge_group_sums count partials, so
+# the i%2 hub nodes (N/2 in-edges — the graph-side megacity skew)
+# collapse to ≤1 partial row per block before the shuffle. Final
+# assembly is JOIN-FREE: (auth,0) / (0,hub) / (0,0)-per-doc partials
+# through one grouped-sum merge.
+
+HITS_BROADCAST_LIMIT = 20_000_000
+
+
+def _directed_link_edges(sf_dir: str) -> tuple[Dataset, int]:
+    """DISTINCT directed simple edges of the closed-form link graph
+    (self-loops dropped). Materialized: ≤ 3N int64 pairs, consumed once
+    per HITS half-step."""
+    import pyarrow.parquet as pq
+
+    from ..stages.salted import merge_group_aggs
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edge_arms(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        tgts = np.concatenate(
+            [(ids * 3 + 1) % n_docs, (ids * 5 + 2) % n_docs, ids % 2]
+        )
+        srcs = np.tile(ids, 3)
+        keep = srcs != tgts
+        p = pa.table(
+            {
+                "src": pa.array(srcs[keep]),
+                "dst": pa.array(tgts[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["src", "dst"]).aggregate([("one", "min")])
+        return g.rename_columns(["src", "dst", "one"])
+
+    edges = merge_group_aggs(
+        docs.map_batches(edge_arms, batch_format="pyarrow"),
+        ["src", "dst"],
+        [("one", "min")],
+    ).materialize()
+    return edges, n_docs
+
+
+def _hits_halfstep(
+    edges: Dataset,
+    scores: Dataset,
+    attach_key: str,
+    sum_key: str,
+    n_docs: int,
+    broadcast_limit: int,
+) -> Dataset:
+    """One HITS half-step: attach `scores` (node, s) at ``attach_key`` of
+    each directed edge, group-sum into ``sum_key`` nodes. Gated attach:
+    dense-array broadcast ≤ limit, node-keyed hash join above."""
+    import ray
+
+    from ..stages.salted import default_partitions, merge_group_sums
+
+    if n_docs <= broadcast_limit:
+        arr = np.zeros(n_docs, dtype=np.int64)
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in scores.to_arrow_refs()]
+        ).select(["node", "s"])
+        arr[tbl.column("node").to_numpy()] = tbl.column("s").to_numpy()
+        ref = ray.put(arr)
+
+        def attach(t: pa.Table) -> pa.Table:
+            a = ray.get(ref)
+            key = t.column(attach_key).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t.column(sum_key)
+                    .combine_chunks()
+                    .cast(pa.int64()),
+                    "s": pa.array(a[key]),
+                }
+            )
+
+        partials = edges.map_batches(attach, batch_format="pyarrow")
+    else:
+        nparts = max(
+            2, min(default_partitions(), edges.count() // 100_000 + 1)
+        )
+        keyed = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": t.column(attach_key).combine_chunks().cast(pa.int64()),
+                    "other": t.column(sum_key)
+                    .combine_chunks()
+                    .cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sc = scores.map_batches(
+            lambda t: pa.table(
+                {
+                    "node_r": t.column("node").combine_chunks().cast(pa.int64()),
+                    "s": t.column("s").combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        partials = keyed.join(
+            sc, "inner", num_partitions=nparts, on=("k",), right_on=("node_r",)
+        ).map_batches(
+            lambda t: pa.table({"node": t["other"], "s": t["s"]}),
+            batch_format="pyarrow",
+        )
+    return merge_group_sums(partials, ["node"], ["s"]).materialize()
+
+
+def q_hits_2iter(
+    sf_dir: str, broadcast_limit: int | None = None
+) -> Dataset:
+    from ..stages.salted import merge_group_sums, partial_count
+
+    if broadcast_limit is None:
+        broadcast_limit = HITS_BROADCAST_LIMIT
+    edges, n_docs = _directed_link_edges(sf_dir)
+
+    # a1 = indeg (h0 ≡ 1); then h1 = Σ_out a1; a2 = Σ_in h1; h2 = Σ_out a2
+    a1 = partial_count(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst").combine_chunks().cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        out="s",
+    ).materialize()
+    h1 = _hits_halfstep(edges, a1, "dst", "src", n_docs, broadcast_limit)
+    a2 = _hits_halfstep(edges, h1, "src", "dst", n_docs, broadcast_limit)
+    h2 = _hits_halfstep(edges, a2, "dst", "src", n_docs, broadcast_limit)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    zero = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id").combine_chunks().cast(pa.int64()),
+                "auth": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "hub": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    auth_p = a2.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["node"],
+                "auth": t["s"],
+                "hub": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    hub_p = h2.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["node"],
+                "auth": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "hub": t["s"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return merge_group_sums(
+        zero.union(auth_p, hub_p), ["doc_id"], ["auth", "hub"]
+    )
+
+
+SQL_HITS_2ITER = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (SELECT DISTINCT src, tgt FROM l WHERE src <> tgt),
+a1 AS (SELECT tgt AS node, CAST(COUNT(*) AS BIGINT) AS s FROM e0 GROUP BY 1),
+h1 AS (
+  SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+  FROM e0 e JOIN a1 a ON a.node = e.tgt GROUP BY 1
+),
+a2 AS (
+  SELECT e.tgt AS node, CAST(SUM(h.s) AS BIGINT) AS s
+  FROM e0 e JOIN h1 h ON h.node = e.src GROUP BY 1
+),
+h2 AS (
+  SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+  FROM e0 e JOIN a2 a ON a.node = e.tgt GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth,
+       CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub
+FROM documents d
+LEFT JOIN a2 ON a2.node = d.doc_id
+LEFT JOIN h2 ON h2.node = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_hotspots — hotspot detection: the global top-K tiles by 3×3
 # Moore-neighborhood page count (the ranked consumption of the stencil
 # raster — "where are the densest regions"). Deterministic tie-break
@@ -4735,6 +4953,7 @@ QUERIES = {
     "pagerank_3iter": q_pagerank_3iter,
     "triangle_counts": q_triangle_counts,
     "clustering_coefficients": q_clustering_coefficients,
+    "hits_2iter": q_hits_2iter,
     "degree_distribution": q_degree_distribution,
     "degree_assortativity": q_degree_assortativity,
     "bfs_hops": q_bfs_hops,
@@ -4808,6 +5027,7 @@ ORACLES = {
     "pagerank_3iter": SQL_PAGERANK_3ITER,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "clustering_coefficients": SQL_CLUSTERING_COEFFICIENTS,
+    "hits_2iter": SQL_HITS_2ITER,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "bfs_hops": SQL_BFS_HOPS,
@@ -4860,7 +5080,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # green via the full local gate at r4 code each session).
 _DRIVER_PRIORITY = [
     # Fourth-session machinery first (never driver-checked).
-    "clustering_coefficients",
+    "clustering_coefficients", "hits_2iter",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact
