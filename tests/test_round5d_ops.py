@@ -134,3 +134,94 @@ def test_hits_2iter_plans_agree(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def _dbscan_bruteforce(eps: float, minpts: int):
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    ids = np.sort(ids)
+    lat, lon, has = derive_geo(ids)
+    ids, lat, lon = ids[has], lat[has], lon[has]
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    nbr = (d2 <= eps * eps) & ~np.eye(len(ids), dtype=bool)
+    n_nbrs = nbr.sum(axis=1)
+    is_core = n_nbrs >= minpts
+    # union-find over core-core eps edges
+    parent = {int(v): int(v) for v in ids[is_core]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ci = np.where(is_core)[0]
+    for i in ci:
+        for j in ci:
+            if j > i and nbr[i, j]:
+                ra, rb = find(int(ids[i])), find(int(ids[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # union-toward-min keeps each root the component minimum
+    label = {v: find(v) for v in parent}
+    out = {}
+    for i, v in enumerate(ids):
+        v = int(v)
+        if is_core[i]:
+            out[v] = (int(n_nbrs[i]), "core", label[v])
+        else:
+            core_nbr_labels = [
+                label[int(ids[j])] for j in np.where(nbr[i])[0] if is_core[j]
+            ]
+            if core_nbr_labels:
+                out[v] = (int(n_nbrs[i]), "border", min(core_nbr_labels))
+            else:
+                out[v] = (int(n_nbrs[i]), "noise", -1)
+    return out
+
+
+def test_dbscan_clusters_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        DBSCAN_EPS,
+        DBSCAN_MINPTS,
+        q_dbscan_clusters,
+    )
+
+    want = _dbscan_bruteforce(DBSCAN_EPS, DBSCAN_MINPTS)
+    out = q_dbscan_clusters(SF).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.n_neighbors), r.role, int(r.cluster_id))
+        for r in out.itertuples()
+    }
+    assert got == want
+    roles = set(out.role)
+    # semantics: the fixture populates all three classes, labels are
+    # component minima, and every cluster label belongs to a core point
+    assert roles == {"core", "border", "noise"}
+    core_ids = set(out[out.role == "core"].doc_id)
+    labs = set(out[out.cluster_id >= 0].cluster_id)
+    assert labs <= core_ids
+    assert (out[out.role == "noise"].cluster_id == -1).all()
+
+
+def test_dbscan_clusters_plans_agree(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_dbscan_clusters
+
+    a = (
+        q_dbscan_clusters(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_dbscan_clusters(SF, broadcast_limit=0)  # force the join plans
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

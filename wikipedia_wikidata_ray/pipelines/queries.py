@@ -2730,6 +2730,365 @@ WHERE (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
 
 
 # ---------------------------------------------------------------------------
+# Q: dbscan_clusters — EXACT distributed DBSCAN over the geotagged page
+# set (eps = 0.05°, minPts = 4): per-point ε-neighbor counts classify
+# core points, connected components over core-core ε-edges assign
+# cluster labels (min core doc_id — deterministic), border points join
+# the MINIMUM-label cluster among their core neighbors (the
+# deterministic resolution of classic DBSCAN's scan-order-dependent
+# border tie), everything else is noise (cluster_id = −1). The
+# megacity-skew spatial clusterer the tile-based grid_cluster family
+# approximates — this one is pointwise-exact at ε resolution.
+# Distribution: the ordered ε-pair stream (ONE 3×3 grid-cell hash join,
+# each ordered pair lands in exactly one cell — within_radius_pairs'
+# machinery) is materialized ONCE and consumed three times (neighbor
+# counts → core-core edges → border label attach); core flags and core
+# labels attach via the GATED pattern (dense array broadcast ≤20M docs,
+# doc-keyed hash joins above, plan-equality pytest); cluster labels ride
+# ops/cc.connected_components (O(log d) rounds on core-sized tables);
+# final assembly is JOIN-FREE — (rank=2, label) core / (rank=1, label_b)
+# border / (rank=0, FAR) baseline partials through ONE
+# merge_group_aggs(max, min, sum). Movement: pairs are
+# density-bounded (avg ε-neighbors per point), every other table is
+# node- or core-sized. Quadratic-cell caveat shared with
+# within_radius_pairs (a single ε-cell holding k points emits k² pairs).
+
+DBSCAN_EPS = RADIUS_DEG
+DBSCAN_MINPTS = 4
+DBSCAN_BROADCAST_LIMIT = 20_000_000
+_DBSCAN_FAR = 1 << 62
+
+
+def _eps_pair_stream(pts: Dataset, radius: float) -> Dataset:
+    """Ordered ε-pairs (doc_a, doc_b), a ≠ b, dist² ≤ r² — both orders;
+    each ordered pair appears exactly once (the 3×3 scattered-left ×
+    exact-right construction)."""
+    r2 = radius * radius
+
+    def scatter_left(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        clat = np.floor(lat / radius).astype(np.int64)
+        clon = np.floor(lon / radius).astype(np.int64)
+        n = len(did)
+        d = np.array([-1, 0, 1], dtype=np.int64)
+        rep = np.repeat(np.arange(n), 9)
+        dy = np.tile(np.repeat(d, 3), n)
+        dx = np.tile(np.tile(d, 3), n)
+        cell = (clat[rep] + dy + 9000) * 100000 + (clon[rep] + dx + 18000)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "doc_a": pa.array(did[rep]),
+                "lat_a": pa.array(lat[rep]),
+                "lon_a": pa.array(lon[rep]),
+            }
+        )
+
+    def right_side(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        clat = np.floor(lat / radius).astype(np.int64)
+        clon = np.floor(lon / radius).astype(np.int64)
+        return pa.table(
+            {
+                "cell_r": pa.array((clat + 9000) * 100000 + (clon + 18000)),
+                "doc_b": pa.array(did),
+                "lat_b": pa.array(lat),
+                "lon_b": pa.array(lon),
+            }
+        )
+
+    from ..stages.salted import default_partitions
+
+    joined = pts.map_batches(scatter_left, batch_format="pyarrow").join(
+        pts.map_batches(right_side, batch_format="pyarrow"),
+        "inner",
+        num_partitions=default_partitions(),
+        on=("cell",),
+        right_on=("cell_r",),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        dlat = t.column("lat_a").to_numpy(zero_copy_only=False) - t.column(
+            "lat_b"
+        ).to_numpy(zero_copy_only=False)
+        dlon = t.column("lon_a").to_numpy(zero_copy_only=False) - t.column(
+            "lon_b"
+        ).to_numpy(zero_copy_only=False)
+        dist2 = dlat * dlat + dlon * dlon
+        keep = (a != b) & (dist2 <= r2)
+        return pa.table(
+            {"doc_a": pa.array(a[keep]), "doc_b": pa.array(b[keep])}
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow").materialize()
+
+
+def q_dbscan_clusters(
+    sf_dir: str,
+    eps: float = DBSCAN_EPS,
+    minpts: int = DBSCAN_MINPTS,
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    import pyarrow.parquet as pq_meta
+
+    import ray
+
+    from ..ops.cc import connected_components
+    from ..stages.salted import (
+        default_partitions,
+        merge_group_aggs,
+        partial_count,
+    )
+
+    if broadcast_limit is None:
+        broadcast_limit = DBSCAN_BROADCAST_LIMIT
+    n_docs = pq_meta.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    pts = _geotagged(sf_dir)
+    pairs = _eps_pair_stream(pts, eps)
+
+    counts = partial_count(
+        pairs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_a"]}), batch_format="pyarrow"
+        ),
+        ["doc_id"],
+        out="n_nbrs",
+    ).materialize()
+    # fused filter+project (round-5 rule: no filter(expr)+select drift)
+    core = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_nbrs"], minpts)).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    broadcast = n_docs <= broadcast_limit
+    if broadcast:
+        mask = np.zeros(n_docs, dtype=bool)
+        ctbl = pa.concat_tables(
+            [ray.get(r) for r in core.to_arrow_refs()]
+        ).select(["doc_id"])
+        mask[ctbl.column("doc_id").to_numpy()] = True
+        mask_ref = ray.put(mask)
+
+        def cc_edges(t: pa.Table) -> pa.Table:
+            m = ray.get(mask_ref)
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            keep = m[a] & m[b] & (a < b)
+            return pa.table(
+                {"src": pa.array(a[keep]), "dst": pa.array(b[keep])}
+            )
+
+        edges = pairs.map_batches(cc_edges, batch_format="pyarrow")
+    else:
+        nparts = max(
+            2, min(default_partitions(), pairs.count() // 100_000 + 1)
+        )
+        core_a = core.map_batches(
+            lambda t: pa.table(
+                {"ca": t.column("doc_id").combine_chunks().cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        core_b = core.map_batches(
+            lambda t: pa.table(
+                {"cb": t.column("doc_id").combine_chunks().cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        edges = (
+            pairs.join(
+                core_a, "inner", num_partitions=nparts,
+                on=("doc_a",), right_on=("ca",),
+            )
+            .join(
+                core_b, "inner", num_partitions=nparts,
+                on=("doc_b",), right_on=("cb",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"src": t["doc_a"], "dst": t["doc_b"]}
+                ).filter(pc.less(t["doc_a"], t["doc_b"])),
+                batch_format="pyarrow",
+            )
+        )
+
+    core_nodes = core.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("doc_id").combine_chunks().cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    cc_parts = max(2, min(default_partitions(), core.count() // 100_000 + 1))
+    labels = connected_components(
+        core_nodes, edges, node_col="node", src_col="src", dst_col="dst",
+        num_partitions=cc_parts,
+    ).materialize()
+
+    if broadcast:
+        lab_arr = np.full(n_docs, _DBSCAN_FAR, dtype=np.int64)
+        ltbl = pa.concat_tables(
+            [ray.get(r) for r in labels.to_arrow_refs()]
+        ).select(["node", "label"])
+        lab_arr[ltbl.column("node").to_numpy()] = ltbl.column(
+            "label"
+        ).to_numpy()
+        lab_ref = ray.put(lab_arr)
+
+        def border_partials(t: pa.Table) -> pa.Table:
+            la = ray.get(lab_ref)
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            lb = la[b]
+            keep = lb != _DBSCAN_FAR  # b is core
+            return pa.table(
+                {
+                    "doc_id": pa.array(a[keep]),
+                    "rank": pa.array(np.ones(int(keep.sum()), dtype=np.int8)),
+                    "cluster": pa.array(lb[keep]),
+                    "n_nbrs": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+                }
+            )
+
+        border = pairs.map_batches(border_partials, batch_format="pyarrow")
+    else:
+        nparts = max(
+            2, min(default_partitions(), pairs.count() // 100_000 + 1)
+        )
+        lab_b = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "lb_node": t.column("node").combine_chunks().cast(pa.int64()),
+                    "lb": t.column("label").combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        border = pairs.join(
+            lab_b, "inner", num_partitions=nparts,
+            on=("doc_b",), right_on=("lb_node",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_a"],
+                    "rank": pa.array(np.ones(len(t), dtype=np.int8)),
+                    "cluster": t["lb"],
+                    "n_nbrs": pa.array(np.zeros(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    core_p = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["node"],
+                "rank": pa.array(np.full(len(t), 2, dtype=np.int8)),
+                "cluster": t.column("label").combine_chunks().cast(pa.int64()),
+                "n_nbrs": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    count_p = counts.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rank": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "cluster": pa.array(np.full(len(t), _DBSCAN_FAR, dtype=np.int64)),
+                "n_nbrs": t.column("n_nbrs").combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    def base_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "rank": pa.array(np.zeros(n, dtype=np.int8)),
+                "cluster": pa.array(np.full(n, _DBSCAN_FAR, dtype=np.int64)),
+                "n_nbrs": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    base_p = pts.map_batches(base_rows, batch_format="pyarrow")
+
+    merged = merge_group_aggs(
+        base_p.union(count_p, core_p, border),
+        ["doc_id"],
+        [("rank", "max"), ("cluster", "min"), ("n_nbrs", "sum")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        cluster = t.column("cluster").to_numpy(zero_copy_only=False).copy()
+        role = np.where(rank == 2, "core", np.where(rank == 1, "border", "noise"))
+        cluster[rank == 0] = -1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_neighbors": t["n_nbrs"],
+                "role": pa.array(role.tolist(), type=pa.string()),
+                "cluster_id": pa.array(cluster),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DBSCAN_CLUSTERS = f"""
+WITH RECURSIVE {SQL_GEO_CTE},
+d AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM geo a JOIN geo b ON b.doc_id <> a.doc_id
+   AND (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+       <= {DBSCAN_EPS!r} * {DBSCAN_EPS!r}
+),
+nbr AS (SELECT da AS doc_id, COUNT(*) AS n_nbrs FROM d GROUP BY 1),
+core AS (SELECT doc_id FROM nbr WHERE n_nbrs >= {DBSCAN_MINPTS}),
+ce AS (
+  SELECT d.da AS s, d.db AS t FROM d
+  WHERE d.da IN (SELECT doc_id FROM core)
+    AND d.db IN (SELECT doc_id FROM core)
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM core
+  UNION
+  SELECT ce.t, r.label FROM reach r JOIN ce ON ce.s = r.node
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+bord AS (
+  SELECT d.da AS doc_id, MIN(l.cluster_id) AS cluster_id
+  FROM d JOIN lab l ON l.doc_id = d.db
+  WHERE d.da NOT IN (SELECT doc_id FROM core)
+  GROUP BY 1
+)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(nbr.n_nbrs, 0) AS BIGINT) AS n_neighbors,
+       CASE WHEN lab.cluster_id IS NOT NULL THEN 'core'
+            WHEN bord.cluster_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(lab.cluster_id, bord.cluster_id, -1) AS BIGINT)
+         AS cluster_id
+FROM geo g
+LEFT JOIN nbr ON nbr.doc_id = g.doc_id
+LEFT JOIN lab ON lab.doc_id = g.doc_id
+LEFT JOIN bord ON bord.doc_id = g.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: ripley_pair_counts — Ripley's-K style point-pattern statistic: the
 # CUMULATIVE unordered-pair count within each of several radii
 # r₁ < r₂ < r₃ (the K-function numerator; clustering-vs-dispersion
@@ -4965,6 +5324,7 @@ QUERIES = {
     "tile_heat_smooth": q_tile_heat_smooth,
     "tile_pyramid": q_tile_pyramid,
     "within_radius_pairs": q_within_radius_pairs,
+    "dbscan_clusters": q_dbscan_clusters,
     "ripley_pair_counts": q_ripley_pair_counts,
     "tile_grid_clusters": q_tile_grid_clusters,
     "grid_cluster_stats": q_grid_cluster_stats,
@@ -5039,6 +5399,7 @@ ORACLES = {
     "tile_heat_smooth": SQL_TILE_HEAT_SMOOTH,
     "tile_pyramid": SQL_TILE_PYRAMID,
     "within_radius_pairs": SQL_WITHIN_RADIUS_PAIRS,
+    "dbscan_clusters": SQL_DBSCAN_CLUSTERS,
     "ripley_pair_counts": SQL_RIPLEY_PAIR_COUNTS,
     "tile_grid_clusters": SQL_TILE_GRID_CLUSTERS,
     "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
@@ -5080,7 +5441,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # green via the full local gate at r4 code each session).
 _DRIVER_PRIORITY = [
     # Fourth-session machinery first (never driver-checked).
-    "clustering_coefficients", "hits_2iter",
+    "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact
