@@ -225,3 +225,42 @@ def test_dbscan_clusters_plans_agree(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_colocation_participation_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        q_colocation_participation,
+    )
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    ids = tbl["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    langs = np.asarray(tbl["lang"].to_pylist())[order]
+    lat, lon, has = derive_geo(ids)
+    ids, langs, lat, lon = ids[has], langs[has], lat[has], lon[has]
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    cells: dict[tuple, dict] = {}
+    for x, y, lg in zip(tx, ty, langs):
+        cells.setdefault((int(x), int(y)), {}).setdefault(lg, 0)
+        cells[(int(x), int(y))][lg] += 1
+    total = {lg: int((langs == lg).sum()) for lg in set(langs)}
+    want = {}
+    for counts in cells.values():
+        present = set(counts)
+        for a in present:
+            for b in present:
+                if a != b:
+                    want[(a, b)] = want.get((a, b), 0) + counts[a]
+    out = q_colocation_participation(SF).to_pandas()
+    got = {
+        (r.lang_a, r.lang_b): (int(r.n_coloc), int(r.n_total))
+        for r in out.itertuples()
+    }
+    assert got == {k: (v, total[k[0]]) for k, v in want.items()}
+    # semantics: ratios in (0, 1], and the bitwise division contract
+    for r in out.itertuples():
+        assert 0 < r.participation <= 1.0
+        assert r.participation == r.n_coloc / (1.0 * r.n_total)

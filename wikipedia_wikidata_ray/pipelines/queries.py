@@ -239,6 +239,130 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Q: colocation_participation — spatial co-location pattern mining
+# (Shekhar–Huang participation ratio) over (z12 tile × language): for
+# every ordered language pair (A,B), the fraction of A-pages whose tile
+# also contains at least one B-page. The statistic behind "which
+# communities co-occur geographically" dashboards (reference analog: the
+# per-language importance layers of steps/output.sh:26-128 consumed as
+# map overlays). Distribution: ONE (tile,lang,n) grouped-sum merge
+# (tile-bounded, pages never move), then a packed-tile-key self hash
+# join whose fan-out is |langs-present|² per tile (≤25 here — category
+# space, not data space), one (A,B) grouped-sum merge, and a
+# category-space-sized totals table pulled to the driver (≤ |langs| rows
+# BY DEFINITION — the language config is a fixed small set; were the
+# category space unbounded, the fallback is a lang-keyed hash join of
+# totals onto the pair counts). participation = n_coloc / (1.0·n_total):
+# exact int→float, ONE correctly-rounded division — bitwise vs DuckDB.
+
+_COLOC_TK = 8192  # tile-key pack stride (z12 tiles: 0..4095)
+
+
+def q_colocation_participation(sf_dir: str) -> Dataset:
+    from ..stages.salted import default_partitions, merge_group_sums
+
+    ds = _geotagged(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["tile_x"]))
+        p = pa.table(
+            {
+                "tk": pc.add(
+                    pc.multiply(
+                        pc.cast(t["tile_x"], pa.int64()), _COLOC_TK
+                    ),
+                    pc.cast(t["tile_y"], pa.int64()),
+                ),
+                "lang": pc.cast(t["lang"], pa.string()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["tk", "lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tk", "lang", "n"])
+
+    cnt = merge_group_sums(
+        ds.map_batches(partials, batch_format="pyarrow"), ["tk", "lang"], ["n"]
+    ).materialize()
+
+    nparts = max(2, min(default_partitions(), cnt.count() // 100_000 + 1))
+    left = cnt.map_batches(
+        lambda t: pa.table(
+            {
+                "tk": t["tk"],
+                "lang_a": pc.cast(t["lang"], pa.string()),
+                "n": t["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    right = cnt.map_batches(
+        lambda t: pa.table(
+            {
+                "tk_r": t["tk"],
+                "lang_b": pc.cast(t["lang"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pair_partials = left.join(
+        right, "inner", num_partitions=nparts, on=("tk",), right_on=("tk_r",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "lang_a": t["lang_a"],
+                "lang_b": t["lang_b"],
+                "n_coloc": t["n"],
+            }
+        ).filter(pc.invert(pc.equal(t["lang_a"], t["lang_b"]))),
+        batch_format="pyarrow",
+    )
+    coloc = merge_group_sums(pair_partials, ["lang_a", "lang_b"], ["n_coloc"])
+
+    # totals: category-space-sized (≤ |langs|) — bounded BY DEFINITION
+    tot_df = merge_group_sums(cnt, ["lang"], ["n"]).to_pandas()
+    totals = dict(zip(tot_df["lang"], tot_df["n"].astype(np.int64)))
+
+    def finish(t: pa.Table) -> pa.Table:
+        langs = t.column("lang_a").to_pylist()
+        n_total = np.array([totals[x] for x in langs], dtype=np.int64)
+        n_coloc = t.column("n_coloc").to_numpy(zero_copy_only=False)
+        part = n_coloc / (1.0 * n_total)
+        return pa.table(
+            {
+                "lang_a": t["lang_a"],
+                "lang_b": t["lang_b"],
+                "n_coloc": t["n_coloc"],
+                "n_total": pa.array(n_total),
+                "participation": pa.array(part),
+            }
+        )
+
+    return coloc.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_COLOCATION_PARTICIPATION = f"""
+WITH {SQL_GEO_CTE},
+c AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS INTEGER) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat))) / PI())
+                    / 2.0 * 4096) AS INTEGER) AS tile_y,
+         lang, COUNT(*) AS n
+  FROM geo GROUP BY 1, 2, 3
+),
+coloc AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(SUM(a.n) AS BIGINT) AS n_coloc
+  FROM c a JOIN c b
+    ON b.tile_x = a.tile_x AND b.tile_y = a.tile_y AND b.lang <> a.lang
+  GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_total FROM c GROUP BY 1)
+SELECT coloc.lang_a, coloc.lang_b, coloc.n_coloc, tot.n_total,
+       coloc.n_coloc / (1.0 * tot.n_total) AS participation
+FROM coloc JOIN tot ON tot.lang = coloc.lang_a
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_quality_stats — quality-gate × geo cross: per z12 tile, exact
 # int64 sums of the Gopher-style per-doc features (pages, tokens, chars,
 # stopwords) — the regional curation dashboard (consumers derive
@@ -5300,6 +5424,7 @@ QUERIES = {
     "tile_counts": q_tile_counts,
     "tile_top_lang": q_tile_top_lang,
     "tile_lang_entropy": q_tile_lang_entropy,
+    "colocation_participation": q_colocation_participation,
     "spatial_joincount": q_spatial_joincount,
     "morans_i_stats": q_morans_i_stats,
     "tile_gini": q_tile_gini,
@@ -5375,6 +5500,7 @@ ORACLES = {
     "tile_counts": SQL_TILE_COUNTS,
     "tile_top_lang": SQL_TILE_TOP_LANG,
     "tile_lang_entropy": SQL_TILE_LANG_ENTROPY,
+    "colocation_participation": SQL_COLOCATION_PARTICIPATION,
     "spatial_joincount": SQL_SPATIAL_JOINCOUNT,
     "morans_i_stats": SQL_MORANS_I_STATS,
     "tile_gini": SQL_TILE_GINI,
@@ -5442,6 +5568,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # Fourth-session machinery first (never driver-checked).
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
+    "colocation_participation",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact
