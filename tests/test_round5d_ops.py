@@ -264,3 +264,41 @@ def test_colocation_participation_bruteforce(ray_session):
     for r in out.itertuples():
         assert 0 < r.participation <= 1.0
         assert r.participation == r.n_coloc / (1.0 * r.n_total)
+
+
+def test_trajectory_chord_deviation_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_trajectory_chord_deviation,
+    )
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).to_pandas()
+    ev["lat"] = ((ev.event_id * 7919) % 1600001) / 10000.0 - 80.0
+    ev["lon"] = ((ev.event_id * 104729) % 3600001) / 10000.0 - 180.0
+    want = {}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        if len(g) < 3:
+            continue
+        lat, lon = g.lat.to_numpy(), g.lon.to_numpy()
+        eid = g.event_id.to_numpy()
+        cross = (lon[-1] - lon[0]) * (lat[0] - lat) - (lon[0] - lon) * (
+            lat[-1] - lat[0]
+        )
+        dev = np.round(np.abs(cross) * 1e10).astype(np.int64)
+        best, bdev = None, -1
+        for i in range(1, len(g) - 1):
+            if dev[i] > bdev or (dev[i] == bdev and eid[i] < best):
+                best, bdev = int(eid[i]), int(dev[i])
+        want[int(uid)] = (len(g), best, bdev)
+    out = q_trajectory_chord_deviation(SF).to_pandas()
+    got = {
+        int(r.user_id): (int(r.n_points), int(r.split_event_id), int(r.dev_e10))
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert len(want) > 0
+    # semantics: the winner is a real event of the user and its
+    # deviation dominates every interior point (checked by construction
+    # above), and only >=3-point users appear
+    assert (out.n_points >= 3).all()

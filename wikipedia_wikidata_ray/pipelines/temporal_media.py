@@ -2444,3 +2444,149 @@ GROUP BY 1, 2, 3
 
 TEMPORAL_MEDIA_QUERIES["event_trigram_paths"] = q_event_trigram_paths
 TEMPORAL_MEDIA_ORACLES["event_trigram_paths"] = SQL_EVENT_TRIGRAM_PATHS
+
+
+# ---------------------------------------------------------------------------
+# Q: trajectory_chord_deviation — the Douglas–Peucker SPLIT POINT per
+# user trajectory: among the interior points of each user's (ts,
+# event_id)-ordered path, the event maximizing the perpendicular-
+# deviation proxy |cross(P0→P1, P0→Pi)| from the first→last chord (2×
+# the triangle area — the quantity DP thresholds; reported un-divided by
+# chord length to stay in the multiply/subtract bitwise-parity family).
+# The first recursion level of trajectory simplification — the
+# map-generalization primitive the tile renderer of the reference's
+# consumers applies to GPS traces. Determinism: ts ties broken by
+# event_id ON BOTH SIDES (round-5 rule), winner selection on e10-rounded
+# int64 deviations (float argmax near-ties cannot flip an integer
+# ranking), remaining ties → smallest event_id. Distribution: one
+# range sort on user_id (`sorted_group_apply` — complete users per
+# block, coalesced edge block); per block every user resolves in one
+# vectorized reduceat pass; output is user-sized (one row per user with
+# ≥3 events). Scale: the idiom holds at 10⁸ users (9.4× vs map_groups,
+# CLAUDE.md).
+
+
+def q_trajectory_chord_deviation(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.runs import run_starts, sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "lat": pa.array(((eid * 7919) % 1600001) / 10000.0 - 80.0),
+                "lon": pa.array(((eid * 104729) % 3600001) / 10000.0 - 180.0),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_points": pa.array([], type=pa.int64()),
+            "split_event_id": pa.array([], type=pa.int64()),
+            "dev_e10": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def split_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, lat, lon = uid[order], eid[order], lat[order], lon[order]
+        n = len(uid)
+        starts = run_starts([uid])
+        start_idx = np.flatnonzero(starts)
+        sizes = np.diff(np.append(start_idx, n))
+        end_idx = start_idx + sizes - 1
+        sz = np.repeat(sizes, sizes)
+        lat0 = np.repeat(lat[start_idx], sizes)
+        lon0 = np.repeat(lon[start_idx], sizes)
+        lat1 = np.repeat(lat[end_idx], sizes)
+        lon1 = np.repeat(lon[end_idx], sizes)
+        # the exact op order of the SQL mirror (multiply/subtract only)
+        cross = (lon1 - lon0) * (lat0 - lat) - (lon0 - lon) * (lat1 - lat0)
+        dev = np.round(np.abs(cross) * 10000000000.0).astype(np.int64)
+        pos = np.arange(n) - np.repeat(start_idx, sizes)
+        interior = (pos > 0) & (pos < sz - 1) & (sz >= 3)
+        cand = np.flatnonzero(interior)
+        if len(cand) == 0:
+            return empty
+        run_id = np.cumsum(starts) - 1
+        o2 = np.lexsort((eid[cand], -dev[cand], run_id[cand]))
+        cs = cand[o2]
+        rid = run_id[cs]
+        first = np.empty(len(cs), dtype=bool)
+        first[0] = True
+        first[1:] = rid[1:] != rid[:-1]
+        w = cs[first]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[w].astype(np.int64)),
+                "n_points": pa.array(sz[w].astype(np.int64)),
+                "split_event_id": pa.array(eid[w].astype(np.int64)),
+                "dev_e10": pa.array(dev[w]),
+            }
+        )
+
+    pts = events.map_batches(derive, batch_format="pyarrow")
+    return sorted_group_apply(pts, ["user_id"], split_block)
+
+
+SQL_TRAJECTORY_CHORD_DEVIATION = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+b AS (
+  SELECT user_id, event_id, lat, lon,
+         FIRST_VALUE(lat) OVER w AS lat0,
+         FIRST_VALUE(lon) OVER w AS lon0,
+         LAST_VALUE(lat) OVER w AS lat1,
+         LAST_VALUE(lon) OVER w AS lon1,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS cnt
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+dev AS (
+  SELECT user_id, event_id, cnt,
+         CAST(ROUND(ABS((lon1 - lon0) * (lat0 - lat)
+                        - (lon0 - lon) * (lat1 - lat0))
+                    * 10000000000.0, 0) AS BIGINT) AS dev_e10
+  FROM b WHERE rn > 1 AND rn < cnt AND cnt >= 3
+),
+pick AS (
+  SELECT user_id, CAST(cnt AS BIGINT) AS n_points,
+         event_id AS split_event_id, dev_e10,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY dev_e10 DESC, event_id) AS rk
+  FROM dev
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, n_points,
+       CAST(split_event_id AS BIGINT) AS split_event_id, dev_e10
+FROM pick WHERE rk = 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["trajectory_chord_deviation"] = (
+    q_trajectory_chord_deviation
+)
+TEMPORAL_MEDIA_ORACLES["trajectory_chord_deviation"] = (
+    SQL_TRAJECTORY_CHORD_DEVIATION
+)
