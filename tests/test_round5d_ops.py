@@ -302,3 +302,35 @@ def test_trajectory_chord_deviation_bruteforce(ray_session):
     # deviation dominates every interior point (checked by construction
     # above), and only >=3-point users appear
     assert (out.n_points >= 3).all()
+
+
+def test_doc_cooccurrence_bruteforce(ray_session):
+    import re
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import (
+        COOC_MIN_LEN,
+        q_doc_cooccurrence,
+    )
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    want: dict[tuple, int] = {}
+    for tx in texts:
+        toks = sorted(
+            {
+                w
+                for w in re.findall("[a-z0-9]+", tx.lower())
+                if len(w) >= COOC_MIN_LEN
+            }
+        )
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                want[(toks[i], toks[j])] = want.get((toks[i], toks[j]), 0) + 1
+    out = q_doc_cooccurrence(SF).to_pandas()
+    got = {(r.w1, r.w2): int(r.n_docs) for r in out.itertuples()}
+    assert got == want
+    # semantics: symmetric-pair canonical order and df upper bound
+    assert (out.w1 < out.w2).all()
+    assert out.n_docs.max() <= len(texts)
+    assert len(out) > 0

@@ -716,3 +716,116 @@ FROM documents GROUP BY 1
 
 CORPUSOPS_QUERIES["jsonl_doc_stats"] = q_jsonl_doc_stats
 CORPUSOPS_ORACLES["jsonl_doc_stats"] = SQL_JSONL_DOC_STATS
+
+
+# ---------------------------------------------------------------------------
+# Q: doc_cooccurrence — document-level term co-occurrence counts (the
+# GloVe / PMI-embedding building block at document window size): for
+# every unordered pair of DISTINCT content terms (token length ≥ 5 — a
+# closed-form rarity proxy; production would swap in a df-threshold
+# vocabulary via the gated attach_df machinery, named fallback), the
+# number of documents containing BOTH. Complements bigram_pmi (adjacent
+# pairs) and window_top_terms (windowed tf): this is the symmetric
+# co-presence matrix. Distribution: per batch, ONE flatten + length
+# mask + per-doc sort-dedupe, then the triangle-index fan-out (the
+# wedge-index trick) emits each doc's C(k,2) pairs vectorized —
+# k ≤ |vocab≥5| per doc, so fan-out is vocabulary-bounded, not
+# length-bounded; only (w1, w2, n) COUNT PARTIALS shuffle through one
+# grouped-sum merge. Pair-space output (≤ |vocab|²/2 rows).
+
+COOC_MIN_LEN = 5
+
+
+def q_doc_cooccurrence(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_sums
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    empty = pa.table(
+        {
+            "w1": pa.array([], type=pa.string()),
+            "w2": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        lists = _token_lists(t["text"])
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy()
+        keep = pc.greater_equal(
+            pc.utf8_length(flat), COOC_MIN_LEN
+        ).to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        flat = flat.filter(pa.array(keep))
+        if len(flat) == 0:
+            return empty
+        # per-doc sort-dedupe: lexicographic rank is order-preserving
+        rank = pc.rank(flat, sort_keys="ascending", tiebreaker="dense")
+        rank = rank.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((rank, parent))
+        parent, rank = parent[order], rank[order]
+        srt = flat.take(pa.array(order))
+        first = np.empty(len(parent), dtype=bool)
+        first[0] = True
+        first[1:] = (parent[1:] != parent[:-1]) | (rank[1:] != rank[:-1])
+        parent, rank, srt = (
+            parent[first],
+            rank[first],
+            srt.filter(pa.array(first)),
+        )
+        # triangle fan-out: within each doc run, all (earlier, later) pairs
+        n = len(parent)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = parent[1:] != parent[:-1]
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        local = np.arange(n) - run_start
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(n), local)
+        offsets = np.concatenate(([0], np.cumsum(local)))[:-1]
+        a_idx = (
+            np.arange(total)
+            - np.repeat(offsets, local)
+            + np.repeat(run_start, local)
+        )
+        p = pa.table(
+            {
+                "w1": srt.take(pa.array(a_idx)),
+                "w2": srt.take(pa.array(b_idx)),
+                "n_docs": pa.array(np.ones(total, dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["w1", "w2"]).aggregate([("n_docs", "sum")])
+        return g.rename_columns(["w1", "w2", "n_docs"])
+
+    return merge_group_sums(
+        docs.map_batches(pair_partials, batch_format="pyarrow"),
+        ["w1", "w2"],
+        ["n_docs"],
+    )
+
+
+SQL_DOC_COOCCURRENCE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+           x -> length(x) >= {COOC_MIN_LEN})) AS tk
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(tk) AS w FROM t),
+p AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.w > a.w
+)
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
+"""
+
+CORPUSOPS_QUERIES["doc_cooccurrence"] = q_doc_cooccurrence
+CORPUSOPS_ORACLES["doc_cooccurrence"] = SQL_DOC_COOCCURRENCE

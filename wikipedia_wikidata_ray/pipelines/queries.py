@@ -5569,6 +5569,7 @@ _DRIVER_PRIORITY = [
     # Fourth-session machinery first (never driver-checked).
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
+    "doc_cooccurrence",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact
