@@ -334,3 +334,68 @@ def test_doc_cooccurrence_bruteforce(ray_session):
     assert (out.w1 < out.w2).all()
     assert out.n_docs.max() <= len(texts)
     assert len(out) > 0
+
+
+def test_interarrival_stats_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_interarrival_stats,
+    )
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id"]
+    ).to_pandas()
+    want = {}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        if len(g) < 2:
+            continue
+        us = g.ts.astype("int64").to_numpy()
+        gaps = (us[1:] - us[:-1]) // 1_000_000
+        want[int(uid)] = (
+            len(gaps),
+            int(gaps.sum()),
+            int((gaps * gaps).sum()),
+            int(gaps.min()),
+            int(gaps.max()),
+        )
+    out = q_interarrival_stats(SF).to_pandas()
+    got = {
+        int(r.user_id): (
+            int(r.n_gaps),
+            int(r.sum_gap_s),
+            int(r.sum_gap_sq),
+            int(r.min_gap_s),
+            int(r.max_gap_s),
+        )
+        for r in out.itertuples()
+    }
+    assert got == want and len(want) > 0
+    # semantics: Cauchy–Schwarz — n·Σx² ≥ (Σx)² for every user
+    for n, s, sq, mn, mx in want.values():
+        assert n * sq >= s * s and mn <= mx
+
+
+def test_link_reciprocity_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_link_reciprocity
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    dedges = set()
+    for i in range(n):
+        for t in ((i * 3 + 1) % n, (i * 5 + 2) % n, i % 2):
+            if t != i:
+                dedges.add((i, t))
+    want = {}
+    for s, t in dedges:
+        od, nr = want.get(s, (0, 0))
+        want[s] = (od + 1, nr + (1 if (t, s) in dedges else 0))
+    out = q_link_reciprocity(SF).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.outdeg), int(r.n_recip))
+        for r in out.itertuples()
+    }
+    assert got == want
+    for r in out.itertuples():
+        assert 0 <= r.reciprocity <= 1.0
+        assert r.reciprocity == r.n_recip / (1.0 * r.outdeg)
+    # semantics: some but not all edges are reciprocated in this graph
+    assert out.n_recip.sum() > 0
+    assert out.n_recip.sum() < out.outdeg.sum()

@@ -1949,6 +1949,112 @@ LEFT JOIN h2 ON h2.node = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Q: link_reciprocity — per-node edge reciprocity over the directed link
+# graph: of each node's distinct out-edges, the fraction whose reverse
+# edge exists (the classic directed-network mutuality statistic; the
+# link-graph health signal next to the importance counts). ONE packed-
+# key self hash join ((src<<31)|dst vs (dst<<31)|src — node ids < 2³¹,
+# the triangle pack-stride invariant) marks reciprocated edges; out-
+# degree and reciprocated partials assemble JOIN-FREE ((1,0)/(0,1) count
+# rows through one grouped-sum merge); reciprocity = n_recip/(1.0·outdeg)
+# is ONE correctly-rounded division (bitwise vs DuckDB). Movement: 2
+# int64 rows/edge of count partials + the edge-sized join — node-sized
+# output.
+
+
+def q_link_reciprocity(sf_dir: str) -> Dataset:
+    from ..stages.salted import default_partitions, merge_group_sums
+
+    edges, n_docs = _directed_link_edges(sf_dir)
+    assert n_docs < (1 << 31)
+
+    fwd = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pc.add(
+                    pc.multiply(
+                        pc.cast(t["src"], pa.int64()), 1 << 31
+                    ),
+                    pc.cast(t["dst"], pa.int64()),
+                ),
+                "src": pc.cast(t["src"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    rev = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "rk": pc.add(
+                    pc.multiply(
+                        pc.cast(t["dst"], pa.int64()), 1 << 31
+                    ),
+                    pc.cast(t["src"], pa.int64()),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nparts = max(2, min(default_partitions(), edges.count() // 100_000 + 1))
+    recip = fwd.join(
+        rev, "inner", num_partitions=nparts, on=("k",), right_on=("rk",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["src"],
+                "outdeg": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "n_recip": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    deg_p = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["src"], pa.int64()),
+                "outdeg": pa.array(np.ones(len(t), dtype=np.int64)),
+                "n_recip": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    merged = merge_group_sums(
+        deg_p.union(recip), ["doc_id"], ["outdeg", "n_recip"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        od = t.column("outdeg").to_numpy(zero_copy_only=False)
+        nr = t.column("n_recip").to_numpy(zero_copy_only=False)
+        return t.append_column("reciprocity", pa.array(nr / (1.0 * od)))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINK_RECIPROCITY = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (SELECT DISTINCT src, tgt FROM l WHERE src <> tgt),
+od AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY 1),
+r AS (
+  SELECT a.src, COUNT(*) AS n_recip
+  FROM e0 a JOIN e0 b ON b.src = a.tgt AND b.tgt = a.src
+  GROUP BY 1
+)
+SELECT CAST(od.src AS BIGINT) AS doc_id,
+       CAST(od.outdeg AS BIGINT) AS outdeg,
+       CAST(COALESCE(r.n_recip, 0) AS BIGINT) AS n_recip,
+       COALESCE(r.n_recip, 0) / (1.0 * od.outdeg) AS reciprocity
+FROM od LEFT JOIN r ON r.src = od.src
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_hotspots — hotspot detection: the global top-K tiles by 3×3
 # Moore-neighborhood page count (the ranked consumption of the stencil
 # raster — "where are the densest regions"). Deterministic tie-break
@@ -5438,6 +5544,7 @@ QUERIES = {
     "triangle_counts": q_triangle_counts,
     "clustering_coefficients": q_clustering_coefficients,
     "hits_2iter": q_hits_2iter,
+    "link_reciprocity": q_link_reciprocity,
     "degree_distribution": q_degree_distribution,
     "degree_assortativity": q_degree_assortativity,
     "bfs_hops": q_bfs_hops,
@@ -5514,6 +5621,7 @@ ORACLES = {
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "clustering_coefficients": SQL_CLUSTERING_COEFFICIENTS,
     "hits_2iter": SQL_HITS_2ITER,
+    "link_reciprocity": SQL_LINK_RECIPROCITY,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "bfs_hops": SQL_BFS_HOPS,
@@ -5569,7 +5677,7 @@ _DRIVER_PRIORITY = [
     # Fourth-session machinery first (never driver-checked).
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
-    "doc_cooccurrence",
+    "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact

@@ -2590,3 +2590,110 @@ TEMPORAL_MEDIA_QUERIES["trajectory_chord_deviation"] = (
 TEMPORAL_MEDIA_ORACLES["trajectory_chord_deviation"] = (
     SQL_TRAJECTORY_CHORD_DEVIATION
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: interarrival_stats — per-user inter-arrival (burstiness) sufficient
+# statistics: count / sum / sum-of-squares / min / max of the gaps
+# between consecutive events, in WHOLE SECONDS (gap_us // 1e6 — floor ==
+# truncate because sorted timestamps make gaps non-negative, the only
+# regime where DuckDB's `//` and Python's agree; CLAUDE.md round-5
+# rule). Exact int64 end-to-end: consumers derive mean/variance/CV (the
+# burstiness coefficient) downstream — integer sums are order-free at
+# any parallelism so no float policy is needed; sum_gap_sq is bounded by
+# (retention window s)²·events/user, ≤1e14 here (documented). ts ties
+# broken by event_id ON BOTH SIDES. One range sort on user_id
+# (`sorted_group_apply`), complete users aggregate per block in one
+# pyarrow group_by — user-sized output, no joins.
+
+
+def q_interarrival_stats(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.runs import sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_gaps": pa.array([], type=pa.int64()),
+            "sum_gap_s": pa.array([], type=pa.int64()),
+            "sum_gap_sq": pa.array([], type=pa.int64()),
+            "min_gap_s": pa.array([], type=pa.int64()),
+            "max_gap_s": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def gaps_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        if len(uid) < 2:
+            return empty
+        same = uid[1:] == uid[:-1]
+        gap_s = (
+            (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
+            // 1_000_000
+        )
+        gu = uid[1:][same].astype(np.int64)
+        gs = gap_s[same]
+        if len(gu) == 0:
+            return empty
+        p = pa.table(
+            {
+                "user_id": pa.array(gu),
+                "n_gaps": pa.array(np.ones(len(gu), dtype=np.int64)),
+                "sum_gap_s": pa.array(gs),
+                "sum_gap_sq": pa.array(gs * gs),
+                "min_gap_s": pa.array(gs),
+                "max_gap_s": pa.array(gs),
+            }
+        )
+        g = p.group_by(["user_id"]).aggregate(
+            [
+                ("n_gaps", "sum"),
+                ("sum_gap_s", "sum"),
+                ("sum_gap_sq", "sum"),
+                ("min_gap_s", "min"),
+                ("max_gap_s", "max"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "user_id",
+                "n_gaps",
+                "sum_gap_s",
+                "sum_gap_sq",
+                "min_gap_s",
+                "max_gap_s",
+            ]
+        )
+
+    return sorted_group_apply(events, ["user_id"], gaps_block)
+
+
+SQL_INTERARRIVAL_STATS = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap_sq,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+"""
+
+TEMPORAL_MEDIA_QUERIES["interarrival_stats"] = q_interarrival_stats
+TEMPORAL_MEDIA_ORACLES["interarrival_stats"] = SQL_INTERARRIVAL_STATS
