@@ -399,3 +399,48 @@ def test_link_reciprocity_bruteforce(ray_session):
     # semantics: some but not all edges are reciprocated in this graph
     assert out.n_recip.sum() > 0
     assert out.n_recip.sum() < out.outdeg.sum()
+
+
+def test_kmeans_silhouette_bruteforce(ray_session):
+    import ray.data as rd
+
+    from wikipedia_wikidata_ray.ops.ann import _as_matrix
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        kmeans_fit_centroids,
+        q_kmeans_silhouette,
+    )
+
+    emb = rd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    tbl = emb.to_pandas()
+    c = kmeans_fit_centroids(emb)
+    out = (
+        q_kmeans_silhouette(SF)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    import pyarrow as pa
+
+    x = _as_matrix(
+        pa.chunked_array([pa.array(tbl.embedding.tolist())])
+    ).astype(np.float64)
+    vec_ids = tbl.vec_id.to_numpy()
+    for i in range(0, len(vec_ids), 17):  # sampled brute force
+        d2 = np.round((x[i][None] - c) ** 2 * 1e10).astype(np.int64).sum(
+            axis=1
+        )
+        srt = np.sort(d2)
+        a2, b2 = int(srt[0]), int(srt[1])
+        row = out.loc[vec_ids[i]]
+        assert int(row.a2_e10) == a2 and int(row.b2_e10) == b2
+        assert int(row.cluster) == int(d2.argmin())
+        a, b = np.sqrt(a2), np.sqrt(b2)
+        den = max(a, b)
+        want_s = 0.0 if den == 0 else (b - a) / den
+        assert row.silhouette == want_s
+    # semantics: silhouette bounded, a2 <= b2 everywhere, clusters used
+    assert (out.a2_e10 <= out.b2_e10).all()
+    assert ((out.silhouette >= 0) & (out.silhouette <= 1)).all()
+    assert out.cluster.nunique() > 1

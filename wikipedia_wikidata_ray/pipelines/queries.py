@@ -5678,6 +5678,7 @@ _DRIVER_PRIORITY = [
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
+    "kmeans_silhouette",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact

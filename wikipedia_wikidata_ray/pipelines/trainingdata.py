@@ -1600,7 +1600,11 @@ def q_kmeans_2iter(sf_dir: str) -> Dataset:
     return emb.map_batches(final_assign, batch_format="pyarrow")
 
 
-def _sql_kmeans_2iter() -> str:
+def _sql_kmeans_body() -> str:
+    """Shared CTE chain of the fixed-point k-means oracles (init VALUES →
+    KM_ITERS assign/update rounds → final per-(vec,k) e10 distance table
+    ``tf``). Suffixed by kmeans_2iter (argmin select) and
+    kmeans_silhouette (rn1/rn2 pivot)."""
     c0 = _km_init_centroids()
     cent_rows = ", ".join(
         f"({k}, {j}, {c0[k, j]!r})" for k in range(KM_K) for j in range(64)
@@ -1646,13 +1650,17 @@ tf AS (
          CAST(SUM(CAST(ROUND((x.v - c.c) * (x.v - c.c)
                               * 10000000000.0, 0) AS BIGINT)) AS BIGINT) AS d2
   FROM x JOIN {prev} c USING (j) GROUP BY 1, 2
-)
+)"""
+    return sql
+
+
+def _sql_kmeans_2iter() -> str:
+    return _sql_kmeans_body() + """
 SELECT vec_id, CAST(k AS BIGINT) AS cluster, d2 AS d2_e10 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
   FROM tf
 ) WHERE rn = 1
 """
-    return sql
 
 
 SQL_KMEANS_2ITER = _sql_kmeans_2iter()
@@ -2459,3 +2467,78 @@ SQL_LANG_CONFUSION_MATRIX = _sql_lang_confusion_matrix()
 
 TRAININGDATA_QUERIES["lang_confusion_matrix"] = q_lang_confusion_matrix
 TRAININGDATA_ORACLES["lang_confusion_matrix"] = SQL_LANG_CONFUSION_MATRIX
+
+
+# ---------------------------------------------------------------------------
+# Q: kmeans_silhouette — simplified silhouette score per vector (the
+# standard clustering-quality diagnostic, centroid-distance variant:
+# s = (b − a) / max(a, b) with a = distance to own centroid, b =
+# distance to the second-closest) over the SAME fixed-point k-means fit
+# as kmeans_2iter. Exactness: distances enter as the e10-int d2 matrix
+# (the round-5 integer-comparison policy — ranking on ints cannot flip),
+# the two smallest per row are exact, and a/b/s are then pure
+# elementwise IEEE (SQRT / subtract / GREATEST / one division) on
+# IDENTICAL integers — bitwise vs the SQL rn1/rn2 pivot. Distribution:
+# centroids are a K×64 broadcast (kmeans_fit_centroids' bounded
+# driver-side fixed-point fit), each batch resolves independently —
+# vector-sized output, zero shuffles beyond the fit's own.
+
+
+def q_kmeans_silhouette(sf_dir: str) -> Dataset:
+    from ..ops.ann import _as_matrix
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    c_fin = kmeans_fit_centroids(emb)
+
+    def silhouette(t: pa.Table) -> pa.Table:
+        x = _as_matrix(t.column("embedding")).astype(np.float64)
+        diff = x[:, None, :] - c_fin[None]
+        d2 = np.round(diff * diff * 10000000000.0).astype(np.int64).sum(
+            axis=2
+        )
+        cluster = d2.argmin(axis=1)
+        two = np.sort(np.partition(d2, 1, axis=1)[:, :2], axis=1)
+        a2, b2 = two[:, 0], two[:, 1]
+        a = np.sqrt(a2.astype(np.float64))
+        b = np.sqrt(b2.astype(np.float64))
+        den = np.maximum(a, b)
+        s = np.divide(
+            b - a, den, out=np.zeros(len(a), dtype=np.float64),
+            where=den != 0.0,
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(cluster.astype(np.int64)),
+                "a2_e10": pa.array(a2),
+                "b2_e10": pa.array(b2),
+                "silhouette": pa.array(s),
+            }
+        )
+
+    return emb.map_batches(silhouette, batch_format="pyarrow")
+
+
+def _sql_kmeans_silhouette() -> str:
+    return _sql_kmeans_body() + """,
+r AS (
+  SELECT vec_id, k, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+  FROM tf
+)
+SELECT a.vec_id, CAST(a.k AS BIGINT) AS cluster,
+       a.d2 AS a2_e10, b.d2 AS b2_e10,
+       CASE WHEN GREATEST(SQRT(a.d2), SQRT(b.d2)) = 0.0 THEN 0.0
+            ELSE (SQRT(b.d2) - SQRT(a.d2))
+                 / GREATEST(SQRT(a.d2), SQRT(b.d2)) END AS silhouette
+FROM r a JOIN r b ON b.vec_id = a.vec_id AND b.rn = 2
+WHERE a.rn = 1
+"""
+
+
+SQL_KMEANS_SILHOUETTE = _sql_kmeans_silhouette()
+
+TRAININGDATA_QUERIES["kmeans_silhouette"] = q_kmeans_silhouette
+TRAININGDATA_ORACLES["kmeans_silhouette"] = SQL_KMEANS_SILHOUETTE
