@@ -444,3 +444,61 @@ def test_kmeans_silhouette_bruteforce(ray_session):
     assert (out.a2_e10 <= out.b2_e10).all()
     assert ((out.silhouette >= 0) & (out.silhouette <= 1)).all()
     assert out.cluster.nunique() > 1
+
+
+def test_cluster_extents_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.queries import q_cluster_extents
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    ids = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    lat, lon, has = derive_geo(np.sort(ids))
+    tx, ty = latlng_to_tile(lat[has], lon[has], 12)
+    tiles = sorted({(int(x), int(y)) for x, y in zip(tx, ty)})
+    # union-find over 8-connected occupied tiles (min-label roots)
+    idx = {t: i for i, t in enumerate(tiles)}
+    node = {t: t[0] * 8192 + t[1] + 1 for t in tiles}
+    parent = {node[t]: node[t] for t in tiles}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for x, y in tiles:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (x + dx, y + dy)
+                if nb in idx and nb != (x, y):
+                    ra, rb = find(node[(x, y)]), find(node[nb])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    want: dict[int, list] = {}
+    for t in tiles:
+        lab = find(node[t])
+        x, y = t
+        e = want.setdefault(
+            lab, [x, x, y, y, x + y, x + y, x - y, x - y]
+        )
+        e[0] = min(e[0], x); e[1] = max(e[1], x)
+        e[2] = min(e[2], y); e[3] = max(e[3], y)
+        e[4] = min(e[4], x + y); e[5] = max(e[5], x + y)
+        e[6] = min(e[6], x - y); e[7] = max(e[7], x - y)
+    out = q_cluster_extents(SF).to_pandas()
+    got = {
+        int(r.cluster_id): [
+            int(r.min_x), int(r.max_x), int(r.min_y), int(r.max_y),
+            int(r.min_xpy), int(r.max_xpy), int(r.min_xmy), int(r.max_xmy),
+        ]
+        for r in out.itertuples()
+    }
+    assert got == want
+    # semantics: the diagonal supports must lie within the bbox corners
+    for e in got.values():
+        assert e[0] + e[2] <= e[4] <= e[5] <= e[1] + e[3]
+        assert e[0] - e[3] <= e[6] <= e[7] <= e[1] - e[2]

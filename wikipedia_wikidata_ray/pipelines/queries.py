@@ -3897,6 +3897,74 @@ FROM st LEFT JOIN adj USING (cluster_id)
 
 
 # ---------------------------------------------------------------------------
+# Q: cluster_extents — per-cluster 8-direction extreme statistics over
+# the 8-connected grid clusters: min/max of tile_x, tile_y, x+y and x−y
+# — the axis-aligned bounding box PLUS the two diagonal supports, i.e.
+# the 8-gon convex-hull proxy (the "rotating extremes" approximation map
+# renderers use to place cluster labels and cull offscreen clusters).
+# Distribution: shares `_grid_labels` (tile-sized CC) and the GATED
+# label attach; per batch the four derived keys aggregate in one pyarrow
+# group_by, then ONE merge_group_aggs of 8 min/max specs — the combined-
+# aggregate merge (round-4 `merge_group_aggs` rule) instead of 8
+# shuffles. Cluster-sized output; tile-sized movement.
+
+
+def q_cluster_extents(sf_dir: str) -> Dataset:
+    from ..stages.salted import merge_group_aggs
+
+    tiles, labels = _grid_labels(_geotagged(sf_dir))
+    joined = _attach_labels(tiles, labels)
+
+    _EXT_SPECS = [
+        ("min_x", "min"), ("max_x", "max"),
+        ("min_y", "min"), ("max_y", "max"),
+        ("min_xpy", "min"), ("max_xpy", "max"),
+        ("min_xmy", "min"), ("max_xmy", "max"),
+    ]
+
+    def parts(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        x = (node - 1) // 8192
+        y = (node - 1) % 8192
+        p = pa.table(
+            {
+                "cluster_id": t.column("label"),
+                "min_x": pa.array(x), "max_x": pa.array(x),
+                "min_y": pa.array(y), "max_y": pa.array(y),
+                "min_xpy": pa.array(x + y), "max_xpy": pa.array(x + y),
+                "min_xmy": pa.array(x - y), "max_xmy": pa.array(x - y),
+            }
+        )
+        g = p.group_by(["cluster_id"]).aggregate(
+            [(c, fn) for c, fn in _EXT_SPECS]
+        )
+        return g.rename_columns(["cluster_id"] + [c for c, _ in _EXT_SPECS])
+
+    return merge_group_aggs(
+        joined.map_batches(parts, batch_format="pyarrow"),
+        ["cluster_id"],
+        _EXT_SPECS,
+    )
+
+
+SQL_CLUSTER_EXTENTS = f"""
+WITH RECURSIVE {SQL_GEO_CTE},
+{_SQL_GRID_REACH}
+SELECT lab.cluster_id,
+       CAST(MIN(t.tile_x) AS BIGINT) AS min_x,
+       CAST(MAX(t.tile_x) AS BIGINT) AS max_x,
+       CAST(MIN(t.tile_y) AS BIGINT) AS min_y,
+       CAST(MAX(t.tile_y) AS BIGINT) AS max_y,
+       CAST(MIN(t.tile_x + t.tile_y) AS BIGINT) AS min_xpy,
+       CAST(MAX(t.tile_x + t.tile_y) AS BIGINT) AS max_xpy,
+       CAST(MIN(t.tile_x - t.tile_y) AS BIGINT) AS min_xmy,
+       CAST(MAX(t.tile_x - t.tile_y) AS BIGINT) AS max_xmy
+FROM lab JOIN t USING (node)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: compact_tile_cover — minimal multi-zoom cell cover of the occupied
 # z12 tile set (the H3 `compact` / S2 covering-normalization operation):
 # wherever all 4 siblings of a parent are covered, the parent replaces
@@ -5562,6 +5630,7 @@ QUERIES = {
     "grid_cluster_stats": q_grid_cluster_stats,
     "cluster_perimeters": q_cluster_perimeters,
     "cluster_centroids": q_cluster_centroids,
+    "cluster_extents": q_cluster_extents,
     "compact_tile_cover": q_compact_tile_cover,
     "tile_quadkeys": q_tile_quadkeys,
     "geohash_counts": q_geohash_counts,
@@ -5639,6 +5708,7 @@ ORACLES = {
     "grid_cluster_stats": SQL_GRID_CLUSTER_STATS,
     "cluster_perimeters": SQL_CLUSTER_PERIMETERS,
     "cluster_centroids": SQL_CLUSTER_CENTROIDS,
+    "cluster_extents": SQL_CLUSTER_EXTENTS,
     "compact_tile_cover": SQL_COMPACT_TILE_COVER,
     "tile_quadkeys": SQL_TILE_QUADKEYS,
     "geohash_counts": SQL_GEOHASH_COUNTS,
@@ -5678,7 +5748,7 @@ _DRIVER_PRIORITY = [
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
-    "kmeans_silhouette",
+    "kmeans_silhouette", "cluster_extents",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact
