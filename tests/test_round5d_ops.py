@@ -502,3 +502,36 @@ def test_cluster_extents_bruteforce(ray_session):
     for e in got.values():
         assert e[0] + e[2] <= e[4] <= e[5] <= e[1] + e[3]
         assert e[0] - e[3] <= e[6] <= e[7] <= e[1] - e[2]
+
+
+def test_two_hop_hll_estimates_accurate(ray_session):
+    from wikipedia_wikidata_ray.ops.sketch import dense_registers, hll_estimate
+    from wikipedia_wikidata_ray.pipelines.queries import q_two_hop_hll
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edges = _undirected_edges(n)
+    adj: dict[int, set] = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    true2 = {}
+    for v in range(n):
+        s = {v} | adj[v]
+        for u in adj[v]:
+            s |= {u} | adj[u]
+        true2[v] = len(s)
+    out = q_two_hop_hll(SF).to_pandas()
+    assert set(out.doc_id) == set(range(n))
+    errs = []
+    for v, g in out.groupby("doc_id"):
+        regs = dense_registers(
+            g.bucket.to_numpy().astype(np.int64),
+            g.rho.to_numpy().astype(np.int64),
+        )
+        est = hll_estimate(regs)
+        errs.append(abs(est - true2[int(v)]) / true2[int(v)])
+    errs = np.asarray(errs)
+    # p=12 → ~1.6% std error; every fixture set is in the linear-counting
+    # regime or small-cardinality band, so demand tight accuracy overall
+    assert np.median(errs) < 0.05
+    assert errs.max() < 0.25

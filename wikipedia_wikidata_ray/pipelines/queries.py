@@ -2055,6 +2055,152 @@ FROM od LEFT JOIN r ON r.src = od.src
 
 
 # ---------------------------------------------------------------------------
+# Q: two_hop_hll — per-node CLOSED 2-hop neighborhood cardinality as
+# mergeable HyperLogLog register state (p=12, the hll_distinct_tokens
+# sketch): the friend-of-friend reach statistic. EXACT 2-hop counting
+# explodes at the id%2 hubs (a hub's 2-hop pair volume is Θ(N²)); the
+# sketch answer bounds every node's state at min(|closed nbhd|, 4096)
+# register rows and composes by MAX-merge, which distributes:
+# H1(v) = registers of N(v) ∪ {v} (edge scatter + self rows, one grouped
+# max merge), then H2(v) = max-merge of H1(v) with H1(u) over v's edges
+# (two node-keyed hash joins scatter H1 along edges, one more grouped
+# max merge). The output IS the register state — pure integers,
+# identical at any parallelism, and exactly what a register-level SQL
+# recomputation produces (same md5 top-8-byte hash as
+# ops/textstats._stable_hash64; `ops.sketch.hll_estimate` turns rows
+# into the ~1.6%-error cardinality, accuracy pytest-checked). Movement:
+# the H1-along-edges scatter is Σ_edges |H1(endpoint)| ≤ 2m·min(deg+1,
+# 4096) register rows, collapsed per block by the partial max before the
+# shuffle — the honest documented cost (vs Θ(Σ deg²) exact).
+
+
+def q_two_hop_hll(sf_dir: str) -> Dataset:
+    from ..ops.sketch import _rho_of_hash
+    from ..ops.textstats import _stable_hash64
+    from ..stages.salted import default_partitions, merge_group_aggs
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+
+    def _id_regs(node: np.ndarray, elem: np.ndarray) -> pa.Table:
+        """(node, bucket, rho) partials for element-set rows, max-combined
+        in-block. md5 memoized per batch over unique elems (the
+        _token_hashes dictionary idiom applied to ids)."""
+        uniq, inv = np.unique(elem, return_inverse=True)
+        uh = np.fromiter(
+            (_stable_hash64(str(int(u))) for u in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        bucket, rho = _rho_of_hash(uh[inv])
+        p = pa.table(
+            {
+                "doc_id": pa.array(node.astype(np.int64)),
+                "bucket": pa.array(bucket),
+                "rho": pa.array(rho),
+            }
+        )
+        g = p.group_by(["doc_id", "bucket"]).aggregate([("rho", "max")])
+        return g.rename_columns(["doc_id", "bucket", "rho"])
+
+    def nbr_partials(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _id_regs(
+            np.concatenate([lo, hi]), np.concatenate([hi, lo])
+        )
+
+    def self_partials(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return _id_regs(ids, ids)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    h1 = merge_group_aggs(
+        edges.map_batches(nbr_partials, batch_format="pyarrow").union(
+            docs.map_batches(self_partials, batch_format="pyarrow")
+        ),
+        ["doc_id", "bucket"],
+        [("rho", "max")],
+    ).materialize()
+
+    nparts = max(2, min(default_partitions(), edges.count() // 100_000 + 1))
+    lo_keyed = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "e_lo": pc.cast(t["lo"], pa.int64()),
+                "e_hi": pc.cast(t["hi"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # scatter H1(lo) to hi and H1(hi) to lo: two node-keyed hash joins
+    h1_l = h1.map_batches(
+        lambda t: pa.table(
+            {"n1": t["doc_id"], "bucket": t["bucket"], "rho": t["rho"]}
+        ),
+        batch_format="pyarrow",
+    )
+    to_hi = lo_keyed.join(
+        h1_l, "inner", num_partitions=nparts, on=("e_lo",), right_on=("n1",)
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["e_hi"], "bucket": t["bucket"], "rho": t["rho"]}
+        ),
+        batch_format="pyarrow",
+    )
+    to_lo = lo_keyed.join(
+        h1_l, "inner", num_partitions=nparts, on=("e_hi",), right_on=("n1",)
+    ).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["e_lo"], "bucket": t["bucket"], "rho": t["rho"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return merge_group_aggs(
+        h1.union(to_hi, to_lo), ["doc_id", "bucket"], [("rho", "max")]
+    )
+
+
+SQL_TWO_HOP_HLL = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+und AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+s AS (
+  SELECT a AS node, b AS elem FROM und
+  UNION SELECT doc_id, doc_id FROM documents
+),
+s2 AS (
+  SELECT node, elem FROM s
+  UNION
+  SELECT u.a AS node, s.elem FROM und u JOIN s ON s.node = u.b
+),
+h AS (
+  SELECT DISTINCT node,
+         CAST(('0x' || SUBSTR(md5(CAST(elem AS VARCHAR)), 1, 16)) AS UBIGINT)
+           AS h
+  FROM s2
+),
+parts AS (
+  SELECT node, CAST(h >> 52 AS BIGINT) AS bucket,
+         CAST(h & ((CAST(1 AS UBIGINT) << 52) - 1) AS BIGINT) AS w
+  FROM h
+)
+SELECT CAST(node AS BIGINT) AS doc_id, bucket,
+       MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+FROM parts GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q: tile_hotspots — hotspot detection: the global top-K tiles by 3×3
 # Moore-neighborhood page count (the ranked consumption of the stencil
 # raster — "where are the densest regions"). Deterministic tie-break
@@ -5613,6 +5759,7 @@ QUERIES = {
     "clustering_coefficients": q_clustering_coefficients,
     "hits_2iter": q_hits_2iter,
     "link_reciprocity": q_link_reciprocity,
+    "two_hop_hll": q_two_hop_hll,
     "degree_distribution": q_degree_distribution,
     "degree_assortativity": q_degree_assortativity,
     "bfs_hops": q_bfs_hops,
@@ -5691,6 +5838,7 @@ ORACLES = {
     "clustering_coefficients": SQL_CLUSTERING_COEFFICIENTS,
     "hits_2iter": SQL_HITS_2ITER,
     "link_reciprocity": SQL_LINK_RECIPROCITY,
+    "two_hop_hll": SQL_TWO_HOP_HLL,
     "degree_distribution": SQL_DEGREE_DISTRIBUTION,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "bfs_hops": SQL_BFS_HOPS,
@@ -5748,7 +5896,7 @@ _DRIVER_PRIORITY = [
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
-    "kmeans_silhouette", "cluster_extents",
+    "kmeans_silhouette", "cluster_extents", "two_hop_hll",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact
