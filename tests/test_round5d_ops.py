@@ -535,3 +535,85 @@ def test_two_hop_hll_estimates_accurate(ray_session):
     # regime or small-cardinality band, so demand tight accuracy overall
     assert np.median(errs) < 0.05
     assert errs.max() < 0.25
+
+
+def test_zipf_slope_stats_bruteforce(ray_session):
+    import re
+    from collections import Counter
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import (
+        ZIPF_K,
+        q_zipf_slope_stats,
+    )
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    cnt = Counter()
+    for tx in texts:
+        cnt.update(re.findall("[a-z0-9]+", tx.lower()))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_K]
+    lr = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    lc = np.log(np.array([c for _, c in top], dtype=np.float64))
+    e10 = 1e10
+    out = q_zipf_slope_stats(SF).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r.n) == len(top)
+    assert int(r.sx_e10) == int(np.round(lr * e10).astype(np.int64).sum())
+    assert int(r.sy_e10) == int(np.round(lc * e10).astype(np.int64).sum())
+    assert int(r.sxy_e10) == int(
+        np.round(lr * lc * e10).astype(np.int64).sum()
+    )
+    assert int(r.sxx_e10) == int(
+        np.round(lr * lr * e10).astype(np.int64).sum()
+    )
+    # semantics: the derived Zipf slope must be NEGATIVE (frequency
+    # falls with rank) — catches inverted-rank bugs the parity can't
+    n = r.n
+    slope = (n * r.sxy_e10 / 1e10 - (r.sx_e10 / 1e10) * (r.sy_e10 / 1e10) / 1) / (
+        n * r.sxx_e10 / 1e10 - (r.sx_e10 / 1e10) ** 2 / 1
+    )
+    assert slope < 0
+
+
+def test_event_value_correlation_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_event_value_correlation,
+    )
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).to_pandas()
+    ev["v"] = np.round(ev.value.to_numpy() * 100.0).astype(np.int64)
+    t = ev.groupby(["user_id", "event_type"]).v.sum().reset_index()
+    g_sx = t.groupby("event_type").v.sum().to_dict()
+    g_sxx = t.assign(v2=t.v * t.v).groupby("event_type").v2.sum().to_dict()
+    n_users = ev.user_id.nunique()
+    want = {}
+    piv = t.pivot(index="user_id", columns="event_type", values="v")
+    types = sorted(piv.columns)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            mask = piv[a].notna() & piv[b].notna()
+            if mask.any():
+                want[(a, b)] = int(
+                    (piv.loc[mask, a] * piv.loc[mask, b]).sum()
+                )
+    out = q_event_value_correlation(SF).to_pandas()
+    got = {(r.type_a, r.type_b): int(r.sxy) for r in out.itertuples()}
+    assert got == want
+    for r in out.itertuples():
+        assert int(r.n_users) == n_users
+        assert int(r.sx) == g_sx[r.type_a] and int(r.sy) == g_sx[r.type_b]
+        assert int(r.sxx) == g_sxx[r.type_a] and int(r.syy) == g_sxx[r.type_b]
+        # semantics: Cauchy–Schwarz on the centered moments of the
+        # zero-imputed joint sample (python ints — the squares overflow
+        # int64)
+        n, sx, sy = int(r.n_users), int(r.sx), int(r.sy)
+        sxy, sxx, syy = int(r.sxy), int(r.sxx), int(r.syy)
+        cxy = n * sxy - sx * sy
+        cxx = n * sxx - sx * sx
+        cyy = n * syy - sy * sy
+        assert cxx >= 0 and cyy >= 0
+        assert cxy * cxy <= cxx * cyy

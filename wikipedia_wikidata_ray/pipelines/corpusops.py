@@ -829,3 +829,116 @@ FROM p GROUP BY 1, 2
 
 CORPUSOPS_QUERIES["doc_cooccurrence"] = q_doc_cooccurrence
 CORPUSOPS_ORACLES["doc_cooccurrence"] = SQL_DOC_COOCCURRENCE
+
+
+# ---------------------------------------------------------------------------
+# Q: zipf_slope_stats — rank–frequency (Zipf) regression sufficient
+# statistics over the top-K unigram vocabulary: n, Σln r, Σln c,
+# Σln r·ln c, Σ(ln r)² as e10 int64 sums — consumers derive the log-log
+# OLS slope (the Zipf exponent, the standard lexical-health diagnostic
+# for crawled corpora: a slope far from −1 flags boilerplate or spam).
+# Exactness: LN is in the bitwise-parity family, the product of two
+# bitwise-equal doubles is one correctly-rounded multiply, and per-term
+# e10 integer rounding makes the four sums order-free at any
+# parallelism (the round-5 integer-sum policy). Distribution: unigram
+# count partials → ONE grouped-sum merge → global top-K on the
+# block-pruned grouped_topk path (≤K rows leave any block) → K-row
+# term table → one constant-key sum merge. Output: a single row.
+
+ZIPF_K = 50
+
+
+def q_zipf_slope_stats(sf_dir: str) -> Dataset:
+    from ..ops.topk import grouped_topk
+    from ..stages.salted import merge_group_sums
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = _token_lists(t["text"])
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        p = pa.table(
+            {
+                "token": flat,
+                "cnt": pa.array(np.ones(len(flat), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["token"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["token", "cnt"])
+
+    counts = merge_group_sums(
+        docs.map_batches(partial, batch_format="pyarrow"), ["token"], ["cnt"]
+    )
+    keyed = counts.map_batches(
+        lambda t: t.append_column(
+            "_g", pa.array(np.zeros(len(t), dtype=np.int32))
+        ),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(
+        keyed,
+        ["_g"],
+        [("cnt", False), ("token", True)],
+        ZIPF_K,
+        rank_col="rank",
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        lr = np.log(r)
+        lc = np.log(c)
+        e10 = 10000000000.0
+        return pa.table(
+            {
+                "_k": pa.array(np.zeros(len(t), dtype=np.int32)),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "sx_e10": pa.array(np.round(lr * e10).astype(np.int64)),
+                "sy_e10": pa.array(np.round(lc * e10).astype(np.int64)),
+                "sxy_e10": pa.array(
+                    np.round(lr * lc * e10).astype(np.int64)
+                ),
+                "sxx_e10": pa.array(
+                    np.round(lr * lr * e10).astype(np.int64)
+                ),
+            }
+        )
+
+    summed = merge_group_sums(
+        top.map_batches(terms, batch_format="pyarrow"),
+        ["_k"],
+        ["n", "sx_e10", "sy_e10", "sxy_e10", "sxx_e10"],
+    )
+    return summed.map_batches(
+        lambda t: t.drop_columns(["_k"]), batch_format="pyarrow"
+    )
+
+
+SQL_ZIPF_SLOPE_STATS = f"""
+WITH toks AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+r AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM c ORDER BY cnt DESC, token LIMIT {ZIPF_K}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(LN(rank) * 10000000000.0, 0) AS BIGINT))
+            AS BIGINT) AS sx_e10,
+       CAST(SUM(CAST(ROUND(LN(cnt) * 10000000000.0, 0) AS BIGINT))
+            AS BIGINT) AS sy_e10,
+       CAST(SUM(CAST(ROUND(LN(rank) * LN(cnt) * 10000000000.0, 0) AS BIGINT))
+            AS BIGINT) AS sxy_e10,
+       CAST(SUM(CAST(ROUND(LN(rank) * LN(rank) * 10000000000.0, 0) AS BIGINT))
+            AS BIGINT) AS sxx_e10
+FROM r
+"""
+
+CORPUSOPS_QUERIES["zipf_slope_stats"] = q_zipf_slope_stats
+CORPUSOPS_ORACLES["zipf_slope_stats"] = SQL_ZIPF_SLOPE_STATS

@@ -5897,6 +5897,7 @@ _DRIVER_PRIORITY = [
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
     "kmeans_silhouette", "cluster_extents", "two_hop_hll",
+    "zipf_slope_stats", "event_value_correlation",
     # Third-session machinery first: the 50-query board cap means some
     # round-5 queries ride local-gate evidence only; the prefix
     # prioritizes the NOVEL machinery families (bloom join, exact

@@ -2697,3 +2697,195 @@ FROM g WHERE gap_s IS NOT NULL GROUP BY 1
 
 TEMPORAL_MEDIA_QUERIES["interarrival_stats"] = q_interarrival_stats
 TEMPORAL_MEDIA_ORACLES["interarrival_stats"] = SQL_INTERARRIVAL_STATS
+
+
+# ---------------------------------------------------------------------------
+# Q: event_value_correlation — Pearson sufficient statistics between
+# every event-type pair over per-user value totals (the "do users who
+# spend on A also spend on B" correlation panel). Decomposition insight
+# that kills the pivot shuffle: with absent types counting as 0, Σx and
+# Σx² for a pair are the TYPE-GLOBAL sums (zeros contribute nothing) and
+# n is the global user count — only Σxy is pair-specific, and only
+# users with BOTH types present contribute to it. So: one (user, type)
+# e2-integer total merge (ROUND(value·100) is exact for 2-decimal
+# fixtures; int sums order-free), a type-global table pulled to the
+# driver (≤|event-type taxonomy| rows BY DEFINITION; type-keyed join
+# named as the unbounded fallback), and per-user pair fan-out on the
+# sorted-run idiom for Σxy. Bound: Σx² ≤ (max user total·100)²·users —
+# int64 to ~1e9-scale user totals (documented). Output: pair-space rows
+# of pure integers; consumers derive r downstream.
+
+
+def q_event_value_correlation(sf_dir: str) -> Dataset:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.runs import run_starts, sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def totals_partial(t: pa.Table) -> pa.Table:
+        v = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        p = pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": pc.cast(t["event_type"], pa.string()),
+                "v": pa.array(v),
+            }
+        )
+        g = p.group_by(["user_id", "event_type"]).aggregate([("v", "sum")])
+        return g.rename_columns(["user_id", "event_type", "v"])
+
+    totals = merge_group_sums(
+        events.map_batches(totals_partial, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        ["v"],
+    ).materialize()
+
+    # type globals + user count: taxonomy-sized / scalar — bounded
+    gdf = merge_group_sums(
+        totals.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "sx": t["v"],
+                    "sxx": pc.multiply(t["v"], t["v"]),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["event_type"],
+        ["sx", "sxx"],
+    ).to_pandas()
+    g_sx = dict(zip(gdf["event_type"], gdf["sx"].astype(np.int64)))
+    g_sxx = dict(zip(gdf["event_type"], gdf["sxx"].astype(np.int64)))
+    n_users = merge_group_sums(
+        totals.map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id"],
+        ["one"],
+    ).count()
+
+    empty = pa.table(
+        {
+            "type_a": pa.array([], type=pa.string()),
+            "type_b": pa.array([], type=pa.string()),
+            "sxy": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        ty = t.column("event_type")
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        rank = pc.rank(ty, sort_keys="ascending", tiebreaker="dense")
+        rank = rank.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((rank, uid))
+        uid, v, rank = uid[order], v[order], rank[order]
+        ty = ty.take(pa.array(order))
+        n = len(uid)
+        starts = run_starts([uid])
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        local = np.arange(n) - run_start
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(n), local)
+        offsets = np.concatenate(([0], np.cumsum(local)))[:-1]
+        a_idx = (
+            np.arange(total)
+            - np.repeat(offsets, local)
+            + np.repeat(run_start, local)
+        )
+        p = pa.table(
+            {
+                "type_a": ty.take(pa.array(a_idx)),
+                "type_b": ty.take(pa.array(b_idx)),
+                "sxy": pa.array(v[a_idx] * v[b_idx]),
+            }
+        )
+        g = p.group_by(["type_a", "type_b"]).aggregate([("sxy", "sum")])
+        return g.rename_columns(["type_a", "type_b", "sxy"])
+
+    sxy = merge_group_sums(
+        sorted_group_apply(totals, ["user_id"], pair_block),
+        ["type_a", "type_b"],
+        ["sxy"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ta = t.column("type_a").to_pylist()
+        tb = t.column("type_b").to_pylist()
+        return pa.table(
+            {
+                "type_a": t["type_a"],
+                "type_b": t["type_b"],
+                "n_users": pa.array(
+                    np.full(len(t), n_users, dtype=np.int64)
+                ),
+                "sx": pa.array(
+                    np.array([g_sx[x] for x in ta], dtype=np.int64)
+                ),
+                "sy": pa.array(
+                    np.array([g_sx[x] for x in tb], dtype=np.int64)
+                ),
+                "sxy": t["sxy"],
+                "sxx": pa.array(
+                    np.array([g_sxx[x] for x in ta], dtype=np.int64)
+                ),
+                "syy": pa.array(
+                    np.array([g_sxx[x] for x in tb], dtype=np.int64)
+                ),
+            }
+        )
+
+    return sxy.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENT_VALUE_CORRELATION = """
+WITH t AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(SUM(v) AS BIGINT) AS sx,
+         CAST(SUM(v * v) AS BIGINT) AS sxx
+  FROM t GROUP BY 1
+),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+  FROM t a JOIN t b ON b.user_id = a.user_id AND b.event_type > a.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST((SELECT n FROM nu) AS BIGINT) AS n_users,
+       ga.sx AS sx, gb.sx AS sy, p.sxy, ga.sxx AS sxx, gb.sxx AS syy
+FROM p
+JOIN g ga ON ga.event_type = p.type_a
+JOIN g gb ON gb.event_type = p.type_b
+"""
+
+TEMPORAL_MEDIA_QUERIES["event_value_correlation"] = q_event_value_correlation
+TEMPORAL_MEDIA_ORACLES["event_value_correlation"] = (
+    SQL_EVENT_VALUE_CORRELATION
+)
