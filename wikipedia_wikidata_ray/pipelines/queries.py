@@ -5804,6 +5804,7 @@ from .webtext import WEBTEXT_ORACLES, WEBTEXT_QUERIES  # noqa: E402
 from .wikidump import SQL_WIKIDUMP_IMPORTANCE_EXPORT, q_wikidump_importance_export  # noqa: E402
 from .wikiprocess import WIKIPROCESS_ORACLES, WIKIPROCESS_QUERIES  # noqa: E402
 from .profiling import PROFILING_ORACLES, PROFILING_QUERIES  # noqa: E402
+from .analytics import ANALYTICS_ORACLES, ANALYTICS_QUERIES  # noqa: E402
 
 QUERIES.update(CORPUSOPS_QUERIES)
 QUERIES.update(RELATIONAL_QUERIES)
@@ -5812,6 +5813,7 @@ QUERIES.update(WIKIPROCESS_QUERIES)
 QUERIES.update(TEMPORAL_MEDIA_QUERIES)
 QUERIES.update(WEBTEXT_QUERIES)
 QUERIES.update(PROFILING_QUERIES)
+QUERIES.update(ANALYTICS_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
@@ -5882,6 +5884,7 @@ ORACLES.update(WIKIPROCESS_ORACLES)
 ORACLES.update(TEMPORAL_MEDIA_ORACLES)
 ORACLES.update(WEBTEXT_ORACLES)
 ORACLES.update(PROFILING_ORACLES)
+ORACLES.update(ANALYTICS_ORACLES)
 ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 
 # Driver-board ordering: the driver's correctness run samples a ~50-query
@@ -5893,6 +5896,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # green via the full local gate at r4 code each session).
 _DRIVER_PRIORITY = [
     # Fourth-session machinery first (never driver-checked).
+    "running_revenue", "session_concurrency",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
