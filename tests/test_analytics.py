@@ -93,3 +93,80 @@ def test_session_concurrency_bruteforce(ray_session):
     # semantics: the busiest hour must see at least ceil(#users-active)
     # 1 concurrent session
     assert out.max_concurrent.max() >= 1
+
+
+def test_embedding_covariance_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        EMB_DIM,
+        q_embedding_covariance,
+    )
+
+    out = (
+        q_embedding_covariance(SF)
+        .to_pandas()
+        .sort_values(["di", "dj"], ignore_index=True)
+    )
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.vstack(emb.column("embedding").to_pylist()).astype(np.float64)
+    n = len(m)
+    assert len(out) == EMB_DIM * (EMB_DIM + 1) // 2
+    assert (out.n == n).all()
+    sx = np.round(m * 1e10).astype(np.int64).sum(axis=0)
+    prod = np.einsum("bi,bj->bij", m, m)
+    sxy = np.round(prod * 1e10).astype(np.int64).sum(axis=0)
+    iu, ju = out.di.to_numpy() - 1, out.dj.to_numpy() - 1
+    assert (out.sx_e10.to_numpy() == sx[iu]).all()
+    assert (out.sy_e10.to_numpy() == sx[ju]).all()
+    assert (out.sxy_e10.to_numpy() == sxy[iu, ju]).all()
+    # semantics: the reconstructed Gram matrix must be PSD up to the
+    # e10 rounding fuzz
+    S = np.zeros((EMB_DIM, EMB_DIM))
+    S[iu, ju] = out.sxy_e10 / 1e10
+    S[ju, iu] = out.sxy_e10 / 1e10
+    assert np.linalg.eigvalsh(S).min() > -1e-5
+
+
+def test_pca_power_iter_increases_rayleigh(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        EMB_DIM,
+        _cov_cells,
+        _power_iterate,
+        q_pca_power_iter,
+    )
+    import ray
+
+    out = q_pca_power_iter(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.vstack(emb.column("embedding").to_pylist()).astype(np.float64)
+    assert len(out) == len(m)
+
+    cells = ray.get(_cov_cells(SF).to_arrow_refs())
+    import pyarrow as pa
+
+    t = pa.concat_tables(cells)
+    S = np.zeros((EMB_DIM, EMB_DIM), dtype=np.int64)
+    di = t.column("di").to_numpy(zero_copy_only=False) - 1
+    dj = t.column("dj").to_numpy(zero_copy_only=False) - 1
+    S[di, dj] = t.column("sxy_e10").to_numpy(zero_copy_only=False)
+    S[dj, di] = S[di, dj]
+    v2 = np.asarray(_power_iterate(S), dtype=np.float64)
+
+    # brute-force the projection
+    xf = np.round(m * 1e5).astype(np.int64)
+    want = (xf * v2.astype(np.int64)[None, :]).sum(axis=1)
+    got = out.set_index("vec_id").proj_fx.loc[
+        emb.column("vec_id").to_pylist()
+    ].to_numpy()
+    assert (got == want).all()
+
+    # semantics: power iteration's Rayleigh quotient is non-decreasing,
+    # so two rounds must beat the start vector and clear a meaningful
+    # fraction of the true top eigenvalue (2 rounds on a 50-vector
+    # fixture with a small λ2/λ1 gap: 76% measured; assert 60% so the
+    # test checks direction-finding, not convergence speed)
+    Sf = S.astype(np.float64)
+    v0 = np.ones(EMB_DIM)
+    rq = lambda v: (v @ Sf @ v) / (v @ v)
+    assert rq(v2) >= rq(v0) * 0.999
+    top = np.linalg.eigvalsh(Sf).max()
+    assert rq(v2) >= 0.60 * top

@@ -332,12 +332,211 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding second-moment matrix + PCA power iteration
+#
+# The covariance/Gram reduction is the distributed stage (outer-product
+# partials, dim²-bounded output); the d×d eigen-iteration is
+# driver-bounded BY DEFINITION (d = embedding dim), mirroring the
+# kmeans_2iter bounded-fit pattern. All arithmetic is fixed-point
+# integer on BOTH sides (e10 products, e3 iterate, shared exact
+# floor-division identity), so the oracle parity is bitwise at any
+# parallelism.
+
+EMB_DIM = 64
+_COV_CHUNK = 256  # rows per outer-product slab (keeps the b×d² temp <17 MB)
+
+
+def _emb_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    from ..ops.ann import _as_matrix
+
+    return _as_matrix(col)
+
+
+def _cov_cells(sf_dir: str) -> Dataset:
+    """Merged (di, dj, n, sx_e10, sy_e10, sxy_e10) sufficient statistics
+    for the upper triangle (di ≤ dj, 1-based dims, matching DuckDB's
+    generate_subscripts). Products are rounded to e10 int64 PER ELEMENT
+    before summing (order-free; the round-5 comparison rule); |x|<1 keeps
+    x·x·1e10 < 2⁵³ so the double is exact pre-round."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    iu, ju = np.triu_indices(EMB_DIM)
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t["embedding"])
+        n = len(m)
+        sxy = np.zeros((EMB_DIM, EMB_DIM), dtype=np.int64)
+        for s in range(0, n, _COV_CHUNK):
+            sl = m[s:s + _COV_CHUNK]
+            prod = np.einsum("bi,bj->bij", sl, sl)
+            sxy += np.round(prod * 1e10).astype(np.int64).sum(axis=0)
+        sx = np.round(m * 1e10).astype(np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "di": pa.array(iu + 1, type=pa.int64()),
+                "dj": pa.array(ju + 1, type=pa.int64()),
+                "n": pa.array(np.full(len(iu), n, dtype=np.int64)),
+                "sx_e10": pa.array(sx[iu]),
+                "sy_e10": pa.array(sx[ju]),
+                "sxy_e10": pa.array(sxy[iu, ju]),
+            }
+        )
+
+    parts = emb.map_batches(partials, batch_format="pyarrow")
+    return merge_group_sums(
+        parts, ["di", "dj"], ["n", "sx_e10", "sy_e10", "sxy_e10"]
+    )
+
+
+def q_embedding_covariance(sf_dir: str) -> Dataset:
+    """d(d+1)/2 covariance sufficient-statistic cells for the embedding
+    table: each batch contributes chunked outer-product slabs; only the
+    2,080 integer cells shuffle (ONE grouped-sum merge) — the vectors
+    never leave their blocks. Covariance itself is one downstream
+    float expression over the exact integers (sufficient-statistics
+    convention, as morans_i_stats / event_value_correlation)."""
+    return _cov_cells(sf_dir)
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x FROM (
+    SELECT vec_id, UNNEST(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+)
+SELECT a.i AS di, b.i AS dj, COUNT(*) AS n,
+       CAST(SUM(CAST(round_even(a.x * 1e10, 0) AS BIGINT)) AS BIGINT) AS sx_e10,
+       CAST(SUM(CAST(round_even(b.x * 1e10, 0) AS BIGINT)) AS BIGINT) AS sy_e10,
+       CAST(SUM(CAST(round_even(a.x * b.x * 1e10, 0) AS BIGINT)) AS BIGINT) AS sxy_e10
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+def _floor_div(a: int, m: int) -> int:
+    """Exact floored division via the shared identity
+    ``(a - ((a % m + m) % m)) / m`` — written this way because DuckDB's
+    ``//``/``%`` truncate toward zero on negatives while Python floors
+    (round-5 rule); the identity is branch-free and exact in both."""
+    return (a - ((a % m + m) % m)) // m
+
+
+def _power_iterate(S: np.ndarray, iters: int = 2) -> list[int]:
+    """Fixed-point power iteration on the symmetric int64 Gram matrix.
+
+    v₀ = 1000·1; each round: w = S·v (exact Python-int matvec — w·1000
+    can exceed int64, so this 64-vector loop runs on driver big ints),
+    v ← floor(w·1000 / max|w|) ∈ [-1000, 1000]. Deterministic, integer,
+    and replicated verbatim by the SQL oracle. int64-boundedness of the
+    DISTRIBUTED stages is unaffected (this is a d-sized driver step);
+    S entries grow ~n·1e9, documented bound n < 1.4e5 vectors for the
+    all-int64 SQL twin — production would rescale S by 1/n first."""
+    d = S.shape[0]
+    v = [1000] * d
+    Sl = [[int(x) for x in row] for row in S]
+    for _ in range(iters):
+        w = [sum(Sl[j][i] * v[i] for i in range(d)) for j in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            return v
+        v = [_floor_div(x * 1000, mx) for x in w]
+    return v
+
+
+def q_pca_power_iter(sf_dir: str) -> Dataset:
+    """Dominant component of the uncentered second-moment matrix by two
+    fixed-point power-iteration rounds, then the DISTRIBUTED projection
+    of every vector onto it: proj_fx = Σᵢ round(xᵢ·1e5)·vᵢ (per-term
+    int64 products ≤5e7, d-sum ≤3.2e9 — order-free exact).
+
+    Distribution: Gram suff-stats via _cov_cells (one grouped-sum
+    merge), d²-bounded driver pull, 64-int broadcast, stateless
+    projection map. The vectors shuffle zero times."""
+    import ray
+
+    cells = pa.concat_tables(
+        [ray.get(r) for r in _cov_cells(sf_dir).to_arrow_refs()]
+    )
+    di = cells.column("di").to_numpy(zero_copy_only=False).astype(np.int64)
+    dj = cells.column("dj").to_numpy(zero_copy_only=False).astype(np.int64)
+    sxy = cells.column("sxy_e10").to_numpy(zero_copy_only=False)
+    S = np.zeros((EMB_DIM, EMB_DIM), dtype=np.int64)
+    S[di - 1, dj - 1] = sxy
+    S[dj - 1, di - 1] = sxy
+    v = np.asarray(_power_iterate(S), dtype=np.int64)
+    v_ref = ray.put(v)
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        vv = ray.get(v_ref)
+        m = _emb_matrix(t["embedding"])
+        xf = np.round(m * 1e5).astype(np.int64)
+        proj = (xf * vv[None, :]).sum(axis=1)
+        return pa.table(
+            {"vec_id": t["vec_id"], "proj_fx": pa.array(proj, type=pa.int64())}
+        )
+
+    return emb.map_batches(project, batch_format="pyarrow")
+
+
+SQL_PCA_POWER_ITER = """
+WITH e AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x FROM (
+    SELECT vec_id, UNNEST(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+),
+cells AS (
+  SELECT a.i AS di, b.i AS dj,
+         SUM(CAST(round_even(a.x * b.x * 1e10, 0) AS BIGINT)) AS sxy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT di AS j, dj AS i, sxy FROM cells
+  UNION ALL
+  SELECT dj AS j, di AS i, sxy FROM cells WHERE di < dj
+),
+w1 AS (
+  SELECT j, SUM(CAST(sxy AS HUGEINT) * 1000) AS w FROM s GROUP BY j
+),
+m1 AS (SELECT MAX(ABS(w)) AS mx FROM w1),
+v1 AS (
+  SELECT j AS i,
+         CAST((w * 1000 - ((w * 1000 % mx + mx) % mx)) // mx AS BIGINT) AS v
+  FROM w1, m1
+),
+w2 AS (
+  SELECT s.j, SUM(s.sxy * v1.v) AS w
+  FROM s JOIN v1 ON s.i = v1.i GROUP BY s.j
+),
+m2 AS (SELECT MAX(ABS(w)) AS mx FROM w2),
+v2 AS (
+  SELECT j AS i,
+         CAST((w * 1000 - ((w * 1000 % mx + mx) % mx)) // mx AS BIGINT) AS v
+  FROM w2, m2
+)
+SELECT e.vec_id,
+       CAST(SUM(CAST(round_even(e.x * 1e5, 0) AS BIGINT) * v2.v) AS BIGINT) AS proj_fx
+FROM e JOIN v2 ON e.i = v2.i
+GROUP BY e.vec_id
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
+    "embedding_covariance": q_embedding_covariance,
+    "pca_power_iter": q_pca_power_iter,
 }
 
 ANALYTICS_ORACLES = {
     "running_revenue": SQL_RUNNING_REVENUE,
     "session_concurrency": SQL_SESSION_CONCURRENCY,
+    "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
+    "pca_power_iter": SQL_PCA_POWER_ITER,
 }

@@ -5897,6 +5897,7 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 _DRIVER_PRIORITY = [
     # Fourth-session machinery first (never driver-checked).
     "running_revenue", "session_concurrency",
+    "embedding_covariance", "pca_power_iter",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
