@@ -170,3 +170,67 @@ def test_pca_power_iter_increases_rayleigh(ray_session):
     assert rq(v2) >= rq(v0) * 0.999
     top = np.linalg.eigvalsh(Sf).max()
     assert rq(v2) >= 0.60 * top
+
+
+def test_user_hourly_ffill_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        US_PER_HOUR,
+        q_user_hourly_ffill,
+    )
+
+    out = (
+        q_user_hourly_ffill(SF)
+        .to_pandas()
+        .sort_values(["user_id", "hour"], ignore_index=True)
+    )
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    ).to_pandas()
+    ev["hour"] = ev.ts.astype("int64") // US_PER_HOUR
+    ev = ev.sort_values(["user_id", "hour", "ts", "event_id"], ignore_index=True)
+
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        lastv = g.groupby("hour").value.last()  # last (ts, event_id) per hour
+        for h in range(int(g.hour.min()), int(g.hour.max()) + 1):
+            prior = lastv[lastv.index <= h]
+            rows.append((uid, h, prior.iloc[-1]))
+    want = pd.DataFrame(rows, columns=["user_id", "hour", "last_value"])
+    assert len(out) == len(want)
+    assert (out.user_id.to_numpy() == want.user_id.to_numpy()).all()
+    assert (out.hour.to_numpy() == want.hour.to_numpy()).all()
+    assert (out.last_value.to_numpy() == want.last_value.to_numpy()).all()
+    # semantics: spine contiguity per user
+    for uid, g in out.groupby("user_id"):
+        assert (np.diff(g.hour.to_numpy()) == 1).all()
+
+
+def test_event_hour_mutual_info_semantics(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        q_event_hour_mutual_info,
+    )
+
+    out = q_event_hour_mutual_info(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"]).to_pandas()
+    ev["hod"] = (ev.ts.astype("int64") // 3_600_000_000) % 24
+    joint = ev.groupby(["event_type", "hod"]).size()
+    assert len(out) == len(joint)
+    assert out.n.sum() == len(ev)
+    # brute-force one cell
+    cell = out.set_index(["event_type", "hod"])
+    k = joint.index[0]
+    n, N = joint.iloc[0], len(ev)
+    nx = joint.groupby(level=0).sum()[k[0]]
+    ny = joint.groupby(level=1).sum()[k[1]]
+    term = np.round(((n / N) * np.log((n * N) / (nx * ny))) * 1e10)
+    assert cell.loc[k].term_e10 == term
+    # semantics: MI >= 0 (up to e10 rounding fuzz across cells) and
+    # bounded by min marginal entropy
+    mi = out.term_e10.sum() / 1e10
+    assert mi > -1e-6
+    px = joint.groupby(level=0).sum() / len(ev)
+    py = joint.groupby(level=1).sum() / len(ev)
+    hx = -(px * np.log(px)).sum()
+    hy = -(py * np.log(py)).sum()
+    assert mi <= min(hx, hy) + 1e-6

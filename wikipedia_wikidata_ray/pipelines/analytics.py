@@ -527,11 +527,196 @@ GROUP BY e.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap-fill + forward-fill resampling and information-theory statistics
+
+
+def q_user_hourly_ffill(sf_dir: str) -> Dataset:
+    """Per-user hourly resample with forward fill: for every hour from a
+    user's first to last event hour, the value of their most recent
+    event (hour close; ties within an hour broken by (ts, event_id) —
+    the round-5 deterministic-tiebreaker rule, mirrored in the SQL
+    window).
+
+    Machinery this adds: SPINE GENERATION + CROSS-GAP CARRY inside the
+    sorted-run idiom — each block vectorizes across ALL its complete
+    users (no per-user Python): one lexsort → per-(user,hour) last event
+    → per-user hour spans via reduceat → concatenated aranges build the
+    spine → ONE packed-key searchsorted ((user_rank << 21) | hour; epoch
+    hours < 2²⁰ through year 2089, asserted) resolves every spine row's
+    carry index. Output is span-bounded (≤ users × stream hours); values
+    pass through untouched (no float arithmetic → hash-safe)."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "hour": pa.array([], type=pa.int64()),
+            "last_value": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        hour = tsv // US_PER_HOUR
+        assert hour.max() < (1 << 20), "packed key exhausted (year 2089+)"
+        order = np.lexsort((eid, tsv, hour, uid))
+        uid, hour, val = uid[order], hour[order], val[order]
+        # last event of each (user, hour) run
+        uh_starts = run_starts([uid, hour])
+        last_idx = np.append(np.flatnonzero(uh_starts)[1:] - 1, len(uid) - 1)
+        r_uid, r_hour, r_val = uid[last_idx], hour[last_idx], val[last_idx]
+        # per-user spans over the reduced rows
+        u_starts = run_starts([r_uid])
+        seg = np.flatnonzero(u_starts)
+        seg_end = np.append(seg[1:], len(r_uid)) - 1
+        h0, h1 = r_hour[seg], r_hour[seg_end]
+        span = (h1 - h0 + 1).astype(np.int64)
+        # concatenated aranges: global arange minus per-user offsets
+        total = int(span.sum())
+        starts_g = np.concatenate(([0], np.cumsum(span)[:-1]))
+        urep = np.repeat(np.arange(len(seg)), span)
+        sh = np.arange(total) - starts_g[urep] + h0[urep]
+        # packed-key carry lookup (reduced rows are sorted by (user, hour))
+        urank = np.cumsum(u_starts) - 1
+        ev_key = (urank << 21) | r_hour
+        sp_key = (urep.astype(np.int64) << 21) | sh
+        carry = np.searchsorted(ev_key, sp_key, side="right") - 1
+        out_uid = r_uid[seg][urep]
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid),
+                "hour": pa.array(sh),
+                "last_value": pa.array(r_val[carry]),
+            }
+        )
+
+    return sorted_group_apply(events, ["user_id"], block)
+
+
+SQL_USER_HOURLY_FFILL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour, value, ts, event_id
+  FROM events
+),
+lastv AS (
+  SELECT user_id, hour, value FROM (
+    SELECT user_id, hour, value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, hour
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+),
+span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM ev GROUP BY 1),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1)) AS hour FROM span
+)
+SELECT s.user_id, CAST(s.hour AS BIGINT) AS hour,
+       LAST_VALUE(l.value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS UNBOUNDED PRECEDING) AS last_value
+FROM spine s LEFT JOIN lastv l
+  ON s.user_id = l.user_id AND s.hour = l.hour
+"""
+
+
+def q_event_hour_mutual_info(sf_dir: str) -> Dataset:
+    """Mutual information between event type and hour-of-day, shipped as
+    the per-cell sufficient-statistic table (event_type, hod, n,
+    term_e10) with term = (n/N)·ln(n·N / (n_x·n_y)) rounded e10 — the
+    counting is the distributed stage (cell partials, one grouped-sum
+    merge, output category×24-bounded); marginals derive from the pulled
+    cell table (≤ |types|·24 rows BY DEFINITION). n·N must stay exact in
+    double: bound n·N < 2⁵³ (9e15 — beyond any realistic event count
+    squared at 1e7×1e8; documented, not guarded). LN/division are in the
+    bitwise-parity family over identical exact integers."""
+    import ray
+
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hod = np.mod(
+            pc.divide(us, pa.scalar(US_PER_HOUR, type=pa.int64())).to_numpy(
+                zero_copy_only=False
+            ),
+            24,
+        )
+        return pa.table({"event_type": t["event_type"], "hod": pa.array(hod)})
+
+    cells_ds = merge_group_sums(
+        partial_count(
+            events.map_batches(derive, batch_format="pyarrow"),
+            ["event_type", "hod"], out="n",
+        ),
+        ["event_type", "hod"], ["n"],
+    )
+    cells = pa.concat_tables(
+        [ray.get(r) for r in cells_ds.to_arrow_refs()]
+    ).select(["event_type", "hod", "n"])
+    et = cells.column("event_type").to_pylist()
+    hod = cells.column("hod").to_numpy(zero_copy_only=False)
+    n = cells.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    big_n = int(n.sum())
+    import pandas as pd
+
+    df = pd.DataFrame({"et": et, "hod": hod, "n": n})
+    nx = df.groupby("et").n.transform("sum").to_numpy()
+    ny = df.groupby("hod").n.transform("sum").to_numpy()
+    a = n.astype(np.float64) / np.float64(big_n)
+    arg = (n * big_n).astype(np.float64) / (nx * ny).astype(np.float64)
+    term = np.round((a * np.log(arg)) * 1e10).astype(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(et),
+                "hod": pa.array(hod, type=pa.int64()),
+                "n": pa.array(n),
+                "term_e10": pa.array(term),
+            }
+        )
+    )
+
+
+SQL_EVENT_HOUR_MUTUAL_INFO = """
+WITH c AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, hod, n,
+         SUM(n) OVER (PARTITION BY event_type) AS nx,
+         SUM(n) OVER (PARTITION BY hod) AS ny,
+         SUM(n) OVER () AS nn
+  FROM c
+)
+SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+              * LN(CAST(n * nn AS DOUBLE) / CAST(nx * ny AS DOUBLE)))
+             * 1e10) AS BIGINT) AS term_e10
+FROM m
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
     "embedding_covariance": q_embedding_covariance,
     "pca_power_iter": q_pca_power_iter,
+    "user_hourly_ffill": q_user_hourly_ffill,
+    "event_hour_mutual_info": q_event_hour_mutual_info,
 }
 
 ANALYTICS_ORACLES = {
@@ -539,4 +724,6 @@ ANALYTICS_ORACLES = {
     "session_concurrency": SQL_SESSION_CONCURRENCY,
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
     "pca_power_iter": SQL_PCA_POWER_ITER,
+    "user_hourly_ffill": SQL_USER_HOURLY_FFILL,
+    "event_hour_mutual_info": SQL_EVENT_HOUR_MUTUAL_INFO,
 }

@@ -5898,6 +5898,7 @@ _DRIVER_PRIORITY = [
     # Fourth-session machinery first (never driver-checked).
     "running_revenue", "session_concurrency",
     "embedding_covariance", "pca_power_iter",
+    "user_hourly_ffill", "event_hour_mutual_info",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
