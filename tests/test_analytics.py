@@ -234,3 +234,97 @@ def test_event_hour_mutual_info_semantics(ray_session):
     hx = -(px * np.log(px)).sum()
     hy = -(py * np.log(py)).sum()
     assert mi <= min(hx, hy) + 1e-6
+
+
+def test_segment_price_trend_bruteforce_and_plan_equality(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        TPCH_DAY0,
+        q_segment_price_trend,
+    )
+
+    out = q_segment_price_trend(SF).to_pandas().sort_values(
+        "c_mktsegment", ignore_index=True
+    )
+    orders = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).to_pandas()
+    cust = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    df = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    df["x"] = df.o_orderdate.astype("int64") // 86_400_000_000 - TPCH_DAY0
+    df["y"] = np.round(df.o_totalprice * 100).astype(np.int64)
+    for _, row in out.iterrows():
+        g = df[df.c_mktsegment == row.c_mktsegment]
+        n = len(g)
+        sx, sy = int(g.x.sum()), int(g.y.sum())
+        sxy = int((g.x * g.y).sum())
+        sxx = int((g.x * g.x).sum())
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        assert row.n == n
+        assert row.slope_e10 == int(round(float(num) / float(den) * 1e10))
+    # ordinary least squares sanity: slope matches np.polyfit direction
+    g = df[df.c_mktsegment == out.c_mktsegment.iloc[0]]
+    np_slope = np.polyfit(g.x, g.y, 1)[0]
+    assert np.sign(np_slope) == np.sign(out.slope_e10.iloc[0])
+
+    # plan equality: forced hash-join attach == broadcast attach
+    forced = q_segment_price_trend(SF, broadcast_limit=0).to_pandas()
+    forced = forced.sort_values("c_mktsegment", ignore_index=True)
+    assert (forced.slope_e10.to_numpy() == out.slope_e10.to_numpy()).all()
+    assert (forced.n.to_numpy() == out.n.to_numpy()).all()
+
+
+def test_snapshot_orders_diff_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        q_snapshot_orders_diff,
+    )
+
+    out = q_snapshot_orders_diff(SF).to_pandas()
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    k = orders.o_orderkey.to_numpy()
+    n_rem = int((k % 7 == 0).sum())
+    n_chg = int((k % 7 == 1).sum())
+    n_add = int((k % 7 == 2).sum())
+    n_same = len(k) - n_rem - n_chg
+    counts = out.change.value_counts()
+    assert counts.get("removed", 0) == n_rem
+    assert counts.get("changed", 0) == n_chg
+    assert counts.get("added", 0) == n_add
+    assert counts.get("same", 0) == n_same
+    assert len(out) == len(k) + n_add
+    # changed rows move by exactly +1000 cents; added rows carry +5000
+    chg = out[out.change == "changed"]
+    assert ((chg.new_cents - chg.old_cents) == 1000).all()
+    add = out[out.change == "added"]
+    assert (add.old_cents == -1).all()
+    assert ((add.o_orderkey.to_numpy() - 10_000_000) % 7 == 2).all()
+
+
+def test_event_type_user_overlap_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        q_event_type_user_overlap,
+    )
+
+    out = q_event_type_user_overlap(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type"]
+    ).to_pandas().drop_duplicates()
+    sets = {t: set(g.user_id) for t, g in ev.groupby("event_type")}
+    types = sorted(sets)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = (inter, len(sets[a] | sets[b]))
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        wi, we = want[(r.type_a, r.type_b)]
+        assert (r.n_common, r.n_either) == (wi, we)
+        assert r.jac_e10 == int(np.round(wi / we * 1e10))
+        # Jaccard bounds
+        assert 0 < r.jac_e10 <= 10**10

@@ -43,6 +43,27 @@ def _cents(col: pa.ChunkedArray) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
+def _pull_merged(ds: Dataset, cols: list[str]) -> pa.Table:
+    """Bounded driver pull of a merged grouped-sum Dataset: per-block
+    column select + permissive concat (string keys arrive as
+    string/large_string depending on the block's path through the merge
+    sort — the round-5 dtype rule)."""
+    import ray
+
+    tbls = []
+    for r in ds.to_arrow_refs():
+        t = ray.get(r)
+        if t.num_rows == 0:
+            # empty blocks out of a union can arrive schema-less or with
+            # stale presort columns (round-5 drift rule) — they carry no
+            # data, skip rather than select
+            continue
+        tbls.append(t.select(cols))
+    if not tbls:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+    return pa.concat_tables(tbls, promote_options="permissive")
+
+
 def _exclusive_offsets(tbl: pa.Table, key: str, val: str):
     """Driver-side exclusive scan over a key-sorted grouped-sum table.
 
@@ -103,9 +124,7 @@ def q_running_revenue(sf_dir: str) -> Dataset:
         rows.map_batches(day_partials, batch_format="pyarrow"),
         ["day"], ["cents"],
     )
-    day_tbl = pa.concat_tables(
-        [ray.get(r) for r in day_sums.to_arrow_refs()]
-    ).select(["day", "cents"])
+    day_tbl = _pull_merged(day_sums, ["day", "cents"])
     days, offs, _ = _exclusive_offsets(day_tbl, "day", "cents")
     lut_ref = ray.put((days, offs))
 
@@ -206,9 +225,7 @@ def q_session_concurrency(sf_dir: str) -> Dataset:
         b.map_batches(hour_partials, batch_format="pyarrow"),
         ["hour"], ["delta"],
     )
-    hs_tbl = pa.concat_tables(
-        [ray.get(r) for r in hour_sums.materialize().to_arrow_refs()]
-    ).select(["hour", "delta"])
+    hs_tbl = _pull_merged(hour_sums, ["hour", "delta"])
     hours, carry, _ = _exclusive_offsets(hs_tbl, "hour", "delta")
     lut_ref = ray.put((hours, carry))
 
@@ -455,8 +472,8 @@ def q_pca_power_iter(sf_dir: str) -> Dataset:
     projection map. The vectors shuffle zero times."""
     import ray
 
-    cells = pa.concat_tables(
-        [ray.get(r) for r in _cov_cells(sf_dir).to_arrow_refs()]
+    cells = _pull_merged(
+        _cov_cells(sf_dir), ["di", "dj", "n", "sx_e10", "sy_e10", "sxy_e10"]
     )
     di = cells.column("di").to_numpy(zero_copy_only=False).astype(np.int64)
     dj = cells.column("dj").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -661,9 +678,7 @@ def q_event_hour_mutual_info(sf_dir: str) -> Dataset:
         ),
         ["event_type", "hod"], ["n"],
     )
-    cells = pa.concat_tables(
-        [ray.get(r) for r in cells_ds.to_arrow_refs()]
-    ).select(["event_type", "hod", "n"])
+    cells = _pull_merged(cells_ds, ["event_type", "hod", "n"])
     et = cells.column("event_type").to_pylist()
     hod = cells.column("hod").to_numpy(zero_copy_only=False)
     n = cells.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -710,6 +725,370 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped OLS regression, snapshot diff, and categorical set overlap
+
+SEGMENT_BROADCAST_LIMIT = 20_000_000
+TPCH_DAY0 = 9131  # days 1970-01-01 → 1995-01-01, the TPC-H calendar start
+
+
+def q_segment_price_trend(
+    sf_dir: str, broadcast_limit: int | None = None
+) -> Dataset:
+    """Per-market-segment OLS slope of order price (cents) against order
+    day — grouped linear regression via exact integer sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², x rebased to days-since-1995 so the
+    int64 partial bound is ~1.5e7 rows/segment·batch; the merged sums
+    become driver big-ints before the single slope division, so the
+    final arithmetic is exact at any scale).
+
+    Segment attach follows the gated-broadcast convention
+    (part_brand_revenue, relational.py:1201): customer (custkey →
+    segment) broadcasts via index_in under the 20M-row footer gate, hash
+    join above."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    if broadcast_limit is None:
+        broadcast_limit = SEGMENT_BROADCAST_LIMIT
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.subtract(
+            pc.divide(
+                pc.cast(t["o_orderdate"], pa.int64()),
+                pa.scalar(US_PER_DAY, type=pa.int64()),
+            ),
+            pa.scalar(TPCH_DAY0, type=pa.int64()),
+        )
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "x": day,
+                "y": _cents(t["o_totalprice"]),
+            }
+        )
+
+    keyed = orders.map_batches(derive, batch_format="pyarrow")
+
+    n_cust = pq_.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust <= broadcast_limit:
+        cust = pq_.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        ref = ray.put(
+            (
+                pc.cast(cust["c_custkey"], pa.int64()).combine_chunks(),
+                pc.cast(cust["c_mktsegment"], pa.string()).combine_chunks(),
+            )
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys, segs = ray.get(ref)
+            pos = pc.index_in(t["o_custkey"], value_set=keys)
+            return t.append_column("c_mktsegment", segs.take(pos))
+
+        seg_rows = keyed.map_batches(attach, batch_format="pyarrow")
+    else:  # >20M-customer plan: custkey hash join (plan-equality pytest)
+        from ..stages.salted import join_partitions
+
+        cust_ds = rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("c_custkey"),
+                "c_custkey",
+                pc.cast(t["c_custkey"], pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        n_orders = pq_.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+        seg_rows = keyed.join(
+            cust_ds, join_type="inner",
+            num_partitions=join_partitions(n_orders),
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        ).group_by(["c_mktsegment"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "n", "sx", "sy", "sxy", "sxx"])
+
+    sums = merge_group_sums(
+        seg_rows.map_batches(partials, batch_format="pyarrow"),
+        ["c_mktsegment"], ["n", "sx", "sy", "sxy", "sxx"],
+    )
+    import ray as _ray
+
+    t = _pull_merged(sums, ["c_mktsegment", "n", "sx", "sy", "sxy", "sxx"])
+    segs = t.column("c_mktsegment").to_pylist()
+    slope = []
+    for i in range(len(t)):
+        n = int(t.column("n")[i].as_py())
+        sx, sy = int(t.column("sx")[i].as_py()), int(t.column("sy")[i].as_py())
+        sxy, sxx = int(t.column("sxy")[i].as_py()), int(t.column("sxx")[i].as_py())
+        num = n * sxy - sx * sy  # exact big ints
+        den = n * sxx - sx * sx
+        slope.append(int(round((float(num) / float(den)) * 1e10)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "n": pa.array(t.column("n").to_numpy(zero_copy_only=False)),
+                "slope_e10": pa.array(slope, type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_SEGMENT_PRICE_TREND = """
+WITH oc AS (
+  SELECT c.c_mktsegment,
+         epoch_us(o.o_orderdate) // 86400000000 - 9131 AS x,
+         CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM oc GROUP BY 1
+)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+       CAST(ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e10)
+            AS BIGINT) AS slope_e10
+FROM s
+"""
+
+
+def q_snapshot_orders_diff(sf_dir: str) -> Dataset:
+    """SCD-style snapshot reconciliation: classify every order key as
+    same / changed / removed / added between the stored snapshot and a
+    deterministic closed-form "recrawl" (house augmentation convention,
+    tile_dup_stats/_augmented_docs): keys ≡0 (mod 7) deleted, ≡1 price
+    +1000 cents, ≡2 re-published at key+10,000,000 with price +5000.
+
+    Join-free: both snapshots union with a side tag, then ONE range sort
+    on the key (sorted_group_apply) classifies each complete key run —
+    the full-outer-join shape without the hash join's sparse-side
+    schema hazards (round-4 rule)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.cast(t["o_orderkey"], pa.int64()),
+                "c": _cents(t["o_totalprice"]),
+                "side": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    def new_side(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        mod = k % 7
+        keep = mod != 0
+        kk, cc = k[keep], c[keep]
+        cc = np.where(kk % 7 == 1, cc + 1000, cc)
+        added = k[mod == 2]
+        out_k = np.concatenate([kk, added + 10_000_000])
+        out_c = np.concatenate([cc, c[mod == 2] + 5000])
+        return pa.table(
+            {
+                "k": pa.array(out_k),
+                "c": pa.array(out_c),
+                "side": pa.array(np.ones(len(out_k), dtype=np.int64)),
+            }
+        )
+
+    both = orders.map_batches(old_side, batch_format="pyarrow").union(
+        orders.map_batches(new_side, batch_format="pyarrow")
+    )
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "change": pa.array([], type=pa.string()),
+            "old_cents": pa.array([], type=pa.int64()),
+            "new_cents": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, k))
+        k, c, side = k[order], c[order], side[order]
+        starts = run_starts([k])
+        first = np.flatnonzero(starts)
+        last = np.append(first[1:] - 1, len(k) - 1)
+        has_old = side[first] == 0
+        has_new = side[last] == 1
+        old_c = np.where(has_old, c[first], -1)
+        new_c = np.where(has_new, c[last], -1)
+        label = np.where(
+            ~has_new, "removed",
+            np.where(~has_old, "added",
+                     np.where(old_c != new_c, "changed", "same")),
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[first]),
+                "change": pa.array(label, type=pa.string()),
+                "old_cents": pa.array(old_c, type=pa.int64()),
+                "new_cents": pa.array(new_c, type=pa.int64()),
+            }
+        )
+
+    return sorted_group_apply(both, ["k"], block)
+
+
+SQL_SNAPSHOT_ORDERS_DIFF = """
+WITH old AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS c
+  FROM orders
+),
+new AS (
+  SELECT k, CASE WHEN k % 7 = 1 THEN c + 1000 ELSE c END AS c
+  FROM old WHERE k % 7 <> 0
+  UNION ALL
+  SELECT k + 10000000, c + 5000 FROM old WHERE k % 7 = 2
+)
+SELECT COALESCE(o.k, n.k) AS o_orderkey,
+       CASE WHEN n.k IS NULL THEN 'removed'
+            WHEN o.k IS NULL THEN 'added'
+            WHEN o.c <> n.c THEN 'changed' ELSE 'same' END AS change,
+       COALESCE(o.c, -1) AS old_cents,
+       COALESCE(n.c, -1) AS new_cents
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+"""
+
+
+def q_event_type_user_overlap(sf_dir: str) -> Dataset:
+    """Pairwise user-set Jaccard between event types (co-occurring pairs
+    only): distinct (user, type) → type-index broadcast (the type
+    vocabulary is category-bounded BY DEFINITION — the high-cardinality
+    fallback is the pairwise self-join counted per pair) → per-user
+    bitmask (one grouped-sum merge; each bit appears once after the
+    distinct) → mask histogram (≤2^|types| rows) → driver combinatorics
+    on the bounded mask table. Raw events shuffle zero times; users
+    shuffle once as (user, bit) ints."""
+    import ray
+
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    distinct = merge_group_sums(
+        partial_count(events, ["user_id", "event_type"], out="n"),
+        ["user_id", "event_type"], ["n"],
+    )
+    # bounded driver pull: the distinct types (category column)
+    types = sorted(
+        set(
+            _pull_merged(
+                merge_group_sums(
+                    partial_count(events, ["event_type"], out="n"),
+                    ["event_type"], ["n"],
+                ),
+                ["event_type"],
+            ).column("event_type").to_pylist()
+        )
+    )
+    tmap_ref = ray.put(pa.array(types, type=pa.string()))
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        vocab = ray.get(tmap_ref)
+        pos = pc.index_in(t["event_type"], value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "bit": pa.array(np.int64(1) << pos.astype(np.int64)),
+            }
+        )
+
+    masks = merge_group_sums(
+        distinct.map_batches(to_bits, batch_format="pyarrow"),
+        ["user_id"], ["bit"],
+    )
+    hist = _pull_merged(
+        merge_group_sums(
+            partial_count(masks, ["bit"], out="n_users"), ["bit"], ["n_users"]
+        ),
+        ["bit", "n_users"],
+    )
+    mv = hist.column("bit").to_numpy(zero_copy_only=False)
+    nv = hist.column("n_users").to_numpy(zero_copy_only=False)
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            bi, bj = 1 << i, 1 << j
+            inter = int(nv[(mv & bi > 0) & (mv & bj > 0)].sum())
+            if inter == 0:
+                continue
+            either = int(nv[(mv & bi > 0) | (mv & bj > 0)].sum())
+            jac = int(np.round((inter / either) * 1e10))
+            rows.append((types[i], types[j], inter, either, jac))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array([r[0] for r in rows], type=pa.string()),
+                "type_b": pa.array([r[1] for r in rows], type=pa.string()),
+                "n_common": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_either": pa.array([r[3] for r in rows], type=pa.int64()),
+                "jac_e10": pa.array([r[4] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_EVENT_TYPE_USER_OVERLAP = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_common
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(x.n + y.n - n_common AS BIGINT) AS n_either,
+       CAST(ROUND((CAST(n_common AS DOUBLE)
+                   / CAST(x.n + y.n - n_common AS DOUBLE)) * 1e10)
+            AS BIGINT) AS jac_e10
+FROM pairs JOIN tc x ON ta = x.event_type JOIN tc y ON tb = y.event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -717,6 +1096,9 @@ ANALYTICS_QUERIES = {
     "pca_power_iter": q_pca_power_iter,
     "user_hourly_ffill": q_user_hourly_ffill,
     "event_hour_mutual_info": q_event_hour_mutual_info,
+    "segment_price_trend": q_segment_price_trend,
+    "snapshot_orders_diff": q_snapshot_orders_diff,
+    "event_type_user_overlap": q_event_type_user_overlap,
 }
 
 ANALYTICS_ORACLES = {
@@ -726,4 +1108,7 @@ ANALYTICS_ORACLES = {
     "pca_power_iter": SQL_PCA_POWER_ITER,
     "user_hourly_ffill": SQL_USER_HOURLY_FFILL,
     "event_hour_mutual_info": SQL_EVENT_HOUR_MUTUAL_INFO,
+    "segment_price_trend": SQL_SEGMENT_PRICE_TREND,
+    "snapshot_orders_diff": SQL_SNAPSHOT_ORDERS_DIFF,
+    "event_type_user_overlap": SQL_EVENT_TYPE_USER_OVERLAP,
 }

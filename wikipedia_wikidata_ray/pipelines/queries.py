@@ -5899,6 +5899,7 @@ _DRIVER_PRIORITY = [
     "running_revenue", "session_concurrency",
     "embedding_covariance", "pca_power_iter",
     "user_hourly_ffill", "event_hour_mutual_info",
+    "segment_price_trend", "snapshot_orders_diff", "event_type_user_overlap",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
