@@ -328,3 +328,79 @@ def test_event_type_user_overlap_bruteforce(ray_session):
         assert r.jac_e10 == int(np.round(wi / we * 1e10))
         # Jaccard bounds
         assert 0 < r.jac_e10 <= 10**10
+
+
+def test_sliding_distinct_users_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        US_PER_HOUR,
+        q_sliding_distinct_users,
+    )
+
+    out = (
+        q_sliding_distinct_users(SF)
+        .to_pandas()
+        .sort_values("hour", ignore_index=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    ev["h"] = ev.ts.astype("int64") // US_PER_HOUR
+    hu = ev[["h", "user_id"]].drop_duplicates()
+    want = {}
+    for h, u in hu.itertuples(index=False):
+        for wh in (h, h + 1, h + 2):
+            want.setdefault(wh, set()).add(u)
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        assert r.n_users == len(want[r.hour])
+    # semantics: window counts dominate single-hour counts
+    per_hour = hu.groupby("h").user_id.nunique()
+    joined = out.set_index("hour").n_users
+    common = per_hour.index.intersection(joined.index)
+    assert (joined.loc[common] >= per_hour.loc[common]).all()
+
+
+def test_acctbal_z_outliers_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_acctbal_z_outliers
+
+    out = q_acctbal_z_outliers(SF).to_pandas()
+    cust = pq.read_table(
+        f"{SF}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).to_pandas()
+    cust["cents"] = np.round(cust.c_acctbal * 100).astype(np.int64)
+    flagged = set()
+    for nk, g in cust.groupby("c_nationkey"):
+        n = len(g)
+        s, sq = int(g.cents.sum()), int((g.cents.astype(object) ** 2).sum())
+        mu = float(s) / float(n)
+        sigma = np.sqrt(float(n * sq - s * s) / float(n * n))
+        z = (g.cents.to_numpy().astype(np.float64) - mu) / sigma
+        zi = np.round(z * 1e10).astype(np.int64)
+        flagged |= set(g.c_custkey.to_numpy()[np.abs(zi) > 15 * 10**9])
+    assert set(out.c_custkey) == flagged
+    # semantics: both tails appear, and every |z| clears the fence
+    assert (out.z_e10.abs() > 15 * 10**9).all()
+    assert (out.z_e10 > 0).any() and (out.z_e10 < 0).any()
+
+
+def test_order_percent_rank_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_order_percent_rank
+
+    out = q_order_percent_rank(SF).to_pandas()
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    orders["cents"] = np.round(orders.o_totalprice * 100).astype(np.int64)
+    # min-rank percent rank
+    srt = orders.sort_values("cents", ignore_index=True)
+    rank0 = srt.cents.rank(method="min").astype(np.int64) - 1
+    n = len(srt)
+    want = pd.Series(
+        np.round((rank0.to_numpy().astype(np.float64) / np.float64(n - 1)) * 1e10)
+        .astype(np.int64),
+        index=srt.o_orderkey,
+    )
+    got = out.set_index("o_orderkey").pr_e10
+    assert len(got) == n
+    assert (got.loc[want.index].to_numpy() == want.to_numpy()).all()
+    # semantics: bounds and monotonicity in value
+    assert got.min() == 0 and got.max() == 10**10

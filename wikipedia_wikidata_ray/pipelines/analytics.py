@@ -1089,6 +1089,277 @@ FROM pairs JOIN tc x ON ta = x.event_type JOIN tc y ON tb = y.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Sliding-window distinct, moment-based outliers, global percent rank
+
+
+def q_sliding_distinct_users(sf_dir: str) -> Dataset:
+    """Per hour, the count of DISTINCT users active in the trailing
+    3-hour window [h-2, h]. Exact sliding-window distinct without
+    re-scanning raw events per window: distinct (hour, user) pairs →
+    ×3 window fan-out → second distinct (a user active in several
+    source hours of one window collapses) → per-window count. Movement
+    is (hour, user) int pairs — never raw events; fan-out factor = the
+    window span (documented: a w-hour window ships w rows per active
+    user-hour)."""
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(US_PER_HOUR, type=pa.int64()))
+        return pa.table({"h": hour, "user_id": t["user_id"]})
+
+    hu = merge_group_sums(
+        partial_count(
+            events.map_batches(derive, batch_format="pyarrow"),
+            ["h", "user_id"], out="n",
+        ),
+        ["h", "user_id"], ["n"],
+    )
+
+    def fanout(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        reps = np.repeat(np.arange(len(h)), 3)
+        off = np.tile(np.arange(3, dtype=np.int64), len(h))
+        return pa.table({"hour": pa.array(h[reps] + off), "user_id": pa.array(u[reps])})
+
+    win = merge_group_sums(
+        partial_count(
+            hu.map_batches(fanout, batch_format="pyarrow"),
+            ["hour", "user_id"], out="n",
+        ),
+        ["hour", "user_id"], ["n"],
+    )
+    return merge_group_sums(
+        partial_count(win, ["hour"], out="n_users"), ["hour"], ["n_users"]
+    )
+
+
+SQL_SLIDING_DISTINCT_USERS = """
+WITH hu AS (
+  SELECT DISTINCT epoch_us(ts) // 3600000000 AS h, user_id FROM events
+),
+w AS (
+  SELECT DISTINCT h + i AS hour, user_id
+  FROM hu, (SELECT UNNEST([0, 1, 2]) AS i)
+)
+SELECT CAST(hour AS BIGINT) AS hour, COUNT(*) AS n_users
+FROM w GROUP BY 1
+"""
+
+
+def q_acctbal_z_outliers(sf_dir: str) -> Dataset:
+    """Per-nation z-score outliers on customer balances (|z| > 1.5 —
+    balances are ~uniform, max |z| = sqrt(3), so a 2-sigma fence is
+    vacuous BY CONSTRUCTION; 1.5 sigma exercises both tails):
+    exact integer moments (n, Σcents, Σcents²) per nation through ONE
+    grouped-sum merge → nation-bounded driver pull → population σ from
+    big-int moments (one float sequence, identical in SQL) → broadcast →
+    stateless filter with the |z| test done on e10 INTEGERS (the round-5
+    comparison rule — float threshold ties cannot flip). Σcents² int64
+    partial bound ≈ 9e6 rows/nation·batch documented (SQL side is
+    HUGEINT-exact)."""
+    import ray
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = _cents(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "cents": pa.array(c),
+            }
+        )
+
+    rows = cust.map_batches(derive, batch_format="pyarrow")
+
+    def moment_partials(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "c_nationkey": t["c_nationkey"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "s": pa.array(c),
+                "sq": pa.array(c * c),
+            }
+        ).group_by(["c_nationkey"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("sq", "sum")]
+        )
+        return g.rename_columns(["c_nationkey", "n", "s", "sq"])
+
+    mom = _pull_merged(
+        merge_group_sums(
+            rows.map_batches(moment_partials, batch_format="pyarrow"),
+            ["c_nationkey"], ["n", "s", "sq"],
+        ),
+        ["c_nationkey", "n", "s", "sq"],
+    )
+    nk = mom.column("c_nationkey").to_numpy(zero_copy_only=False)
+    mu, sig = {}, {}
+    for i in range(len(mom)):
+        n = int(mom.column("n")[i].as_py())
+        s = int(mom.column("s")[i].as_py())
+        sq = int(mom.column("sq")[i].as_py())
+        m = float(s) / float(n)
+        var = float(n * sq - s * s) / float(n * n)
+        mu[int(nk[i])] = m
+        sig[int(nk[i])] = float(np.sqrt(var))
+    keys = np.array(sorted(mu), dtype=np.int64)
+    mus = np.array([mu[k] for k in keys])
+    sigs = np.array([sig[k] for k in keys])
+    ref = ray.put((keys, mus, sigs))
+
+    def flag(t: pa.Table) -> pa.Table:
+        ks, m_, s_ = ray.get(ref)
+        nat = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, nat)
+        z = (c.astype(np.float64) - m_[pos]) / s_[pos]
+        z_e10 = np.round(z * 1e10).astype(np.int64)
+        keep = np.abs(z_e10) > 15 * 10**9
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    t.column("c_custkey").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "c_nationkey": pa.array(nat[keep]),
+                "z_e10": pa.array(z_e10[keep]),
+            }
+        )
+
+    return rows.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_ACCTBAL_Z_OUTLIERS = """
+WITH c AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS cents
+  FROM customer
+),
+m AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         SUM(CAST(cents AS HUGEINT)) AS s,
+         SUM(CAST(cents AS HUGEINT) * cents) AS sq
+  FROM c GROUP BY 1
+),
+p AS (
+  SELECT c_nationkey,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         SQRT(CAST(n * sq - s * s AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) AS sigma
+  FROM m
+),
+z AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CAST(ROUND(((CAST(c.cents AS DOUBLE) - p.mu) / p.sigma) * 1e10)
+              AS BIGINT) AS z_e10
+  FROM c JOIN p USING (c_nationkey)
+)
+SELECT c_custkey, c_nationkey, z_e10 FROM z
+WHERE ABS(z_e10) > 15000000000
+"""
+
+
+PR_BUCKET_CENTS = 100_000  # $1,000 percent-rank histogram buckets
+
+
+def q_order_percent_rank(sf_dir: str) -> Dataset:
+    """Distributed global PERCENT_RANK over order value: the exact-prefix
+    shape with a VALUE-HISTOGRAM key — per-$1000-bucket counts (bounded:
+    price-range/1000 rows) → exclusive-offset broadcast → one range sort
+    on the bucket; each block resolves min-rank ties among its complete
+    buckets (equal cents always share a bucket, so tie groups never
+    straddle the broadcast boundary). pr_e10 = round(rank0/(n-1)·1e10) —
+    the same single division DuckDB's PERCENT_RANK performs."""
+    import ray
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cents": pa.array(c),
+                "bucket": pa.array(c // PR_BUCKET_CENTS),
+            }
+        )
+
+    rows = orders.map_batches(derive, batch_format="pyarrow")
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"bucket": t["bucket"], "n": pa.array(np.ones(len(t), dtype=np.int64))}
+        ).group_by(["bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns(["bucket", "n"])
+
+    hist = _pull_merged(
+        merge_group_sums(
+            rows.map_batches(bucket_partials, batch_format="pyarrow"),
+            ["bucket"], ["n"],
+        ),
+        ["bucket", "n"],
+    )
+    buckets, offs, n_total = _exclusive_offsets(hist, "bucket", "n")
+    ref = ray.put((buckets, offs, n_total))
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "pr_e10": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        bks, off_, n = ray.get(ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, c, b))
+        b, c, k = b[order], c[order], k[order]
+        starts = run_starts([b])
+        first_idx = np.maximum.accumulate(np.where(starts, np.arange(len(b)), 0))
+        local = np.arange(len(b)) - first_idx
+        # min-rank ties: rows with equal cents take their tie-group's
+        # first local index
+        tie_starts = run_starts([b, c])
+        tie_first = np.maximum.accumulate(
+            np.where(tie_starts, np.arange(len(b)), 0)
+        )
+        local = local[tie_first]
+        rank0 = off_[np.searchsorted(bks, b)] + local
+        pr = np.round((rank0.astype(np.float64) / np.float64(n - 1)) * 1e10)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k),
+                "pr_e10": pa.array(pr.astype(np.int64)),
+            }
+        )
+
+    return sorted_group_apply(rows, ["bucket"], block)
+
+
+SQL_ORDER_PERCENT_RANK = """
+SELECT o_orderkey,
+       CAST(ROUND(PERCENT_RANK() OVER (
+         ORDER BY CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+       ) * 1e10) AS BIGINT) AS pr_e10
+FROM orders
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -1099,6 +1370,9 @@ ANALYTICS_QUERIES = {
     "segment_price_trend": q_segment_price_trend,
     "snapshot_orders_diff": q_snapshot_orders_diff,
     "event_type_user_overlap": q_event_type_user_overlap,
+    "sliding_distinct_users": q_sliding_distinct_users,
+    "acctbal_z_outliers": q_acctbal_z_outliers,
+    "order_percent_rank": q_order_percent_rank,
 }
 
 ANALYTICS_ORACLES = {
@@ -1111,4 +1385,7 @@ ANALYTICS_ORACLES = {
     "segment_price_trend": SQL_SEGMENT_PRICE_TREND,
     "snapshot_orders_diff": SQL_SNAPSHOT_ORDERS_DIFF,
     "event_type_user_overlap": SQL_EVENT_TYPE_USER_OVERLAP,
+    "sliding_distinct_users": SQL_SLIDING_DISTINCT_USERS,
+    "acctbal_z_outliers": SQL_ACCTBAL_Z_OUTLIERS,
+    "order_percent_rank": SQL_ORDER_PERCENT_RANK,
 }
