@@ -404,3 +404,59 @@ def test_order_percent_rank_bruteforce(ray_session):
     assert (got.loc[want.index].to_numpy() == want.to_numpy()).all()
     # semantics: bounds and monotonicity in value
     assert got.min() == 0 and got.max() == 10**10
+
+
+def test_token_packing_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        PACK_BIN_TOKENS,
+        q_token_packing,
+    )
+
+    out = (
+        q_token_packing(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    tok = (docs.n_chars.to_numpy() + 3) // 4
+    excl = np.concatenate(([0], np.cumsum(tok)[:-1]))
+    assert (out.bin_id.to_numpy() == excl // PACK_BIN_TOKENS).all()
+    assert (out.bin_offset.to_numpy() == excl % PACK_BIN_TOKENS).all()
+    # semantics: bins fill monotonically; every bin except possibly the
+    # last starts at or before a doc that overflows into it
+    assert (np.diff(out.bin_id.to_numpy()) >= 0).all()
+    assert out.bin_offset.max() < PACK_BIN_TOKENS
+    # packing density: interior bins waste nothing (sequential packing
+    # spans docs across bins)
+    total_tok = int(tok.sum())
+    assert out.bin_id.max() == (int(excl[-1]) // PACK_BIN_TOKENS)
+    assert total_tok > int(out.bin_id.max()) * PACK_BIN_TOKENS
+
+
+def test_segment_boxplot_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_segment_boxplot
+
+    out = (
+        q_segment_boxplot(SF)
+        .to_pandas()
+        .sort_values("c_mktsegment", ignore_index=True)
+    )
+    cust = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
+    ).to_pandas()
+    cust["cents"] = np.round(cust.c_acctbal * 100).astype(np.int64)
+    for _, r in out.iterrows():
+        vals = np.sort(cust[cust.c_mktsegment == r.c_mktsegment].cents.to_numpy())
+        n = len(vals)
+        q1, q2, q3 = (
+            vals[int(np.ceil(p * n)) - 1] for p in (0.25, 0.5, 0.75)
+        )
+        assert (r.n, r.q1, r.q2, r.q3) == (n, q1, q2, q3)
+        iqr = q3 - q1
+        lo, hi = q1 - (3 * iqr) // 2, q3 + (3 * iqr) // 2
+        assert (r.lo_whisker, r.hi_whisker) == (lo, hi)
+        assert r.n_low_outliers == int((vals < lo).sum())
+        assert r.n_high_outliers == int((vals > hi).sum())
+        # boxplot invariants
+        assert r.q1 <= r.q2 <= r.q3
+        assert r.n_low_outliers + r.n_high_outliers < n

@@ -1360,6 +1360,207 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# Context-window packing and grouped exact boxplot statistics
+
+PACK_BIN_TOKENS = 4096
+PACK_BUCKET = 1000  # doc_id bucket width for the prefix offsets
+
+
+def q_token_packing(sf_dir: str) -> Dataset:
+    """Sequential context-window packing — the training-data step that
+    concatenates documents in corpus order and cuts 4096-token windows:
+    each doc gets its bin id and intra-bin offset from the EXCLUSIVE
+    running token total (docs longer than a window simply span bins, the
+    standard packed-sequential-dataset behavior).
+
+    Token proxy: ceil(n_chars/4) (the 4-chars/token heuristic — honest
+    stand-in; the BPE token counter of token_counts_bpe is the drop-in
+    upgrade). Machinery: the exact-prefix shape keyed on doc_id buckets
+    (width 1000; the bounded pull is id-range/1000 rows — at 1e9 docs
+    production widens the bucket to id_range/cluster_cpus)."""
+    import ray
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        tok = (nch + 3) // 4
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "tok": pa.array(tok.astype(np.int64)),
+                "bucket": pa.array(did // PACK_BUCKET),
+            }
+        )
+
+    rows = docs.map_batches(derive, batch_format="pyarrow")
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        g = pa.table({"bucket": t["bucket"], "tok": t["tok"]}).group_by(
+            ["bucket"]
+        ).aggregate([("tok", "sum")])
+        return g.rename_columns(["bucket", "tok"])
+
+    hist = _pull_merged(
+        merge_group_sums(
+            rows.map_batches(bucket_partials, batch_format="pyarrow"),
+            ["bucket"], ["tok"],
+        ),
+        ["bucket", "tok"],
+    )
+    buckets, offs, _ = _exclusive_offsets(hist, "bucket", "tok")
+    ref = ray.put((buckets, offs))
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "bin_id": pa.array([], type=pa.int64()),
+            "bin_offset": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        bks, off_ = ray.get(ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tok = t.column("tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, b))
+        b, did, tok = b[order], did[order], tok[order]
+        csum = np.cumsum(tok)
+        starts = run_starts([b])
+        first_idx = np.maximum.accumulate(np.where(starts, np.arange(len(b)), 0))
+        before_run = np.where(first_idx > 0, csum[first_idx - 1], 0)
+        excl = off_[np.searchsorted(bks, b)] + (csum - before_run) - tok
+        return pa.table(
+            {
+                "doc_id": pa.array(did),
+                "bin_id": pa.array(excl // PACK_BIN_TOKENS),
+                "bin_offset": pa.array(excl % PACK_BIN_TOKENS),
+            }
+        )
+
+    return sorted_group_apply(rows, ["bucket"], block)
+
+
+SQL_TOKEN_PACKING = """
+WITH d AS (
+  SELECT doc_id, (n_chars + 3) // 4 AS tok FROM documents
+),
+p AS (
+  SELECT doc_id,
+         SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok
+           AS excl
+  FROM d
+)
+SELECT doc_id, CAST(excl // 4096 AS BIGINT) AS bin_id,
+       CAST(excl % 4096 AS BIGINT) AS bin_offset
+FROM p
+"""
+
+
+def q_segment_boxplot(sf_dir: str) -> Dataset:
+    """Per-market-segment exact boxplot: PERCENTILE_DISC quartiles
+    (1-based element at ceil(p·n) — the property-tested round-2 rule),
+    integer IQR whiskers (q1 − 3·iqr//2, q3 + 3·iqr//2 — floor-div on a
+    NON-NEGATIVE operand both sides), and outlier counts beyond each
+    whisker. Segments are FEW LARGE groups, the shape sorted_group_apply
+    (and map_groups) handle well; everything is integer cents."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": pc.cast(t["c_mktsegment"], pa.string()),
+                "cents": _cents(t["c_acctbal"]),
+            }
+        )
+
+    rows = cust.map_batches(derive, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "c_mktsegment": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "q1": pa.array([], type=pa.int64()),
+            "q2": pa.array([], type=pa.int64()),
+            "q3": pa.array([], type=pa.int64()),
+            "lo_whisker": pa.array([], type=pa.int64()),
+            "hi_whisker": pa.array([], type=pa.int64()),
+            "n_low_outliers": pa.array([], type=pa.int64()),
+            "n_high_outliers": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        seg = t.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, seg))
+        seg, c = seg[order], c[order]
+        starts = run_starts([seg])
+        first = np.flatnonzero(starts)
+        counts = np.diff(np.append(first, len(seg)))
+        out = {k: [] for k in empty.schema.names}
+        for s, n in zip(first, counts):
+            vals = c[s:s + n]
+            q = [int(vals[int(np.ceil(p * n)) - 1]) for p in (0.25, 0.5, 0.75)]
+            iqr = q[2] - q[0]
+            lo = q[0] - (3 * iqr) // 2
+            hi = q[2] + (3 * iqr) // 2
+            out["c_mktsegment"].append(str(seg[s]))
+            out["n"].append(int(n))
+            out["q1"].append(q[0])
+            out["q2"].append(q[1])
+            out["q3"].append(q[2])
+            out["lo_whisker"].append(lo)
+            out["hi_whisker"].append(hi)
+            out["n_low_outliers"].append(int((vals < lo).sum()))
+            out["n_high_outliers"].append(int((vals > hi).sum()))
+        return pa.table(
+            {k: pa.array(v, type=empty.schema.field(k).type) for k, v in out.items()}
+        )
+
+    return sorted_group_apply(rows, ["c_mktsegment"], block)
+
+
+SQL_SEGMENT_BOXPLOT = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS cents
+  FROM customer
+),
+q AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY cents) AS q1,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY cents) AS q2,
+         PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY cents) AS q3
+  FROM c GROUP BY 1
+),
+w AS (
+  SELECT *, q1 - (3 * (q3 - q1)) // 2 AS lo_whisker,
+            q3 + (3 * (q3 - q1)) // 2 AS hi_whisker
+  FROM q
+)
+SELECT w.c_mktsegment, CAST(w.n AS BIGINT) AS n, w.q1, w.q2, w.q3,
+       w.lo_whisker, w.hi_whisker,
+       CAST(COUNT(*) FILTER (c.cents < w.lo_whisker) AS BIGINT)
+         AS n_low_outliers,
+       CAST(COUNT(*) FILTER (c.cents > w.hi_whisker) AS BIGINT)
+         AS n_high_outliers
+FROM w JOIN c ON c.c_mktsegment = w.c_mktsegment
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -1373,6 +1574,8 @@ ANALYTICS_QUERIES = {
     "sliding_distinct_users": q_sliding_distinct_users,
     "acctbal_z_outliers": q_acctbal_z_outliers,
     "order_percent_rank": q_order_percent_rank,
+    "token_packing": q_token_packing,
+    "segment_boxplot": q_segment_boxplot,
 }
 
 ANALYTICS_ORACLES = {
@@ -1388,4 +1591,6 @@ ANALYTICS_ORACLES = {
     "sliding_distinct_users": SQL_SLIDING_DISTINCT_USERS,
     "acctbal_z_outliers": SQL_ACCTBAL_Z_OUTLIERS,
     "order_percent_rank": SQL_ORDER_PERCENT_RANK,
+    "token_packing": SQL_TOKEN_PACKING,
+    "segment_boxplot": SQL_SEGMENT_BOXPLOT,
 }
