@@ -460,3 +460,71 @@ def test_segment_boxplot_bruteforce(ray_session):
         # boxplot invariants
         assert r.q1 <= r.q2 <= r.q3
         assert r.n_low_outliers + r.n_high_outliers < n
+
+
+def _classic_bpe(word_counts, merges_applied):
+    """Reference BPE: tokens per word after applying merges in order with
+    the classic greedy left-to-right rule."""
+    def apply(toks, pair):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and (toks[i], toks[i + 1]) == pair:
+                out.append(toks[i] + toks[i + 1])
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    pair_counts = {}
+    for w, c in word_counts.items():
+        toks = list(w)
+        for p in merges_applied:
+            toks = apply(toks, p)
+        for a, b in zip(toks, toks[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+    return pair_counts
+
+
+def test_bpe_merges_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_bpe_merges
+
+    out = q_bpe_merges(SF).to_pandas().sort_values("rank", ignore_index=True)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    wc = {}
+    for t in docs.text:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+
+    merges = []
+    for rank in (1, 2):
+        pc_ = _classic_bpe(wc, merges)
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        row = out[out["rank"] == rank].iloc[0]
+        assert (row.lhs, row.rhs, row.n) == (l, r, n)
+        merges.append((l, r))
+    # semantics: the learned merge is a real bigram of the corpus and the
+    # round-2 count can't exceed round-1's (argmax is non-increasing as
+    # merges consume pairs)
+    assert out.n.iloc[1] <= out.n.iloc[0]
+
+
+def test_bpe_greedy_overlap_rule(ray_session):
+    import pyarrow as pa
+
+    from wikipedia_wikidata_ray.pipelines.analytics import _bpe_tokens
+
+    # 'aaa' with merge (a,a) must merge ONCE (classic greedy): aa + a
+    wid, T, tok_len = _bpe_tokens(
+        pa.array(["aaa", "aaaa", "baab"]), [(b"a", b"a")]
+    )
+    toks = []
+    for i in range(len(T)):
+        toks.append(bytes(T[i, :tok_len[i]]).decode())
+    words = {}
+    for w, t in zip(wid, toks):
+        words.setdefault(w, []).append(t)
+    assert words[0] == ["aa", "a"]
+    assert words[1] == ["aa", "aa"]
+    assert words[2] == ["b", "aa", "b"]

@@ -1,0 +1,90 @@
+"""Round-5 fourth-session operator suite bench: best-of-two wall times
+for pipelines/analytics.py at sf0.1, one JSON line with the embedded
+host probe (the BASELINE.md evidence convention — pairs quoted only from
+saved JSON). Run standalone:
+
+    python tools/bench_r5d_suite.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_r5b_suite import host_probe  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    probe = host_probe()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+    from wikipedia_wikidata_ray.pipelines import analytics as an
+
+    sections = {
+        "running_revenue": lambda: an.q_running_revenue(sf_dir)
+        .materialize().count(),
+        "session_concurrency": lambda: an.q_session_concurrency(sf_dir)
+        .materialize().count(),
+        "embedding_covariance": lambda: an.q_embedding_covariance(sf_dir)
+        .materialize().count(),
+        "pca_power_iter": lambda: an.q_pca_power_iter(sf_dir)
+        .materialize().count(),
+        "user_hourly_ffill": lambda: an.q_user_hourly_ffill(sf_dir)
+        .materialize().count(),
+        "event_hour_mutual_info": lambda: an.q_event_hour_mutual_info(sf_dir)
+        .materialize().count(),
+        "segment_price_trend": lambda: an.q_segment_price_trend(sf_dir)
+        .materialize().count(),
+        "snapshot_orders_diff": lambda: an.q_snapshot_orders_diff(sf_dir)
+        .materialize().count(),
+        "event_type_user_overlap": lambda: an.q_event_type_user_overlap(sf_dir)
+        .materialize().count(),
+        "sliding_distinct_users": lambda: an.q_sliding_distinct_users(sf_dir)
+        .materialize().count(),
+        "acctbal_z_outliers": lambda: an.q_acctbal_z_outliers(sf_dir)
+        .materialize().count(),
+        "order_percent_rank": lambda: an.q_order_percent_rank(sf_dir)
+        .materialize().count(),
+        "token_packing": lambda: an.q_token_packing(sf_dir)
+        .materialize().count(),
+        "segment_boxplot": lambda: an.q_segment_boxplot(sf_dir)
+        .materialize().count(),
+    }
+    runs: dict[str, list[float]] = {k: [] for k in sections}
+    rows: dict[str, int] = {}
+    for _ in range(2):
+        for name, fn in sections.items():
+            gc.collect()
+            t0 = time.perf_counter()
+            rows[name] = fn()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    out = {
+        "metric": "round-5d analytics suite best-of-two wall sec",
+        "sections": {k: min(v) for k, v in runs.items()},
+        "runs": runs,
+        "rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "host_probe": probe,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1561,6 +1561,242 @@ GROUP BY 1, 2, 3, 4, 5, 6, 7
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning
+
+BPE_MAX_WORD = 64  # matches the SQL oracle's generate_series cap (asserted)
+
+
+def _pack_tokens(T: np.ndarray, tok_len: np.ndarray) -> np.ndarray:
+    """Byte-string tokens → order-preserving uint64 keys: left-aligned
+    big-endian, zero-padded (tokens never contain 0x00, so shorter
+    strings sort first — exactly lexicographic byte order, matching the
+    SQL tie-break ORDER BY lhs, rhs)."""
+    L = T.shape[1]
+    key = np.zeros(len(T), dtype=np.uint64)
+    for j in range(L):
+        key |= T[:, j].astype(np.uint64) << np.uint64(8 * (7 - j))
+    del tok_len  # length is implicit in the zero padding
+    return key
+
+
+def _unpack_token(key: int) -> str:
+    b = int(key).to_bytes(8, "big").rstrip(b"\x00")
+    return b.decode("ascii")
+
+
+def _bpe_tokens(words: pa.Array, merges: list[tuple[bytes, bytes]]):
+    """Char-tokenize a batch of words and apply ``merges`` in order with
+    the CLASSIC greedy left-to-right rule (consecutive overlapping
+    matches resolve to the odd ranks of each run — 'aaa' merges once).
+    Fully vectorized on the flat Arrow string buffer; the padded token
+    matrix is (n_tokens × (len(merges)+1)) bytes, vocabulary-bounded.
+    Returns (word_id, T, tok_len)."""
+    w = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    offs = np.frombuffer(w.buffers()[1], dtype=np.int32)[
+        w.offset:w.offset + len(w) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(w.buffers()[2], dtype=np.uint8)
+    lengths = offs[1:] - offs[:-1]
+    assert lengths.max(initial=0) <= BPE_MAX_WORD, "word exceeds SQL cap"
+    n_tok = int(lengths.sum())
+    word_id = np.repeat(np.arange(len(w)), lengths)
+    flat_idx = np.arange(n_tok) + np.repeat(
+        offs[:-1] - np.concatenate(([0], np.cumsum(lengths)[:-1])), lengths
+    )
+    # max token bytes doubles per merge round (two merged tokens can
+    # themselves merge); 8 is also the _pack_tokens key capacity
+    L = min(8, 1 << len(merges))
+    T = np.zeros((n_tok, L), dtype=np.uint8)
+    T[:, 0] = data[flat_idx]
+    tok_len = np.ones(n_tok, dtype=np.int64)
+
+    for lb, rb in merges:
+        la, ra = len(lb), len(rb)
+        m_a = tok_len == la
+        for j, ch in enumerate(lb):
+            m_a &= T[:, j] == ch
+        m_b = tok_len == ra
+        for j, ch in enumerate(rb):
+            m_b &= T[:, j] == ch
+        same = word_id[1:] == word_id[:-1]
+        m = m_a[:-1] & m_b[1:] & same
+        # greedy left-to-right: odd ranks of consecutive-match runs
+        prev_m = np.concatenate(([False], m[:-1]))
+        run_start = m & ~prev_m
+        idx = np.arange(len(m))
+        run_first = np.maximum.accumulate(np.where(run_start, idx, 0))
+        take = m & (((idx - run_first) % 2) == 0)
+        consumed = np.concatenate(([False], take))
+        merged_bytes = lb + rb
+        rows = np.flatnonzero(take)
+        for j, ch in enumerate(merged_bytes):
+            T[rows, j] = ch
+        if len(merged_bytes) < L:
+            T[rows, len(merged_bytes):] = 0
+        tok_len[rows] = len(merged_bytes)
+        keep = ~consumed
+        T, tok_len, word_id = T[keep], tok_len[keep], word_id[keep]
+    return word_id, T, tok_len
+
+
+def _bpe_pair_counts(sf_dir: str, merges: list[tuple[bytes, bytes]]) -> Dataset:
+    """(packed_l, packed_r, n) pair-count partials over the word vocab
+    with ``merges`` applied — one grouped-sum merge; pair keys ride the
+    shuffle as uint64s, strings materialize only for the winners."""
+    from ..stages.salted import partial_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        return pa.table({"w": words})
+
+    vocab = merge_group_sums(
+        partial_count(
+            docs.map_batches(explode, batch_format="pyarrow"), ["w"], out="cnt"
+        ),
+        ["w"], ["cnt"],
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "lk": pa.array([], type=pa.uint64()),
+                    "rk": pa.array([], type=pa.uint64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        wid, T, tok_len = _bpe_tokens(
+            pc.cast(t["w"], pa.string()).combine_chunks(), merges
+        )
+        key = _pack_tokens(T, tok_len)
+        same = wid[1:] == wid[:-1]
+        lk = key[:-1][same]
+        rk = key[1:][same]
+        wgt = cnt[wid[:-1][same]]
+        g = pa.table(
+            {"lk": pa.array(lk), "rk": pa.array(rk), "n": pa.array(wgt)}
+        ).group_by(["lk", "rk"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lk", "rk", "n"])
+
+    return merge_group_sums(
+        vocab.map_batches(pair_partials, batch_format="pyarrow"),
+        ["lk", "rk"], ["n"],
+    )
+
+
+def _bpe_argmax(pairs: Dataset) -> tuple[int, int, int]:
+    """Global argmax pair under (n DESC, lhs ASC, rhs ASC): block-local
+    top-1 rows (bounded: one row per merged block) → driver pick."""
+    def local_top(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        lk = t.column("lk").to_numpy(zero_copy_only=False)
+        rk = t.column("rk").to_numpy(zero_copy_only=False)
+        best = np.lexsort((rk, lk, -n))[0]
+        return t.take([int(best)])
+
+    top = _pull_merged(
+        pairs.map_batches(local_top, batch_format="pyarrow"), ["lk", "rk", "n"]
+    )
+    n = top.column("n").to_numpy(zero_copy_only=False)
+    lk = top.column("lk").to_numpy(zero_copy_only=False).astype(np.uint64)
+    rk = top.column("rk").to_numpy(zero_copy_only=False).astype(np.uint64)
+    best = np.lexsort((rk, lk, -n))[0]
+    return int(lk[best]), int(rk[best]), int(n[best])
+
+
+def q_bpe_merges(sf_dir: str) -> Dataset:
+    """Distributed BPE vocabulary learning, 2 merge rounds: word counts
+    (vocab-sized movement — the J13 vocabulary-never-shuffles argument)
+    → per-round pair counts over the merged token streams (uint64 pair
+    keys ride the one grouped-sum shuffle) → global argmax with the
+    deterministic (n DESC, pair ASC) tie-break → merge applied with the
+    CLASSIC greedy left-to-right rule, exactly replicated by the SQL
+    oracle's windowed odd-run selection. Output: the two learned merges
+    and their pre-merge pair counts."""
+    merges: list[tuple[bytes, bytes]] = []
+    out_rows = []
+    for rank in (1, 2):
+        lk, rk, n = _bpe_argmax(_bpe_pair_counts(sf_dir, merges))
+        l_s, r_s = _unpack_token(lk), _unpack_token(rk)
+        out_rows.append((rank, l_s, r_s, n))
+        merges.append((l_s.encode(), r_s.encode()))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array([r[0] for r in out_rows], type=pa.int64()),
+                "lhs": pa.array([r[1] for r in out_rows], type=pa.string()),
+                "rhs": pa.array([r[2] for r in out_rows], type=pa.string()),
+                "n": pa.array([r[3] for r in out_rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_BPE_MERGES = """
+WITH words AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) GROUP BY 1
+),
+toks1 AS (
+  SELECT w, cnt, i AS pos, SUBSTRING(w, i, 1) AS tok
+  FROM words, (SELECT UNNEST(generate_series(1, 64)) AS i) s
+  WHERE i <= LENGTH(w)
+),
+p1 AS (
+  SELECT a.tok AS l, b.tok AS r, SUM(a.cnt) AS n
+  FROM toks1 a JOIN toks1 b ON a.w = b.w AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+m1 AS (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+mt AS (
+  SELECT t.w, t.cnt, t.pos, t.tok,
+         CASE WHEN t.tok = (SELECT l FROM m1)
+               AND LEAD(t.tok) OVER (PARTITION BY t.w ORDER BY t.pos)
+                   = (SELECT r FROM m1)
+              THEN 1 ELSE 0 END AS m
+  FROM toks1 t
+),
+runs AS (
+  SELECT *, CASE WHEN m = 1 THEN pos - ROW_NUMBER() OVER (
+              PARTITION BY w, m ORDER BY pos) END AS rid
+  FROM mt
+),
+sel AS (
+  SELECT *, CASE WHEN m = 1 AND (ROW_NUMBER() OVER (
+              PARTITION BY w, rid ORDER BY pos) % 2) = 1
+            THEN 1 ELSE 0 END AS take
+  FROM runs
+),
+nx AS (
+  SELECT *, LEAD(tok) OVER (PARTITION BY w ORDER BY pos) AS next_tok,
+         LAG(take) OVER (PARTITION BY w ORDER BY pos) AS prev_take
+  FROM sel
+),
+toks2 AS (
+  SELECT w, cnt,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         CASE WHEN take = 1 THEN tok || next_tok ELSE tok END AS tok
+  FROM nx WHERE COALESCE(prev_take, 0) = 0
+),
+p2 AS (
+  SELECT a.tok AS l, b.tok AS r, SUM(a.cnt) AS n
+  FROM toks2 a JOIN toks2 b ON a.w = b.w AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+m2 AS (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS rank, l AS lhs, r AS rhs, CAST(n AS BIGINT) AS n
+FROM m1
+UNION ALL
+SELECT CAST(2 AS BIGINT), l, r, CAST(n AS BIGINT) FROM m2
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -1576,6 +1812,7 @@ ANALYTICS_QUERIES = {
     "order_percent_rank": q_order_percent_rank,
     "token_packing": q_token_packing,
     "segment_boxplot": q_segment_boxplot,
+    "bpe_merges": q_bpe_merges,
 }
 
 ANALYTICS_ORACLES = {
@@ -1593,4 +1830,5 @@ ANALYTICS_ORACLES = {
     "order_percent_rank": SQL_ORDER_PERCENT_RANK,
     "token_packing": SQL_TOKEN_PACKING,
     "segment_boxplot": SQL_SEGMENT_BOXPLOT,
+    "bpe_merges": SQL_BPE_MERGES,
 }
