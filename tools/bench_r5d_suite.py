@@ -63,6 +63,8 @@ def main() -> int:
         .materialize().count(),
         "segment_boxplot": lambda: an.q_segment_boxplot(sf_dir)
         .materialize().count(),
+        "bpe_merges": lambda: an.q_bpe_merges(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
