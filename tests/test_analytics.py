@@ -528,3 +528,61 @@ def test_bpe_greedy_overlap_rule(ray_session):
     assert words[0] == ["aa", "a"]
     assert words[1] == ["aa", "aa"]
     assert words[2] == ["b", "aa", "b"]
+
+
+def test_weighted_sssp_2round_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        SSSP_ROUNDS,
+        q_weighted_sssp_2round,
+    )
+
+    out = q_weighted_sssp_2round(SF).to_pandas()
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edges = set()
+    for i in range(n):
+        for t in ((i * 3 + 1) % n, (i * 5 + 2) % n, i % 2):
+            if t != i:
+                edges.add((min(i, t), max(i, t)))
+    INF = float("inf")
+    dist = {0: 0}
+    for _ in range(SSSP_ROUNDS):
+        nd = dict(dist)
+        for lo, hi in edges:
+            w = (lo + hi) % 97 + 1
+            for a, b in ((lo, hi), (hi, lo)):
+                if a in dist and dist[a] + w < nd.get(b, INF):
+                    nd[b] = dist[a] + w
+        dist = nd
+    got = dict(zip(out.node, out.dist))
+    assert got == dist
+    # semantics: triangle inequality on relaxed edges both ends settled
+    for lo, hi in list(edges)[:500]:
+        if lo in got and hi in got:
+            w = (lo + hi) % 97 + 1
+            # after round k, dist may still exceed the edge bound (not
+            # converged) but can never be negative, and node 0 is 0
+            assert got.get(lo, 0) >= 0 and got.get(hi, 0) >= 0
+    assert got[0] == 0
+
+
+def test_sq8_quant_error_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_sq8_quant_error
+
+    out = q_sq8_quant_error(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.vstack(emb.column("embedding").to_pylist()).astype(np.float64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    sc = (mx - mn) / 255.0
+    q = np.round((m - mn) / sc)
+    err = m - (mn + q * sc)
+    err = np.where(sc == 0, 0.0, err)
+    sse = np.round((err * err) * 1e10).astype(np.int64).sum(axis=1)
+    got = out.set_index("vec_id").sse_e10.loc[
+        emb.column("vec_id").to_pylist()
+    ].to_numpy()
+    assert (got == sse).all()
+    # semantics: every per-element error is bounded by half a quantization
+    # step, so sse <= d * (max_step/2)^2
+    bound = len(mn) * (sc.max() / 2 * 1.0000001) ** 2 * 1e10
+    assert (got <= bound).all()
+    assert (got >= 0).all()

@@ -1797,6 +1797,200 @@ SELECT CAST(2 AS BIGINT), l, r, CAST(n AS BIGINT) FROM m2
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted shortest paths and scalar quantization error
+
+SSSP_ROUNDS = 2
+
+
+def q_weighted_sssp_2round(sf_dir: str) -> Dataset:
+    """Weighted single-source shortest paths, two Bellman-Ford
+    relaxation rounds from node 0 over the shared link graph
+    (queries._link_graph_edges) with closed-form integer weights
+    w = (lo+hi) % 97 + 1. Exact k-round semantics (not converged —
+    honest, mirrored by the SQL's two unrolled min-plus rounds).
+
+    Per round: edges scan both directions against the broadcast dist
+    vector → in-batch grouped-min candidates → ONE merged min →
+    node-bounded driver update (the bfs_hops convention — dist is
+    node-sized; the all-distributed alternative keeps dist as a Dataset
+    and turns each round into a dist⋈edges hash join + grouped-min
+    merge, the plan for node counts past driver memory)."""
+    import ray
+
+    from .queries import _link_graph_edges
+    from ..stages.salted import merge_group_aggs
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    INF = np.int64(-1)
+    dist = np.full(n_docs, INF, dtype=np.int64)
+    dist[0] = 0
+    for _ in range(SSSP_ROUNDS):
+        ref = ray.put(dist)
+
+        def scan(t: pa.Table, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            w = (lo + hi) % 97 + 1
+            outs, ds = [], []
+            for a, b in ((lo, hi), (hi, lo)):
+                m = d[a] >= 0
+                outs.append(b[m])
+                ds.append(d[a][m] + w[m])
+            p = pa.table(
+                {
+                    "node": pa.array(np.concatenate(outs)),
+                    "dist": pa.array(np.concatenate(ds)),
+                }
+            )
+            g = p.group_by(["node"]).aggregate([("dist", "min")])
+            return g.rename_columns(["node", "dist"])
+
+        cand = _pull_merged(
+            merge_group_aggs(
+                edges.map_batches(scan, batch_format="pyarrow"),
+                ["node"], [("dist", "min")],
+            ),
+            ["node", "dist"],
+        )
+        nodes = cand.column("node").to_numpy(zero_copy_only=False)
+        nd = cand.column("dist").to_numpy(zero_copy_only=False)
+        cur = dist[nodes]
+        better = (cur < 0) | (nd < cur)
+        dist[nodes[better]] = nd[better]
+
+    reach = np.flatnonzero(dist >= 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(reach.astype(np.int64)),
+                "dist": pa.array(dist[reach]),
+            }
+        )
+    )
+
+
+SQL_WEIGHTED_SSSP_2ROUND = """
+WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+arms AS (
+  SELECT doc_id AS s, (doc_id * 3 + 1) % nd AS t FROM documents, n
+  UNION ALL SELECT doc_id, (doc_id * 5 + 2) % nd FROM documents, n
+  UNION ALL SELECT doc_id, doc_id % 2 FROM documents, n
+),
+e AS (
+  SELECT DISTINCT LEAST(s, t) AS lo, GREATEST(s, t) AS hi
+  FROM arms WHERE s <> t
+),
+ew AS (SELECT lo, hi, (lo + hi) % 97 + 1 AS w FROM e),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+r1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT ew.hi AS node, d0.dist + ew.w AS dist
+    FROM d0 JOIN ew ON ew.lo = d0.node
+    UNION ALL
+    SELECT ew.lo, d0.dist + ew.w FROM d0 JOIN ew ON ew.hi = d0.node
+    UNION ALL SELECT node, dist FROM d0
+  ) x GROUP BY 1
+),
+r2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT ew.hi AS node, r1.dist + ew.w AS dist
+    FROM r1 JOIN ew ON ew.lo = r1.node
+    UNION ALL
+    SELECT ew.lo, r1.dist + ew.w FROM r1 JOIN ew ON ew.hi = r1.node
+    UNION ALL SELECT node, dist FROM r1
+  ) x GROUP BY 1
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM r2
+"""
+
+
+def q_sq8_quant_error(sf_dir: str) -> Dataset:
+    """Int8 scalar quantization round-trip error per vector: per-dim
+    min/max (ONE combined min/max merge, dim-bounded pull) → per-dim
+    scale (mx−mn)/255 broadcast → stateless quantize/dequantize map;
+    output Σ err² as e10 int64 (order-free; err is a generic double so
+    plain e-rounding applies, round_even used for belt-and-braces).
+    Degenerate dims (mn == mx) contribute zero error by definition
+    (guarded both sides). The vectors never shuffle."""
+    import ray
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def dim_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "di": pa.array([], type=pa.int64()),
+                    "mn": pa.array([], type=pa.float64()),
+                    "mx": pa.array([], type=pa.float64()),
+                }
+            )
+        m = _emb_matrix(t["embedding"])
+        return pa.table(
+            {
+                "di": pa.array(np.arange(1, EMB_DIM + 1, dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0)),
+                "mx": pa.array(m.max(axis=0)),
+            }
+        )
+
+    from ..stages.salted import merge_group_aggs
+
+    stats = _pull_merged(
+        merge_group_aggs(
+            emb.map_batches(dim_partials, batch_format="pyarrow"),
+            ["di"], [("mn", "min"), ("mx", "max")],
+        ),
+        ["di", "mn", "mx"],
+    ).sort_by("di")
+    mn = stats.column("mn").to_numpy(zero_copy_only=False)
+    mx = stats.column("mx").to_numpy(zero_copy_only=False)
+    sc = (mx - mn) / 255.0
+    ref = ray.put((mn, sc))
+
+    def quant(t: pa.Table) -> pa.Table:
+        mn_, sc_ = ray.get(ref)
+        m = _emb_matrix(t["embedding"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.round((m - mn_) / sc_)
+        err = m - (mn_ + q * sc_)
+        err = np.where(sc_ == 0, 0.0, err)
+        sse = np.round((err * err) * 1e10).astype(np.int64).sum(axis=1)
+        return pa.table(
+            {"vec_id": t["vec_id"], "sse_e10": pa.array(sse, type=pa.int64())}
+        )
+
+    return emb.map_batches(quant, batch_format="pyarrow")
+
+
+SQL_SQ8_QUANT_ERROR = """
+WITH e AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x FROM (
+    SELECT vec_id, UNNEST(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+),
+s AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY 1),
+d AS (
+  SELECT e.vec_id,
+         CASE WHEN s.mx = s.mn THEN 0.0
+              ELSE e.x - (s.mn + round_even((e.x - s.mn)
+                            / ((s.mx - s.mn) / 255.0), 0)
+                          * ((s.mx - s.mn) / 255.0))
+         END AS err
+  FROM e JOIN s USING (i)
+)
+SELECT vec_id,
+       CAST(SUM(CAST(round_even(err * err * 1e10, 0) AS BIGINT))
+            AS BIGINT) AS sse_e10
+FROM d GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -1813,6 +2007,8 @@ ANALYTICS_QUERIES = {
     "token_packing": q_token_packing,
     "segment_boxplot": q_segment_boxplot,
     "bpe_merges": q_bpe_merges,
+    "weighted_sssp_2round": q_weighted_sssp_2round,
+    "sq8_quant_error": q_sq8_quant_error,
 }
 
 ANALYTICS_ORACLES = {
@@ -1831,4 +2027,6 @@ ANALYTICS_ORACLES = {
     "token_packing": SQL_TOKEN_PACKING,
     "segment_boxplot": SQL_SEGMENT_BOXPLOT,
     "bpe_merges": SQL_BPE_MERGES,
+    "weighted_sssp_2round": SQL_WEIGHTED_SSSP_2ROUND,
+    "sq8_quant_error": SQL_SQ8_QUANT_ERROR,
 }
