@@ -586,3 +586,56 @@ def test_sq8_quant_error_bruteforce(ray_session):
     bound = len(mn) * (sc.max() / 2 * 1.0000001) ** 2 * 1e10
     assert (got <= bound).all()
     assert (got >= 0).all()
+
+
+def test_boruvka_mst_2round_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        BORUVKA_ROUNDS,
+        q_boruvka_mst_2round,
+    )
+
+    out = q_boruvka_mst_2round(SF).to_pandas().sort_values(
+        "node", ignore_index=True
+    )
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edges = sorted(
+        {
+            (min(i, t), max(i, t))
+            for i in range(n)
+            for t in ((i * 3 + 1) % n, (i * 5 + 2) % n, i % 2)
+            if t != i
+        }
+    )
+
+    comp = list(range(n))
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for _ in range(BORUVKA_ROUNDS):
+        best = {}
+        for lo, hi in edges:
+            w = (lo + hi) % 97 + 1
+            ca, cb = find(lo), find(hi)
+            if ca == cb:
+                continue
+            for g in (ca, cb):
+                k = (w, lo, hi)
+                if g not in best or k < best[g]:
+                    best[g] = k
+        for _, lo, hi in best.values():
+            ra, rb = find(lo), find(hi)
+            if ra != rb:
+                comp[max(ra, rb)] = min(ra, rb)
+    want = [find(i) for i in range(n)]
+    assert out.comp.tolist() == want
+    # semantics: components coarsen (Borůvka at least halves component
+    # count per round while edges remain), labels are component minima
+    n_comps = len(set(want))
+    assert n_comps < n
+    for c in set(want):
+        members = [i for i in range(n) if want[i] == c]
+        assert min(members) == c

@@ -1991,6 +1991,158 @@ FROM d GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Borůvka minimum-spanning-forest rounds
+
+BORUVKA_ROUNDS = 2
+
+
+def q_boruvka_mst_2round(sf_dir: str) -> Dataset:
+    """Two Borůvka rounds of minimum-spanning-forest construction over
+    the shared link graph with w = (lo+hi) % 97 + 1: per round, every
+    component picks its minimum outgoing edge (deterministic (w, lo, hi)
+    tie-break packed into ONE int64 so the pick is a grouped-min merge),
+    then components contract. Output: (node, comp) labels after the two
+    rounds, comp = min node id of the merged component — exactly the SQL
+    oracle's recursive-reach MIN(label) over the selected edge union.
+
+    Movement per round: edge scan against the broadcast label vector →
+    per-component min partials → ONE grouped-min merge → component-
+    bounded driver pull; contraction runs on the comp graph (≤ #comps
+    rows). Labels are node-sized driver state (bfs_hops convention; the
+    all-distributed plan keeps labels as a Dataset with hash-join
+    attach, named not needed below ~1e9 nodes)."""
+    import ray
+
+    from .queries import _link_graph_edges
+    from ..stages.salted import merge_group_aggs
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    assert n_docs < (1 << 21), "edge pack key exhausted"
+    labels = np.arange(n_docs, dtype=np.int64)
+    for _ in range(BORUVKA_ROUNDS):
+        ref = ray.put(labels)
+
+        def scan(t: pa.Table, _ref=ref) -> pa.Table:
+            lab = ray.get(_ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            w = (lo + hi) % 97 + 1
+            ca, cb = lab[lo], lab[hi]
+            m = ca != cb
+            key = (w[m] << 42) | (lo[m] << 21) | hi[m]
+            p = pa.table(
+                {
+                    "comp": pa.array(np.concatenate([ca[m], cb[m]])),
+                    "key": pa.array(np.concatenate([key, key])),
+                }
+            )
+            g = p.group_by(["comp"]).aggregate([("key", "min")])
+            return g.rename_columns(["comp", "key"])
+
+        picked = _pull_merged(
+            merge_group_aggs(
+                edges.map_batches(scan, batch_format="pyarrow"),
+                ["comp"], [("key", "min")],
+            ),
+            ["comp", "key"],
+        )
+        if len(picked) == 0:
+            break
+        key = picked.column("key").to_numpy(zero_copy_only=False)
+        lo = (key >> 21) & ((1 << 21) - 1)
+        hi = key & ((1 << 21) - 1)
+        # contract on the comp graph (component-bounded driver work):
+        # min-label propagation over selected edges until fixpoint
+        ca, cb = labels[lo], labels[hi]
+        canon = {}
+        parent = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ca.tolist(), cb.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo_r, hi_r = min(ra, rb), max(ra, rb)
+                parent[hi_r] = lo_r
+        uniq = np.unique(labels)
+        canon_arr = np.array([find(int(c)) for c in uniq], dtype=np.int64)
+        labels = canon_arr[np.searchsorted(uniq, labels)]
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(n_docs, dtype=np.int64)),
+                "comp": pa.array(labels),
+            }
+        )
+    )
+
+
+SQL_BORUVKA_MST_2ROUND = """
+WITH RECURSIVE n AS (SELECT COUNT(*) AS nd FROM documents),
+arms AS (
+  SELECT doc_id AS s, (doc_id * 3 + 1) % nd AS t FROM documents, n
+  UNION ALL SELECT doc_id, (doc_id * 5 + 2) % nd FROM documents, n
+  UNION ALL SELECT doc_id, doc_id % 2 FROM documents, n
+),
+e AS (
+  SELECT DISTINCT LEAST(s, t) AS lo, GREATEST(s, t) AS hi
+  FROM arms WHERE s <> t
+),
+ew AS (SELECT lo, hi, (lo + hi) % 97 + 1 AS w FROM e),
+inc1 AS (
+  SELECT lo AS g, w, lo, hi FROM ew
+  UNION ALL SELECT hi, w, lo, hi FROM ew
+),
+sel1 AS (
+  SELECT DISTINCT lo, hi FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY g ORDER BY w, lo, hi) AS rn
+    FROM inc1) WHERE rn = 1
+),
+reach1(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT CASE WHEN r.node = s.lo THEN s.hi ELSE s.lo END, r.label
+  FROM reach1 r JOIN sel1 s ON r.node IN (s.lo, s.hi)
+),
+lab1 AS (SELECT node, MIN(label) AS c FROM reach1 GROUP BY 1),
+inc2 AS (
+  SELECT la.c AS g, ew.w, ew.lo, ew.hi
+  FROM ew JOIN lab1 la ON la.node = ew.lo
+          JOIN lab1 lb ON lb.node = ew.hi
+  WHERE la.c <> lb.c
+  UNION ALL
+  SELECT lb.c, ew.w, ew.lo, ew.hi
+  FROM ew JOIN lab1 la ON la.node = ew.lo
+          JOIN lab1 lb ON lb.node = ew.hi
+  WHERE la.c <> lb.c
+),
+sel2 AS (
+  SELECT DISTINCT lo, hi FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY g ORDER BY w, lo, hi) AS rn
+    FROM inc2) WHERE rn = 1
+),
+alledges AS (SELECT lo, hi FROM sel1 UNION SELECT lo, hi FROM sel2),
+reach2(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT CASE WHEN r.node = s.lo THEN s.hi ELSE s.lo END, r.label
+  FROM reach2 r JOIN alledges s ON r.node IN (s.lo, s.hi)
+)
+SELECT node, CAST(MIN(label) AS BIGINT) AS comp
+FROM reach2 GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -2009,6 +2161,7 @@ ANALYTICS_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "weighted_sssp_2round": q_weighted_sssp_2round,
     "sq8_quant_error": q_sq8_quant_error,
+    "boruvka_mst_2round": q_boruvka_mst_2round,
 }
 
 ANALYTICS_ORACLES = {
@@ -2029,4 +2182,5 @@ ANALYTICS_ORACLES = {
     "bpe_merges": SQL_BPE_MERGES,
     "weighted_sssp_2round": SQL_WEIGHTED_SSSP_2ROUND,
     "sq8_quant_error": SQL_SQ8_QUANT_ERROR,
+    "boruvka_mst_2round": SQL_BORUVKA_MST_2ROUND,
 }

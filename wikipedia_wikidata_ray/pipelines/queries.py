@@ -5902,7 +5902,7 @@ _DRIVER_PRIORITY = [
     "segment_price_trend", "snapshot_orders_diff", "event_type_user_overlap",
     "sliding_distinct_users", "acctbal_z_outliers", "order_percent_rank",
     "token_packing", "segment_boxplot", "bpe_merges",
-    "weighted_sssp_2round", "sq8_quant_error",
+    "weighted_sssp_2round", "sq8_quant_error", "boruvka_mst_2round",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
