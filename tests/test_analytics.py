@@ -639,3 +639,61 @@ def test_boruvka_mst_2round_bruteforce(ray_session):
     for c in set(want):
         members = [i for i in range(n) if want[i] == c]
         assert min(members) == c
+
+
+def test_conversion_latency_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_conversion_latency
+
+    out = q_conversion_latency(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pandas()
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"]
+        if views.empty:
+            continue
+        tv = views.ts.min()
+        purch = g[(g.event_type == "purchase") & (g.ts >= tv)]
+        if purch.empty:
+            continue
+        want[uid] = int(
+            (purch.ts.min().value // 1000 - tv.value // 1000) // 1_000_000
+        )
+    got = dict(zip(out.user_id, out.latency_s))
+    assert got == want
+    # semantics: latencies are non-negative and some user converts
+    assert len(out) > 0 and (out.latency_s >= 0).all()
+
+
+def test_mask_spans_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        MASK_CHARS_PER_SPAN,
+        MASK_MIX,
+        MASK_SPAN_LEN,
+        q_mask_spans,
+    )
+
+    out = (
+        q_mask_spans(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "span_id"], ignore_index=True)
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    rows = []
+    for did, nch in docs.itertuples(index=False):
+        for j in range(nch // MASK_CHARS_PER_SPAN):
+            rows.append(
+                (did, j, ((did + 1) * (j + 1) * MASK_MIX) % (nch - MASK_SPAN_LEN))
+            )
+    rows.sort()
+    assert len(out) == len(rows)
+    assert out.doc_id.tolist() == [r[0] for r in rows]
+    assert out.span_id.tolist() == [r[1] for r in rows]
+    assert out.start.tolist() == [r[2] for r in rows]
+    # semantics: every span fits inside its document
+    m = out.merge(docs, on="doc_id")
+    assert ((m.start + m.span_len) <= m.n_chars).all()
+    assert (m.start >= 0).all()

@@ -2143,6 +2143,131 @@ FROM reach2 GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Funnel latency and self-supervised mask generation
+
+
+def q_conversion_latency(sf_dir: str) -> Dataset:
+    """Per-user time-to-convert: seconds from the FIRST view to the first
+    purchase AT OR AFTER it (users without both stages drop out). One
+    range sort on user_id; each block resolves all its complete users
+    with two segmented reduceat passes — no joins, no per-user Python.
+    Floor-division to whole seconds on a non-negative gap (the round-2
+    interarrival convention)."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "latency_s": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        tsv = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsv, uid))
+        uid, tsv, et = uid[order], tsv[order], et[order]
+        starts = run_starts([uid])
+        seg = np.flatnonzero(starts)
+        seg_id = np.cumsum(starts) - 1
+        n_seg = len(seg)
+        INF = np.iinfo(np.int64).max
+        # first view per user
+        tv = np.full(n_seg, INF, dtype=np.int64)
+        is_v = et == "view"
+        np.minimum.at(tv, seg_id[is_v], tsv[is_v])
+        # first purchase >= tv per user
+        tp = np.full(n_seg, INF, dtype=np.int64)
+        is_p = et == "purchase"
+        pm = is_p & (tv[seg_id] != INF) & (tsv >= tv[seg_id])
+        np.minimum.at(tp, seg_id[pm], tsv[pm])
+        ok = (tv != INF) & (tp != INF)
+        users = uid[seg][ok]
+        lat = (tp[ok] - tv[ok]) // 1_000_000
+        return pa.table(
+            {"user_id": pa.array(users), "latency_s": pa.array(lat)}
+        )
+
+    return sorted_group_apply(events, ["user_id"], block)
+
+
+SQL_CONVERSION_LATENCY = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= v.tv
+  GROUP BY 1
+)
+SELECT v.user_id,
+       CAST((epoch_us(p.tp) - epoch_us(v.tv)) // 1000000 AS BIGINT)
+         AS latency_s
+FROM v JOIN p USING (user_id)
+"""
+
+
+MASK_SPAN_LEN = 16
+MASK_CHARS_PER_SPAN = 50
+MASK_MIX = 2654435761  # Knuth multiplicative constant
+
+
+def q_mask_spans(sf_dir: str) -> Dataset:
+    """Deterministic span-corruption masks for denoising pretraining
+    (T5-style): each document gets n_chars // 50 spans of 16 chars at
+    closed-form pseudo-random offsets ((doc_id+1)·(span+1)·2654435761
+    mod (n_chars − 16)) — reproducible at any parallelism, zero RNG
+    state. Stateless fan-out; the text itself never moves (masks are
+    (doc, start, len) coordinates for the consuming trainer)."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def spans(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        k = nch // MASK_CHARS_PER_SPAN
+        reps = np.repeat(np.arange(len(did)), k)
+        total = int(k.sum())
+        starts_g = np.concatenate(([0], np.cumsum(k)[:-1]))
+        j = np.arange(total) - starts_g[reps]
+        d = did[reps]
+        m = nch[reps] - MASK_SPAN_LEN
+        start = ((d + 1) * (j + 1) * MASK_MIX) % m
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "span_id": pa.array(j.astype(np.int64)),
+                "start": pa.array(start.astype(np.int64)),
+                "span_len": pa.array(
+                    np.full(total, MASK_SPAN_LEN, dtype=np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(spans, batch_format="pyarrow")
+
+
+SQL_MASK_SPANS = """
+SELECT doc_id, CAST(j AS BIGINT) AS span_id,
+       CAST(((doc_id + 1) * (j + 1) * 2654435761)
+            % (n_chars - 16) AS BIGINT) AS start,
+       CAST(16 AS BIGINT) AS span_len
+FROM documents, (SELECT UNNEST(generate_series(0, 63)) AS j) s
+WHERE j < n_chars // 50
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -2162,6 +2287,8 @@ ANALYTICS_QUERIES = {
     "weighted_sssp_2round": q_weighted_sssp_2round,
     "sq8_quant_error": q_sq8_quant_error,
     "boruvka_mst_2round": q_boruvka_mst_2round,
+    "conversion_latency": q_conversion_latency,
+    "mask_spans": q_mask_spans,
 }
 
 ANALYTICS_ORACLES = {
@@ -2183,4 +2310,6 @@ ANALYTICS_ORACLES = {
     "weighted_sssp_2round": SQL_WEIGHTED_SSSP_2ROUND,
     "sq8_quant_error": SQL_SQ8_QUANT_ERROR,
     "boruvka_mst_2round": SQL_BORUVKA_MST_2ROUND,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
+    "mask_spans": SQL_MASK_SPANS,
 }

@@ -5903,6 +5903,7 @@ _DRIVER_PRIORITY = [
     "sliding_distinct_users", "acctbal_z_outliers", "order_percent_rank",
     "token_packing", "segment_boxplot", "bpe_merges",
     "weighted_sssp_2round", "sq8_quant_error", "boruvka_mst_2round",
+    "conversion_latency", "mask_spans",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
