@@ -697,3 +697,105 @@ def test_mask_spans_bruteforce(ray_session):
     m = out.merge(docs, on="doc_id")
     assert ((m.start + m.span_len) <= m.n_chars).all()
     assert (m.start >= 0).all()
+
+
+def test_ndcg_truncation_eval_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        NDCG_K,
+        NDCG_TRUNC_DIMS,
+        q_ndcg_truncation_eval,
+    )
+
+    out = q_ndcg_truncation_eval(SF).to_pandas().set_index("vec_id")
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    M = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+    o = np.argsort(ids)
+    ids, M = ids[o], M[o]
+
+    def ranking(X):
+        n = np.sqrt((X * X).sum(1))
+        ranks = {}
+        for qi in range(len(ids)):
+            cos = (X @ X[qi]) / (n * n[qi])
+            se = np.round(cos * 1e6).astype(np.int64)
+            order = sorted(
+                (int(i) for i in range(len(ids)) if i != qi),
+                key=lambda i: (-se[i], ids[i]),
+            )
+            ranks[ids[qi]] = [ids[i] for i in order[:NDCG_K]]
+        return ranks
+
+    exact = ranking(M)
+    approx = ranking(M[:, :NDCG_TRUNC_DIMS])
+    idcg = sum(
+        int(np.round(((NDCG_K + 1 - j) / np.log(j + 1.0)) * 1e10))
+        for j in range(1, NDCG_K + 1)
+    )
+    for qid in ids:
+        dcg = 0
+        for i, c in enumerate(approx[qid]):
+            rel = NDCG_K - exact[qid].index(c) if c in exact[qid] else 0
+            dcg += int(np.round((rel / np.log(i + 2.0)) * 1e10))
+        assert out.loc[qid].dcg_e10 == dcg, qid
+        assert out.loc[qid].ndcg_e10 == int(
+            np.round((dcg / idcg) * 1e10)
+        )
+    # semantics: NDCG in [0, 1]; the self vector never scores
+    # (perfect-retrieval would be ndcg == 1e10 for all queries —
+    # truncation must lose SOME order somewhere)
+    assert (out.ndcg_e10 <= 10**10).all() and (out.ndcg_e10 >= 0).all()
+    assert (out.ndcg_e10 < 10**10).any()
+
+
+def test_coordinated_sample_join_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        MASK_MIX,
+        SAMPLE_KEEP,
+        SAMPLE_MOD,
+        q_coordinated_sample_join,
+    )
+
+    out = q_coordinated_sample_join(SF).to_pandas().set_index("o_orderpriority")
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    okeep = orders[(orders.o_orderkey * MASK_MIX) % SAMPLE_MOD < SAMPLE_KEEP]
+    lkeep = li[(li.l_orderkey * MASK_MIX) % SAMPLE_MOD < SAMPLE_KEEP]
+    j = lkeep.merge(okeep, left_on="l_orderkey", right_on="o_orderkey")
+    j["rev"] = np.round(j.l_extendedprice * 100).astype(np.int64) * (
+        100 - np.round(j.l_discount * 100).astype(np.int64)
+    )
+    for pr, g in j.groupby("o_orderpriority"):
+        assert out.loc[pr].n == len(g)
+        assert out.loc[pr].rev_c4 == g.rev.sum()
+    # coordination property: the sampled join equals the join of samples
+    # equals the sample of the join (filter commutes with the key join)
+    full = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    sampled_join = full[
+        (full.o_orderkey * MASK_MIX) % SAMPLE_MOD < SAMPLE_KEEP
+    ]
+    assert len(sampled_join) == len(j)
+
+
+def test_pseudonymize_users_bruteforce(ray_session):
+    import hashlib
+
+    from wikipedia_wikidata_ray.pipelines.analytics import q_pseudonymize_users
+
+    out = q_pseudonymize_users(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    counts = ev.user_id.value_counts()
+    want = {
+        hashlib.md5(str(int(u)).encode()).hexdigest()[:16]: int(c)
+        for u, c in counts.items()
+    }
+    got = dict(zip(out.user_token, out.n_events))
+    assert got == want
+    # referential integrity: token count == distinct users; volumes match
+    assert len(out) == ev.user_id.nunique()
+    assert out.n_events.sum() == len(ev)

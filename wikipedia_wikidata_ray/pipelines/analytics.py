@@ -2268,6 +2268,286 @@ WHERE j < n_chars // 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Graded retrieval eval (NDCG), coordinated sampling, pseudonymization
+
+NDCG_K = 10
+NDCG_TRUNC_DIMS = 16
+
+
+def q_ndcg_truncation_eval(sf_dir: str) -> Dataset:
+    """NDCG@10 of truncated-dimension retrieval (first 16 of 64 dims)
+    against full-precision ground truth — the graded companion to
+    dim_truncation_recall: every query vector ranks all others by e6-int
+    cosine (the ann_topk ROUND(s,6) convention; ulp boundary risk
+    ~1e-10/pair, the round-5 boundary-risk arithmetic), gain of the
+    approx item at position i is (11 − exact_rank) when it sits in the
+    exact top-10, and discounts use LN (base change cancels in the
+    ratio; LN is in the bitwise-parity family). Per-position terms round
+    to e10 ints before summing (order-free), the final NDCG is one
+    division of two exact ints.
+
+    Distribution: the candidate matrix broadcasts once (the ann_topk
+    brute shape); each batch of queries resolves independently — at
+    corpus scale the sharded-IVF path replaces the broadcast, the eval
+    harness is unchanged."""
+    import ray
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.parquet as pq_
+
+    full_tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = full_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    M = _emb_matrix(full_tbl.column("embedding"))
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    norm_full = np.sqrt((M * M).sum(axis=1))
+    Mt = M[:, :NDCG_TRUNC_DIMS]
+    norm_tr = np.sqrt((Mt * Mt).sum(axis=1))
+    ref = ray.put((ids, M, norm_full, Mt, norm_tr))
+
+    idcg_e10 = int(
+        sum(
+            int(np.round(((NDCG_K + 1 - j) / np.log(j + 1.0)) * 1e10))
+            for j in range(1, NDCG_K + 1)
+        )
+    )
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        ids_, M_, nf_, Mt_, nt_ = ray.get(ref)
+        q = _emb_matrix(t["embedding"])
+        qid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        qn_f = np.sqrt((q * q).sum(axis=1))
+        qt = q[:, :NDCG_TRUNC_DIMS]
+        qn_t = np.sqrt((qt * qt).sum(axis=1))
+
+        def topk(sim_e6: np.ndarray, self_pos: np.ndarray) -> np.ndarray:
+            # rank by (sim DESC, vec_id ASC), self excluded
+            key = sim_e6 * np.int64(1 << 21) - ids_[None, :]
+            # min+1: plain min wraps under the argpartition negation
+            key[np.arange(len(key)), self_pos] = np.iinfo(np.int64).min + 1
+            part = np.argpartition(-key, NDCG_K, axis=1)[:, :NDCG_K]
+            kk = np.take_along_axis(key, part, axis=1)
+            ordk = np.argsort(-kk, axis=1, kind="stable")
+            return np.take_along_axis(part, ordk, axis=1)
+
+        self_pos = np.searchsorted(ids_, qid)
+        cos_f = (q @ M_.T) / (qn_f[:, None] * nf_[None, :])
+        exact = topk(np.round(cos_f * 1e6).astype(np.int64), self_pos)
+        cos_t = (qt @ Mt_.T) / (qn_t[:, None] * nt_[None, :])
+        approx = topk(np.round(cos_t * 1e6).astype(np.int64), self_pos)
+
+        # gains: 11 - exact_rank for approx hits inside the exact top-10
+        dcg = np.zeros(len(q), dtype=np.int64)
+        for i in range(NDCG_K):  # K=10 positions, constant-bounded loop
+            hit = (approx[:, i][:, None] == exact).any(axis=1)
+            pos_in_exact = np.argmax(
+                approx[:, i][:, None] == exact, axis=1
+            )
+            rel = np.where(hit, NDCG_K - pos_in_exact, 0)
+            term = np.round((rel / np.log(i + 2.0)) * 1e10).astype(np.int64)
+            dcg += term
+        ndcg = np.round(
+            (dcg.astype(np.float64) / np.float64(idcg_e10)) * 1e10
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(qid),
+                "dcg_e10": pa.array(dcg),
+                "ndcg_e10": pa.array(ndcg),
+            }
+        )
+
+    return emb.map_batches(rank_block, batch_format="pyarrow")
+
+
+SQL_NDCG_TRUNCATION_EVAL = """
+WITH p AS (
+  SELECT a.vec_id AS q, b.vec_id AS c,
+         CAST(ROUND(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS sf,
+         CAST(ROUND(list_cosine_similarity(
+           CAST(a.embedding[1:16] AS DOUBLE[]),
+           CAST(b.embedding[1:16] AS DOUBLE[])) * 1e6) AS BIGINT) AS st
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ex AS (
+  SELECT q, c, ROW_NUMBER() OVER (
+    PARTITION BY q ORDER BY sf DESC, c) AS r
+  FROM p
+),
+ap AS (
+  SELECT q, c, ROW_NUMBER() OVER (
+    PARTITION BY q ORDER BY st DESC, c) AS r
+  FROM p
+),
+terms AS (
+  SELECT ap.q,
+         CAST(ROUND((CAST(CASE WHEN ex.r IS NULL THEN 0
+                               ELSE 11 - ex.r END AS DOUBLE)
+                     / LN(CAST(ap.r + 1 AS DOUBLE))) * 1e10) AS BIGINT)
+           AS term
+  FROM ap LEFT JOIN ex ON ex.q = ap.q AND ex.c = ap.c AND ex.r <= 10
+  WHERE ap.r <= 10
+),
+idcg AS (
+  SELECT CAST(SUM(CAST(ROUND((CAST(11 - j AS DOUBLE)
+                / LN(CAST(j + 1 AS DOUBLE))) * 1e10) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM (SELECT UNNEST(generate_series(1, 10)) AS j)
+)
+SELECT q AS vec_id,
+       CAST(SUM(term) AS BIGINT) AS dcg_e10,
+       CAST(ROUND((CAST(SUM(term) AS DOUBLE) / CAST(idcg.v AS DOUBLE))
+                  * 1e10) AS BIGINT) AS ndcg_e10
+FROM terms, idcg
+GROUP BY q, idcg.v
+"""
+
+
+SAMPLE_MOD = 1_000_003  # prime; keeps the residue uniform-ish
+SAMPLE_KEEP = 100_000  # ~10% coordinated keep rate
+
+
+def q_coordinated_sample_join(sf_dir: str) -> Dataset:
+    """Coordinated (consistent) sampling across tables: orders AND
+    lineitem keep a row iff the SAME key predicate holds
+    ((o_orderkey·2654435761) mod 1000003 < 100000), so the join of the
+    samples IS the sample of the join — the property ad-hoc per-table
+    sampling destroys. Output: per-orderpriority row counts and revenue
+    over the sampled join. Both sides filter at the scan (stateless);
+    the join then runs on ~1% of the pair volume."""
+    from ..stages.salted import join_partitions
+    import pyarrow.parquet as pq_
+
+    def keep_mask(k: np.ndarray) -> np.ndarray:
+        return (k * MASK_MIX) % SAMPLE_MOD < SAMPLE_KEEP
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        m = keep_mask(k)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[m]),
+                "o_orderpriority": pc.cast(
+                    t["o_orderpriority"], pa.string()
+                ).combine_chunks().take(pa.array(np.flatnonzero(m))),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_filter(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        m = keep_mask(k)
+        price_c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        disc_c = _cents(t["l_discount"]).to_numpy(zero_copy_only=False)
+        rev = price_c * (100 - disc_c)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(k[m]),
+                "rev_c4": pa.array(rev[m]),
+            }
+        )
+
+    n_orders = pq_.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    joined = li.map_batches(l_filter, batch_format="pyarrow").join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=join_partitions(n_orders // 10),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "rev_c4": t["rev_c4"],
+            }
+        ).group_by(["o_orderpriority"]).aggregate(
+            [("n", "sum"), ("rev_c4", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "n", "rev_c4"])
+
+    return merge_group_sums(
+        joined.map_batches(partials, batch_format="pyarrow"),
+        ["o_orderpriority"], ["n", "rev_c4"],
+    )
+
+
+SQL_COORDINATED_SAMPLE_JOIN = """
+WITH so AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE (o_orderkey * 2654435761) % 1000003 < 100000
+),
+sl AS (
+  SELECT l_orderkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_c4
+  FROM lineitem
+  WHERE (l_orderkey * 2654435761) % 1000003 < 100000
+)
+SELECT so.o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(sl.rev_c4) AS BIGINT) AS rev_c4
+FROM sl JOIN so ON sl.l_orderkey = so.o_orderkey
+GROUP BY 1
+"""
+
+
+def q_pseudonymize_users(sf_dir: str) -> Dataset:
+    """Privacy pass: replace user ids with keyed MD5 tokens (first 16 hex
+    chars — the two_hop_hll register-oracle convention) and prove
+    referential integrity survives: per-token event counts. Tokens are
+    computed once per DISTINCT user per batch (dictionary-encode then
+    hash unique values only); events shuffle as (token, count) partials."""
+    import hashlib
+
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        toks = np.array(
+            [
+                hashlib.md5(str(int(u)).encode()).hexdigest()[:16]
+                for u in uniq
+            ]
+        )
+        return pa.table({"user_token": pa.array(toks[inv])})
+
+    return merge_group_sums(
+        partial_count(
+            events.map_batches(tokenize, batch_format="pyarrow"),
+            ["user_token"], out="n_events",
+        ),
+        ["user_token"], ["n_events"],
+    )
+
+
+SQL_PSEUDONYMIZE_USERS = """
+SELECT SUBSTRING(md5(CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -2289,6 +2569,9 @@ ANALYTICS_QUERIES = {
     "boruvka_mst_2round": q_boruvka_mst_2round,
     "conversion_latency": q_conversion_latency,
     "mask_spans": q_mask_spans,
+    "ndcg_truncation_eval": q_ndcg_truncation_eval,
+    "coordinated_sample_join": q_coordinated_sample_join,
+    "pseudonymize_users": q_pseudonymize_users,
 }
 
 ANALYTICS_ORACLES = {
@@ -2312,4 +2595,7 @@ ANALYTICS_ORACLES = {
     "boruvka_mst_2round": SQL_BORUVKA_MST_2ROUND,
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "mask_spans": SQL_MASK_SPANS,
+    "ndcg_truncation_eval": SQL_NDCG_TRUNCATION_EVAL,
+    "coordinated_sample_join": SQL_COORDINATED_SAMPLE_JOIN,
+    "pseudonymize_users": SQL_PSEUDONYMIZE_USERS,
 }

@@ -5904,6 +5904,7 @@ _DRIVER_PRIORITY = [
     "token_packing", "segment_boxplot", "bpe_merges",
     "weighted_sssp_2round", "sq8_quant_error", "boruvka_mst_2round",
     "conversion_latency", "mask_spans",
+    "ndcg_truncation_eval", "coordinated_sample_join", "pseudonymize_users",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
