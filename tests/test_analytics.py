@@ -799,3 +799,89 @@ def test_pseudonymize_users_bruteforce(ray_session):
     # referential integrity: token count == distinct users; volumes match
     assert len(out) == ev.user_id.nunique()
     assert out.n_events.sum() == len(ev)
+
+
+def test_tile_semivariogram_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        VARIOGRAM_BINS,
+        q_tile_semivariogram,
+    )
+    from wikipedia_wikidata_ray.pipelines.geopipeline import (
+        extract,
+        geocode,
+        load_pages,
+    )
+
+    out = (
+        q_tile_semivariogram(SF)
+        .to_pandas()
+        .sort_values("bin_e6", ignore_index=True)
+    )
+    geo = (
+        geocode(extract(load_pages(SF)))
+        .to_pandas()
+    )
+    geo = geo[geo.has_geo]
+    lat = geo.lat.to_numpy()
+    lon = geo.lon.to_numpy()
+    v = geo.text.str.len().to_numpy().astype(np.int64)
+    n = len(geo)
+    want = {}
+    lo2 = 0.0
+    for r in VARIOGRAM_BINS:
+        want[int(round(r * 1e6))] = [0, 0, lo2, r * r]
+        lo2 = r * r
+    for i in range(n):
+        d2 = (lat[i] - lat[i + 1:]) ** 2 + (lon[i] - lon[i + 1:]) ** 2
+        dv2 = (v[i] - v[i + 1:]) ** 2
+        for key, rec in want.items():
+            m = (d2 > rec[2]) & (d2 <= rec[3])
+            rec[0] += int(m.sum())
+            rec[1] += int(dv2[m].sum())
+    want = {k: (c, s) for k, (c, s, *_rest) in want.items() if c}
+    got = {
+        int(r.bin_e6): (int(r.n_pairs), int(r.sum_sqdiff))
+        for _, r in out.iterrows()
+    }
+    assert got == want
+    # semantics: gamma estimates are positive and pair counts grow with
+    # annulus area for these bins on this fixture
+    assert all(s > 0 for _, s in got.values())
+
+
+def test_brand_cooccurrence_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_brand_cooccurrence
+
+    out = q_brand_cooccurrence(SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    part = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    lb = li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+        ["l_orderkey", "p_brand"]
+    ].drop_duplicates()
+    n_orders = lb.l_orderkey.nunique()
+    nb = lb.groupby("p_brand").size()
+    want = {}
+    for _, g in lb.groupby("l_orderkey"):
+        brands = sorted(g.p_brand)
+        for i, a in enumerate(brands):
+            for b in brands[i + 1:]:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        n_ab = want[(r.brand_a, r.brand_b)]
+        assert r.n_ab == n_ab
+        lift = int(
+            round(
+                float(n_ab * n_orders)
+                / float(int(nb[r.brand_a]) * int(nb[r.brand_b]))
+                * 1e10
+            )
+        )
+        assert r.lift_e10 == lift
+    # semantics: lift centers near 1 for independent-ish brands; all
+    # pairs have brand_a < brand_b
+    assert (out.brand_a < out.brand_b).all()

@@ -2548,6 +2548,306 @@ FROM events GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Geostatistics: empirical semivariogram; market-basket lift
+
+VARIOGRAM_BINS = (0.05, 0.1, 0.2)  # annulus upper bounds, degrees
+
+
+def q_tile_semivariogram(sf_dir: str) -> Dataset:
+    """Empirical semivariogram sufficient statistics over the geotagged
+    pages: for each distance annulus (0,.05], (.05,.1], (.1,.2], the
+    pair count and Σ(vₐ−v_b)² with v = text length — all-integer
+    numerators (γ(h) = sum/(2n) downstream). Same grid-bucket scatter as
+    ripley_pair_counts (each unordered pair lands in exactly one bucket;
+    quadratic-cell caveat shared); dist² is the identical IEEE
+    expression on identical closed-form coordinates both sides, so bin
+    -boundary comparisons cannot flip."""
+    from .queries import _geotagged
+    from ..stages.salted import default_partitions
+
+    pts = _geotagged(sf_dir)
+    rmax = max(VARIOGRAM_BINS)
+    edges = [(int(round(r * 1e6)), r * r) for r in VARIOGRAM_BINS]
+
+    def scatter_left(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        clat = np.floor(lat / rmax).astype(np.int64)
+        clon = np.floor(lon / rmax).astype(np.int64)
+        n = len(did)
+        d = np.array([-1, 0, 1], dtype=np.int64)
+        rep = np.repeat(np.arange(n), 9)
+        dy = np.tile(np.repeat(d, 3), n)
+        dx = np.tile(np.tile(d, 3), n)
+        cell = (clat[rep] + dy + 9000) * 100000 + (clon[rep] + dx + 18000)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "doc_a": pa.array(did[rep]),
+                "lat_a": pa.array(lat[rep]),
+                "lon_a": pa.array(lon[rep]),
+                "v_a": pa.array(v[rep]),
+            }
+        )
+
+    def right_side(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        clat = np.floor(lat / rmax).astype(np.int64)
+        clon = np.floor(lon / rmax).astype(np.int64)
+        return pa.table(
+            {
+                "cell_r": pa.array((clat + 9000) * 100000 + (clon + 18000)),
+                "doc_b": pa.array(did),
+                "lat_b": pa.array(lat),
+                "lon_b": pa.array(lon),
+                "v_b": pa.array(v),
+            }
+        )
+
+    joined = pts.map_batches(scatter_left, batch_format="pyarrow").join(
+        pts.map_batches(right_side, batch_format="pyarrow"),
+        "inner",
+        num_partitions=default_partitions(),
+        on=("cell",),
+        right_on=("cell_r",),
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        dlat = t.column("lat_a").to_numpy(zero_copy_only=False) - t.column(
+            "lat_b"
+        ).to_numpy(zero_copy_only=False)
+        dlon = t.column("lon_a").to_numpy(zero_copy_only=False) - t.column(
+            "lon_b"
+        ).to_numpy(zero_copy_only=False)
+        dv = t.column("v_a").to_numpy(zero_copy_only=False) - t.column(
+            "v_b"
+        ).to_numpy(zero_copy_only=False)
+        dist2 = dlat * dlat + dlon * dlon
+        lt = a < b
+        keys, counts, sums = [], [], []
+        lo2 = 0.0
+        for r_e6, r2 in edges:
+            m = lt & (dist2 > lo2) & (dist2 <= r2)
+            c = int(np.count_nonzero(m))
+            if c:
+                keys.append(r_e6)
+                counts.append(c)
+                sums.append(int((dv[m] * dv[m]).sum()))
+            lo2 = r2
+        return pa.table(
+            {
+                "bin_e6": pa.array(np.asarray(keys, dtype=np.int64)),
+                "n_pairs": pa.array(np.asarray(counts, dtype=np.int64)),
+                "sum_sqdiff": pa.array(np.asarray(sums, dtype=np.int64)),
+            }
+        )
+
+    return merge_group_sums(
+        joined.map_batches(bucket, batch_format="pyarrow"),
+        ["bin_e6"], ["n_pairs", "sum_sqdiff"],
+    )
+
+
+def _sql_variogram() -> str:
+    from .queries import SQL_GEO_CTE
+
+    arms, lo = [], "0.0"
+    for r in VARIOGRAM_BINS:
+        arms.append(
+            f"""  SELECT {int(round(r * 1e6))} AS bin_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(sq) AS BIGINT) AS sum_sqdiff
+  FROM pairs WHERE dist2 > {lo} AND dist2 <= {r!r} * {r!r}"""
+        )
+        lo = f"{r!r} * {r!r}"
+    arms_sql = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH {SQL_GEO_CTE},
+gv AS (
+  SELECT g.doc_id, g.lat, g.lon, CAST(d.n_chars AS BIGINT) AS v
+  FROM geo g JOIN documents d USING (doc_id)
+),
+pairs AS (
+  SELECT (a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon) AS dist2,
+         (a.v - b.v) * (a.v - b.v) AS sq
+  FROM gv a JOIN gv b ON b.doc_id > a.doc_id
+)
+SELECT * FROM (
+{arms_sql}
+) WHERE n_pairs > 0
+"""
+
+
+def q_brand_cooccurrence(sf_dir: str) -> Dataset:
+    """Market-basket lift between part brands co-ordered in one order:
+    distinct (order, brand) rows (ONE grouped merge) → per-order brand
+    pairs on the sorted-run idiom (fan-out ≤ C(brands-in-order, 2),
+    order-size-bounded) → pair-count merge → brand-bounded driver pull
+    (≤ |brands|² rows) → lift = n_ab·n_orders / (n_a·n_b) on exact big
+    ints, one float division. Brand attach rides the gated part
+    broadcast (the part_brand_revenue convention)."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..stages.salted import partial_count
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    ref = ray.put(
+        (
+            pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+            pc.cast(part["p_brand"], pa.string()).combine_chunks(),
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(ref)
+        pos = pc.index_in(
+            pc.cast(t["l_partkey"], pa.int64()), value_set=keys
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "p_brand": brands.take(pos),
+            }
+        )
+
+    ob = merge_group_sums(
+        partial_count(
+            li.map_batches(attach, batch_format="pyarrow"),
+            ["l_orderkey", "p_brand"], out="n",
+        ),
+        ["l_orderkey", "p_brand"], ["n"],
+    )
+
+    empty = pa.table(
+        {
+            "brand_a": pa.array([], type=pa.string()),
+            "brand_b": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        br = t.column("p_brand").to_numpy(zero_copy_only=False)
+        order = np.lexsort((br, ok))
+        ok, br = ok[order], br[order]
+        starts = run_starts([ok])
+        # (earlier, later) fan-out within each order run (the
+        # doc_cooccurrence idiom): element at local index L pairs with
+        # its L predecessors
+        n = len(ok)
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        local = np.arange(n) - run_start
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(n), local)
+        offsets = np.concatenate(([0], np.cumsum(local)))[:-1]
+        a_idx = (
+            np.arange(total)
+            - np.repeat(offsets, local)
+            + np.repeat(run_start, local)
+        )
+        a = br[a_idx]
+        b = br[b_idx]
+        g = pa.table(
+            {
+                "brand_a": pa.array(a),
+                "brand_b": pa.array(b),
+                "n": pa.array(np.ones(total, dtype=np.int64)),
+            }
+        ).group_by(["brand_a", "brand_b"]).aggregate([("n", "sum")])
+        return g.rename_columns(["brand_a", "brand_b", "n"])
+
+    pair_counts = _pull_merged(
+        merge_group_sums(
+            sorted_group_apply(ob, ["l_orderkey"], pair_block),
+            ["brand_a", "brand_b"], ["n"],
+        ),
+        ["brand_a", "brand_b", "n"],
+    )
+    brand_tot = _pull_merged(
+        merge_group_sums(
+            partial_count(ob, ["p_brand"], out="nb"), ["p_brand"], ["nb"]
+        ),
+        ["p_brand", "nb"],
+    )
+    n_orders = merge_group_sums(
+        partial_count(ob, ["l_orderkey"], out="x"), ["l_orderkey"], ["x"]
+    ).count()
+
+    nb = dict(
+        zip(
+            brand_tot.column("p_brand").to_pylist(),
+            brand_tot.column("nb").to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+    rows = []
+    for i in range(len(pair_counts)):
+        a = pair_counts.column("brand_a")[i].as_py()
+        b = pair_counts.column("brand_b")[i].as_py()
+        n_ab = int(pair_counts.column("n")[i].as_py())
+        lift = int(
+            round(
+                (float(n_ab * n_orders) / float(nb[a] * nb[b])) * 1e10
+            )
+        )
+        rows.append((a, b, n_ab, lift))
+    rows.sort()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "brand_a": pa.array([r[0] for r in rows], type=pa.string()),
+                "brand_b": pa.array([r[1] for r in rows], type=pa.string()),
+                "n_ab": pa.array([r[2] for r in rows], type=pa.int64()),
+                "lift_e10": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_BRAND_COOCCURRENCE = """
+WITH lb AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lb),
+bt AS (SELECT p_brand, COUNT(*) AS nb FROM lb GROUP BY 1),
+pr AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+  FROM lb a JOIN lb b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ROUND((CAST(n_ab * tot.n AS DOUBLE)
+                   / CAST(x.nb * y.nb AS DOUBLE)) * 1e10) AS BIGINT)
+         AS lift_e10
+FROM pr, tot
+JOIN bt x ON pr.brand_a = x.p_brand
+JOIN bt y ON pr.brand_b = y.p_brand
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -2572,6 +2872,8 @@ ANALYTICS_QUERIES = {
     "ndcg_truncation_eval": q_ndcg_truncation_eval,
     "coordinated_sample_join": q_coordinated_sample_join,
     "pseudonymize_users": q_pseudonymize_users,
+    "tile_semivariogram": q_tile_semivariogram,
+    "brand_cooccurrence": q_brand_cooccurrence,
 }
 
 ANALYTICS_ORACLES = {
@@ -2598,4 +2900,9 @@ ANALYTICS_ORACLES = {
     "ndcg_truncation_eval": SQL_NDCG_TRUNCATION_EVAL,
     "coordinated_sample_join": SQL_COORDINATED_SAMPLE_JOIN,
     "pseudonymize_users": SQL_PSEUDONYMIZE_USERS,
+    # tile_semivariogram's oracle is registered by queries.py via
+    # _sql_variogram() — building it here would import queries at
+    # analytics-module-init time (circular when tests import analytics
+    # first)
+    "brand_cooccurrence": SQL_BRAND_COOCCURRENCE,
 }

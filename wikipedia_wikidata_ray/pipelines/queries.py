@@ -5885,6 +5885,8 @@ ORACLES.update(TEMPORAL_MEDIA_ORACLES)
 ORACLES.update(WEBTEXT_ORACLES)
 ORACLES.update(PROFILING_ORACLES)
 ORACLES.update(ANALYTICS_ORACLES)
+from .analytics import _sql_variogram  # noqa: E402
+ORACLES["tile_semivariogram"] = _sql_variogram()
 ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 
 # Driver-board ordering: the driver's correctness run samples a ~50-query
@@ -5905,6 +5907,7 @@ _DRIVER_PRIORITY = [
     "weighted_sssp_2round", "sq8_quant_error", "boruvka_mst_2round",
     "conversion_latency", "mask_spans",
     "ndcg_truncation_eval", "coordinated_sample_join", "pseudonymize_users",
+    "tile_semivariogram", "brand_cooccurrence",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
