@@ -885,3 +885,50 @@ def test_brand_cooccurrence_bruteforce(ray_session):
     # semantics: lift centers near 1 for independent-ish brands; all
     # pairs have brand_a < brand_b
     assert (out.brand_a < out.brand_b).all()
+
+
+def test_hourly_ewma_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        US_PER_HOUR,
+        q_hourly_ewma,
+    )
+
+    out = q_hourly_ewma(SF).to_pandas().sort_values("hour", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    hours = ev.ts.astype("int64") // US_PER_HOUR
+    counts = hours.value_counts().sort_index()
+    spine = range(int(counts.index.min()), int(counts.index.max()) + 1)
+    e = None
+    for i, h in enumerate(spine):
+        x = int(counts.get(h, 0))
+        e = float(x) if i == 0 else e + (x - e) / 8.0
+        row = out.iloc[i]
+        assert row.hour == h and row.n_events == x
+        assert row.ewma_e10 == int(np.round(e * 1e10))
+    # semantics: EWMA stays inside the running min/max envelope
+    assert out.ewma_e10.max() <= out.n_events.max() * 10**10
+    assert out.ewma_e10.min() >= 0
+
+
+def test_ab_srm_check_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        MASK_MIX,
+        SAMPLE_MOD,
+        q_ab_srm_check,
+    )
+
+    out = q_ab_srm_check(SF).to_pandas().sort_values("arm", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    ev["arm"] = ((ev.user_id * MASK_MIX) % SAMPLE_MOD) % 2
+    g = ev.groupby("arm").agg(
+        n_users=("user_id", "nunique"), n_events=("user_id", "size")
+    )
+    assert out.n_users.tolist() == g.n_users.tolist()
+    assert out.n_events.tolist() == g.n_events.tolist()
+    total = g.n_users.sum()
+    exp = total / 2.0
+    chi = sum(((float(x) - exp) * (float(x) - exp)) / exp for x in g.n_users)
+    assert (out.srm_chi2_e10 == int(np.round(chi * 1e10))).all()
+    # semantics: both arms populated; every user in exactly one arm
+    assert (out.n_users > 0).all()
+    assert out.n_users.sum() == ev.user_id.nunique()

@@ -2848,6 +2848,181 @@ JOIN bt y ON pr.brand_b = y.p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Recursive smoothing and experiment health
+
+EWMA_DIV = 8  # alpha = 1/8
+
+
+def q_hourly_ewma(sf_dir: str) -> Dataset:
+    """Exponentially-weighted moving average of hourly event volume
+    (alpha = 1/8): the distributed stage is the hourly count merge
+    (calendar-bounded output); the recursion e_t = e_{t-1} +
+    (x_t − e_{t-1})/8 is inherently serial but runs over the BOUNDED
+    hourly table (driver side; the SQL twin is a recursive CTE over the
+    same rows — identical float sequence, e10 output rounding). Hours
+    with no events count zero (contiguous spine)."""
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {"hour": pc.divide(us, pa.scalar(US_PER_HOUR, type=pa.int64()))}
+        )
+
+    hourly = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                events.map_batches(derive, batch_format="pyarrow"),
+                ["hour"], out="n",
+            ),
+            ["hour"], ["n"],
+        ),
+        ["hour", "n"],
+    ).sort_by("hour")
+    hrs = hourly.column("hour").to_numpy(zero_copy_only=False)
+    ns = hourly.column("n").to_numpy(zero_copy_only=False)
+    spine = np.arange(hrs[0], hrs[-1] + 1, dtype=np.int64)
+    full = np.zeros(len(spine), dtype=np.int64)
+    full[np.searchsorted(spine, hrs)] = ns
+    e = 0.0
+    out = np.empty(len(spine), dtype=np.int64)
+    for i, x in enumerate(full.tolist()):  # calendar-bounded serial loop
+        if i == 0:
+            e = float(x)
+        else:
+            e = e + (x - e) / 8.0
+        out[i] = int(np.round(e * 1e10))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hour": pa.array(spine),
+                "n_events": pa.array(full),
+                "ewma_e10": pa.array(out),
+            }
+        )
+    )
+
+
+SQL_HOURLY_EWMA = """
+WITH RECURSIVE h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT UNNEST(generate_series(
+    (SELECT MIN(hour) FROM h), (SELECT MAX(hour) FROM h))) AS hour
+),
+x AS (
+  SELECT spine.hour,
+         CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY spine.hour) AS i
+  FROM spine LEFT JOIN h ON spine.hour = h.hour
+),
+r(i, hour, n, e) AS (
+  SELECT i, hour, n, CAST(n AS DOUBLE) FROM x WHERE i = 1
+  UNION ALL
+  SELECT x.i, x.hour, x.n, r.e + (CAST(x.n AS DOUBLE) - r.e) / 8.0
+  FROM r JOIN x ON x.i = r.i + 1
+)
+SELECT hour, n AS n_events,
+       CAST(ROUND(e * 1e10) AS BIGINT) AS ewma_e10
+FROM r
+"""
+
+
+AB_ARMS = 2
+
+
+def q_ab_srm_check(sf_dir: str) -> Dataset:
+    """Experiment-health sample-ratio-mismatch check: users hash-split
+    into 2 arms ((user_id·2654435761) mod 1000003 parity), per-arm
+    distinct-user and event counts, plus the chi-square SRM statistic
+    against the 50/50 design as e10 (one fixed float sequence over exact
+    ints). Counting is the distributed stage; the 2-row stat is driver
+    arithmetic BY DEFINITION."""
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        arm = ((u * MASK_MIX) % SAMPLE_MOD) % AB_ARMS
+        return pa.table({"arm": pa.array(arm), "user_id": pa.array(u)})
+
+    per_user = merge_group_sums(
+        partial_count(
+            events.map_batches(derive, batch_format="pyarrow"),
+            ["arm", "user_id"], out="n_events",
+        ),
+        ["arm", "user_id"], ["n_events"],
+    )
+
+    def arm_partials(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "arm": t["arm"],
+                "n_users": pa.array(np.ones(len(t), dtype=np.int64)),
+                "n_events": t["n_events"],
+            }
+        ).group_by(["arm"]).aggregate([("n_users", "sum"), ("n_events", "sum")])
+        return g.rename_columns(["arm", "n_users", "n_events"])
+
+    arms = _pull_merged(
+        merge_group_sums(
+            per_user.map_batches(arm_partials, batch_format="pyarrow"),
+            ["arm"], ["n_users", "n_events"],
+        ),
+        ["arm", "n_users", "n_events"],
+    ).sort_by("arm")
+    nu = arms.column("n_users").to_numpy(zero_copy_only=False)
+    ne = arms.column("n_events").to_numpy(zero_copy_only=False)
+    total = int(nu.sum())
+    exp = total / 2.0
+    chi = sum(
+        ((float(int(x)) - exp) * (float(int(x)) - exp)) / exp for x in nu
+    )
+    chi_e10 = int(np.round(chi * 1e10))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "arm": arms.column("arm"),
+                "n_users": pa.array(nu),
+                "n_events": pa.array(ne),
+                "srm_chi2_e10": pa.array(
+                    np.full(len(nu), chi_e10, dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+SQL_AB_SRM_CHECK = """
+WITH u AS (
+  SELECT ((user_id * 2654435761) % 1000003) % 2 AS arm, user_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+a AS (
+  SELECT arm, COUNT(*) AS n_users,
+         CAST(SUM(n_events) AS BIGINT) AS n_events
+  FROM u GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_users) AS DOUBLE) / 2.0 AS exp_u FROM a),
+c AS (
+  SELECT CAST(SUM((CAST(n_users AS DOUBLE) - exp_u)
+                  * (CAST(n_users AS DOUBLE) - exp_u) / exp_u) AS DOUBLE)
+           AS chi
+  FROM a, t
+)
+SELECT a.arm, CAST(a.n_users AS BIGINT) AS n_users, a.n_events,
+       CAST(ROUND(c.chi * 1e10) AS BIGINT) AS srm_chi2_e10
+FROM a, c
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -2874,6 +3049,8 @@ ANALYTICS_QUERIES = {
     "pseudonymize_users": q_pseudonymize_users,
     "tile_semivariogram": q_tile_semivariogram,
     "brand_cooccurrence": q_brand_cooccurrence,
+    "hourly_ewma": q_hourly_ewma,
+    "ab_srm_check": q_ab_srm_check,
 }
 
 ANALYTICS_ORACLES = {
@@ -2905,4 +3082,6 @@ ANALYTICS_ORACLES = {
     # analytics-module-init time (circular when tests import analytics
     # first)
     "brand_cooccurrence": SQL_BRAND_COOCCURRENCE,
+    "hourly_ewma": SQL_HOURLY_EWMA,
+    "ab_srm_check": SQL_AB_SRM_CHECK,
 }
