@@ -932,3 +932,42 @@ def test_ab_srm_check_bruteforce(ray_session):
     # semantics: both arms populated; every user in exactly one arm
     assert (out.n_users > 0).all()
     assert out.n_users.sum() == ev.user_id.nunique()
+
+
+def test_session_overlap_pairs_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        q_session_overlap_pairs,
+    )
+
+    out = q_session_overlap_pairs(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pandas()
+    gap = pd.Timedelta(minutes=360)
+
+    def sessions(df):
+        df = df.sort_values(["user_id", "ts"], ignore_index=True)
+        new = (df.user_id != df.user_id.shift()) | (df.ts - df.ts.shift() > gap)
+        df["sn"] = new.cumsum()
+        return df.groupby(["user_id", "sn"]).agg(
+            st=("ts", "min"), en=("ts", "max")
+        ).reset_index()
+
+    c = sessions(ev[ev.event_type == "click"])
+    e = sessions(ev[ev.event_type == "error"])
+    want = {}
+    for uid in set(c.user_id) & set(e.user_id):
+        cs = c[c.user_id == uid]
+        es = e[e.user_id == uid]
+        n = 0
+        for _, a in cs.iterrows():
+            n += int(((a.st <= es.en) & (es.st <= a.en)).sum())
+        if n:
+            want[uid] = n
+    got = dict(zip(out.user_id, out.n_overlaps))
+    assert got == want
+    # semantics: overlaps exist on this stream (the operator is not
+    # vacuous at the chosen gap) and counts are bounded by |C|x|E|
+    assert len(out) > 0
+    for uid in got:
+        assert got[uid] <= len(c[c.user_id == uid]) * len(e[e.user_id == uid])

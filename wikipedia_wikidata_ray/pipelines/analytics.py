@@ -3023,6 +3023,129 @@ FROM a, c
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval-overlap join between per-user session sets
+
+OVERLAP_TS_BASE = 1_700_000_000_000_000  # 2023-11; packed-key epoch floor
+
+
+def q_session_overlap_pairs(sf_dir: str) -> Dataset:
+    """Interval-overlap join: per user, how many (click-session,
+    error-session) pairs overlap in time (a.start ≤ b.end ∧ b.start ≤
+    a.end; 6-HOUR-gap sessionize per type — the default 30-min gap
+    yields point intervals on this stream and zero overlaps, a vacuous
+    oracle; never-weaken rule). The overlap COUNT for each
+    click session is #errors starting ≤ its end MINUS #errors ending <
+    its start — two packed-key searchsorted passes over the complete
+    users of each sorted block (no pair materialization, no per-user
+    Python; the ffill packed-key idiom with (user_rank << 43) | (ts −
+    2023-11 base), asserted in range)."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+    clicks = sessionize(
+        events.filter(expr="event_type == 'click'"), gap_minutes=360
+    ).select_columns(["user_id", "session_start", "session_end"])
+    errors = sessionize(
+        events.filter(expr="event_type == 'error'"), gap_minutes=360
+    ).select_columns(["user_id", "session_start", "session_end"])
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "s_us": pc.cast(t["session_start"], pa.int64()),
+                    "e_us": pc.cast(t["session_end"], pa.int64()),
+                    "side": pa.array(np.full(len(t), side, dtype=np.int64)),
+                }
+            )
+
+        return f
+
+    both = clicks.map_batches(tag(0), batch_format="pyarrow").union(
+        errors.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_overlaps": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = t.column("s_us").to_numpy(zero_copy_only=False)
+        e = t.column("e_us").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        assert s.min() >= OVERLAP_TS_BASE and e.max() < OVERLAP_TS_BASE + (1 << 43)
+        # user ranks shared across both sides
+        order = np.argsort(uid, kind="stable")
+        uid_sorted = uid[order]
+        uranks = np.cumsum(run_starts([uid_sorted])) - 1
+        rank_of = np.empty(len(uid), dtype=np.int64)
+        rank_of[order] = uranks
+        a = side == 0
+        b = side == 1
+        key_b_start = np.sort(
+            (rank_of[b] << 43) | (s[b] - OVERLAP_TS_BASE)
+        )
+        key_b_end = np.sort(
+            (rank_of[b] << 43) | (e[b] - OVERLAP_TS_BASE)
+        )
+        qa_hi = (rank_of[a] << 43) | (e[a] - OVERLAP_TS_BASE)
+        qa_lo = (rank_of[a] << 43) | (s[a] - OVERLAP_TS_BASE)
+        n_start_le = np.searchsorted(key_b_start, qa_hi, side="right")
+        n_end_lt = np.searchsorted(key_b_end, qa_lo, side="left")
+        per_click = n_start_le - n_end_lt
+        # collapse per user
+        ua = uid[a]
+        g = pa.table(
+            {
+                "user_id": pa.array(ua),
+                "n_overlaps": pa.array(per_click),
+            }
+        ).group_by(["user_id"]).aggregate([("n_overlaps", "sum")])
+        g = g.rename_columns(["user_id", "n_overlaps"])
+        return g.filter(pc.greater(g["n_overlaps"], 0))
+
+    return sorted_group_apply(both, ["user_id"], block)
+
+
+SQL_SESSION_OVERLAP_PAIRS = """
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 360 MINUTES THEN 1 ELSE 0 END
+           AS new_sess
+  FROM events WHERE event_type IN ('click', 'error')
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+),
+s AS (
+  SELECT user_id, event_type, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS sn
+  FROM g
+),
+sess AS (
+  SELECT user_id, event_type, sn,
+         MIN(ts) AS st, MAX(ts) AS en
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT c.user_id, COUNT(*) AS n_overlaps
+FROM sess c JOIN sess e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND c.st <= e.en AND e.st <= c.en
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -3051,6 +3174,7 @@ ANALYTICS_QUERIES = {
     "brand_cooccurrence": q_brand_cooccurrence,
     "hourly_ewma": q_hourly_ewma,
     "ab_srm_check": q_ab_srm_check,
+    "session_overlap_pairs": q_session_overlap_pairs,
 }
 
 ANALYTICS_ORACLES = {
@@ -3084,4 +3208,5 @@ ANALYTICS_ORACLES = {
     "brand_cooccurrence": SQL_BRAND_COOCCURRENCE,
     "hourly_ewma": SQL_HOURLY_EWMA,
     "ab_srm_check": SQL_AB_SRM_CHECK,
+    "session_overlap_pairs": SQL_SESSION_OVERLAP_PAIRS,
 }
