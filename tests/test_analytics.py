@@ -971,3 +971,58 @@ def test_session_overlap_pairs_bruteforce(ray_session):
     assert len(out) > 0
     for uid in got:
         assert got[uid] <= len(c[c.user_id == uid]) * len(e[e.user_id == uid])
+
+
+def test_vocab_coverage_curve_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        COVERAGE_KS,
+        q_vocab_coverage_curve,
+    )
+
+    out = q_vocab_coverage_curve(SF).to_pandas().sort_values(
+        "k", ignore_index=True
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    counts = {}
+    for t in docs.text:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    for i, k in enumerate(COVERAGE_KS):
+        covered = sum(c for _, c in ranked[:k])
+        r = out.iloc[i]
+        assert (r.k, r.covered, r.total) == (k, covered, total)
+        assert r.share_e10 == int(np.round(covered / total * 1e10))
+    # semantics: monotone non-decreasing coverage, <= 1
+    assert (np.diff(out.covered.to_numpy()) >= 0).all()
+    assert (out.share_e10 <= 10**10).all()
+
+
+def test_term_momentum_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_term_momentum
+
+    out = q_term_momentum(SF).to_pandas().set_index("w")
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    half = len(docs) // 2
+    a, b = {}, {}
+    for did, t in docs.itertuples(index=False):
+        tgt = a if did < half else b
+        for w in t.split(" "):
+            tgt[w] = tgt.get(w, 0) + 1
+    words = set(a) | set(b)
+    assert set(out.index) == words
+    for w in words:
+        ca, cb = a.get(w, 0), b.get(w, 0)
+        r = out.loc[w]
+        assert (r.cnt_a, r.cnt_b) == (ca, cb)
+        assert r.momentum_e10 == int(
+            np.round(np.log((cb + 1) / (ca + 1)) * 1e10)
+        )
+    # semantics: momentum is antisymmetric under half swap around 0 for
+    # balanced terms; totals conserve
+    assert out.cnt_a.sum() + out.cnt_b.sum() == sum(
+        len(t.split(" ")) for t in docs.text
+    )

@@ -3146,6 +3146,160 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage and term momentum
+
+COVERAGE_KS = (10, 20, 40)
+
+
+def q_vocab_coverage_curve(sf_dir: str) -> Dataset:
+    """Vocabulary coverage curve: what share of corpus tokens the top-k
+    vocabulary covers, k ∈ {10, 20, 40} (rank by count DESC, term ASC —
+    deterministic). Word counts merge once (vocab-sized movement); the
+    curve itself is a k-bounded driver computation over the pulled count
+    vector (vocab-bounded pull, the J13 argument — at a 10M-type corpus
+    the pull becomes block-local top-max(k) pruning first, same
+    machinery as vocab_topk). share_e10 = one exact-int division."""
+    from ..stages.salted import partial_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"w": pc.list_flatten(pc.split_pattern(t["text"], " "))}
+        )
+
+    vocab = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                docs.map_batches(explode, batch_format="pyarrow"),
+                ["w"], out="cnt",
+            ),
+            ["w"], ["cnt"],
+        ),
+        ["w", "cnt"],
+    )
+    w = np.asarray(vocab.column("w").to_pylist())
+    c = vocab.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.lexsort((w, -c))
+    c = c[order]
+    total = int(c.sum())
+    csum = np.cumsum(c)
+    rows = []
+    for k in COVERAGE_KS:
+        covered = int(csum[min(k, len(c)) - 1]) if len(c) else 0
+        rows.append(
+            (k, covered, total,
+             int(np.round((covered / total) * 1e10)) if total else 0)
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                "covered": pa.array([r[1] for r in rows], type=pa.int64()),
+                "total": pa.array([r[2] for r in rows], type=pa.int64()),
+                "share_e10": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE_CURVE = """
+WITH wc AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) GROUP BY 1
+),
+r AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk,
+         SUM(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS UNBOUNDED PRECEDING) AS csum,
+         SUM(cnt) OVER () AS total
+  FROM wc
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(r.csum AS BIGINT) AS covered,
+       CAST(r.total AS BIGINT) AS total,
+       CAST(ROUND((CAST(r.csum AS DOUBLE) / CAST(r.total AS DOUBLE))
+                  * 1e10) AS BIGINT) AS share_e10
+FROM (SELECT UNNEST([10, 20, 40]) AS k) ks
+JOIN r ON r.rnk = LEAST(k, (SELECT COUNT(*) FROM wc))
+"""
+
+
+def q_term_momentum(sf_dir: str) -> Dataset:
+    """Trending-term detection: per term, counts in the first vs second
+    half of the corpus (doc_id < / ≥ max_id/2 — the recrawl-delta shape)
+    and the add-one-smoothed log momentum ln((b+1)/(a+1)) as e10. ONE
+    conditional-partial merge carries both halves' counts (no second
+    scan, no join); output is vocab-sized."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.salted import default_partitions  # noqa: F401
+
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    half = n_docs // 2
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        is_b = np.repeat((did >= half).astype(np.int64), lens)
+        flat = pc.list_flatten(words)
+        g = pa.table(
+            {
+                "w": flat,
+                "cnt_a": pa.array(1 - is_b),
+                "cnt_b": pa.array(is_b),
+            }
+        ).group_by(["w"]).aggregate([("cnt_a", "sum"), ("cnt_b", "sum")])
+        return g.rename_columns(["w", "cnt_a", "cnt_b"])
+
+    merged = merge_group_sums(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["w"], ["cnt_a", "cnt_b"],
+    )
+
+    def momentum(t: pa.Table) -> pa.Table:
+        a = t.column("cnt_a").to_numpy(zero_copy_only=False)
+        b = t.column("cnt_b").to_numpy(zero_copy_only=False)
+        mom = np.round(
+            np.log((b + 1).astype(np.float64) / (a + 1).astype(np.float64))
+            * 1e10
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "w": t["w"],
+                "cnt_a": pa.array(a),
+                "cnt_b": pa.array(b),
+                "momentum_e10": pa.array(mom),
+            }
+        )
+
+    return merged.map_batches(momentum, batch_format="pyarrow")
+
+
+SQL_TERM_MOMENTUM = """
+WITH n AS (SELECT COUNT(*) // 2 AS half FROM documents),
+wc AS (
+  SELECT w,
+         SUM(CASE WHEN doc_id < n.half THEN 1 ELSE 0 END) AS cnt_a,
+         SUM(CASE WHEN doc_id >= n.half THEN 1 ELSE 0 END) AS cnt_b
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents), n
+  GROUP BY 1
+)
+SELECT w, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+       CAST(ROUND(LN(CAST(cnt_b + 1 AS DOUBLE)
+                     / CAST(cnt_a + 1 AS DOUBLE)) * 1e10) AS BIGINT)
+         AS momentum_e10
+FROM wc
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -3175,6 +3329,8 @@ ANALYTICS_QUERIES = {
     "hourly_ewma": q_hourly_ewma,
     "ab_srm_check": q_ab_srm_check,
     "session_overlap_pairs": q_session_overlap_pairs,
+    "vocab_coverage_curve": q_vocab_coverage_curve,
+    "term_momentum": q_term_momentum,
 }
 
 ANALYTICS_ORACLES = {
@@ -3209,4 +3365,6 @@ ANALYTICS_ORACLES = {
     "hourly_ewma": SQL_HOURLY_EWMA,
     "ab_srm_check": SQL_AB_SRM_CHECK,
     "session_overlap_pairs": SQL_SESSION_OVERLAP_PAIRS,
+    "vocab_coverage_curve": SQL_VOCAB_COVERAGE_CURVE,
+    "term_momentum": SQL_TERM_MOMENTUM,
 }

@@ -5909,6 +5909,7 @@ _DRIVER_PRIORITY = [
     "ndcg_truncation_eval", "coordinated_sample_join", "pseudonymize_users",
     "tile_semivariogram", "brand_cooccurrence",
     "hourly_ewma", "ab_srm_check", "session_overlap_pairs",
+    "vocab_coverage_curve", "term_momentum",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
