@@ -1026,3 +1026,40 @@ def test_term_momentum_bruteforce(ray_session):
     assert out.cnt_a.sum() + out.cnt_b.sum() == sum(
         len(t.split(" ")) for t in docs.text
     )
+
+
+def test_nn_distance_histogram_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        NN_BINS,
+        q_nn_distance_histogram,
+    )
+    from wikipedia_wikidata_ray.pipelines.geopipeline import (
+        extract,
+        geocode,
+        load_pages,
+    )
+
+    out = (
+        q_nn_distance_histogram(SF)
+        .to_pandas()
+        .sort_values("bin_e6", ignore_index=True)
+    )
+    geo = geocode(extract(load_pages(SF))).to_pandas()
+    geo = geo[geo.has_geo]
+    lat, lon = geo.lat.to_numpy(), geo.lon.to_numpy()
+    n = len(geo)
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    nn = d2.min(axis=1)
+    want = {}
+    lo2 = 0.0
+    for r in NN_BINS:
+        c = int(((nn > lo2) & (nn <= r * r)).sum())
+        if c:
+            want[int(round(r * 1e6))] = c
+        lo2 = r * r
+    got = dict(zip(out.bin_e6, out.n_points))
+    assert got == want
+    # semantics: histogram is a partial count of points (truncation at
+    # rmax drops the isolated mode), never more than n
+    assert 0 < sum(got.values()) <= n

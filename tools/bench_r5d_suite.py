@@ -65,6 +65,38 @@ def main() -> int:
         .materialize().count(),
         "bpe_merges": lambda: an.q_bpe_merges(sf_dir)
         .materialize().count(),
+        "weighted_sssp_2round": lambda: an.q_weighted_sssp_2round(sf_dir)
+        .materialize().count(),
+        "sq8_quant_error": lambda: an.q_sq8_quant_error(sf_dir)
+        .materialize().count(),
+        "boruvka_mst_2round": lambda: an.q_boruvka_mst_2round(sf_dir)
+        .materialize().count(),
+        "conversion_latency": lambda: an.q_conversion_latency(sf_dir)
+        .materialize().count(),
+        "mask_spans": lambda: an.q_mask_spans(sf_dir)
+        .materialize().count(),
+        "ndcg_truncation_eval": lambda: an.q_ndcg_truncation_eval(sf_dir)
+        .materialize().count(),
+        "coordinated_sample_join": lambda: an.q_coordinated_sample_join(sf_dir)
+        .materialize().count(),
+        "pseudonymize_users": lambda: an.q_pseudonymize_users(sf_dir)
+        .materialize().count(),
+        "tile_semivariogram": lambda: an.q_tile_semivariogram(sf_dir)
+        .materialize().count(),
+        "brand_cooccurrence": lambda: an.q_brand_cooccurrence(sf_dir)
+        .materialize().count(),
+        "hourly_ewma": lambda: an.q_hourly_ewma(sf_dir)
+        .materialize().count(),
+        "ab_srm_check": lambda: an.q_ab_srm_check(sf_dir)
+        .materialize().count(),
+        "session_overlap_pairs": lambda: an.q_session_overlap_pairs(sf_dir)
+        .materialize().count(),
+        "vocab_coverage_curve": lambda: an.q_vocab_coverage_curve(sf_dir)
+        .materialize().count(),
+        "term_momentum": lambda: an.q_term_momentum(sf_dir)
+        .materialize().count(),
+        "nn_distance_histogram": lambda: an.q_nn_distance_histogram(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -3300,6 +3300,146 @@ FROM wc
 """
 
 
+# ---------------------------------------------------------------------------
+# Nearest-neighbor distance distribution (spatial G-function)
+
+
+NN_BINS = (0.024, 0.025, 0.026, 0.2)  # annuli splitting the cluster mode
+
+
+def q_nn_distance_histogram(sf_dir: str) -> Dataset:
+    """G-function sufficient statistics: per geotagged page, the squared
+    distance to its nearest OTHER page, binned into annuli chosen to
+    split the fixture's cluster mode (bins at the variogram scale left
+    one populated row — vacuous-fixture rule) — truncated at rmax = 0.2° (points whose true NN lies beyond
+    every 3×3 bucket window drop out; the standard truncated-G estimate,
+    documented). Same one-bucket pair scatter as ripley/variogram; the
+    per-point min collapses through ONE grouped-min merge before
+    binning, so pair volume never reaches the histogram shuffle."""
+    from .queries import _geotagged
+    from ..stages.salted import default_partitions, merge_group_aggs
+
+    pts = _geotagged(sf_dir)
+    rmax = max(NN_BINS)
+    edges = [(int(round(r * 1e6)), r * r) for r in NN_BINS]
+
+    def scatter_left(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        clat = np.floor(lat / rmax).astype(np.int64)
+        clon = np.floor(lon / rmax).astype(np.int64)
+        n = len(did)
+        d = np.array([-1, 0, 1], dtype=np.int64)
+        rep = np.repeat(np.arange(n), 9)
+        dy = np.tile(np.repeat(d, 3), n)
+        dx = np.tile(np.tile(d, 3), n)
+        cell = (clat[rep] + dy + 9000) * 100000 + (clon[rep] + dx + 18000)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "doc_a": pa.array(did[rep]),
+                "lat_a": pa.array(lat[rep]),
+                "lon_a": pa.array(lon[rep]),
+            }
+        )
+
+    def right_side(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        did = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        clat = np.floor(lat / rmax).astype(np.int64)
+        clon = np.floor(lon / rmax).astype(np.int64)
+        return pa.table(
+            {
+                "cell_r": pa.array((clat + 9000) * 100000 + (clon + 18000)),
+                "doc_b": pa.array(did),
+                "lat_b": pa.array(lat),
+                "lon_b": pa.array(lon),
+            }
+        )
+
+    joined = pts.map_batches(scatter_left, batch_format="pyarrow").join(
+        pts.map_batches(right_side, batch_format="pyarrow"),
+        "inner",
+        num_partitions=default_partitions(),
+        on=("cell",),
+        right_on=("cell_r",),
+    )
+
+    def local_min(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        dlat = t.column("lat_a").to_numpy(zero_copy_only=False) - t.column(
+            "lat_b"
+        ).to_numpy(zero_copy_only=False)
+        dlon = t.column("lon_a").to_numpy(zero_copy_only=False) - t.column(
+            "lon_b"
+        ).to_numpy(zero_copy_only=False)
+        d2 = dlat * dlat + dlon * dlon
+        m = a != b
+        g = pa.table(
+            {"doc_a": pa.array(a[m]), "d2": pa.array(d2[m])}
+        ).group_by(["doc_a"]).aggregate([("d2", "min")])
+        return g.rename_columns(["doc_a", "d2"])
+
+    per_point = merge_group_aggs(
+        joined.map_batches(local_min, batch_format="pyarrow"),
+        ["doc_a"], [("d2", "min")],
+    )
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        d2 = t.column("d2").to_numpy(zero_copy_only=False)
+        keys, counts = [], []
+        lo2 = 0.0
+        for r_e6, r2 in edges:
+            c = int(np.count_nonzero((d2 > lo2) & (d2 <= r2)))
+            if c:
+                keys.append(r_e6)
+                counts.append(c)
+            lo2 = r2
+        return pa.table(
+            {
+                "bin_e6": pa.array(np.asarray(keys, dtype=np.int64)),
+                "n_points": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+
+    return merge_group_sums(
+        per_point.map_batches(bin_counts, batch_format="pyarrow"),
+        ["bin_e6"], ["n_points"],
+    )
+
+
+def _sql_nn_histogram() -> str:
+    from .queries import SQL_GEO_CTE
+
+    arms, lo = [], "0.0"
+    for r in NN_BINS:
+        arms.append(
+            f"""  SELECT {int(round(r * 1e6))} AS bin_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM nn WHERE d2 > {lo} AND d2 <= {r!r} * {r!r}"""
+        )
+        lo = f"{r!r} * {r!r}"
+    arms_sql = "\n  UNION ALL\n".join(arms)
+    return f"""
+WITH {SQL_GEO_CTE},
+nn AS (
+  SELECT a.doc_id,
+         MIN((a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon)) AS d2
+  FROM geo a JOIN geo b ON a.doc_id <> b.doc_id
+  GROUP BY 1
+)
+SELECT * FROM (
+{arms_sql}
+) WHERE n_points > 0
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -3331,6 +3471,7 @@ ANALYTICS_QUERIES = {
     "session_overlap_pairs": q_session_overlap_pairs,
     "vocab_coverage_curve": q_vocab_coverage_curve,
     "term_momentum": q_term_momentum,
+    "nn_distance_histogram": q_nn_distance_histogram,
 }
 
 ANALYTICS_ORACLES = {

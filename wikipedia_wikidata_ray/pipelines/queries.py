@@ -5887,6 +5887,8 @@ ORACLES.update(PROFILING_ORACLES)
 ORACLES.update(ANALYTICS_ORACLES)
 from .analytics import _sql_variogram  # noqa: E402
 ORACLES["tile_semivariogram"] = _sql_variogram()
+from .analytics import _sql_nn_histogram  # noqa: E402
+ORACLES["nn_distance_histogram"] = _sql_nn_histogram()
 ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 
 # Driver-board ordering: the driver's correctness run samples a ~50-query
@@ -5909,7 +5911,7 @@ _DRIVER_PRIORITY = [
     "ndcg_truncation_eval", "coordinated_sample_join", "pseudonymize_users",
     "tile_semivariogram", "brand_cooccurrence",
     "hourly_ewma", "ab_srm_check", "session_overlap_pairs",
-    "vocab_coverage_curve", "term_momentum",
+    "vocab_coverage_curve", "term_momentum", "nn_distance_histogram",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
