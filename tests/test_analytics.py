@@ -1063,3 +1063,27 @@ def test_nn_distance_histogram_bruteforce(ray_session):
     # semantics: histogram is a partial count of points (truncation at
     # rmax drops the isolated mode), never more than n
     assert 0 < sum(got.values()) <= n
+
+
+def test_doclen_ks_test_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_doclen_ks_test
+
+    out = q_doclen_ks_test(SF).to_pandas().iloc[0]
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pandas()
+    half = len(docs) // 2
+    a = np.sort(docs[docs.doc_id < half].n_chars.to_numpy())
+    b = np.sort(docs[docs.doc_id >= half].n_chars.to_numpy())
+    n1, n2 = len(a), len(b)
+    values = np.unique(np.concatenate([a, b]))
+    d_num = 0
+    for v in values:
+        c1 = int((a <= v).sum())
+        c2 = int((b <= v).sum())
+        d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+    assert (out.n1, out.n2, out.d_num) == (n1, n2, d_num)
+    assert out.d_e10 == int(np.round(float(d_num) / float(n1 * n2) * 1e10))
+    # semantics: D in (0, 1]; scipy-free bound check D >= |mean shift|/range proxy skipped;
+    # at minimum the statistic is achieved at an observed value
+    assert 0 < out.d_e10 <= 10**10

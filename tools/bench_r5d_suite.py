@@ -97,6 +97,8 @@ def main() -> int:
         .materialize().count(),
         "nn_distance_histogram": lambda: an.q_nn_distance_histogram(sf_dir)
         .materialize().count(),
+        "doclen_ks_test": lambda: an.q_doclen_ks_test(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -3440,6 +3440,96 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov distribution drift test
+
+
+def q_doclen_ks_test(sf_dir: str) -> Dataset:
+    """Exact two-sample KS statistic between the doc-length
+    distributions of the first and second corpus halves (the
+    term_momentum split): D = max|F₁−F₂| evaluated with the
+    cross-multiplied ALL-INTEGER numerator max|c₁·n₂ − c₂·n₁| (one final
+    division → e10). Distributed stage: per-(half, value) count merge —
+    movement bounded by distinct lengths (for continuous columns,
+    fixed-point bucket first, the percentiles convention); the cumsum +
+    max runs on the bounded pulled table."""
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    half = n_docs // 2
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        v = t.column("n_chars").to_numpy(zero_copy_only=False)
+        h = (did >= half).astype(np.int64)
+        g = pa.table(
+            {
+                "v": pa.array(v),
+                "c1": pa.array(1 - h),
+                "c2": pa.array(h),
+            }
+        ).group_by(["v"]).aggregate([("c1", "sum"), ("c2", "sum")])
+        return g.rename_columns(["v", "c1", "c2"])
+
+    cells = _pull_merged(
+        merge_group_sums(
+            docs.map_batches(partials, batch_format="pyarrow"),
+            ["v"], ["c1", "c2"],
+        ),
+        ["v", "c1", "c2"],
+    ).sort_by("v")
+    c1 = np.cumsum(cells.column("c1").to_numpy(zero_copy_only=False))
+    c2 = np.cumsum(cells.column("c2").to_numpy(zero_copy_only=False))
+    n1, n2 = int(c1[-1]), int(c2[-1])
+    d_num = int(np.abs(c1 * n2 - c2 * n1).max())
+    d_e10 = int(np.round((float(d_num) / float(n1 * n2)) * 1e10))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n1": pa.array([n1], type=pa.int64()),
+                "n2": pa.array([n2], type=pa.int64()),
+                "d_num": pa.array([d_num], type=pa.int64()),
+                "d_e10": pa.array([d_e10], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_DOCLEN_KS_TEST = """
+WITH n AS (SELECT COUNT(*) // 2 AS half FROM documents),
+s AS (
+  SELECT n_chars AS v,
+         CASE WHEN doc_id < n.half THEN 0 ELSE 1 END AS h
+  FROM documents, n
+),
+tot AS (
+  SELECT SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(h) AS n2
+  FROM s
+),
+c AS (
+  SELECT v, SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c1,
+         SUM(h) AS c2
+  FROM s GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+  FROM c
+)
+SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+       CAST(MAX(ABS(f1 * tot.n2 - f2 * tot.n1)) AS BIGINT) AS d_num,
+       CAST(ROUND(CAST(MAX(ABS(f1 * tot.n2 - f2 * tot.n1)) AS DOUBLE)
+                  / CAST(tot.n1 * tot.n2 AS DOUBLE) * 1e10) AS BIGINT)
+         AS d_e10
+FROM cum, tot GROUP BY tot.n1, tot.n2
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -3472,6 +3562,7 @@ ANALYTICS_QUERIES = {
     "vocab_coverage_curve": q_vocab_coverage_curve,
     "term_momentum": q_term_momentum,
     "nn_distance_histogram": q_nn_distance_histogram,
+    "doclen_ks_test": q_doclen_ks_test,
 }
 
 ANALYTICS_ORACLES = {
@@ -3508,4 +3599,5 @@ ANALYTICS_ORACLES = {
     "session_overlap_pairs": SQL_SESSION_OVERLAP_PAIRS,
     "vocab_coverage_curve": SQL_VOCAB_COVERAGE_CURVE,
     "term_momentum": SQL_TERM_MOMENTUM,
+    "doclen_ks_test": SQL_DOCLEN_KS_TEST,
 }
