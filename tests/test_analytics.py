@@ -1087,3 +1087,48 @@ def test_doclen_ks_test_bruteforce(ray_session):
     # semantics: D in (0, 1]; scipy-free bound check D >= |mean shift|/range proxy skipped;
     # at minimum the statistic is achieved at an observed value
     assert 0 < out.d_e10 <= 10**10
+
+
+def test_wilson_ci_conversion_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        WILSON_Z,
+        q_wilson_ci_conversion,
+    )
+
+    out = q_wilson_ci_conversion(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type"]
+    ).to_pandas()
+    n = ev.user_id.nunique()
+    for t, g in ev.groupby("event_type"):
+        k = g.user_id.nunique()
+        z = WILSON_Z
+        p = float(k) / float(n)
+        denom = 1.0 + (z * z) / float(n)
+        center = p + (z * z) / (2.0 * float(n))
+        spread = z * np.sqrt(
+            p * (1.0 - p) / float(n) + (z * z) / (4.0 * float(n) * float(n))
+        )
+        r = out.loc[t]
+        assert (r.k, r.n) == (k, n)
+        assert r.lo_e10 == int(np.round((center - spread) / denom * 1e10))
+        assert r.hi_e10 == int(np.round((center + spread) / denom * 1e10))
+        # semantics: interval brackets the point estimate, inside [0,1]
+        assert 0 <= r.lo_e10 <= int(p * 1e10) + 1 <= r.hi_e10 + 2 <= 10**10 + 2
+
+
+def test_quantity_mode_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_quantity_mode
+
+    out = q_quantity_mode(SF).to_pandas().set_index("l_returnflag")
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    li["qty"] = np.round(li.l_quantity).astype(np.int64)
+    for f, g in li.groupby("l_returnflag"):
+        counts = g.groupby("qty").size()
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = out.loc[f]
+        assert (r.mode_qty, r.n) == best
+        # semantics: the mode's count is the max count
+        assert r.n == counts.max()

@@ -99,6 +99,10 @@ def main() -> int:
         .materialize().count(),
         "doclen_ks_test": lambda: an.q_doclen_ks_test(sf_dir)
         .materialize().count(),
+        "wilson_ci_conversion": lambda: an.q_wilson_ci_conversion(sf_dir)
+        .materialize().count(),
+        "quantity_mode": lambda: an.q_quantity_mode(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

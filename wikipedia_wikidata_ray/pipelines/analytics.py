@@ -3530,6 +3530,155 @@ FROM cum, tot GROUP BY tot.n1, tot.n2
 """
 
 
+# ---------------------------------------------------------------------------
+# Wilson confidence intervals and exact grouped mode
+
+WILSON_Z = 1.96
+
+
+def q_wilson_ci_conversion(sf_dir: str) -> Dataset:
+    """Per event type, the share of ALL users who performed it, with the
+    Wilson 95% score interval — one fixed float sequence over the two
+    exact integers (k reached, n total users), z = 1.96 literal both
+    sides; sqrt is in the bitwise-parity family. Counting distributes
+    (distinct merges); the interval arithmetic is category-bounded."""
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    per_type = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                merge_group_sums(
+                    partial_count(
+                        events, ["event_type", "user_id"], out="x"
+                    ),
+                    ["event_type", "user_id"], ["x"],
+                ),
+                ["event_type"], out="k",
+            ),
+            ["event_type"], ["k"],
+        ),
+        ["event_type", "k"],
+    )
+    n_total = merge_group_sums(
+        partial_count(events, ["user_id"], out="x"), ["user_id"], ["x"]
+    ).count()
+
+    types = per_type.column("event_type").to_pylist()
+    ks = per_type.column("k").to_numpy(zero_copy_only=False)
+    rows = []
+    z = WILSON_Z
+    for t_, k_ in sorted(zip(types, ks.tolist())):
+        n = float(n_total)
+        p = float(k_) / n
+        denom = 1.0 + (z * z) / n
+        center = p + (z * z) / (2.0 * n)
+        spread = z * np.sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * n * n))
+        lo = (center - spread) / denom
+        hi = (center + spread) / denom
+        rows.append(
+            (
+                t_, int(k_), int(n_total),
+                int(np.round(lo * 1e10)), int(np.round(hi * 1e10)),
+            )
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+                "k": pa.array([r[1] for r in rows], type=pa.int64()),
+                "n": pa.array([r[2] for r in rows], type=pa.int64()),
+                "lo_e10": pa.array([r[3] for r in rows], type=pa.int64()),
+                "hi_e10": pa.array([r[4] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_WILSON_CI_CONVERSION = """
+WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+k AS (SELECT event_type, COUNT(*) AS k FROM ut GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+w AS (
+  SELECT event_type, k, n.n,
+         CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE) AS p,
+         1.0 + (1.96 * 1.96) / CAST(n.n AS DOUBLE) AS denom,
+         CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE)
+           + (1.96 * 1.96) / (2.0 * CAST(n.n AS DOUBLE)) AS center,
+         1.96 * SQRT((CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE))
+                     * (1.0 - CAST(k AS DOUBLE) / CAST(n.n AS DOUBLE))
+                     / CAST(n.n AS DOUBLE)
+                     + (1.96 * 1.96)
+                       / (4.0 * CAST(n.n AS DOUBLE)
+                          * CAST(n.n AS DOUBLE))) AS spread
+  FROM k, n
+)
+SELECT event_type, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(((center - spread) / denom) * 1e10) AS BIGINT) AS lo_e10,
+       CAST(ROUND(((center + spread) / denom) * 1e10) AS BIGINT) AS hi_e10
+FROM w
+"""
+
+
+def q_quantity_mode(sf_dir: str) -> Dataset:
+    """Exact MODE of l_quantity per return flag (ties → smallest
+    quantity): (flag, qty) count partials through ONE grouped-sum merge
+    — the cell table is domain-bounded (flags × 50 integer quantities)
+    BY DEFINITION, so the argmax runs on the bounded pull."""
+    from ..stages.salted import partial_count
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"], "qty": q})
+
+    cells = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                li.map_batches(derive, batch_format="pyarrow"),
+                ["l_returnflag", "qty"], out="n",
+            ),
+            ["l_returnflag", "qty"], ["n"],
+        ),
+        ["l_returnflag", "qty", "n"],
+    )
+    flags = np.asarray(cells.column("l_returnflag").to_pylist())
+    qty = cells.column("qty").to_numpy(zero_copy_only=False)
+    n = cells.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((qty, -n, flags))
+    flags, qty, n = flags[order], qty[order], n[order]
+    starts = run_starts([flags])
+    first = np.flatnonzero(starts)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags[first], type=pa.string()),
+                "mode_qty": pa.array(qty[first]),
+                "n": pa.array(n[first]),
+            }
+        )
+    )
+
+
+SQL_QUANTITY_MODE = """
+SELECT l_returnflag, mode_qty, n FROM (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS mode_qty,
+         COUNT(*) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY COUNT(*) DESC, CAST(ROUND(l_quantity, 0) AS BIGINT)
+         ) AS rn
+  FROM lineitem GROUP BY 1, 2
+) WHERE rn = 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -3563,6 +3712,8 @@ ANALYTICS_QUERIES = {
     "term_momentum": q_term_momentum,
     "nn_distance_histogram": q_nn_distance_histogram,
     "doclen_ks_test": q_doclen_ks_test,
+    "wilson_ci_conversion": q_wilson_ci_conversion,
+    "quantity_mode": q_quantity_mode,
 }
 
 ANALYTICS_ORACLES = {
@@ -3600,4 +3751,6 @@ ANALYTICS_ORACLES = {
     "vocab_coverage_curve": SQL_VOCAB_COVERAGE_CURVE,
     "term_momentum": SQL_TERM_MOMENTUM,
     "doclen_ks_test": SQL_DOCLEN_KS_TEST,
+    "wilson_ci_conversion": SQL_WILSON_CI_CONVERSION,
+    "quantity_mode": SQL_QUANTITY_MODE,
 }
