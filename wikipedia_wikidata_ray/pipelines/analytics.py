@@ -3235,8 +3235,6 @@ def q_term_momentum(sf_dir: str) -> Dataset:
     scan, no join); output is vocab-sized."""
     import pyarrow.parquet as pq_
 
-    from ..stages.salted import default_partitions  # noqa: F401
-
     n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     half = n_docs // 2
     docs = rd.read_parquet(
