@@ -1008,13 +1008,14 @@ def q_event_type_user_overlap(sf_dir: str) -> Dataset:
     distinct = merge_group_sums(
         partial_count(events, ["user_id", "event_type"], out="n"),
         ["user_id", "event_type"], ["n"],
-    )
-    # bounded driver pull: the distinct types (category column)
+    ).materialize()  # consumed twice (type vocab + bitmasks)
+    # bounded driver pull: the distinct types (category column), derived
+    # from the already-distinct pairs — no second events scan
     types = sorted(
         set(
             _pull_merged(
                 merge_group_sums(
-                    partial_count(events, ["event_type"], out="n"),
+                    partial_count(distinct, ["event_type"], out="n"),
                     ["event_type"], ["n"],
                 ),
                 ["event_type"],
@@ -1106,29 +1107,28 @@ def q_sliding_distinct_users(sf_dir: str) -> Dataset:
 
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
 
-    def derive(t: pa.Table) -> pa.Table:
+    def derive_fanout(t: pa.Table) -> pa.Table:
+        # in-batch dedupe of (hour, user) BEFORE the ×3 fan-out — saves
+        # the dedicated first distinct merge (3 shuffles → 2; global
+        # dedupe still happens at the (window, user) distinct below)
         us = pc.cast(t["ts"], pa.int64())
-        hour = pc.divide(us, pa.scalar(US_PER_HOUR, type=pa.int64()))
-        return pa.table({"h": hour, "user_id": t["user_id"]})
-
-    hu = merge_group_sums(
-        partial_count(
-            events.map_batches(derive, batch_format="pyarrow"),
-            ["h", "user_id"], out="n",
-        ),
-        ["h", "user_id"], ["n"],
-    )
-
-    def fanout(t: pa.Table) -> pa.Table:
-        h = t.column("h").to_numpy(zero_copy_only=False)
+        hour = pc.divide(
+            us, pa.scalar(US_PER_HOUR, type=pa.int64())
+        ).to_numpy(zero_copy_only=False)
         u = t.column("user_id").to_numpy(zero_copy_only=False)
+        assert u.max(initial=0) < (1 << 21), "pack key exhausted (use 2 cols)"
+        key = np.unique((hour.astype(np.int64) << 21) | u.astype(np.int64))
+        h = key >> 21
+        uu = key & ((1 << 21) - 1)
         reps = np.repeat(np.arange(len(h)), 3)
         off = np.tile(np.arange(3, dtype=np.int64), len(h))
-        return pa.table({"hour": pa.array(h[reps] + off), "user_id": pa.array(u[reps])})
+        return pa.table(
+            {"hour": pa.array(h[reps] + off), "user_id": pa.array(uu[reps])}
+        )
 
     win = merge_group_sums(
         partial_count(
-            hu.map_batches(fanout, batch_format="pyarrow"),
+            events.map_batches(derive_fanout, batch_format="pyarrow"),
             ["hour", "user_id"], out="n",
         ),
         ["hour", "user_id"], ["n"],
@@ -2733,7 +2733,7 @@ def q_brand_cooccurrence(sf_dir: str) -> Dataset:
             ["l_orderkey", "p_brand"], out="n",
         ),
         ["l_orderkey", "p_brand"], ["n"],
-    )
+    ).materialize()  # distinct-pairs-sized; consumed by 3 stages below
 
     empty = pa.table(
         {
