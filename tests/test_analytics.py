@@ -1132,3 +1132,43 @@ def test_quantity_mode_bruteforce(ray_session):
         assert (r.mode_qty, r.n) == best
         # semantics: the mode's count is the max count
         assert r.n == counts.max()
+
+
+def test_logreg_2step_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        EMB_DIM,
+        LR_WSCALE,
+        LR_XSCALE,
+        q_logreg_2step,
+    )
+
+    out = q_logreg_2step(SF).to_pandas().sort_values("di", ignore_index=True)
+    t = pq.read_table(
+        f"{SF}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    m = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+    y = (t.column("label").to_numpy() < 5).astype(np.float64)
+    n = len(m)
+    w = np.zeros(EMB_DIM, dtype=np.int64)
+    losses = []
+    for _ in range(2):
+        x_fx = np.round(m * LR_XSCALE).astype(np.int64)
+        dot = (x_fx * w[None, :]).sum(axis=1)
+        margin = dot.astype(np.float64) / np.float64(LR_XSCALE * LR_WSCALE)
+        p = 1.0 / (1.0 + np.exp(-margin))
+        losses.append(
+            -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+        )
+        g = np.round(((y - p)[:, None] * m) * 1e10).astype(np.int64).sum(axis=0)
+        w = w + np.round(
+            g.astype(np.float64) / np.float64(n * 10_000)
+        ).astype(np.int64)
+    assert out.w_fx.tolist() == w.tolist()
+    # semantics: training reduces log-loss (step-2 loss < initial ln 2)
+    x_fx = np.round(m * LR_XSCALE).astype(np.int64)
+    margin = (x_fx * w[None, :]).sum(axis=1) / np.float64(
+        LR_XSCALE * LR_WSCALE
+    )
+    p = 1.0 / (1.0 + np.exp(-margin))
+    final_loss = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+    assert final_loss < losses[0] < np.log(2) + 1e-12

@@ -103,6 +103,8 @@ def main() -> int:
         .materialize().count(),
         "quantity_mode": lambda: an.q_quantity_mode(sf_dir)
         .materialize().count(),
+        "logreg_2step": lambda: an.q_logreg_2step(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

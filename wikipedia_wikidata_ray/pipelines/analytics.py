@@ -3677,6 +3677,134 @@ SELECT l_returnflag, mode_qty, n FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed logistic-regression training steps (fixed-point exact)
+
+LR_XSCALE = 100_000       # x fixed-point (e5)
+LR_WSCALE = 1_000_000     # w fixed-point (e6)
+LR_STEPS = 2
+
+
+def q_logreg_2step(sf_dir: str) -> Dataset:
+    """Two full-batch gradient-descent steps of logistic regression
+    (y = label < 5, lr = 1) over the embedding table, exact at any
+    parallelism: margins come from ALL-INTEGER dots (x e5 × w e6 →
+    /1e11 as ONE division), σ uses EXP (bitwise family), per-element
+    gradient terms round to e10 int64 before the ONE grouped-sum merge
+    per step (order-free; round_even in SQL — x is float32-derived, the
+    covariance tie rule), and the weight update is one exact-int
+    division+round. Output: (di, w_fx) after step 2 — d-bounded.
+
+    Movement per step: d partial rows per block; vectors never shuffle.
+    The SQL oracle unrolls both steps over the unnest CTE."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    n_vecs = pq_.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    w_fx = np.zeros(EMB_DIM, dtype=np.int64)
+    for _ in range(LR_STEPS):
+        ref = ray.put(w_fx)
+
+        def grad_partials(t: pa.Table, _ref=ref) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "di": pa.array([], type=pa.int64()),
+                        "g": pa.array([], type=pa.int64()),
+                    }
+                )
+            w = ray.get(_ref)
+            m = _emb_matrix(t["embedding"])
+            y = (
+                t.column("label").to_numpy(zero_copy_only=False) < 5
+            ).astype(np.float64)
+            x_fx = np.round(m * LR_XSCALE).astype(np.int64)
+            dot = (x_fx * w[None, :]).sum(axis=1)
+            margin = dot.astype(np.float64) / np.float64(
+                LR_XSCALE * LR_WSCALE
+            )
+            p = 1.0 / (1.0 + np.exp(-margin))
+            resid = y - p
+            g = np.round((resid[:, None] * m) * 1e10).astype(np.int64).sum(
+                axis=0
+            )
+            return pa.table(
+                {
+                    "di": pa.array(np.arange(1, EMB_DIM + 1, dtype=np.int64)),
+                    "g": pa.array(g),
+                }
+            )
+
+        gt = _pull_merged(
+            merge_group_sums(
+                emb.map_batches(grad_partials, batch_format="pyarrow"),
+                ["di"], ["g"],
+            ),
+            ["di", "g"],
+        ).sort_by("di")
+        g = gt.column("g").to_numpy(zero_copy_only=False)
+        # w += lr·(g/1e10)/n in e6 fixed point = round(g / (n·1e4))
+        delta = np.round(
+            g.astype(np.float64) / np.float64(n_vecs * 10_000)
+        ).astype(np.int64)
+        w_fx = w_fx + delta
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "di": pa.array(np.arange(1, EMB_DIM + 1, dtype=np.int64)),
+                "w_fx": pa.array(w_fx),
+            }
+        )
+    )
+
+
+SQL_LOGREG_2STEP = """
+WITH e AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i, CAST(x AS DOUBLE) AS x,
+         CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y,
+         CAST(round_even(CAST(x AS DOUBLE) * 100000, 0) AS BIGINT) AS xf
+  FROM (
+    SELECT vec_id, label, UNNEST(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+),
+n AS (SELECT COUNT(*) AS nv FROM embeddings),
+g1 AS (  -- step 1: w0 = 0 so every margin is 0 and p = 0.5
+  SELECT i AS di,
+         SUM(CAST(round_even((y - 0.5) * x * 1e10, 0) AS BIGINT)) AS g
+  FROM e GROUP BY 1
+),
+w1 AS (
+  SELECT di, CAST(ROUND(CAST(g AS DOUBLE)
+               / CAST(n.nv * 10000 AS DOUBLE)) AS BIGINT) AS w
+  FROM g1, n
+),
+m2 AS (
+  SELECT e.vec_id,
+         CAST(SUM(e.xf * w1.w) AS DOUBLE) / 1e11 AS margin
+  FROM e JOIN w1 ON e.i = w1.di
+  GROUP BY 1
+),
+p2 AS (
+  SELECT vec_id, 1.0 / (1.0 + EXP(-margin)) AS p FROM m2
+),
+g2 AS (
+  SELECT e.i AS di,
+         SUM(CAST(round_even((e.y - p2.p) * e.x * 1e10, 0) AS BIGINT)) AS g
+  FROM e JOIN p2 USING (vec_id)
+  GROUP BY 1
+)
+SELECT w1.di,
+       CAST(w1.w + CAST(ROUND(CAST(g2.g AS DOUBLE)
+              / CAST(n.nv * 10000 AS DOUBLE)) AS BIGINT) AS BIGINT) AS w_fx
+FROM w1 JOIN g2 USING (di), n
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -3712,6 +3840,7 @@ ANALYTICS_QUERIES = {
     "doclen_ks_test": q_doclen_ks_test,
     "wilson_ci_conversion": q_wilson_ci_conversion,
     "quantity_mode": q_quantity_mode,
+    "logreg_2step": q_logreg_2step,
 }
 
 ANALYTICS_ORACLES = {
@@ -3751,4 +3880,5 @@ ANALYTICS_ORACLES = {
     "doclen_ks_test": SQL_DOCLEN_KS_TEST,
     "wilson_ci_conversion": SQL_WILSON_CI_CONVERSION,
     "quantity_mode": SQL_QUANTITY_MODE,
+    "logreg_2step": SQL_LOGREG_2STEP,
 }

@@ -5912,7 +5912,7 @@ _DRIVER_PRIORITY = [
     "tile_semivariogram", "brand_cooccurrence",
     "hourly_ewma", "ab_srm_check", "session_overlap_pairs",
     "vocab_coverage_curve", "term_momentum", "nn_distance_histogram",
-    "doclen_ks_test", "wilson_ci_conversion", "quantity_mode",
+    "doclen_ks_test", "wilson_ci_conversion", "quantity_mode", "logreg_2step",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
