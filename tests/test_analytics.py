@@ -1172,3 +1172,45 @@ def test_logreg_2step_bruteforce(ray_session):
     p = 1.0 / (1.0 + np.exp(-margin))
     final_loss = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
     assert final_loss < losses[0] < np.log(2) + 1e-12
+
+
+def test_nb_lang_classify_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_nb_lang_classify
+
+    out = q_nb_lang_classify(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+    langs = sorted(docs.lang.unique())
+    cnt, tot = {}, {L: 0 for L in langs}
+    vocab = set()
+    for _, r in docs.iterrows():
+        for w in r.text.split(" "):
+            cnt[(r.lang, w)] = cnt.get((r.lang, w), 0) + 1
+            tot[r.lang] += 1
+            vocab.add(w)
+    V = len(vocab)
+    nd = docs.lang.value_counts()
+    n = len(docs)
+    correct = 0
+    for _, r in docs.iterrows():
+        scores = {}
+        for L in langs:
+            s = int(np.round(np.log(float(nd[L]) / float(n)) * 1e10))
+            denom = float(tot[L] + V)
+            for w in r.text.split(" "):
+                s += int(
+                    np.round(
+                        np.log((cnt.get((L, w), 0) + 1) / denom) * 1e10
+                    )
+                )
+            scores[L] = s
+        best = min(langs, key=lambda L: (-scores[L], L))
+        row = out.loc[r.doc_id]
+        assert row.pred_lang == best
+        assert row.score_e10 == scores[best]
+        correct += best == r.lang
+    # semantics: training-set accuracy must beat the majority-class
+    # baseline (the model actually learned language-discriminative
+    # token distributions)
+    assert correct / len(docs) > nd.max() / n

@@ -105,6 +105,8 @@ def main() -> int:
         .materialize().count(),
         "logreg_2step": lambda: an.q_logreg_2step(sf_dir)
         .materialize().count(),
+        "nb_lang_classify": lambda: an.q_nb_lang_classify(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

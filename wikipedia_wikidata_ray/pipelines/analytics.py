@@ -3805,6 +3805,161 @@ FROM w1 JOIN g2 USING (di), n
 """
 
 
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (trained on the corpus)
+
+
+def q_nb_lang_classify(sf_dir: str) -> Dataset:
+    """Multinomial Naive Bayes: TRAIN per-(lang, word) add-one-smoothed
+    log-likelihoods + log priors on the corpus itself (distributed count
+    merges), then classify every document by integer log-posterior
+    argmax (per-term ln rounded e10 → order-free int sums; ties break to
+    the lexicographically smaller language — fully deterministic, the
+    kmeans/PQ integer-ranking rule). Output (doc_id, pred_lang,
+    score_e10).
+
+    The model table broadcasts (vocab × langs — Heap's-law-bounded; the
+    gated token-keyed join is the >20M-vocab fallback, attach_df
+    convention); documents score in place and never shuffle."""
+    import ray
+
+    from ..stages.salted import partial_count
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": pc.cast(t["lang"], pa.string())
+                .take(pa.array(np.repeat(np.arange(len(t)), lens))),
+                "word": pc.list_flatten(words),
+            }
+        )
+
+    cnt = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                docs.map_batches(explode, batch_format="pyarrow"),
+                ["lang", "word"], out="n",
+            ),
+            ["lang", "word"], ["n"],
+        ),
+        ["lang", "word", "n"],
+    )
+    pri = _pull_merged(
+        merge_group_sums(
+            partial_count(docs, ["lang"], out="nd"), ["lang"], ["nd"]
+        ),
+        ["lang", "nd"],
+    )
+    langs = sorted(pri.column("lang").to_pylist())
+    nd = dict(zip(pri.column("lang").to_pylist(),
+                  pri.column("nd").to_numpy(zero_copy_only=False).tolist()))
+    n_docs = sum(nd.values())
+    cl = np.asarray(cnt.column("lang").to_pylist())
+    cw = np.asarray(cnt.column("word").to_pylist())
+    cn = cnt.column("n").to_numpy(zero_copy_only=False)
+    vocab = np.unique(cw)
+    V = len(vocab)
+    tot = {L: int(cn[cl == L].sum()) for L in langs}
+    # per-lang term vectors over the vocab + unseen default + prior
+    term = np.zeros((len(langs), V), dtype=np.int64)
+    default = np.zeros(len(langs), dtype=np.int64)
+    prior = np.zeros(len(langs), dtype=np.int64)
+    for li, L in enumerate(langs):
+        denom = float(tot[L] + V)
+        default[li] = int(np.round(np.log(1.0 / denom) * 1e10))
+        term[li, :] = default[li]
+        m = cl == L
+        pos = np.searchsorted(vocab, cw[m])
+        term[li, pos] = np.round(
+            np.log((cn[m] + 1).astype(np.float64) / denom) * 1e10
+        ).astype(np.int64)
+        prior[li] = int(np.round(np.log(float(nd[L]) / float(n_docs)) * 1e10))
+    vocab_arrow = pa.array(vocab.tolist(), type=pa.string())
+    ref = ray.put((vocab_arrow, term, default, prior, np.asarray(langs)))
+
+    def classify(t: pa.Table) -> pa.Table:
+        voc, tm, df, pr, ls = ray.get(ref)
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t)), lens)
+        # Arrow C++ dictionary lookup — no per-token Python
+        pos = pc.index_in(
+            pc.list_flatten(words), value_set=voc
+        ).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(pos) if pos.dtype.kind == "f" else np.ones(
+            len(pos), dtype=bool
+        )
+        pos_clip = np.where(hit, pos, 0).astype(np.int64)
+        scores = np.tile(pr[:, None], (1, len(t)))
+        for li in range(len(ls)):
+            tv = np.where(hit, tm[li][pos_clip], df[li])
+            acc = np.zeros(len(t), dtype=np.int64)
+            np.add.at(acc, doc_idx, tv)
+            scores[li] += acc
+        # argmax with lexicographic lang tie-break: langs are sorted, so
+        # the FIRST maximal row wins
+        best = np.argmax(scores, axis=0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pred_lang": pa.array(ls[best], type=pa.string()),
+                "score_e10": pa.array(
+                    scores[best, np.arange(len(t))], type=pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_NB_LANG_CLASSIFY = """
+WITH w AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+  FROM documents
+),
+cnt AS (SELECT lang, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(n) AS t FROM cnt GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT word) AS v FROM w),
+pri AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY 1),
+ndoc AS (SELECT COUNT(*) AS n FROM documents),
+cand AS (
+  SELECT p.lang AS cand, t.t, v.v,
+         CAST(ROUND(LN(CAST(p.nd AS DOUBLE) / CAST(ndoc.n AS DOUBLE))
+                    * 1e10) AS BIGINT) AS prior
+  FROM pri p JOIN tot t ON t.lang = p.lang, v, ndoc
+),
+terms AS (
+  SELECT wd.doc_id, c.cand,
+         CAST(ROUND(LN(CAST(COALESCE(k.n, 0) + 1 AS DOUBLE)
+                       / CAST(c.t + c.v AS DOUBLE)) * 1e10) AS BIGINT)
+           AS term
+  FROM w wd
+  CROSS JOIN cand c
+  LEFT JOIN cnt k ON k.lang = c.cand AND k.word = wd.word
+),
+scores AS (
+  SELECT t.doc_id, t.cand,
+         CAST(MIN(c.prior) + SUM(t.term) AS BIGINT) AS score
+  FROM terms t JOIN cand c ON c.cand = t.cand
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, cand, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+  FROM scores
+)
+SELECT doc_id, cand AS pred_lang, score AS score_e10
+FROM ranked WHERE rn = 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -3841,6 +3996,7 @@ ANALYTICS_QUERIES = {
     "wilson_ci_conversion": q_wilson_ci_conversion,
     "quantity_mode": q_quantity_mode,
     "logreg_2step": q_logreg_2step,
+    "nb_lang_classify": q_nb_lang_classify,
 }
 
 ANALYTICS_ORACLES = {
@@ -3881,4 +4037,5 @@ ANALYTICS_ORACLES = {
     "wilson_ci_conversion": SQL_WILSON_CI_CONVERSION,
     "quantity_mode": SQL_QUANTITY_MODE,
     "logreg_2step": SQL_LOGREG_2STEP,
+    "nb_lang_classify": SQL_NB_LANG_CLASSIFY,
 }

@@ -5913,6 +5913,7 @@ _DRIVER_PRIORITY = [
     "hourly_ewma", "ab_srm_check", "session_overlap_pairs",
     "vocab_coverage_curve", "term_momentum", "nn_distance_histogram",
     "doclen_ks_test", "wilson_ci_conversion", "quantity_mode", "logreg_2step",
+    "nb_lang_classify",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
