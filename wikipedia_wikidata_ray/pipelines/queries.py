@@ -1403,7 +1403,7 @@ def _closed_triangle_wedges(
         # id (the node space is 0..N-1 by construction) — ray.put once,
         # zero-copy read per task
         deg_arr = np.zeros(n_docs, dtype=np.int64)
-        tbl = pa.concat_tables([ray.get(r) for r in deg_ds.to_arrow_refs()])
+        tbl = _pull_blocks(deg_ds, ["node", "deg"])
         deg_arr[tbl.column("node").to_numpy()] = tbl.column("deg").to_numpy()
         ref = ray.put(deg_arr)
 
@@ -1787,6 +1787,25 @@ def _directed_link_edges(sf_dir: str) -> tuple[Dataset, int]:
     return edges, n_docs
 
 
+def _pull_blocks(ds, cols):
+    """Driver pull of a merged Dataset's blocks with EMPTY blocks
+    skipped: under in-session load a union's empty block can arrive
+    schema-less or with stale presort columns (round-5 drift rule —
+    the test_hits_2iter flake), crashing the concat. Non-empty blocks
+    missing ``cols`` still raise."""
+    import ray as _ray
+
+    tbls = []
+    for r in ds.to_arrow_refs():
+        t = _ray.get(r)
+        if t.num_rows == 0:
+            continue
+        tbls.append(t.select(cols))
+    if not tbls:
+        return pa.table({c: pa.array([], type=pa.int64()) for c in cols})
+    return pa.concat_tables(tbls, promote_options="permissive")
+
+
 def _hits_halfstep(
     edges: Dataset,
     scores: Dataset,
@@ -1804,9 +1823,7 @@ def _hits_halfstep(
 
     if n_docs <= broadcast_limit:
         arr = np.zeros(n_docs, dtype=np.int64)
-        tbl = pa.concat_tables(
-            [ray.get(r) for r in scores.to_arrow_refs()]
-        ).select(["node", "s"])
+        tbl = _pull_blocks(scores, ["node", "s"])
         arr[tbl.column("node").to_numpy()] = tbl.column("s").to_numpy()
         ref = ray.put(arr)
 
@@ -2307,7 +2324,7 @@ def q_degree_assortativity(
     deg_ds = _edge_degrees(edges)
     assert n_docs <= deg_broadcast_limit  # dense-array broadcast plan
     deg_arr = np.zeros(n_docs, dtype=np.int64)
-    tbl = pa.concat_tables([ray.get(r) for r in deg_ds.to_arrow_refs()])
+    tbl = _pull_blocks(deg_ds, ["node", "deg"])
     deg_arr[tbl.column("node").to_numpy()] = tbl.column("deg").to_numpy()
     ref = ray.put(deg_arr)
 
@@ -3732,7 +3749,7 @@ def _attach_labels(tiles: Dataset, labels: Dataset, limit: int | None = None) ->
     limit = LABELS_BROADCAST_LIMIT if limit is None else limit
     lab_mat = labels.materialize()
     if lab_mat.count() <= limit:
-        tbl = pa.concat_tables(ray.get(lab_mat.to_arrow_refs()))
+        tbl = _pull_blocks(lab_mat, ["node", "label"])
         nodes_np = tbl["node"].to_numpy(zero_copy_only=False)
         labels_np = tbl["label"].to_numpy(zero_copy_only=False)
         order = np.argsort(nodes_np)
