@@ -1214,3 +1214,51 @@ def test_nb_lang_classify_bruteforce(ray_session):
     # baseline (the model actually learned language-discriminative
     # token distributions)
     assert correct / len(docs) > nd.max() / n
+
+
+def test_rrf_fusion_topk_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        NDCG_K,
+        NDCG_TRUNC_DIMS,
+        RRF_K,
+        RRF_TOP,
+        q_rrf_fusion_topk,
+    )
+
+    out = q_rrf_fusion_topk(SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    M = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+    o = np.argsort(ids)
+    ids, M = ids[o], M[o]
+
+    def ranking(X):
+        n = np.sqrt((X * X).sum(1))
+        ranks = {}
+        for qi in range(len(ids)):
+            cos = (X @ X[qi]) / (n * n[qi])
+            se = np.round(cos * 1e6).astype(np.int64)
+            order = sorted(
+                (i for i in range(len(ids)) if i != qi),
+                key=lambda i: (-se[i], ids[i]),
+            )
+            ranks[ids[qi]] = [ids[i] for i in order[:NDCG_K]]
+        return ranks
+
+    exact = ranking(M)
+    approx = ranking(M[:, :NDCG_TRUNC_DIMS])
+    for qid in ids:
+        scores = {}
+        for lst in (exact[qid], approx[qid]):
+            for r, c in enumerate(lst):
+                scores[c] = scores.get(c, 0.0) + 1.0 / (RRF_K + r + 1)
+        fused = sorted(
+            ((int(np.round(s * 1e10)), c) for c, s in scores.items()),
+            key=lambda kv: (-kv[0], kv[1]),
+        )[:RRF_TOP]
+        g = out[out.vec_id == qid].sort_values("fused_rank")
+        assert g.neighbor_id.tolist() == [c for _, c in fused]
+        assert g.rrf_e10.tolist() == [s for s, _ in fused]
+    # semantics: a candidate in BOTH lists at rank 1 dominates any
+    # single-list candidate (2/(61) > 1/61 max single)
+    assert (out.fused_rank.between(1, RRF_TOP)).all()

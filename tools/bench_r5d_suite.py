@@ -107,6 +107,8 @@ def main() -> int:
         .materialize().count(),
         "nb_lang_classify": lambda: an.q_nb_lang_classify(sf_dir)
         .materialize().count(),
+        "rrf_fusion_topk": lambda: an.q_rrf_fusion_topk(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -3960,6 +3960,131 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings
+
+RRF_K = 60
+RRF_TOP = 5
+
+
+def q_rrf_fusion_topk(sf_dir: str) -> Dataset:
+    """Reciprocal-rank fusion (RRF, k=60) of the full-precision and
+    truncated-dimension top-10 rankings (the ndcg_truncation_eval pair):
+    fused(c) = Σ_lists 1/(60+rank). Scores are two IEEE divisions + one
+    commutative add over exact integer ranks → bitwise both sides;
+    fusion ranking happens on e10 INTEGERS with candidate-id ties
+    (round-5 comparison rule). Output: top-5 fused per query.
+
+    Same broadcast-once distribution as the eval op — each query batch
+    fuses independently; the sharded-IVF path swaps in identically."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    full_tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = full_tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    M = _emb_matrix(full_tbl.column("embedding"))
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    nf = np.sqrt((M * M).sum(axis=1))
+    Mt = M[:, :NDCG_TRUNC_DIMS]
+    nt = np.sqrt((Mt * Mt).sum(axis=1))
+    ref = ray.put((ids, M, nf, Mt, nt))
+
+    def fuse_block(t: pa.Table) -> pa.Table:
+        ids_, M_, nf_, Mt_, nt_ = ray.get(ref)
+        q = _emb_matrix(t["embedding"])
+        qid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        qn_f = np.sqrt((q * q).sum(axis=1))
+        qt = q[:, :NDCG_TRUNC_DIMS]
+        qn_t = np.sqrt((qt * qt).sum(axis=1))
+
+        def topk(sim_e6: np.ndarray, self_pos: np.ndarray) -> np.ndarray:
+            key = sim_e6 * np.int64(1 << 21) - ids_[None, :]
+            key[np.arange(len(key)), self_pos] = np.iinfo(np.int64).min + 1
+            part = np.argpartition(-key, NDCG_K, axis=1)[:, :NDCG_K]
+            kk = np.take_along_axis(key, part, axis=1)
+            ordk = np.argsort(-kk, axis=1, kind="stable")
+            return np.take_along_axis(part, ordk, axis=1)
+
+        self_pos = np.searchsorted(ids_, qid)
+        cos_f = (q @ M_.T) / (qn_f[:, None] * nf_[None, :])
+        exact = topk(np.round(cos_f * 1e6).astype(np.int64), self_pos)
+        cos_t = (qt @ Mt_.T) / (qn_t[:, None] * nt_[None, :])
+        approx = topk(np.round(cos_t * 1e6).astype(np.int64), self_pos)
+
+        out_q, out_c, out_s, out_r = [], [], [], []
+        for row in range(len(q)):  # queries per batch; inner work is K-bounded
+            scores: dict[int, float] = {}
+            for lst in (exact[row], approx[row]):
+                for r_, cpos in enumerate(lst):
+                    c = int(ids_[cpos])
+                    scores[c] = scores.get(c, 0.0) + 1.0 / (RRF_K + r_ + 1)
+            fused = sorted(
+                ((int(np.round(s * 1e10)), c) for c, s in scores.items()),
+                key=lambda kv: (-kv[0], kv[1]),
+            )[:RRF_TOP]
+            for rk, (s_e10, c) in enumerate(fused, 1):
+                out_q.append(int(qid[row]))
+                out_c.append(c)
+                out_s.append(s_e10)
+                out_r.append(rk)
+        return pa.table(
+            {
+                "vec_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_c, type=pa.int64()),
+                "rrf_e10": pa.array(out_s, type=pa.int64()),
+                "fused_rank": pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+    return emb.map_batches(fuse_block, batch_format="pyarrow")
+
+
+SQL_RRF_FUSION_TOPK = """
+WITH p AS (
+  SELECT a.vec_id AS q, b.vec_id AS c,
+         CAST(ROUND(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS sf,
+         CAST(ROUND(list_cosine_similarity(
+           CAST(a.embedding[1:16] AS DOUBLE[]),
+           CAST(b.embedding[1:16] AS DOUBLE[])) * 1e6) AS BIGINT) AS st
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ex AS (
+  SELECT q, c, ROW_NUMBER() OVER (
+    PARTITION BY q ORDER BY sf DESC, c) AS r
+  FROM p QUALIFY r <= 10
+),
+ap AS (
+  SELECT q, c, ROW_NUMBER() OVER (
+    PARTITION BY q ORDER BY st DESC, c) AS r
+  FROM p QUALIFY r <= 10
+),
+fused AS (
+  SELECT COALESCE(ex.q, ap.q) AS q, COALESCE(ex.c, ap.c) AS c,
+         CAST(ROUND((COALESCE(1.0 / (60 + ex.r), 0.0)
+                     + COALESCE(1.0 / (60 + ap.r), 0.0)) * 1e10)
+              AS BIGINT) AS rrf_e10
+  FROM ex FULL OUTER JOIN ap ON ex.q = ap.q AND ex.c = ap.c
+),
+ranked AS (
+  SELECT q, c, rrf_e10,
+         ROW_NUMBER() OVER (
+           PARTITION BY q ORDER BY rrf_e10 DESC, c) AS fused_rank
+  FROM fused
+)
+SELECT q AS vec_id, c AS neighbor_id, rrf_e10,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM ranked WHERE fused_rank <= 5
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -3997,6 +4122,7 @@ ANALYTICS_QUERIES = {
     "quantity_mode": q_quantity_mode,
     "logreg_2step": q_logreg_2step,
     "nb_lang_classify": q_nb_lang_classify,
+    "rrf_fusion_topk": q_rrf_fusion_topk,
 }
 
 ANALYTICS_ORACLES = {
@@ -4038,4 +4164,5 @@ ANALYTICS_ORACLES = {
     "quantity_mode": SQL_QUANTITY_MODE,
     "logreg_2step": SQL_LOGREG_2STEP,
     "nb_lang_classify": SQL_NB_LANG_CLASSIFY,
+    "rrf_fusion_topk": SQL_RRF_FUSION_TOPK,
 }
