@@ -1262,3 +1262,56 @@ def test_rrf_fusion_topk_bruteforce(ray_session):
     # semantics: a candidate in BOTH lists at rank 1 dominates any
     # single-list candidate (2/(61) > 1/61 max single)
     assert (out.fused_rank.between(1, RRF_TOP)).all()
+
+
+def test_churn_features_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        CHURN_WEEK_US,
+        q_churn_features,
+    )
+
+    out = q_churn_features(SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+    t0 = int(ev.ts.astype("int64").min())
+    ev["wk"] = (ev.ts.astype("int64") - t0) // CHURN_WEEK_US
+    for uid, g in ev.groupby("user_id"):
+        r = out.loc[uid]
+        assert r.w1 == (g.wk == 0).sum()
+        assert r.w2 == (g.wk == 1).sum()
+        assert r.w3 == (g.wk == 2).sum()
+        assert r.churned == int((g.wk >= 3).sum() == 0)
+    # semantics: every user appears once; labels are binary; feature
+    # totals conserve the first-3-week event count
+    assert len(out) == ev.user_id.nunique()
+    assert set(out.churned.unique()) <= {0, 1}
+    assert (out.w1 + out.w2 + out.w3).sum() == (ev.wk < 3).sum()
+
+
+def test_lang_js_divergence_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        q_lang_js_divergence,
+    )
+
+    out = q_lang_js_divergence(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text", "lang"]).to_pandas()
+    langs = sorted(docs.lang.unique())
+    counts = {L: {} for L in langs}
+    for _, r in docs.iterrows():
+        for w in r.text.split(" "):
+            counts[r.lang][w] = counts[r.lang].get(w, 0) + 1
+    vocab = sorted({w for d in counts.values() for w in d})
+    got = {(r.lang_a, r.lang_b): r.jsd_e10 for _, r in out.iterrows()}
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            ta = sum(counts[a].values())
+            tb = sum(counts[b].values())
+            s = 0
+            for w in vocab:
+                na, nb_ = counts[a].get(w, 0), counts[b].get(w, 0)
+                p, q = na / ta, nb_ / tb
+                tp = p * np.log((2.0 * p) / (p + q)) if na > 0 else 0.0
+                tq = q * np.log((2.0 * q) / (p + q)) if nb_ > 0 else 0.0
+                s += int(np.round((0.5 * (tp + tq)) * 1e10))
+            assert got[(a, b)] == s
+            # JSD bounds: [0, ln 2]
+            assert 0 <= got[(a, b)] <= int(np.log(2) * 1e10) + 1

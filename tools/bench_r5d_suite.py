@@ -109,6 +109,10 @@ def main() -> int:
         .materialize().count(),
         "rrf_fusion_topk": lambda: an.q_rrf_fusion_topk(sf_dir)
         .materialize().count(),
+        "churn_features": lambda: an.q_churn_features(sf_dir)
+        .materialize().count(),
+        "lang_js_divergence": lambda: an.q_lang_js_divergence(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -4085,6 +4085,193 @@ FROM ranked WHERE fused_rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Churn feature/label extraction and Jensen–Shannon divergence panel
+
+CHURN_WEEK_US = 7 * 24 * US_PER_HOUR
+
+
+def q_churn_features(sf_dir: str) -> Dataset:
+    """Feature/label extraction for churn modeling: per user, event
+    counts in stream-weeks 1–3 as features and churned = no events in
+    week 4+ as the label (week boundaries from the global stream start —
+    a parquet-footer min, zero-pass). ONE conditional-partial merge
+    carries all four counters; output is user-sized, all-integer."""
+    import pyarrow.parquet as pq_
+
+    meta = pq_.read_metadata(f"{sf_dir}/events.parquet")
+    # footer stats give the global min ts (the round-5 zero-pass rule)
+    from datetime import datetime
+
+    t0 = None
+    for rg in range(meta.num_row_groups):
+        col = meta.row_group(rg).column(1)  # ts column
+        mn = col.statistics.min
+        if hasattr(mn, "year"):
+            td = mn.replace(tzinfo=None) - datetime(1970, 1, 1)
+            # exact integer epoch-us (float .timestamp() rounds the µs)
+            v = (td.days * 86_400_000_000
+                 + td.seconds * 1_000_000 + td.microseconds)
+        else:
+            v = int(mn)
+        t0 = v if t0 is None else min(t0, v)
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        week = (us - t0) // CHURN_WEEK_US
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        cols = {"user_id": pa.array(u)}
+        for w in range(3):
+            cols[f"w{w + 1}"] = pa.array((week == w).astype(np.int64))
+        cols["later"] = pa.array((week >= 3).astype(np.int64))
+        g = pa.table(cols).group_by(["user_id"]).aggregate(
+            [(f"w{w + 1}", "sum") for w in range(3)] + [("later", "sum")]
+        )
+        return g.rename_columns(["user_id", "w1", "w2", "w3", "later"])
+
+    merged = merge_group_sums(
+        events.map_batches(partials, batch_format="pyarrow"),
+        ["user_id"], ["w1", "w2", "w3", "later"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        later = t.column("later").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "w3": t["w3"],
+                "churned": pa.array((later == 0).astype(np.int64)),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_CHURN_FEATURES = """
+WITH t0 AS (SELECT epoch_us(MIN(ts)) AS v FROM events),
+w AS (
+  SELECT user_id,
+         (epoch_us(ts) - t0.v) // 604800000000 AS wk
+  FROM events, t0
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+       CAST(SUM(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+       CAST(SUM(CASE WHEN wk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS w3,
+       CAST(CASE WHEN SUM(CASE WHEN wk >= 3 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM w GROUP BY 1
+"""
+
+
+def q_lang_js_divergence(sf_dir: str) -> Dataset:
+    """Pairwise Jensen–Shannon divergence between the language unigram
+    distributions: (lang, word) counts merge (the nb_lang training
+    movement), then the vocabulary-bounded pairwise panel — per term
+    0.5·(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) rounded e10 and integer-summed
+    (order-free). Zero-count terms contribute their one-sided limit
+    (q=0 ⇒ 0.5·p·ln 2) exactly via the same formula with the 0 literal
+    (guarded: ln term skipped when the numerator count is 0)."""
+    from ..stages.salted import partial_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": pc.cast(t["lang"], pa.string()).take(
+                    pa.array(np.repeat(np.arange(len(t)), lens))
+                ),
+                "word": pc.list_flatten(words),
+            }
+        )
+
+    cnt = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                docs.map_batches(explode, batch_format="pyarrow"),
+                ["lang", "word"], out="n",
+            ),
+            ["lang", "word"], ["n"],
+        ),
+        ["lang", "word", "n"],
+    )
+    cl = np.asarray(cnt.column("lang").to_pylist())
+    cw = np.asarray(cnt.column("word").to_pylist())
+    cn = cnt.column("n").to_numpy(zero_copy_only=False)
+    langs = sorted(set(cl.tolist()))
+    vocab = np.unique(cw)
+    mat = np.zeros((len(langs), len(vocab)), dtype=np.int64)
+    for li, L in enumerate(langs):
+        m = cl == L
+        mat[li, np.searchsorted(vocab, cw[m])] = cn[m]
+    tot = mat.sum(axis=1).astype(np.float64)
+    rows = []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            p = mat[i].astype(np.float64) / tot[i]
+            q = mat[j].astype(np.float64) / tot[j]
+            s = p + q
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tp = np.where(
+                    mat[i] > 0, p * np.log((2.0 * p) / s), 0.0
+                )
+                tq = np.where(
+                    mat[j] > 0, q * np.log((2.0 * q) / s), 0.0
+                )
+            terms = np.round((0.5 * (tp + tq)) * 1e10).astype(np.int64)
+            rows.append((langs[i], langs[j], int(terms.sum())))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang_a": pa.array([r[0] for r in rows], type=pa.string()),
+                "lang_b": pa.array([r[1] for r in rows], type=pa.string()),
+                "jsd_e10": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_LANG_JS_DIVERGENCE = """
+WITH wc AS (
+  SELECT lang, word, COUNT(*) AS n FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(n) AS t FROM wc GROUP BY 1),
+vocab AS (SELECT DISTINCT word FROM wc),
+grid AS (
+  SELECT a.lang AS la, b.lang AS lb, v.word
+  FROM tot a JOIN tot b ON a.lang < b.lang, vocab v
+),
+cells AS (
+  SELECT g.la, g.lb, g.word,
+         CAST(COALESCE(ca.n, 0) AS DOUBLE)
+           / CAST(ta.t AS DOUBLE) AS p,
+         CAST(COALESCE(cb.n, 0) AS DOUBLE)
+           / CAST(tb.t AS DOUBLE) AS q,
+         COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb
+  FROM grid g
+  JOIN tot ta ON ta.lang = g.la
+  JOIN tot tb ON tb.lang = g.lb
+  LEFT JOIN wc ca ON ca.lang = g.la AND ca.word = g.word
+  LEFT JOIN wc cb ON cb.lang = g.lb AND cb.word = g.word
+)
+SELECT la AS lang_a, lb AS lang_b,
+       CAST(SUM(CAST(ROUND((0.5 * (
+           CASE WHEN na > 0 THEN p * LN((2.0 * p) / (p + q)) ELSE 0.0 END
+         + CASE WHEN nb > 0 THEN q * LN((2.0 * q) / (p + q)) ELSE 0.0 END
+       )) * 1e10) AS BIGINT)) AS BIGINT) AS jsd_e10
+FROM cells GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -4123,6 +4310,8 @@ ANALYTICS_QUERIES = {
     "logreg_2step": q_logreg_2step,
     "nb_lang_classify": q_nb_lang_classify,
     "rrf_fusion_topk": q_rrf_fusion_topk,
+    "churn_features": q_churn_features,
+    "lang_js_divergence": q_lang_js_divergence,
 }
 
 ANALYTICS_ORACLES = {
@@ -4165,4 +4354,6 @@ ANALYTICS_ORACLES = {
     "logreg_2step": SQL_LOGREG_2STEP,
     "nb_lang_classify": SQL_NB_LANG_CLASSIFY,
     "rrf_fusion_topk": SQL_RRF_FUSION_TOPK,
+    "churn_features": SQL_CHURN_FEATURES,
+    "lang_js_divergence": SQL_LANG_JS_DIVERGENCE,
 }

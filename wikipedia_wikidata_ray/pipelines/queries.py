@@ -5930,7 +5930,7 @@ _DRIVER_PRIORITY = [
     "hourly_ewma", "ab_srm_check", "session_overlap_pairs",
     "vocab_coverage_curve", "term_momentum", "nn_distance_histogram",
     "doclen_ks_test", "wilson_ci_conversion", "quantity_mode", "logreg_2step",
-    "nb_lang_classify", "rrf_fusion_topk",
+    "nb_lang_classify", "rrf_fusion_topk", "churn_features", "lang_js_divergence",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
