@@ -1315,3 +1315,44 @@ def test_lang_js_divergence_bruteforce(ray_session):
             assert got[(a, b)] == s
             # JSD bounds: [0, ln 2]
             assert 0 <= got[(a, b)] <= int(np.log(2) * 1e10) + 1
+
+
+def test_kcenter_seeds_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        KCENTER_K,
+        LR_XSCALE,
+        q_kcenter_seeds,
+    )
+
+    out = q_kcenter_seeds(SF).to_pandas().sort_values(
+        "seed_rank", ignore_index=True
+    )
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    M = np.round(
+        np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+        * LR_XSCALE
+    ).astype(np.int64)
+    seeds = [int(ids.min())]
+    dists = [0]
+    for _ in range(KCENTER_K - 1):
+        best = None
+        for vi, vid in enumerate(ids):
+            if vid in seeds:
+                continue
+            d = min(
+                int(((M[vi] - M[np.flatnonzero(ids == s)[0]]) ** 2).sum())
+                for s in seeds
+            )
+            key = (-d, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, d)
+        seeds.append(int(best[1]))
+        dists.append(best[2])
+    assert out.vec_id.tolist() == seeds
+    assert out.mindist_fx.tolist() == dists
+    # semantics: greedy farthest-point min-distances are non-increasing
+    # after the first pick
+    assert all(
+        dists[i] >= dists[i + 1] for i in range(1, len(dists) - 1)
+    )

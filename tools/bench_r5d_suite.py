@@ -113,6 +113,8 @@ def main() -> int:
         .materialize().count(),
         "lang_js_divergence": lambda: an.q_lang_js_divergence(sf_dir)
         .materialize().count(),
+        "kcenter_seeds": lambda: an.q_kcenter_seeds(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -4272,6 +4272,133 @@ FROM cells GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Farthest-point (k-center greedy) seeding
+
+KCENTER_K = 4
+
+
+def q_kcenter_seeds(sf_dir: str) -> Dataset:
+    """Deterministic k-means++-style seeding without RNG: farthest-point
+    greedy (k-center) — seed₀ = vec 0, then k−1 rounds of the
+    DISTRIBUTED ARGMAX of min-distance-to-seeds (squared euclidean on
+    e5 fixed-point ints: per-dim diff² ≤ 4e10, 64-dim sums ≤ 2.6e12 —
+    exact int64, order-free; ties break to the smaller vec_id). Per
+    round: seeds broadcast (≤ k·d ints) → per-batch min over seeds →
+    block-local top-1 rows → driver pick (block-count-bounded pull).
+    Output: (seed_rank, vec_id, mindist_fx) — mindist is the chosen
+    point's distance to the PRIOR seed set (seed₀'s is 0)."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    first = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids0 = first.column("vec_id").to_numpy(zero_copy_only=False)
+    M0 = np.round(
+        _emb_matrix(first.column("embedding")) * LR_XSCALE
+    ).astype(np.int64)
+    seed_ids = [int(ids0.min())]
+    seed_vecs = [M0[np.argmin(ids0)]]
+    out_rows = [(1, seed_ids[0], 0)]
+    for rank in range(2, KCENTER_K + 1):
+        ref = ray.put((np.vstack(seed_vecs), np.asarray(seed_ids)))
+
+        def local_best(t: pa.Table, _ref=ref) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "d": pa.array([], type=pa.int64()),
+                    }
+                )
+            sv, sid = ray.get(_ref)
+            m = np.round(_emb_matrix(t["embedding"]) * LR_XSCALE).astype(
+                np.int64
+            )
+            vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+            dmin = None
+            for s in sv:  # ≤ k seeds, constant-bounded loop
+                diff = m - s[None, :]
+                d = (diff * diff).sum(axis=1)
+                dmin = d if dmin is None else np.minimum(dmin, d)
+            dmin = np.where(np.isin(vid, sid), -1, dmin)
+            best = np.lexsort((vid, -dmin))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(vid[best])]),
+                    "d": pa.array([int(dmin[best])]),
+                }
+            )
+
+        winners = _pull_merged(
+            emb.map_batches(local_best, batch_format="pyarrow"),
+            ["vec_id", "d"],
+        )
+        wid = winners.column("vec_id").to_numpy(zero_copy_only=False)
+        wd = winners.column("d").to_numpy(zero_copy_only=False)
+        pick = np.lexsort((wid, -wd))[0]
+        seed_ids.append(int(wid[pick]))
+        seed_vecs.append(M0[np.flatnonzero(ids0 == wid[pick])[0]])
+        out_rows.append((rank, int(wid[pick]), int(wd[pick])))
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "seed_rank": pa.array([r[0] for r in out_rows], type=pa.int64()),
+                "vec_id": pa.array([r[1] for r in out_rows], type=pa.int64()),
+                "mindist_fx": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_KCENTER_SEEDS = """
+WITH e AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i,
+         CAST(round_even(CAST(x AS DOUBLE) * 100000, 0) AS BIGINT) AS xf
+  FROM (
+    SELECT vec_id, UNNEST(embedding) AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+),
+s0 AS (SELECT MIN(vec_id) AS id FROM e),
+d0 AS (
+  SELECT a.vec_id, SUM((a.xf - b.xf) * (a.xf - b.xf)) AS d
+  FROM e a JOIN e b ON b.vec_id = (SELECT id FROM s0) AND a.i = b.i
+  WHERE a.vec_id <> (SELECT id FROM s0)
+  GROUP BY 1
+),
+s1 AS (SELECT vec_id AS id, d FROM d0 ORDER BY d DESC, vec_id LIMIT 1),
+d1 AS (
+  SELECT a.vec_id, LEAST(d0.d,
+           SUM((a.xf - b.xf) * (a.xf - b.xf))) AS d
+  FROM e a JOIN e b ON b.vec_id = (SELECT id FROM s1) AND a.i = b.i
+  JOIN d0 ON d0.vec_id = a.vec_id
+  WHERE a.vec_id NOT IN ((SELECT id FROM s0), (SELECT id FROM s1))
+  GROUP BY 1, d0.d
+),
+s2 AS (SELECT vec_id AS id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+d2 AS (
+  SELECT a.vec_id, LEAST(d1.d,
+           SUM((a.xf - b.xf) * (a.xf - b.xf))) AS d
+  FROM e a JOIN e b ON b.vec_id = (SELECT id FROM s2) AND a.i = b.i
+  JOIN d1 ON d1.vec_id = a.vec_id
+  WHERE a.vec_id <> (SELECT id FROM s2)
+  GROUP BY 1, d1.d
+),
+s3 AS (SELECT vec_id AS id, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS seed_rank, (SELECT id FROM s0) AS vec_id,
+       CAST(0 AS BIGINT) AS mindist_fx
+UNION ALL SELECT 2, id, CAST(d AS BIGINT) FROM s1
+UNION ALL SELECT 3, id, CAST(d AS BIGINT) FROM s2
+UNION ALL SELECT 4, id, CAST(d AS BIGINT) FROM s3
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -4312,6 +4439,7 @@ ANALYTICS_QUERIES = {
     "rrf_fusion_topk": q_rrf_fusion_topk,
     "churn_features": q_churn_features,
     "lang_js_divergence": q_lang_js_divergence,
+    "kcenter_seeds": q_kcenter_seeds,
 }
 
 ANALYTICS_ORACLES = {
@@ -4356,4 +4484,5 @@ ANALYTICS_ORACLES = {
     "rrf_fusion_topk": SQL_RRF_FUSION_TOPK,
     "churn_features": SQL_CHURN_FEATURES,
     "lang_js_divergence": SQL_LANG_JS_DIVERGENCE,
+    "kcenter_seeds": SQL_KCENTER_SEEDS,
 }
