@@ -1356,3 +1356,30 @@ def test_kcenter_seeds_bruteforce(ray_session):
     assert all(
         dists[i] >= dists[i + 1] for i in range(1, len(dists) - 1)
     )
+
+
+def test_burst_states_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        US_PER_HOUR,
+        q_burst_states,
+    )
+
+    out = q_burst_states(SF).to_pandas().sort_values("hour", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    hours = ev.ts.astype("int64") // US_PER_HOUR
+    counts = hours.value_counts().sort_index()
+    spine = list(range(int(counts.index.min()), int(counts.index.max()) + 1))
+    full = [int(counts.get(h, 0)) for h in spine]
+    H, total = len(spine), sum(full)
+    cur, want = 0, []
+    for x in full:
+        if 4 * x * H > 5 * total:
+            cur = 1
+        elif 4 * x * H < 3 * total:
+            cur = 0
+        want.append(cur)
+    assert out.burst.tolist() == want
+    assert out.n_events.tolist() == full
+    # semantics: hysteresis — a burst hour's count cleared the hi bar at
+    # entry; both states occur on this stream
+    assert set(out.burst.unique()) == {0, 1}

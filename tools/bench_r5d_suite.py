@@ -115,6 +115,8 @@ def main() -> int:
         .materialize().count(),
         "kcenter_seeds": lambda: an.q_kcenter_seeds(sf_dir)
         .materialize().count(),
+        "burst_states": lambda: an.q_burst_states(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -4399,6 +4399,94 @@ UNION ALL SELECT 4, id, CAST(d AS BIGINT) FROM s3
 """
 
 
+# ---------------------------------------------------------------------------
+# Hysteresis burst-state labeling over hourly volume
+
+
+def q_burst_states(sf_dir: str) -> Dataset:
+    """Burst detection with hysteresis over hourly event volume: state
+    flips to BURST when 4·x > 5·mean (x > 1.25·mean) and back when
+    4·x < 3·mean, carrying the previous state in between (the two-state
+    Kleinberg shape with exact INTEGER thresholds — 4·x·H vs 5·total
+    cross-multiplication, no float comparisons anywhere). Counting
+    distributes; the carry runs on the calendar-bounded hourly spine
+    (LAST_VALUE IGNORE NULLS twin in SQL)."""
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {"hour": pc.divide(us, pa.scalar(US_PER_HOUR, type=pa.int64()))}
+        )
+
+    hourly = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                events.map_batches(derive, batch_format="pyarrow"),
+                ["hour"], out="n",
+            ),
+            ["hour"], ["n"],
+        ),
+        ["hour", "n"],
+    ).sort_by("hour")
+    hrs = hourly.column("hour").to_numpy(zero_copy_only=False)
+    ns = hourly.column("n").to_numpy(zero_copy_only=False)
+    spine = np.arange(hrs[0], hrs[-1] + 1, dtype=np.int64)
+    full = np.zeros(len(spine), dtype=np.int64)
+    full[np.searchsorted(spine, hrs)] = ns
+    H = len(spine)
+    total = int(full.sum())
+    hi = 4 * full * H > 5 * total
+    lo = 4 * full * H < 3 * total
+    flag = np.where(hi, 1, np.where(lo, 0, -1))
+    # carry: last non-(-1) flag, default 0
+    state = np.zeros(H, dtype=np.int64)
+    cur = 0
+    for i, f in enumerate(flag.tolist()):  # calendar-bounded serial carry
+        if f >= 0:
+            cur = int(f)
+        state[i] = cur
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hour": pa.array(spine),
+                "n_events": pa.array(full),
+                "burst": pa.array(state),
+            }
+        )
+    )
+
+
+SQL_BURST_STATES = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT UNNEST(generate_series(
+    (SELECT MIN(hour) FROM h), (SELECT MAX(hour) FROM h))) AS hour
+),
+x AS (
+  SELECT spine.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+  FROM spine LEFT JOIN h ON spine.hour = h.hour
+),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS hh FROM x),
+f AS (
+  SELECT x.hour, x.n,
+         CASE WHEN 4 * x.n * tot.hh > 5 * tot.total THEN 1
+              WHEN 4 * x.n * tot.hh < 3 * tot.total THEN 0
+              ELSE NULL END AS flag
+  FROM x, tot
+)
+SELECT hour, n AS n_events,
+       CAST(COALESCE(LAST_VALUE(flag IGNORE NULLS) OVER (
+         ORDER BY hour ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS burst
+FROM f
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -4440,6 +4528,7 @@ ANALYTICS_QUERIES = {
     "churn_features": q_churn_features,
     "lang_js_divergence": q_lang_js_divergence,
     "kcenter_seeds": q_kcenter_seeds,
+    "burst_states": q_burst_states,
 }
 
 ANALYTICS_ORACLES = {
@@ -4485,4 +4574,5 @@ ANALYTICS_ORACLES = {
     "churn_features": SQL_CHURN_FEATURES,
     "lang_js_divergence": SQL_LANG_JS_DIVERGENCE,
     "kcenter_seeds": SQL_KCENTER_SEEDS,
+    "burst_states": SQL_BURST_STATES,
 }
