@@ -1383,3 +1383,29 @@ def test_burst_states_bruteforce(ray_session):
     # semantics: hysteresis — a burst hour's count cleared the hi bar at
     # entry; both states occur on this stream
     assert set(out.burst.unique()) == {0, 1}
+
+
+def test_theil_sen_hourly_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        US_PER_HOUR,
+        q_theil_sen_hourly,
+    )
+
+    out = q_theil_sen_hourly(SF).to_pandas().iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    hours = ev.ts.astype("int64") // US_PER_HOUR
+    counts = hours.value_counts().sort_index()
+    spine = np.arange(int(counts.index.min()), int(counts.index.max()) + 1)
+    full = np.array([int(counts.get(h, 0)) for h in spine], dtype=np.int64)
+    slopes = []
+    for i in range(len(spine)):
+        for j in range(i + 1, len(spine)):
+            slopes.append(
+                int(np.round((full[j] - full[i]) / (spine[j] - spine[i]) * 1e10))
+            )
+    slopes.sort()
+    assert out.n_pairs == len(slopes)
+    assert out.slope_e10 == slopes[int(np.ceil(0.5 * len(slopes))) - 1]
+    # semantics: a stationary stream's robust trend is near zero — far
+    # smaller than the hourly volume scale
+    assert abs(out.slope_e10) < np.mean(full) * 1e10

@@ -117,6 +117,8 @@ def main() -> int:
         .materialize().count(),
         "burst_states": lambda: an.q_burst_states(sf_dir)
         .materialize().count(),
+        "theil_sen_hourly": lambda: an.q_theil_sen_hourly(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -4487,6 +4487,86 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend of hourly volume
+
+
+def q_theil_sen_hourly(sf_dir: str) -> Dataset:
+    """Robust (Theil–Sen) trend of hourly event volume: the MEDIAN of
+    all pairwise slopes (nⱼ−nᵢ)/(hⱼ−hᵢ) over the calendar-bounded hourly
+    spine. Slopes are one exact-int division each (bitwise both sides),
+    ranked as e10 integers with PERCENTILE_DISC's 1-based ceil(n/2)
+    element (the property-tested round-2 rule). The hourly count merge
+    is the distributed stage; the C(H,2) pair table is spine-bounded
+    (720 hours → 259K pairs) and never touches raw events."""
+    from ..stages.salted import partial_count
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {"hour": pc.divide(us, pa.scalar(US_PER_HOUR, type=pa.int64()))}
+        )
+
+    hourly = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                events.map_batches(derive, batch_format="pyarrow"),
+                ["hour"], out="n",
+            ),
+            ["hour"], ["n"],
+        ),
+        ["hour", "n"],
+    ).sort_by("hour")
+    hrs = hourly.column("hour").to_numpy(zero_copy_only=False)
+    ns = hourly.column("n").to_numpy(zero_copy_only=False)
+    spine = np.arange(hrs[0], hrs[-1] + 1, dtype=np.int64)
+    full = np.zeros(len(spine), dtype=np.int64)
+    full[np.searchsorted(spine, hrs)] = ns
+    i, j = np.triu_indices(len(spine), k=1)
+    slopes = np.round(
+        (full[j] - full[i]).astype(np.float64)
+        / (spine[j] - spine[i]).astype(np.float64) * 1e10
+    ).astype(np.int64)
+    slopes.sort()
+    n_pairs = len(slopes)
+    med = int(slopes[int(np.ceil(0.5 * n_pairs)) - 1])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_pairs": pa.array([n_pairs], type=pa.int64()),
+                "slope_e10": pa.array([med], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_THEIL_SEN_HOURLY = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT UNNEST(generate_series(
+    (SELECT MIN(hour) FROM h), (SELECT MAX(hour) FROM h))) AS hour
+),
+x AS (
+  SELECT spine.hour, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+  FROM spine LEFT JOIN h ON spine.hour = h.hour
+),
+p AS (
+  SELECT CAST(ROUND(CAST(b.n - a.n AS DOUBLE)
+               / CAST(b.hour - a.hour AS DOUBLE) * 1e10) AS BIGINT) AS s
+  FROM x a JOIN x b ON b.hour > a.hour
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY s) AS BIGINT)
+         AS slope_e10
+FROM p
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -4529,6 +4609,7 @@ ANALYTICS_QUERIES = {
     "lang_js_divergence": q_lang_js_divergence,
     "kcenter_seeds": q_kcenter_seeds,
     "burst_states": q_burst_states,
+    "theil_sen_hourly": q_theil_sen_hourly,
 }
 
 ANALYTICS_ORACLES = {
@@ -4575,4 +4656,5 @@ ANALYTICS_ORACLES = {
     "lang_js_divergence": SQL_LANG_JS_DIVERGENCE,
     "kcenter_seeds": SQL_KCENTER_SEEDS,
     "burst_states": SQL_BURST_STATES,
+    "theil_sen_hourly": SQL_THEIL_SEN_HOURLY,
 }
