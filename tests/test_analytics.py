@@ -1409,3 +1409,34 @@ def test_theil_sen_hourly_bruteforce(ray_session):
     # semantics: a stationary stream's robust trend is near zero — far
     # smaller than the hourly volume scale
     assert abs(out.slope_e10) < np.mean(full) * 1e10
+
+
+def test_nb_confusion_kappa_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        q_nb_confusion_kappa,
+        q_nb_lang_classify,
+    )
+
+    out = q_nb_confusion_kappa(SF).to_pandas()
+    pred = q_nb_lang_classify(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    docs["pred"] = pred.pred_lang.loc[docs.doc_id].to_numpy()
+    conf = docs.groupby(["lang", "pred"]).size()
+    got = {(r.lang, r.pred_lang): r.n for _, r in out.iterrows()}
+    assert got == dict(conf.items())
+    total = len(docs)
+    agree = int((docs.lang == docs.pred).sum())
+    langs = sorted(set(docs.lang) | set(docs.pred))
+    pe_num = sum(
+        int((docs.lang == L).sum()) * int((docs.pred == L).sum())
+        for L in langs
+    )
+    po = agree / total
+    pe = pe_num / (total * total)
+    kappa = int(np.round((po - pe) / (1.0 - pe) * 1e10))
+    assert (out.kappa_e10 == kappa).all()
+    # semantics: kappa must beat chance (positive) for a trained model
+    # and cannot exceed 1
+    assert 0 < kappa <= 10**10

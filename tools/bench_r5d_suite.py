@@ -119,6 +119,8 @@ def main() -> int:
         .materialize().count(),
         "theil_sen_hourly": lambda: an.q_theil_sen_hourly(sf_dir)
         .materialize().count(),
+        "nb_confusion_kappa": lambda: an.q_nb_confusion_kappa(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -4567,6 +4567,126 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# Classifier agreement: confusion matrix + Cohen's kappa
+
+
+def q_nb_confusion_kappa(sf_dir: str) -> Dataset:
+    """Confusion matrix of the Naive Bayes classifier against the true
+    language, with Cohen's kappa attached to every cell: kappa =
+    (p_o − p_e)/(1 − p_e) from EXACT integer cell counts (one shared
+    float sequence, e10). The classify map carries the true lang
+    through (1:1 row alignment, no join); cells merge once
+    (|langs|²-bounded)."""
+    import ray
+
+    from ..stages.salted import partial_count
+
+    # re-run the classifier map with lang carried (same broadcast model)
+    base = q_nb_lang_classify(sf_dir)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    truth = pa.concat_tables(
+        [ray.get(r) for r in docs.to_arrow_refs()],
+        promote_options="permissive",
+    )
+    tmap = dict(
+        zip(
+            truth.column("doc_id").to_numpy(zero_copy_only=False).tolist(),
+            truth.column("lang").to_pylist(),
+        )
+    )
+    tref = ray.put(
+        (
+            np.sort(truth.column("doc_id").to_numpy(zero_copy_only=False)),
+            np.asarray(
+                [tmap[k] for k in sorted(tmap)], dtype=object
+            ),
+        )
+    )
+
+    def attach_truth(t: pa.Table) -> pa.Table:
+        ks, ls = ray.get(tref)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, did)
+        return pa.table(
+            {
+                "lang": pa.array(ls[pos].tolist(), type=pa.string()),
+                "pred_lang": t["pred_lang"],
+            }
+        )
+
+    cells = _pull_merged(
+        merge_group_sums(
+            partial_count(
+                base.map_batches(attach_truth, batch_format="pyarrow"),
+                ["lang", "pred_lang"], out="n",
+            ),
+            ["lang", "pred_lang"], ["n"],
+        ),
+        ["lang", "pred_lang", "n"],
+    )
+    la = np.asarray(cells.column("lang").to_pylist())
+    pr = np.asarray(cells.column("pred_lang").to_pylist())
+    n = cells.column("n").to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    agree = int(n[la == pr].sum())
+    langs = sorted(set(la.tolist()) | set(pr.tolist()))
+    pe_num = 0
+    for L in langs:
+        row = int(n[la == L].sum())
+        col = int(n[pr == L].sum())
+        pe_num += row * col
+    po = float(agree) / float(total)
+    pe = float(pe_num) / float(total * total)
+    kappa = int(np.round(((po - pe) / (1.0 - pe)) * 1e10))
+    order = np.lexsort((pr, la))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(la[order].tolist(), type=pa.string()),
+                "pred_lang": pa.array(pr[order].tolist(), type=pa.string()),
+                "n": pa.array(n[order]),
+                "kappa_e10": pa.array(
+                    np.full(len(n), kappa, dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+SQL_NB_CONFUSION_KAPPA = f"""
+WITH pred AS ({SQL_NB_LANG_CLASSIFY.strip()}),
+conf AS (
+  SELECT d.lang, p.pred_lang, COUNT(*) AS n
+  FROM pred p JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS t FROM conf),
+agree AS (
+  SELECT COALESCE(SUM(n), 0) AS a FROM conf WHERE lang = pred_lang
+),
+pe AS (
+  SELECT SUM(r.rn * c.cn) AS num FROM
+    (SELECT lang AS L, SUM(n) AS rn FROM conf GROUP BY 1) r
+  JOIN (SELECT pred_lang AS L, SUM(n) AS cn FROM conf GROUP BY 1) c
+    USING (L)
+),
+k AS (
+  SELECT CAST(ROUND((((CAST(agree.a AS DOUBLE) / CAST(tot.t AS DOUBLE))
+            - (CAST(pe.num AS DOUBLE) / CAST(tot.t * tot.t AS DOUBLE)))
+           / (1.0 - (CAST(pe.num AS DOUBLE)
+                     / CAST(tot.t * tot.t AS DOUBLE)))) * 1e10) AS BIGINT)
+           AS kappa
+  FROM agree, tot, pe
+)
+SELECT conf.lang, conf.pred_lang, CAST(conf.n AS BIGINT) AS n,
+       k.kappa AS kappa_e10
+FROM conf, k
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -4610,6 +4730,7 @@ ANALYTICS_QUERIES = {
     "kcenter_seeds": q_kcenter_seeds,
     "burst_states": q_burst_states,
     "theil_sen_hourly": q_theil_sen_hourly,
+    "nb_confusion_kappa": q_nb_confusion_kappa,
 }
 
 ANALYTICS_ORACLES = {
@@ -4657,4 +4778,5 @@ ANALYTICS_ORACLES = {
     "kcenter_seeds": SQL_KCENTER_SEEDS,
     "burst_states": SQL_BURST_STATES,
     "theil_sen_hourly": SQL_THEIL_SEN_HOURLY,
+    "nb_confusion_kappa": SQL_NB_CONFUSION_KAPPA,
 }
