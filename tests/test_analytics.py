@@ -1440,3 +1440,33 @@ def test_nb_confusion_kappa_bruteforce(ray_session):
     # semantics: kappa must beat chance (positive) for a trained model
     # and cannot exceed 1
     assert 0 < kappa <= 10**10
+
+
+def test_lang_source_chisq_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        q_lang_source_chisq,
+    )
+
+    out = q_lang_source_chisq(SF).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["lang", "source"]
+    ).to_pandas()
+    conf = docs.groupby(["lang", "source"]).size()
+    got = {(r.lang, r.source): r.n for _, r in out.iterrows()}
+    assert got == dict(conf.items())
+    langs = sorted(docs.lang.unique())
+    sources = sorted(docs.source.unique())
+    N = len(docs)
+    chi2 = 0
+    for L in langs:
+        rn = int((docs.lang == L).sum())
+        for S in sources:
+            cn = int((docs.source == S).sum())
+            o = int(conf.get((L, S), 0))
+            num = (o * N - rn * cn) ** 2
+            chi2 += int(np.round(float(num) / float(rn * cn * N) * 1e10))
+    assert (out.chi2_e10 == chi2).all()
+    assert (out.dof == (len(langs) - 1) * (len(sources) - 1)).all()
+    # semantics: chi2 >= 0 and, for this near-uniform synthetic grid,
+    # not astronomically large
+    assert 0 <= chi2

@@ -121,6 +121,8 @@ def main() -> int:
         .materialize().count(),
         "nb_confusion_kappa": lambda: an.q_nb_confusion_kappa(sf_dir)
         .materialize().count(),
+        "lang_source_chisq": lambda: an.q_lang_source_chisq(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -4687,6 +4687,92 @@ FROM conf, k
 """
 
 
+# ---------------------------------------------------------------------------
+# Chi-square independence test (lang × source)
+
+
+def q_lang_source_chisq(sf_dir: str) -> Dataset:
+    """Pearson chi-square independence test between document language
+    and source: joint cell counts merge once (category²-bounded), the
+    statistic assembles from exact integers — per cell
+    (n·N − r·c)²/(r·c·N) as e10 with the products kept in big-int space
+    (SQL HUGEINT / Python int) before ONE float division per cell,
+    summed as integers (order-free). Output: cells + dof + chi2."""
+    from ..stages.salted import partial_count
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    cells = _pull_merged(
+        merge_group_sums(
+            partial_count(docs, ["lang", "source"], out="n"),
+            ["lang", "source"], ["n"],
+        ),
+        ["lang", "source", "n"],
+    )
+    la = np.asarray(cells.column("lang").to_pylist())
+    so = np.asarray(cells.column("source").to_pylist())
+    n = cells.column("n").to_numpy(zero_copy_only=False)
+    N = int(n.sum())
+    langs = sorted(set(la.tolist()))
+    sources = sorted(set(so.tolist()))
+    row = {L: int(n[la == L].sum()) for L in langs}
+    col = {S: int(n[so == S].sum()) for S in sources}
+    # chi2 over the FULL grid (zero cells contribute r·c/N²·N = rc/N)
+    chi_terms = []
+    obs = {(a, b): int(v) for a, b, v in zip(la, so, n)}
+    for L in langs:
+        for S in sources:
+            o = obs.get((L, S), 0)
+            num = (o * N - row[L] * col[S]) ** 2  # exact big int
+            den = row[L] * col[S] * N
+            chi_terms.append(int(np.round(float(num) / float(den) * 1e10)))
+    chi2 = sum(chi_terms)
+    dof = (len(langs) - 1) * (len(sources) - 1)
+    order = np.lexsort((so, la))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(la[order].tolist(), type=pa.string()),
+                "source": pa.array(so[order].tolist(), type=pa.string()),
+                "n": pa.array(n[order]),
+                "dof": pa.array(np.full(len(n), dof, dtype=np.int64)),
+                "chi2_e10": pa.array(
+                    np.full(len(n), chi2, dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+SQL_LANG_SOURCE_CHISQ = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, SUM(n) AS rn FROM c GROUP BY 1),
+s AS (SELECT source, SUM(n) AS cn FROM c GROUP BY 1),
+t AS (SELECT SUM(n) AS nn FROM c),
+grid AS (
+  SELECT r.lang, s.source, r.rn, s.cn, t.nn,
+         COALESCE(c.n, 0) AS o
+  FROM r CROSS JOIN s CROSS JOIN t
+  LEFT JOIN c USING (lang, source)
+),
+k AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           CAST((o * nn - rn * cn) * (o * nn - rn * cn) AS DOUBLE)
+           / CAST(rn * cn * nn AS DOUBLE) * 1e10) AS BIGINT)) AS BIGINT)
+           AS chi2,
+         CAST(((SELECT COUNT(*) FROM r) - 1)
+              * ((SELECT COUNT(*) FROM s) - 1) AS BIGINT) AS dof
+  FROM grid
+)
+SELECT c.lang, c.source, CAST(c.n AS BIGINT) AS n, k.dof,
+       k.chi2 AS chi2_e10
+FROM c, k
+"""
+
+
 ANALYTICS_QUERIES = {
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
@@ -4731,6 +4817,7 @@ ANALYTICS_QUERIES = {
     "burst_states": q_burst_states,
     "theil_sen_hourly": q_theil_sen_hourly,
     "nb_confusion_kappa": q_nb_confusion_kappa,
+    "lang_source_chisq": q_lang_source_chisq,
 }
 
 ANALYTICS_ORACLES = {
@@ -4779,4 +4866,5 @@ ANALYTICS_ORACLES = {
     "burst_states": SQL_BURST_STATES,
     "theil_sen_hourly": SQL_THEIL_SEN_HOURLY,
     "nb_confusion_kappa": SQL_NB_CONFUSION_KAPPA,
+    "lang_source_chisq": SQL_LANG_SOURCE_CHISQ,
 }

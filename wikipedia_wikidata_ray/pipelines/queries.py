@@ -5932,6 +5932,7 @@ _DRIVER_PRIORITY = [
     "doclen_ks_test", "wilson_ci_conversion", "quantity_mode", "logreg_2step",
     "nb_lang_classify", "rrf_fusion_topk", "churn_features", "lang_js_divergence",
     "kcenter_seeds", "burst_states", "theil_sen_hourly", "nb_confusion_kappa",
+    "lang_source_chisq",
     "clustering_coefficients", "hits_2iter", "dbscan_clusters",
     "colocation_participation", "trajectory_chord_deviation",
     "doc_cooccurrence", "interarrival_stats", "link_reciprocity",
