@@ -1470,3 +1470,161 @@ def test_lang_source_chisq_bruteforce(ray_session):
     # semantics: chi2 >= 0 and, for this near-uniform synthetic grid,
     # not astronomically large
     assert 0 <= chi2
+
+
+def _jarvis_py(pts):
+    """Independent pure-Python Jarvis march (strict, farthest-on-ties) —
+    the SQL oracle's algorithm, used as the hull twin."""
+    pts = sorted(set(map(tuple, pts)))
+    if len(pts) <= 2:
+        return pts
+    start = min(pts, key=lambda p: (p[1], p[0]))
+    hull = [start]
+    cur = start
+    while True:
+        nxt = None
+        for q in pts:
+            if q == cur:
+                continue
+            if nxt is None:
+                nxt = q
+                continue
+            cr = (nxt[0] - cur[0]) * (q[1] - cur[1]) - (nxt[1] - cur[1]) * (
+                q[0] - cur[0]
+            )
+            d_q = (q[0] - cur[0]) ** 2 + (q[1] - cur[1]) ** 2
+            d_n = (nxt[0] - cur[0]) ** 2 + (nxt[1] - cur[1]) ** 2
+            if cr > 0 or (cr == 0 and d_q > d_n):
+                nxt = q
+        if nxt is None or nxt == start:
+            break
+        hull.append(nxt)
+        cur = nxt
+    return hull
+
+
+def test_hull_chain_matches_jarvis_bruteforce():
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        _hull_at_prune,
+        _hull_chain_int,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [rng.randint(-500, 500, size=(n, 2)) for n in (1, 2, 3, 8, 60, 300)]
+    cases.append(np.stack([np.arange(9) * 2, np.arange(9) * 4], axis=1))  # collinear
+    cases.append(np.array([[5, 5]] * 7 + [[1, 2], [9, 9], [1, 9]]))  # dups
+    # square lattice: many boundary-collinear points
+    g = np.stack(np.meshgrid(np.arange(6), np.arange(6)), -1).reshape(-1, 2)
+    cases.append(g)
+    for pts in cases:
+        pts = pts.astype(np.int64)
+        uniq = np.unique(pts, axis=0)
+        got = _hull_chain_int(_hull_at_prune(uniq))
+        want = _jarvis_py(pts.tolist())
+        assert sorted(map(tuple, got.tolist())) == sorted(want), pts
+        # prune keeps a hull superset: chain without prune must agree
+        full = _hull_chain_int(uniq)
+        assert sorted(map(tuple, full.tolist())) == sorted(want)
+
+
+def test_metro_convex_hulls_semantics(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_metro_convex_hulls
+
+    out = q_metro_convex_hulls(SF).to_pandas().set_index("metro")
+    # doc_id % 10 < 3 constrains doc_id % 5 to {0, 1, 2}: exactly 3 anchors
+    assert sorted(out.index) == [0, 1, 2]
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    did = docs.doc_id.to_numpy()
+    sel = did[(did % 10) < 3]
+    for m in (0, 1, 2):
+        ids = sel[sel % 5 == m]
+        # brute-force the synthetic point lattice for this metro
+        anch_lat = [35.6895, 40.7127, 51.5072][m]
+        anch_lon = [139.6917, -74.0059, -0.1275][m]
+        lat = anch_lat + ((ids * 37) % 2001 - 1000) / 10000.0
+        lon = anch_lon + ((ids * 61) % 2001 - 1000) / 10000.0
+        x = np.round(lon * 10000.0).astype(np.int64)
+        y = np.round(lat * 10000.0).astype(np.int64)
+        pts = np.unique(np.stack([x, y], 1), axis=0)
+        r = out.loc[m]
+        assert r.n_points == len(pts)
+        hull = _jarvis_py(pts.tolist())
+        assert r.hull_vertices == len(hull)
+        # shoelace on the CCW Jarvis order
+        a2 = 0
+        for i in range(len(hull)):
+            x0, y0 = hull[i]
+            x1, y1 = hull[(i + 1) % len(hull)]
+            a2 += x0 * y1 - x1 * y0
+        assert r.area2 == abs(a2)
+        dx = pts[:, 0][:, None] - pts[:, 0][None, :]
+        dy = pts[:, 1][:, None] - pts[:, 1][None, :]
+        assert r.diam2 == int((dx * dx + dy * dy).max())
+        # semantics: hull area bounded by the jitter bbox, diameter by
+        # its diagonal (spread is <= 2000 e4 units per axis)
+        assert 0 < r.area2 <= 2 * 2001 * 2001
+        assert 0 < r.diam2 <= 2 * 2001 * 2001
+
+
+def test_lm_dirichlet_semantics(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from wikipedia_wikidata_ray.pipelines.webtext import (
+        LM_MU,
+        lm_dirichlet_search,
+    )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "table fast query table",       # tf(table)=2, dl=4
+                        "table slow filler words here", # tf(table)=1, dl=5
+                        "fast fast fast",               # tf(fast)=3, dl=3
+                        "nothing relevant at all",      # no match
+                    ]
+                ),
+            }
+        )
+    )
+    out = lm_dirichlet_search(docs, k=10).to_pandas().set_index("doc_id")
+    assert 4 not in out.index  # unmatched doc never scores
+    import math
+
+    toks = {
+        1: ["table", "fast", "query", "table"],
+        2: ["table", "slow", "filler", "words", "here"],
+        3: ["fast", "fast", "fast"],
+        4: ["nothing", "relevant", "at", "all"],
+    }
+    cf = {}
+    for ts in toks.values():
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+    Ctot = float(sum(len(ts) for ts in toks.values()))
+    want = {}
+    for d, ts in toks.items():
+        sc, n = 0, 0
+        for q in ("fast", "query", "table"):
+            tf = ts.count(q)
+            if tf == 0:
+                continue
+            n += 1
+            sc += int(
+                np.round(
+                    math.log(1.0 + tf / (LM_MU * (cf[q] / Ctot))) * 1e10
+                )
+            )
+        if n:
+            sc += int(
+                np.round(3.0 * math.log(LM_MU / (len(ts) + LM_MU)) * 1e10)
+            )
+            want[d] = (n, sc)
+    for d, (n, sc) in want.items():
+        assert out.loc[d].n_terms == n
+        assert out.loc[d].score_e10 == sc
+    # semantics: more matched query mass with equal dl ranks higher —
+    # doc 1 (2 terms incl. rare 'query') must outrank doc 2 (1 common term)
+    assert out.loc[1, "rank"] < out.loc[2, "rank"]

@@ -5916,7 +5916,10 @@ ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
 # CORRECTNESS_r04.json (all were green on an earlier board and re-verified
 # green via the full local gate at r4 code each session).
 _DRIVER_PRIORITY = [
-    # Fourth-session machinery first (never driver-checked).
+    # Fifth-session machinery first (never driver-checked).
+    "metro_convex_hulls", "gini_best_split", "lm_dirichlet_topk",
+    "poisson_bootstrap_means", "hourly_acf",
+    # Fourth-session machinery next (never driver-checked).
     "running_revenue", "session_concurrency",
     "embedding_covariance", "pca_power_iter",
     "user_hourly_ffill", "event_hour_mutual_info",
@@ -6095,6 +6098,279 @@ GROUP BY 1, 2, 3
 
 QUERIES["curated_tile_corpus"] = q_curated_tile_corpus
 ORACLES["curated_tile_corpus"] = _sql_curated_tile_corpus()
+
+
+# ---------------------------------------------------------------------------
+# Q: metro_convex_hulls — per-metro-anchor convex hull statistics over the
+# synthetic metro point clouds (doc_id % 10 < 3 concentrates 5 anchor
+# cities — the megacity-skew population the raster PIP join targets;
+# reference analog: the label/extent geometry Nominatim-style consumers
+# derive per place cluster, steps/output.sh's importance layer).
+#
+# Geometry is integer-exact end-to-end: points are the proven e4 lattice
+# (np.round(lat·1e4) ↔ ROUND(lat*10000.0, 0), the cluster_centroids idiom),
+# cross products / shoelace / squared distances never leave int64 (within-
+# metro spreads are ≤ ~2000 e4 units, products ≤ 1.6e7; shoelace terms
+# ≤ |x|·|y| ≈ 6.5e11 × h vertices).
+#
+# Distribution (the skyline/Pareto rule: hulls distribute over union —
+# hull(A ∪ B) = hull(hull(A) ∪ hull(B))):
+#   1. per block × metro: dedupe, vectorized Akl–Toussaint prune (points
+#      strictly inside the quad of the 4 directional lex-extremes cannot
+#      be hull vertices; the extremes are themselves hull vertices), then
+#      an exact monotone chain over the surviving shell — the Python loop
+#      is CANDIDATE-bounded (the thin boundary shell, not block rows;
+#      same bound class as J4's per-pair fallback);
+#   2. ONE driver pull of per-block local hull vertices (expected O(log n)
+#      per block-metro for jittered lattice points; worst case — all
+#      points in convex position — is the jitter-lattice perimeter,
+#      corpus-independent) → final exact chain per metro (5 groups).
+# n_points (distinct lattice points) is a separate honest distinct-count:
+# in-batch dedupe partials → ONE (metro,x,y) merge (lattice-bounded:
+# ≤ 2001² rows per metro by the jitter grid, corpus-independent) → 5-row
+# per-metro count merge.
+# diam2 = max pairwise squared distance; the maximizing pair is always a
+# hull-vertex pair, so Ray evaluates it on the tiny final hull while the
+# SQL twin brute-forces all point pairs — equal by convexity.
+# Oracle: Jarvis march as a recursive CTE (next CCW vertex = the unique q
+# with no r strictly left of cur→q, farthest on collinear ties), shoelace
+# via LEAD-with-wrap — validated against the chain on random/collinear/
+# 2-point fixtures before wiring (tests/test_analytics.py hull tests).
+
+
+def _hull_chain_int(pts: np.ndarray) -> np.ndarray:
+    """Strict monotone chain over UNIQUE lex-sorted int points: extreme
+    vertices only (collinear mid-edge points dropped — matches the
+    Jarvis oracle's farthest-on-ties rule). Candidate-bounded Python
+    loop (callers prune first)."""
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def half(p):
+        st: list = []
+        for qx, qy in p:
+            while len(st) >= 2:
+                ax, ay = st[-2]
+                bx, by = st[-1]
+                if (bx - ax) * (qy - ay) - (by - ay) * (qx - ax) <= 0:
+                    st.pop()
+                else:
+                    break
+            st.append((qx, qy))
+        return st[:-1]
+
+    lo = half(pts.tolist())
+    hi = half(pts[::-1].tolist())
+    return np.array(lo + hi, dtype=np.int64)
+
+
+def _hull_at_prune(pts: np.ndarray) -> np.ndarray:
+    """Akl–Toussaint: drop points STRICTLY inside the quad of the 4
+    directional lex-extremes (each itself a hull vertex). Vectorized;
+    keeps a superset of hull vertices (boundary points survive)."""
+    if len(pts) <= 4:
+        return pts
+    x, y = pts[:, 0], pts[:, 1]
+    corners = np.unique(
+        np.stack(
+            [
+                pts[0],  # lex-min (x, y)
+                pts[-1],  # lex-max (x, y)
+                pts[np.lexsort((x, y))[0]],  # lex-min (y, x)
+                pts[np.lexsort((x, y))[-1]],  # lex-max (y, x)
+            ]
+        ),
+        axis=0,
+    )
+    if len(corners) < 3:
+        return pts
+    cx = corners[:, 0].astype(np.float64)
+    cy = corners[:, 1].astype(np.float64)
+    ang = np.arctan2(cy - cy.mean(), cx - cx.mean())
+    corners = corners[np.argsort(ang)]  # CCW; ordering only gates the PRUNE
+    inside = np.ones(len(pts), dtype=bool)
+    for i in range(len(corners)):
+        ax, ay = corners[i]
+        bx, by = corners[(i + 1) % len(corners)]
+        inside &= (bx - ax) * (y - ay) - (by - ay) * (x - ax) > 0
+    return pts[~inside]
+
+
+def _metro_points(t: pa.Table):
+    did = t.column("doc_id").to_numpy(zero_copy_only=False)
+    sel = (did % 10) < 3
+    if not sel.any():
+        return None
+    lat = t.column("lat").to_numpy(zero_copy_only=False)[sel]
+    lon = t.column("lon").to_numpy(zero_copy_only=False)[sel]
+    return (
+        (did[sel] % 5).astype(np.int64),
+        np.round(lon * 10000.0).astype(np.int64),
+        np.round(lat * 10000.0).astype(np.int64),
+    )
+
+
+_HULL_EMPTY = pa.table(
+    {
+        "metro": pa.array([], type=pa.int64()),
+        "x": pa.array([], type=pa.int64()),
+        "y": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def q_metro_convex_hulls(sf_dir: str) -> Dataset:
+    ds = _geotagged(sf_dir)
+
+    def local_hulls(t: pa.Table) -> pa.Table:
+        mp = _metro_points(t)
+        if mp is None:
+            return _HULL_EMPTY
+        metro, x, y = mp
+        ms, xs, ys = [], [], []
+        for m in np.unique(metro):  # ≤ 5 anchors
+            mm = metro == m
+            pts = np.unique(np.stack([x[mm], y[mm]], axis=1), axis=0)
+            hull = _hull_chain_int(_hull_at_prune(pts))
+            ms.append(np.full(len(hull), m, dtype=np.int64))
+            xs.append(hull[:, 0])
+            ys.append(hull[:, 1])
+        return pa.table(
+            {
+                "metro": pa.array(np.concatenate(ms)),
+                "x": pa.array(np.concatenate(xs)),
+                "y": pa.array(np.concatenate(ys)),
+            }
+        )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        mp = _metro_points(t)
+        if mp is None:
+            return _HULL_EMPTY
+        metro, x, y = mp
+        g = pa.table(
+            {"metro": metro, "x": x, "y": y}
+        ).group_by(["metro", "x", "y"]).aggregate([([], "count_all")])
+        return g.select(["metro", "x", "y"])
+
+    # honest distinct-point count: one lattice-bounded (metro,x,y) merge,
+    # then a 5-row per-metro count merge
+    distinct = merge_group_sums(
+        ds.map_batches(distinct_partial, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(len(t), dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["metro", "x", "y"],
+        ["one"],
+    )
+    counts = merge_group_sums(
+        distinct.map_batches(
+            lambda t: pa.table(
+                {
+                    "metro": t["metro"],
+                    "n_points": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["metro"],
+        ["n_points"],
+    )
+    npts = _pull_blocks(counts, ["metro", "n_points"])
+
+    cand = _pull_blocks(
+        ds.map_batches(local_hulls, batch_format="pyarrow"), ["metro", "x", "y"]
+    )
+    cm = cand.column("metro").to_numpy(zero_copy_only=False)
+    cx = cand.column("x").to_numpy(zero_copy_only=False)
+    cy = cand.column("y").to_numpy(zero_copy_only=False)
+    nm = npts.column("metro").to_numpy(zero_copy_only=False)
+    nn = npts.column("n_points").to_numpy(zero_copy_only=False)
+    n_by_metro = dict(zip(nm.tolist(), nn.tolist()))
+    rows = {"metro": [], "n_points": [], "hull_vertices": [], "area2": [], "diam2": []}
+    for m in sorted(n_by_metro):
+        mm = cm == m
+        pts = np.unique(np.stack([cx[mm], cy[mm]], axis=1), axis=0)
+        hull = _hull_chain_int(pts)  # final exact pass, hull-candidate-sized
+        h = len(hull)
+        if h >= 3:
+            hx, hy = hull[:, 0], hull[:, 1]
+            area2 = abs(int(np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy)))
+        else:
+            area2 = 0
+        dx = hull[:, 0][:, None] - hull[:, 0][None, :]
+        dy = hull[:, 1][:, None] - hull[:, 1][None, :]
+        diam2 = int((dx * dx + dy * dy).max()) if h else 0
+        rows["metro"].append(m)
+        rows["n_points"].append(n_by_metro[m])
+        rows["hull_vertices"].append(h)
+        rows["area2"].append(area2)
+        rows["diam2"].append(diam2)
+    return rd.from_arrow(
+        pa.table({k: pa.array(v, type=pa.int64()) for k, v in rows.items()})
+    )
+
+
+SQL_METRO_CONVEX_HULLS = f"""
+WITH RECURSIVE {SQL_GEO_CTE},
+pts AS (
+  SELECT DISTINCT doc_id % 5 AS m,
+         CAST(ROUND(lon * 10000.0, 0) AS BIGINT) AS x,
+         CAST(ROUND(lat * 10000.0, 0) AS BIGINT) AS y
+  FROM geo WHERE doc_id % 10 < 3
+),
+strt AS (
+  SELECT m, x, y FROM (
+    SELECT m, x, y, ROW_NUMBER() OVER (PARTITION BY m ORDER BY y, x) AS rn
+    FROM pts
+  ) WHERE rn = 1
+),
+hull(m, step, x, y) AS (
+  SELECT m, 0, x, y FROM strt
+  UNION ALL
+  SELECT h.m, h.step + 1, q.x, q.y
+  FROM hull h
+  JOIN pts q ON q.m = h.m AND (q.x <> h.x OR q.y <> h.y)
+  JOIN strt s ON s.m = h.m
+  WHERE NOT (q.x = s.x AND q.y = s.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts r
+      WHERE r.m = h.m AND (r.x <> h.x OR r.y <> h.y)
+        AND (r.x <> q.x OR r.y <> q.y)
+        AND ((q.x - h.x) * (r.y - h.y) - (q.y - h.y) * (r.x - h.x) > 0
+             OR ((q.x - h.x) * (r.y - h.y) - (q.y - h.y) * (r.x - h.x) = 0
+                 AND (r.x - h.x) * (r.x - h.x) + (r.y - h.y) * (r.y - h.y)
+                   > (q.x - h.x) * (q.x - h.x) + (q.y - h.y) * (q.y - h.y)))
+    )
+),
+shoe AS (
+  SELECT h.m, h.x, h.y,
+         COALESCE(LEAD(h.x) OVER w, s.x) AS nx,
+         COALESCE(LEAD(h.y) OVER w, s.y) AS ny
+  FROM hull h JOIN strt s ON s.m = h.m
+  WINDOW w AS (PARTITION BY h.m ORDER BY h.step)
+),
+hv AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS hull_vertices,
+         CAST(ABS(SUM(x * ny - nx * y)) AS BIGINT) AS area2
+  FROM shoe GROUP BY m
+),
+npts AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_points FROM pts GROUP BY m),
+di AS (
+  SELECT a.m,
+         CAST(MAX((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+              AS BIGINT) AS diam2
+  FROM pts a JOIN pts b ON a.m = b.m GROUP BY a.m
+)
+SELECT npts.m AS metro, n_points, hull_vertices, area2, diam2
+FROM npts JOIN hv USING (m) JOIN di USING (m)
+"""
+
+QUERIES["metro_convex_hulls"] = q_metro_convex_hulls
+ORACLES["metro_convex_hulls"] = SQL_METRO_CONVEX_HULLS
 
 QUERIES = _prioritize(QUERIES)
 ORACLES = _prioritize(ORACLES)

@@ -1118,6 +1118,226 @@ WEBTEXT_ORACLES["bm25_search"] = _sql_bm25_search()
 
 
 # ---------------------------------------------------------------------------
+# Q: lm_dirichlet_topk — Dirichlet-smoothed query-likelihood retrieval
+# (Zhai & Lafferty's LM scoring, the other classical ad-hoc model next to
+# BM25), in the standard rank-equivalent form
+#   score(d) = Σ_{t ∈ q, tf>0} ln(1 + tf / (μ·cf_t/|C|))
+#            + |q| · ln(μ / (dl + μ)),          μ = 2000
+# which equals the full query likelihood Σ_{t∈q} ln((tf+μp_t)/(dl+μ))
+# minus the doc-independent constant Σ ln(μ·p_t) — so the ranking over
+# ALL docs is exact while only docs containing ≥1 query term need rows
+# (a naive matched-term-only Σ ln((tf+μp)/(dl+μ)) would PENALIZE docs
+# matching more terms — negative logs — caught by the semantics pytest).
+#
+# Shares bm25_search's one-pass plumbing: the corpus is tokenized ONCE
+# (_tf_dl_batch), hit rows carry (tf, dl), the sentinel row carries the
+# batch token total for |C|. The broadcast side — per-query-term
+# collection frequency cf — is ≤ |query| rows BY DEFINITION (same bound
+# as bm25's df pull; attach_df's gated join is the >limit plan family).
+# Float policy: ln is in the bitwise family; each per-term score rounds
+# to e10 int64 BEFORE the order-free grouped sum (CLAUDE.md e-integer
+# rule). Reference analog: importance ranking consumers
+# (steps/output.sh:26-128) — same ln-ratio shape as E5.
+
+LM_MU = 2000.0
+
+
+def lm_dirichlet_search(
+    docs: Dataset,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_SEARCH_K,
+) -> Dataset:
+    from ..ops.topk import grouped_topk
+    from ..stages.salted import partial_count
+
+    qlist = sorted(query_terms)
+    qarr = pa.array(qlist, type=pa.string())
+
+    def qtf_batch(t: pa.Table) -> pa.Table:
+        base = _tf_dl_batch(t)
+        total = pc.sum(base["tf"]).as_py() or 0
+        filt = base.filter(pc.is_in(base["token"], value_set=qarr)).select(
+            ["doc_id", "token", "tf", "dl"]
+        )
+        tot = pa.table(
+            {
+                "doc_id": pa.array([-1], type=pa.int64()),
+                "token": pa.array([""], type=pa.string()),
+                "tf": pa.array([int(total)], type=pa.int64()),
+                "dl": pa.array([0], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([filt, tot])
+
+    mat = docs.map_batches(qtf_batch, batch_format="pyarrow").materialize()
+    total_tokens = (
+        mat.map_batches(
+            lambda t: t.filter(pc.equal(t["doc_id"], -1)).select(["tf"]),
+            batch_format="pyarrow",
+        ).sum("tf")
+        or 0
+    )
+    hits = mat.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 0)),
+        batch_format="pyarrow",
+    )
+    # collection frequency of each query term: ≤ |query| rows BY DEFINITION
+    cf_rows = _pull_hits_sum(hits)
+    cf_map = {r[0]: r[1] for r in cf_rows}
+
+    def _empty() -> Dataset:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_terms": pa.array([], type=pa.int64()),
+                    "score_e10": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+
+    if not cf_map or total_tokens == 0:
+        return _empty()
+
+    c_f = float(total_tokens)
+    cf_arr = np.array([float(cf_map.get(tk, 0)) for tk in qlist])
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_terms": pa.array([], type=pa.int64()),
+                    "score_e10": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = pc.index_in(t["token"], value_set=qarr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cf_v = cf_arr[pos]
+        tf_v = t.column("tf").to_numpy().astype(np.float64)
+        dl_v = t.column("dl").to_numpy().astype(np.float64)
+        nq = float(len(qlist))
+        # op sequences mirrored EXACTLY in _sql_lm_dirichlet; each rounds
+        # to e10 int64 BEFORE summing (order-free)
+        s_term = np.round(
+            np.log(1.0 + tf_v / (LM_MU * (cf_v / c_f))) * 10000000000.0
+        ).astype(np.int64)
+        # the per-DOC dl factor: every hit row of a doc carries the same
+        # dl and one input row is one whole document (_tf_dl_batch), so
+        # all of a doc's hit rows are in THIS batch — fold the factor
+        # into the in-batch per-doc partial exactly once
+        part = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_terms": pa.array(np.ones(len(t), dtype=np.int64)),
+                "s_term": pa.array(s_term),
+                "dl": t.column("dl"),
+            }
+        )
+        g = part.group_by(["doc_id"]).aggregate(
+            [("n_terms", "sum"), ("s_term", "sum"), ("dl", "min")]
+        )
+        g = g.rename_columns(["doc_id", "n_terms", "s_term", "dl"])
+        dl_doc = g.column("dl").to_numpy().astype(np.float64)
+        dl_fac = np.round(
+            nq * np.log(LM_MU / (dl_doc + LM_MU)) * 10000000000.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_terms": g.column("n_terms"),
+                "score_e10": pa.array(
+                    g.column("s_term").to_numpy().astype(np.int64) + dl_fac
+                ),
+            }
+        )
+
+    agg = merge_group_sums(
+        hits.map_batches(score, batch_format="pyarrow"),
+        ["doc_id"],
+        ["n_terms", "score_e10"],
+    )
+    keyed = agg.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(len(t), dtype=np.int32))),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(
+        keyed, ["_g"], [("score_e10", False), ("doc_id", True)], k, rank_col="rank"
+    )
+    return top.map_batches(
+        lambda t: t.drop_columns(["_g"]), batch_format="pyarrow"
+    )
+
+
+def _pull_hits_sum(hits: Dataset) -> list:
+    """(token, Σtf) over the ≤|query|-token hit rows — bounded pull."""
+    merged = merge_group_sums(
+        hits.map_batches(
+            lambda t: pa.table({"token": t["token"], "cf": t["tf"]}),
+            batch_format="pyarrow",
+        ),
+        ["token"],
+        ["cf"],
+    )
+    return [
+        (r["token"], r["cf"]) for r in merged.take_all()
+    ]
+
+
+def q_lm_dirichlet_topk(sf_dir: str) -> Dataset:
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lm_dirichlet_search(docs)
+
+
+def _sql_lm_dirichlet() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(BM25_QUERY_TERMS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+ctot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM toks),
+q(token) AS (VALUES {values}),
+cf AS (
+  SELECT t.token, CAST(SUM(t.tf) AS BIGINT) AS cf
+  FROM tf t JOIN q USING (token) GROUP BY 1
+),
+scored AS (
+  SELECT t.doc_id, l.dl,
+         CAST(ROUND(
+           LN(1.0 + CAST(t.tf AS DOUBLE)
+              / ({LM_MU} * (CAST(cf.cf AS DOUBLE) / (SELECT c FROM ctot))))
+           * 10000000000.0, 0) AS BIGINT) AS s
+  FROM tf t JOIN q USING (token) JOIN dl l USING (doc_id) JOIN cf USING (token)
+),
+nq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM q),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(s)
+              + CAST(ROUND((SELECT k FROM nq)
+                           * LN({LM_MU} / (CAST(MIN(dl) AS DOUBLE) + {LM_MU}))
+                           * 10000000000.0, 0) AS BIGINT)
+              AS BIGINT) AS score_e10
+  FROM scored GROUP BY 1
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_e10 DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT doc_id, n_terms, score_e10, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {BM25_SEARCH_K}
+"""
+
+
+WEBTEXT_QUERIES["lm_dirichlet_topk"] = q_lm_dirichlet_topk
+WEBTEXT_ORACLES["lm_dirichlet_topk"] = _sql_lm_dirichlet()
+
+
+# ---------------------------------------------------------------------------
 # Q: length_percentiles — EXACT per-language percentiles of doc length
 #
 # Exact distributed percentiles over an integer-valued column without ever
