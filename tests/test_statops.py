@@ -1,0 +1,201 @@
+"""Semantic brute-force checks for the statistical-test operators
+(pipelines/statops.py) — each compares the distributed
+sufficient-statistic path against a direct numpy computation on the
+raw rows, and asserts statistic-level invariants the oracle parity
+alone would not catch (the weighted_sample lesson: both sides can
+share a bug)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from wikipedia_wikidata_ray.pipelines import statops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cents(x: pd.Series) -> np.ndarray:
+    # mirror pc.round (half-even) — fixture never lands on .5
+    return np.round(x.to_numpy() * 100).astype(np.int64)
+
+
+def _cust():
+    return pq.read_table(
+        f"{SF}/customer.parquet",
+        columns=["c_mktsegment", "c_acctbal", "c_nationkey"],
+    ).to_pandas()
+
+
+def test_welch_matches_brute_force(ray_session):
+    row = statops.q_welch_ttest_segments(SF).take_all()[0]
+    df_ = _cust()
+    a = _cents(df_[df_.c_mktsegment == statops.SEG_A].c_acctbal)
+    b = _cents(df_[df_.c_mktsegment == statops.SEG_B].c_acctbal)
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert row["s1"] == int(a.sum()) and row["s2"] == int(b.sum())
+    va = a.var(ddof=1)
+    vb = b.var(ddof=1)
+    se = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(se)
+    df_ws = se * se / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert abs(row["t_e8"] / 1e8 - t) < 1e-6
+    assert abs(row["df_e8"] / 1e8 - df_ws) < 1e-3
+    # Welch df is bracketed by min(n)-1 and n1+n2-2
+    assert min(len(a), len(b)) - 1 <= row["df_e8"] / 1e8 <= len(a) + len(b) - 2
+
+
+def _avg_ranks(v: np.ndarray) -> np.ndarray:
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    ranks = np.empty(len(v), dtype=np.float64)
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def test_mannwhitney_matches_brute_force(ray_session):
+    row = statops.q_mannwhitney_u_segments(SF).take_all()[0]
+    df_ = _cust()
+    a = _cents(df_[df_.c_mktsegment == statops.SEG_A].c_acctbal)
+    b = _cents(df_[df_.c_mktsegment == statops.SEG_B].c_acctbal)
+    pooled = np.concatenate([a, b])
+    ranks = _avg_ranks(pooled)
+    r1 = ranks[: len(a)].sum()
+    assert row["two_r1"] == int(round(2 * r1))
+    u1 = r1 - len(a) * (len(a) + 1) / 2
+    assert row["two_u1"] == int(round(2 * u1))
+    # U1 + U2 = n1*n2 identity
+    u2 = len(a) * len(b) - u1
+    assert 0 <= u1 <= len(a) * len(b) and u2 >= 0
+    # z sign must match the mean-rank direction
+    mean_rank_a = r1 / len(a)
+    mean_rank_rest = (ranks.sum() - r1) / len(b)
+    if mean_rank_a > mean_rank_rest:
+        assert row["z_e8"] > 0
+    elif mean_rank_a < mean_rank_rest:
+        assert row["z_e8"] < 0
+
+
+def test_benford_counts_and_terms(ray_session):
+    rows = statops.q_benford_chisq(SF).take_all()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_totalprice"]
+    ).to_pandas()
+    cents = _cents(orders.o_totalprice)
+    first = np.array([int(str(c)[0]) for c in cents])
+    bc = np.bincount(first, minlength=10)
+    n = len(cents)
+    for r in rows:
+        assert r["obs"] == int(bc[r["digit"]])
+        assert r["n"] == n
+        assert r["term_e6"] >= 0
+        p = statops._BENFORD_P[r["digit"]]
+        assert abs(r["exp_e6"] / 1e6 - n * p) < 1e-5
+    assert sum(r["obs"] for r in rows) == n
+
+
+def _spine():
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    hrs = (ev.ts.astype("int64") // 1_000_000 // 3600).to_numpy()
+    lo, hi = hrs.min(), hrs.max()
+    full = np.bincount(hrs - lo, minlength=hi - lo + 1).astype(np.int64)
+    return np.arange(lo, hi + 1), full
+
+
+def test_hourly_acf_matches_brute_force(ray_session):
+    rows = {r["lag"]: r for r in statops.q_hourly_acf(SF).take_all()}
+    _, c = _spine()
+    m = c.mean()
+    den = ((c - m) ** 2).sum()
+    for k in statops.ACF_LAGS:
+        r_direct = ((c[:-k] - m) * (c[k:] - m)).sum() / den
+        assert abs(rows[k]["r_e10"] / 1e10 - r_direct) < 1e-9
+        assert abs(rows[k]["r_e10"]) <= 10_000_000_000
+        assert rows[k]["n_hours"] == len(c)
+
+
+def test_cusum_matches_brute_force(ray_session):
+    row = statops.q_cusum_changepoint(SF).take_all()[0]
+    spine, c = _spine()
+    n = len(c)
+    csum = np.cumsum(c)
+    k = np.arange(1, n + 1)
+    stat = np.abs(csum * n - k * csum[-1])[:-1]
+    k_star = int(np.argmax(stat)) + 1
+    assert row["k_star"] == k_star
+    assert row["stat_num"] == int(stat[k_star - 1])
+    assert row["split_hour"] == int(spine[k_star - 1])
+    # the two mean rates must reassemble the exact total
+    total = (
+        row["mean_before_e8"] / 1e8 * row["k_star"]
+        + row["mean_after_e8"] / 1e8 * (n - row["k_star"])
+    )
+    assert abs(total - row["s_total"]) < 1e-4
+
+
+def test_trimmed_mean_matches_numpy_trim(ray_session):
+    rows = {
+        r["c_mktsegment"]: r
+        for r in statops.q_trimmed_mean_segments(SF).take_all()
+    }
+    df_ = _cust()
+    for s, r in rows.items():
+        v = np.sort(_cents(df_[df_.c_mktsegment == s].c_acctbal))
+        g = len(v) // 10
+        kept = v[g: len(v) - g]
+        assert r["n"] == len(v) and r["g"] == g
+        assert r["kept_sum"] == int(kept.sum())
+        assert abs(r["mean_e8"] / 1e8 - kept.mean()) < 1e-6
+        # trimming must pull the mean toward the median
+        med = np.median(v)
+        assert abs(kept.mean() - med) <= abs(v.mean() - med) + 1e-9
+
+
+def test_k_anonymity_matches_pandas(ray_session):
+    row = statops.q_k_anonymity_audit(SF).take_all()[0]
+    df_ = _cust()
+    df_["neg"] = (df_.c_acctbal < 0).astype(int)
+    sizes = df_.groupby(["c_nationkey", "c_mktsegment", "neg"]).size()
+    assert row["n_classes"] == len(sizes)
+    assert row["classes_below_k"] == int((sizes < statops.ANON_K).sum())
+    assert row["rows_at_risk"] == int(sizes[sizes < statops.ANON_K].sum())
+    assert row["min_class_size"] == int(sizes.min())
+    assert row["max_class_size"] == int(sizes.max())
+    # audit must account for every row exactly once
+    assert sizes.sum() == len(df_)
+
+
+def test_geary_matches_pair_loop(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_tile_counts
+
+    row = statops.q_geary_c_stats(SF).take_all()[0]
+    tiles = q_tile_counts(SF).take_all()
+    cnt = {(t["tile_x"], t["tile_y"]): t["n_pages"] for t in tiles}
+    n = len(cnt)
+    s = sum(cnt.values())
+    assert row["n_tiles"] == n and row["s_total"] == s
+    d = {k: v * n - s for k, v in cnt.items()}
+    num = den = pairs = 0
+    for (x, y), dv in d.items():
+        den += dv * dv
+        for nb in ((x + 1, y), (x, y + 1)):
+            if nb in d:
+                pairs += 1
+                num += (dv - d[nb]) ** 2
+    assert row["n_pairs"] == pairs
+    assert row["num_scaled"] == 2 * num
+    assert row["den_scaled"] == den
+    c_direct = (n - 1) * (2 * num) / (2 * (2 * pairs) * den)
+    assert abs(row["c_e10"] / 1e10 - c_direct) < 1e-9
+    # Geary's C is nonnegative by construction
+    assert row["c_e10"] >= 0

@@ -5907,6 +5907,11 @@ ORACLES["tile_semivariogram"] = _sql_variogram()
 from .analytics import _sql_nn_histogram  # noqa: E402
 ORACLES["nn_distance_histogram"] = _sql_nn_histogram()
 ORACLES["wikidump_importance_export"] = SQL_WIKIDUMP_IMPORTANCE_EXPORT
+from .statops import STATOPS_ORACLES, STATOPS_QUERIES, _geary_sql  # noqa: E402
+
+QUERIES.update(STATOPS_QUERIES)
+ORACLES.update(STATOPS_ORACLES)
+ORACLES["geary_c_stats"] = _geary_sql()
 
 # Driver-board ordering: the driver's correctness run samples a ~50-query
 # prefix of this registry each round. Queries that did NOT make the previous
@@ -5919,6 +5924,9 @@ _DRIVER_PRIORITY = [
     # Fifth-session machinery first (never driver-checked).
     "metro_convex_hulls", "gini_best_split", "lm_dirichlet_topk",
     "poisson_bootstrap_means", "hourly_acf",
+    "welch_ttest_segments", "mannwhitney_u_segments", "benford_chisq",
+    "cusum_changepoint", "trimmed_mean_segments", "k_anonymity_audit",
+    "geary_c_stats",
     # Fourth-session machinery next (never driver-checked).
     "running_revenue", "session_concurrency",
     "embedding_covariance", "pca_power_iter",
