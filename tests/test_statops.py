@@ -199,3 +199,59 @@ def test_geary_matches_pair_loop(ray_session):
     assert abs(row["c_e10"] / 1e10 - c_direct) < 1e-9
     # Geary's C is nonnegative by construction
     assert row["c_e10"] >= 0
+
+
+def test_gini_best_split_matches_brute_force(ray_session):
+    row = statops.q_gini_best_split(SF).take_all()[0]
+    df_ = _cust()
+    v = _cents(df_.c_acctbal)
+    pos = (df_.c_mktsegment == statops.SEG_A).to_numpy().astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    vs, ps = v[order], pos[order]
+    uniq, idx = np.unique(vs, return_index=True)
+    n, p = len(vs), int(ps.sum())
+    assert row["n"] == n and row["pos"] == p
+    best = (None, None)
+    csum = np.cumsum(ps)
+    for k, val in enumerate(uniq[:-1]):
+        nl = int(idx[k + 1])
+        pl = int(csum[nl - 1])
+        nr, pr = n - nl, p - pl
+        gl = 1.0 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
+        gr = 1.0 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
+        w = nl / n * gl + nr / n * gr
+        if best[0] is None or w < best[0] - 1e-12:
+            best = (w, int(val), nl, pl)
+    assert row["split_v"] == best[1]
+    assert row["nl"] == best[2] and row["pl"] == best[3]
+    assert abs(row["gini_e10"] / 1e10 - best[0]) < 1e-8
+    # splitting can never increase weighted Gini (concavity)
+    assert row["gini_e10"] <= row["parent_gini_e10"]
+    # both children must be non-empty
+    assert 0 < row["nl"] < row["n"]
+
+
+def test_poisson_bootstrap_matches_direct(ray_session):
+    rows = {r["r"]: r for r in statops.q_poisson_bootstrap_means(SF).take_all()}
+    assert sorted(rows) == list(range(1, statops.BOOT_R + 1))
+    ord_ = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    key = ord_.column("o_orderkey").to_numpy(zero_copy_only=False)
+    cents = _cents(ord_.column("o_totalprice").to_pandas())
+    thr = np.asarray(statops._POIS_T, dtype=np.int64)
+    n = len(key)
+    plain_mean = cents.mean()
+    for r in range(1, statops.BOOT_R + 1):
+        u = ((key + 1) * (r + 1) * 2654435761) % 1000003
+        w = np.searchsorted(thr, u, side="right")
+        assert rows[r]["wsum"] == int(w.sum())
+        assert rows[r]["wxsum"] == int((w * cents).sum())
+        # Poisson(1) replicate size concentrates around n
+        assert abs(rows[r]["wsum"] - n) < 6 * math.sqrt(n)
+        # each replicate mean stays within a few sd of the corpus mean
+        sd = cents.std() / math.sqrt(n)
+        assert abs(rows[r]["mean_e8"] / 1e8 - plain_mean) < 8 * sd
+        # exact half-up rounding of the integer ratio
+        a, b = rows[r]["wxsum"], rows[r]["wsum"]
+        assert rows[r]["mean_e8"] == (2 * a * 10**8 + b) // (2 * b)

@@ -927,7 +927,243 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: gini_best_split — exact decision-stump learning: the acctbal
+# threshold that best separates the BUILDING segment.
+
+
+def q_gini_best_split(sf_dir: str) -> Dataset:
+    """Best binary split (x ≤ v) of acctbal cents predicting
+    mktsegment = BUILDING, by weighted Gini impurity — the inner loop
+    of distributed decision-tree learning, run exactly.
+
+    Distributed stage: per-(cent-value → n, pos) count merge (money-
+    domain-bounded movement, the trimmed-mean profile); every split
+    candidate then falls out of ONE cumulative pass over the pulled
+    table. Candidate ranking follows the round-5 integer-ranking rule:
+    each candidate's weighted impurity is rounded to e10 int64 FIRST,
+    then argmin on (gini_e10, v) — identical in numpy (first-min of
+    the v-ascending scan) and SQL (ORDER BY gini_e10, v LIMIT 1)."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_acctbal"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        pos = pc.cast(
+            pc.equal(t.column("c_mktsegment"), pa.scalar(SEG_A)), pa.int64()
+        )
+        g = pa.table(
+            {
+                "v": _cents_col(t.column("c_acctbal")),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "pos": pos,
+            }
+        ).group_by(["v"]).aggregate([("n", "sum"), ("pos", "sum")])
+        return g.rename_columns(["v", "n", "pos"])
+
+    cells = _pull_merged(
+        merge_group_sums(
+            cust.map_batches(partials, batch_format="pyarrow"),
+            ["v"], ["n", "pos"],
+        ),
+        ["v", "n", "pos"],
+    ).sort_by("v")
+    v = cells.column("v").to_numpy(zero_copy_only=False)
+    cn = cells.column("n").to_numpy(zero_copy_only=False)
+    cp = cells.column("pos").to_numpy(zero_copy_only=False)
+    n = int(cn.sum())
+    p = int(cp.sum())
+    nl = np.cumsum(cn)[:-1].astype(np.float64)  # split after each value but last
+    pl = np.cumsum(cp)[:-1].astype(np.float64)
+    nr = float(n) - nl
+    pr = float(p) - pl
+    fl = pl / nl
+    ql = (nl - pl) / nl
+    gl = 1.0 - fl * fl - ql * ql
+    fr = pr / nr
+    qr = (nr - pr) / nr
+    gr = 1.0 - fr * fr - qr * qr
+    w = (nl / float(n)) * gl + (nr / float(n)) * gr
+    g_e10 = np.round(w * 1e10).astype(np.int64)
+    i = int(np.argmin(g_e10))  # first min = smallest v (v ascending)
+    fp = float(p) / float(n)
+    fq = float(n - p) / float(n)
+    parent = 1.0 - fp * fp - fq * fq
+    return rd.from_arrow(
+        pa.table(
+            {
+                "split_v": pa.array([int(v[i])], type=pa.int64()),
+                "n": pa.array([n], type=pa.int64()),
+                "pos": pa.array([p], type=pa.int64()),
+                "nl": pa.array([int(nl[i])], type=pa.int64()),
+                "pl": pa.array([int(pl[i])], type=pa.int64()),
+                "gini_e10": pa.array([int(g_e10[i])], type=pa.int64()),
+                "parent_gini_e10": pa.array(
+                    [int(np.round(parent * 1e10))], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+SQL_GINI_BEST_SPLIT = f"""
+WITH c AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v, COUNT(*) AS n,
+         SUM(CASE WHEN c_mktsegment = '{SEG_A}' THEN 1 ELSE 0 END) AS pos
+  FROM customer GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS n, SUM(pos) AS p FROM c),
+w AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl
+  FROM c
+),
+cand AS (
+  SELECT w.v, w.nl, w.pl, tot.n, tot.p,
+         CAST(w.nl AS DOUBLE) AS nld, CAST(w.pl AS DOUBLE) AS pld,
+         CAST(tot.n - w.nl AS DOUBLE) AS nrd,
+         CAST(tot.p - w.pl AS DOUBLE) AS prd
+  FROM w, tot WHERE w.nl < tot.n
+),
+sc AS (
+  SELECT v, nl, pl, n, p,
+         CAST(ROUND((
+           (nld / CAST(n AS DOUBLE))
+             * (1.0 - (pld / nld) * (pld / nld)
+                - ((nld - pld) / nld) * ((nld - pld) / nld))
+           + (nrd / CAST(n AS DOUBLE))
+             * (1.0 - (prd / nrd) * (prd / nrd)
+                - ((nrd - prd) / nrd) * ((nrd - prd) / nrd))
+           ) * 1e10) AS BIGINT) AS gini_e10
+  FROM cand
+)
+SELECT v AS split_v, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS pos,
+       CAST(nl AS BIGINT) AS nl, CAST(pl AS BIGINT) AS pl,
+       gini_e10,
+       (SELECT CAST(ROUND((1.0
+          - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+          - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))) * 1e10) AS BIGINT)
+        FROM tot) AS parent_gini_e10
+FROM sc
+ORDER BY gini_e10 ASC, split_v ASC
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: poisson_bootstrap_means — deterministic Poisson(1) bootstrap of
+# the mean order total (the distributed-bootstrap standard: each row
+# draws its replicate multiplicity independently, so no resampling
+# shuffle is ever needed).
+
+BOOT_R = 8
+# integer thresholds floor(CDF_Poisson(1)(k) * 1000003), k = 0..5 —
+# weights are assigned by PURE INTEGER comparison (no float RNG at all)
+_POIS_T = (367880, 735761, 919701, 981014, 996343, 999408)
+
+
+def q_poisson_bootstrap_means(sf_dir: str) -> Dataset:
+    """Poisson bootstrap (R=8 replicates) of mean(o_totalprice):
+    row i's multiplicity in replicate r is the Poisson(1) inverse-CDF
+    bucket of the house integer hash ((key+1)·(r+1)·2654435761 mod
+    1000003) against pre-computed INTEGER thresholds — deterministic,
+    seedable, and embarrassingly parallel (a 100-TB corpus bootstraps
+    in one pass with zero data movement beyond R partial-sum rows per
+    block). Publishes per-replicate exact integer (Σw, Σw·cents) and
+    the e8 mean."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    thr = np.asarray(_POIS_T, dtype=np.int64)
+
+    def partials(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = _cents_col(t.column("o_totalprice")).to_numpy(
+            zero_copy_only=False
+        )
+        rs, ws, xs = [], [], []
+        for r in range(1, BOOT_R + 1):
+            u = ((key + 1) * (r + 1) * 2654435761) % 1000003
+            w = np.searchsorted(thr, u, side="right")  # count of t_k <= u
+            rs.append(r)
+            ws.append(int(w.sum()))
+            xs.append(int((w * cents).sum()))
+        return pa.table(
+            {
+                "r": pa.array(rs, type=pa.int64()),
+                "wsum": pa.array(ws, type=pa.int64()),
+                "wxsum": pa.array(xs, type=pa.int64()),
+            }
+        )
+
+    merged = _pull_merged(
+        merge_group_sums(
+            orders.map_batches(partials, batch_format="pyarrow"),
+            ["r"], ["wsum", "wxsum"],
+        ),
+        ["r", "wsum", "wxsum"],
+    ).sort_by("r")
+    r = merged.column("r").to_numpy(zero_copy_only=False)
+    wsum = merged.column("wsum").to_numpy(zero_copy_only=False)
+    wxsum = merged.column("wxsum").to_numpy(zero_copy_only=False)
+    # exact integer round-half-up of (x·1e8)/w — floor((2a+b)/(2b)).
+    # The float path (x/w·1e8 then round) lands in [2^51, 2^52) where
+    # .5 is exactly representable and numpy/DuckDB disagree on ties;
+    # Python bigints sidestep rounding modes entirely (HUGEINT in SQL).
+    mean_e8 = np.array(
+        [
+            (2 * int(x) * 10**8 + int(w)) // (2 * int(w))
+            for x, w in zip(wxsum, wsum)
+        ],
+        dtype=np.int64,
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "r": pa.array(r, type=pa.int64()),
+                "wsum": pa.array(wsum, type=pa.int64()),
+                "wxsum": pa.array(wxsum, type=pa.int64()),
+                "mean_e8": pa.array(mean_e8, type=pa.int64()),
+            }
+        )
+    )
+
+
+def _poisson_boot_sql() -> str:
+    checks = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+    )
+    return f"""
+WITH reps(r) AS (
+  SELECT UNNEST(generate_series(1, {BOOT_R}))
+),
+u AS (
+  SELECT reps.r,
+         ((o_orderkey + 1) * (reps.r + 1) * 2654435761) % 1000003 AS u,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders, reps
+),
+w AS (SELECT r, {checks} AS w, cents FROM u)
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(SUM(w) AS BIGINT) AS wsum,
+       CAST(SUM(w * cents) AS BIGINT) AS wxsum,
+       -- exact HUGEINT round-half-up: floor((2a+b)/(2b)); // truncates
+       -- but truncate == floor on non-negative operands (CLAUDE.md)
+       CAST((2 * SUM(w * cents) * 100000000 + SUM(w))
+            // (2 * SUM(w)) AS BIGINT) AS mean_e8
+FROM w GROUP BY r
+"""
+
+
+SQL_POISSON_BOOTSTRAP_MEANS = _poisson_boot_sql()
+
+
 STATOPS_QUERIES = {
+    "gini_best_split": q_gini_best_split,
+    "poisson_bootstrap_means": q_poisson_bootstrap_means,
     "welch_ttest_segments": q_welch_ttest_segments,
     "mannwhitney_u_segments": q_mannwhitney_u_segments,
     "benford_chisq": q_benford_chisq,
@@ -939,6 +1175,8 @@ STATOPS_QUERIES = {
 }
 
 STATOPS_ORACLES = {
+    "gini_best_split": SQL_GINI_BEST_SPLIT,
+    "poisson_bootstrap_means": SQL_POISSON_BOOTSTRAP_MEANS,
     "welch_ttest_segments": SQL_WELCH_TTEST_SEGMENTS,
     "mannwhitney_u_segments": SQL_MANNWHITNEY_U_SEGMENTS,
     "benford_chisq": SQL_BENFORD_CHISQ,
