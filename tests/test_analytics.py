@@ -1628,3 +1628,57 @@ def test_lm_dirichlet_semantics(ray_session):
     # semantics: more matched query mass with equal dl ranks higher —
     # doc 1 (2 terms incl. rare 'query') must outrank doc 2 (1 common term)
     assert out.loc[1, "rank"] < out.loc[2, "rank"]
+
+
+def test_cohort_retention_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import q_cohort_retention
+
+    out = q_cohort_retention(SF).to_pandas().set_index(
+        ["cohort_day", "day_offset"]
+    )
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    us = ev.column("ts").cast("int64").to_numpy()
+    uid = ev.column("user_id").to_numpy()
+    day = (us - us.min()) // 86_400_000_000
+    df = pd.DataFrame({"u": uid, "d": day}).drop_duplicates()
+    first = df.groupby("u").d.min()
+    df["cohort"] = first.reindex(df.u).to_numpy()
+    df["off"] = df.d - df.cohort
+    want = df.groupby(["cohort", "off"]).size()
+    assert len(out) == len(want)
+    for (c, o), n in want.items():
+        assert out.loc[(c, o)].n_users == n
+    # each user appears exactly once at offset 0, so offset-0 cells sum
+    # to the number of distinct users
+    assert out.xs(0, level="day_offset").n_users.sum() == first.size
+    # retention can only shrink relative to each cohort's day-0 size
+    for c in first.unique():
+        base = out.loc[(c, 0)].n_users
+        assert (out.loc[c].n_users <= base).all()
+
+
+def test_fd_violations_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        FD_CANDIDATES, q_fd_violations)
+
+    out = q_fd_violations(SF).to_pandas().set_index("fd_name")
+    assert len(out) == len(FD_CANDIDATES)
+    for fd_name, table, xcol, ycol in FD_CANDIDATES:
+        df = pq.read_table(
+            f"{SF}/{table}.parquet", columns=[xcol, ycol]
+        ).to_pandas()
+        pairs = df.groupby([xcol, ycol]).size().rename("n").reset_index()
+        g = pairs.groupby(xcol).agg(
+            ny=("n", "size"), rows=("n", "sum"), keep=("n", "max")
+        )
+        row = out.loc[fd_name]
+        assert row.n_groups == len(g)
+        assert row.n_pairs == len(pairs)
+        assert row.violating_groups == int((g.ny > 1).sum())
+        assert row.rows_total == len(df) == int(g.rows.sum())
+        assert row.rows_keep == int(g.keep.sum())
+        assert row.rows_to_fix == row.rows_total - row.rows_keep
+        # deleting rows_to_fix rows must make the FD exact: keep >= 1 per group
+        assert row.rows_keep >= row.n_groups
+        # an FD holds iff no violations iff pairs == groups
+        assert (row.violating_groups == 0) == (row.n_pairs == row.n_groups)

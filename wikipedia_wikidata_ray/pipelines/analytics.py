@@ -4773,7 +4773,269 @@ FROM c, k
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: cohort_retention — the classic signup-cohort × week-offset
+# retention matrix over the events stream.
+
+
+def q_cohort_retention(sf_dir: str) -> Dataset:
+    """Cohort retention matrix: users are cohorted by their FIRST
+    active day (days from the global stream start — a parquet-footer
+    min, zero-pass, the churn_features spine) and counted once per
+    (cohort_day, day_offset) they were active in.
+
+    Distributed shape: in-batch distinct (user, week) partials → ONE
+    merge on (user, day) — the only corpus-sized movement, bounded by
+    users × calendar days — then ``sorted_group_apply`` on user_id
+    resolves each user's cohort (min day of its run) with one lexsort
+    per block and emits (cohort, offset) COUNT partials, merged by a
+    second calendar-bounded shuffle. Raw events never co-locate.
+    Every user contributes exactly one offset-0 row, so the cohort
+    size is the offset-0 cell of its own row group."""
+    import pyarrow.parquet as pq_
+    from datetime import datetime
+
+    meta = pq_.read_metadata(f"{sf_dir}/events.parquet")
+    t0 = None
+    for rg in range(meta.num_row_groups):
+        mn = meta.row_group(rg).column(1).statistics.min
+        if hasattr(mn, "year"):
+            td = mn.replace(tzinfo=None) - datetime(1970, 1, 1)
+            v = (td.days * 86_400_000_000
+                 + td.seconds * 1_000_000 + td.microseconds)
+        else:
+            v = int(mn)
+        t0 = v if t0 is None else min(t0, v)
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us - t0) // US_PER_DAY
+        g = pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pa.array(day, type=pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by(["user_id", "day"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "day", "n"])
+
+    pairs = merge_group_sums(
+        events.map_batches(pair_partials, batch_format="pyarrow"),
+        ["user_id", "day"], ["n"],
+    )
+
+    def cohort_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], type=pa.int64()),
+                    "day_offset": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        w = t.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        run_id = np.cumsum(np.r_[False, us[1:] != us[:-1]])
+        cohort = ws[starts][run_id]  # per-user min day (day-sorted runs)
+        g = pa.table(
+            {
+                "cohort_day": pa.array(cohort, type=pa.int64()),
+                "day_offset": pa.array(ws - cohort, type=pa.int64()),
+                "n_users": pa.array(np.ones(len(ws), dtype=np.int64)),
+            }
+        ).group_by(["cohort_day", "day_offset"]).aggregate(
+            [("n_users", "sum")]
+        )
+        return g.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    partial = sorted_group_apply(pairs, ["user_id"], cohort_counts)
+    return merge_group_sums(
+        partial, ["cohort_day", "day_offset"], ["n_users"]
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH t0 AS (SELECT epoch_us(MIN(ts)) AS v FROM events),
+uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - t0.v) // 86400000000 AS d
+  FROM events, t0
+),
+c AS (SELECT user_id, MIN(d) AS cd FROM uw GROUP BY 1)
+SELECT CAST(c.cd AS BIGINT) AS cohort_day,
+       CAST(uw.d - c.cd AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: fd_violations — approximate-functional-dependency audit (the
+# data-profiling primitive: does X determine Y, and how far off is it).
+
+# (fd_name, table file, X column, Y column) — fixed candidate set; the
+# operator is generic over any (X, Y) pair.
+FD_CANDIDATES = (
+    ("orders_custkey_to_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem_partkey_to_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("events_user_to_type", "events", "user_id", "event_type"),
+    ("customer_nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def q_fd_violations(sf_dir: str) -> Dataset:
+    """Functional-dependency audit X→Y for a fixed candidate list:
+    per FD reports distinct-X group count, distinct (X,Y) pairs,
+    groups violating the FD (>1 Y), total rows, rows kept by the
+    majority Y per group (the g3-measure complement) and rows_to_fix
+    = total − kept (min deletions to make the FD hold exactly).
+
+    Distributed shape, per candidate: in-batch (X,Y,n) count partials
+    → ONE merge on (X,Y) — movement bounded by the pair cardinality,
+    not rows — then ``sorted_group_apply`` on X turns each complete
+    run into four in-block integer reductions and emits ONE partial
+    row per block; a constant-key merge folds blocks to one row per
+    FD. The per-branch block count is capped (round-5 third-session
+    multi-branch union rule) so 4 tiny branches don't fan out to
+    4×CPUs micro-blocks."""
+    import ray
+
+    n_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    outs = []
+    for fd_name, table, xcol, ycol in FD_CANDIDATES:
+        src = rd.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=[xcol, ycol],
+            override_num_blocks=n_blocks,
+        )
+
+        def pair_partials(t: pa.Table, xcol=xcol, ycol=ycol) -> pa.Table:
+            g = pa.table(
+                {
+                    "x": pc.cast(t[xcol], pa.int64())
+                    if pa.types.is_integer(t.schema.field(xcol).type)
+                    else pc.cast(t[xcol], pa.string()),
+                    "y": pc.cast(t[ycol], pa.string())
+                    if not pa.types.is_integer(t.schema.field(ycol).type)
+                    else pc.cast(t[ycol], pa.int64()),
+                    "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            ).group_by(["x", "y"]).aggregate([("n", "sum")])
+            return g.rename_columns(["x", "y", "n"])
+
+        pairs = merge_group_sums(
+            src.map_batches(pair_partials, batch_format="pyarrow"),
+            ["x", "y"], ["n"],
+        )
+
+        def fd_block(t: pa.Table, fd_name=fd_name) -> pa.Table:
+            empty = {
+                "fd_name": pa.array([], type=pa.string()),
+                "n_groups": pa.array([], type=pa.int64()),
+                "n_pairs": pa.array([], type=pa.int64()),
+                "violating_groups": pa.array([], type=pa.int64()),
+                "rows_total": pa.array([], type=pa.int64()),
+                "rows_keep": pa.array([], type=pa.int64()),
+            }
+            if t.num_rows == 0:
+                return pa.table(empty)
+            x = t.column("x")
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            # null-safe int64 order/equality proxy for arbitrary X dtype
+            xk = pc.rank(
+                x, sort_keys="ascending", tiebreaker="dense",
+                null_placement="at_start",
+            ).to_numpy(zero_copy_only=False)
+            order = np.argsort(xk, kind="stable")
+            xs, ns = xk[order], n[order]
+            new = np.r_[True, xs[1:] != xs[:-1]]
+            run_id = np.cumsum(new) - 1
+            n_groups = int(run_id[-1]) + 1
+            rows_per = np.zeros(n_groups, dtype=np.int64)
+            np.add.at(rows_per, run_id, ns)
+            max_per = np.zeros(n_groups, dtype=np.int64)
+            np.maximum.at(max_per, run_id, ns)
+            ys = np.bincount(run_id)  # distinct Y per group
+            return pa.table(
+                {
+                    "fd_name": pa.array([fd_name], type=pa.string()),
+                    "n_groups": pa.array([n_groups], type=pa.int64()),
+                    "n_pairs": pa.array([len(t)], type=pa.int64()),
+                    "violating_groups": pa.array(
+                        [int((ys > 1).sum())], type=pa.int64()
+                    ),
+                    "rows_total": pa.array([int(ns.sum())], type=pa.int64()),
+                    "rows_keep": pa.array(
+                        [int(max_per.sum())], type=pa.int64()
+                    ),
+                }
+            )
+
+        partial = sorted_group_apply(
+            pairs, ["x"], fd_block, num_blocks=n_blocks
+        )
+        outs.append(
+            merge_group_sums(
+                partial, ["fd_name"],
+                ["n_groups", "n_pairs", "violating_groups",
+                 "rows_total", "rows_keep"],
+            )
+        )
+    unioned = outs[0].union(*outs[1:])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ["fd_name", "n_groups", "n_pairs", "violating_groups",
+                "rows_total", "rows_keep"]
+        if t.num_rows == 0 or t.schema.names == []:
+            return pa.table(
+                {c: pa.array([], type=pa.string() if c == "fd_name"
+                             else pa.int64()) for c in cols}
+                | {"rows_to_fix": pa.array([], type=pa.int64())}
+            )
+        t = t.select(cols)
+        return t.append_column(
+            "rows_to_fix",
+            pc.subtract(t.column("rows_total"), t.column("rows_keep")),
+        )
+
+    return unioned.map_batches(finish, batch_format="pyarrow")
+
+
+def _fd_sql() -> str:
+    parts = []
+    for fd_name, table, xcol, ycol in FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{fd_name}' AS fd_name,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(ny) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(SUM(rows_) AS BIGINT) AS rows_total,
+       CAST(SUM(keep_) AS BIGINT) AS rows_keep,
+       CAST(SUM(rows_) - SUM(keep_) AS BIGINT) AS rows_to_fix
+FROM (
+  SELECT x, COUNT(*) AS ny, SUM(n) AS rows_, MAX(n) AS keep_
+  FROM (
+    SELECT {xcol} AS x, {ycol} AS y, COUNT(*) AS n
+    FROM {table} GROUP BY 1, 2
+  ) GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_FD_VIOLATIONS = _fd_sql()
+
+
 ANALYTICS_QUERIES = {
+    "cohort_retention": q_cohort_retention,
+    "fd_violations": q_fd_violations,
     "running_revenue": q_running_revenue,
     "session_concurrency": q_session_concurrency,
     "embedding_covariance": q_embedding_covariance,
@@ -4821,6 +5083,8 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "fd_violations": SQL_FD_VIOLATIONS,
     "running_revenue": SQL_RUNNING_REVENUE,
     "session_concurrency": SQL_SESSION_CONCURRENCY,
     "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
