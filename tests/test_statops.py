@@ -255,3 +255,24 @@ def test_poisson_bootstrap_matches_direct(ray_session):
         # exact half-up rounding of the integer ratio
         a, b = rows[r]["wxsum"], rows[r]["wsum"]
         assert rows[r]["mean_e8"] == (2 * a * 10**8 + b) // (2 * b)
+
+
+def test_ols_matches_lstsq(ray_session):
+    row = statops.q_ols_normal_equations(SF).take_all()[0]
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    ).to_pandas()
+    q = np.round(li.l_quantity.to_numpy()).astype(np.int64)
+    d = np.round(li.l_discount.to_numpy() * 100).astype(np.int64)
+    y = _cents(li.l_extendedprice)
+    X = np.column_stack([np.ones(len(q)), q, d]).astype(np.float64)
+    beta, *_ = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)
+    got = np.array([row["beta0_e8"], row["beta1_e8"], row["beta2_e8"]]) / 1e8
+    assert np.allclose(got, beta, rtol=1e-6, atol=1e-4)
+    # exact sufficient statistics
+    assert row["n"] == len(q) and row["s1"] == int(q.sum())
+    assert row["s1y"] == int((q * y).sum())
+    # normal equations: X'(y - X beta) == 0 up to the e8 rounding
+    resid = y - X @ got
+    assert np.all(np.abs(X.T @ resid) / max(1.0, np.abs(X.T @ y).max()) < 1e-9)

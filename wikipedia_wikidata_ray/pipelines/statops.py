@@ -1161,7 +1161,137 @@ FROM w GROUP BY r
 SQL_POISSON_BOOTSTRAP_MEANS = _poisson_boot_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: ols_normal_equations — exact distributed multiple linear
+# regression: price ~ quantity + discount via integer normal equations.
+
+
+def q_ols_normal_equations(sf_dir: str) -> Dataset:
+    """OLS fit of l_extendedprice (cents) on [1, l_quantity,
+    l_discount·100] via the normal equations — the canonical
+    distributed-ML primitive: X'X and X'y are 9 EXACT int64 sums
+    (quantity ≤ 50, discount e2 ≤ 10, price cents ≤ 1e7 → the largest
+    product Σ(x₁·y) stays < 2⁶³ to ~10⁹ rows; past that, shard the
+    partials and widen — documented fallback), one constant-key merge,
+    zero data movement beyond one partial row per block.
+
+    The 3×3 solve is Cramer's rule on INTEGER determinants — exact in
+    Python bigints and DuckDB HUGEINT (the Gram determinant of
+    full-rank data is positive; asserted). Betas publish at e8 via the
+    sign-safe exact floored half-up identity floor((2·detᵢ·1e8 +
+    det)/(2·det)) — numpy/Python floor `//` directly; the SQL twin
+    uses the branch-free mod-subtraction floor (CLAUDE.md r5: DuckDB
+    `//` truncates, but truncate == floor once the numerator divides
+    exactly). No float arithmetic appears ANYWHERE in this operator."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = _cents_col(t.column("l_discount")).to_numpy(zero_copy_only=False)
+        y = _cents_col(t.column("l_extendedprice")).to_numpy(
+            zero_copy_only=False
+        )
+        vals = (
+            len(t), int(q.sum()), int(d.sum()),
+            int((q * q).sum()), int((q * d).sum()), int((d * d).sum()),
+            int(y.sum()), int((q * y).sum()), int((d * y).sum()),
+        )
+        names = ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+        cols = {"k": pa.array([0], type=pa.int64())}
+        cols.update(
+            {nm: pa.array([v], type=pa.int64()) for nm, v in zip(names, vals)}
+        )
+        return pa.table(cols)
+
+    names = ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+    merged = _pull_merged(
+        merge_group_sums(
+            li.map_batches(partials, batch_format="pyarrow"), ["k"], names
+        ),
+        ["k"] + names,
+    )
+    n, s1, s2, s11, s12, s22, sy, s1y, s2y = (
+        int(merged.column(nm)[0].as_py()) for nm in names
+    )
+    det = (n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    assert det > 0, "Gram matrix must be PD for full-rank features"
+    det0 = (sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    betas = [(2 * dv * 10**8 + det) // (2 * det) for dv in (det0, det1, det2)]
+    out = {nm: pa.array([v], type=pa.int64())
+           for nm, v in zip(names, (n, s1, s2, s11, s12, s22, sy, s1y, s2y))}
+    out.update(
+        {
+            "beta0_e8": pa.array([betas[0]], type=pa.int64()),
+            "beta1_e8": pa.array([betas[1]], type=pa.int64()),
+            "beta2_e8": pa.array([betas[2]], type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(pa.table(out))
+
+
+def _ols_beta_sql(det_expr: str) -> str:
+    # exact floored half-up at e8: floor((2·det_i·1e8 + det)/(2·det)),
+    # branch-free in DuckDB (mod-subtract, then exact HUGEINT //)
+    num = f"(2 * ({det_expr}) * 100000000 + det)"
+    return (f"CAST(({num} - ((({num}) % (2 * det) + (2 * det)) % (2 * det)))"
+            f" // (2 * det) AS BIGINT)")
+
+
+SQL_OLS_NORMAL_EQUATIONS = f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(q) AS s1, SUM(d) AS s2,
+         SUM(q * q) AS s11, SUM(q * d) AS s12, SUM(d * d) AS s22,
+         SUM(y) AS sy, SUM(q * y) AS s1y, SUM(d * y) AS s2y
+  FROM (
+    SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+    FROM lineitem
+  )
+),
+dets AS (
+  SELECT *,
+         (n  * (s11 * s22 - s12 * s12)
+        - s1 * (s1  * s22 - s12 * s2)
+        + s2 * (s1  * s12 - s11 * s2)) AS det
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+       CAST(s11 AS BIGINT) AS s11, CAST(s12 AS BIGINT) AS s12,
+       CAST(s22 AS BIGINT) AS s22, CAST(sy AS BIGINT) AS sy,
+       CAST(s1y AS BIGINT) AS s1y, CAST(s2y AS BIGINT) AS s2y,
+       {_ols_beta_sql('''sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)''')} AS beta0_e8,
+       {_ols_beta_sql('''n  * (s1y * s22 - s12 * s2y)
+        - sy * (s1  * s22 - s12 * s2)
+        + s2 * (s1  * s2y - s1y * s2)''')} AS beta1_e8,
+       {_ols_beta_sql('''n  * (s11 * s2y - s1y * s12)
+        - s1 * (s1  * s2y - s1y * s2)
+        + sy * (s1  * s12 - s11 * s2)''')} AS beta2_e8
+FROM dets
+"""
+
+
 STATOPS_QUERIES = {
+    "ols_normal_equations": q_ols_normal_equations,
     "gini_best_split": q_gini_best_split,
     "poisson_bootstrap_means": q_poisson_bootstrap_means,
     "welch_ttest_segments": q_welch_ttest_segments,
@@ -1175,6 +1305,7 @@ STATOPS_QUERIES = {
 }
 
 STATOPS_ORACLES = {
+    "ols_normal_equations": SQL_OLS_NORMAL_EQUATIONS,
     "gini_best_split": SQL_GINI_BEST_SPLIT,
     "poisson_bootstrap_means": SQL_POISSON_BOOTSTRAP_MEANS,
     "welch_ttest_segments": SQL_WELCH_TTEST_SEGMENTS,
