@@ -276,3 +276,26 @@ def test_ols_matches_lstsq(ray_session):
     # normal equations: X'(y - X beta) == 0 up to the e8 rounding
     resid = y - X @ got
     assert np.all(np.abs(X.T @ resid) / max(1.0, np.abs(X.T @ y).max()) < 1e-9)
+
+
+def test_seasonal_residuals_match_brute_force(ray_session):
+    df = statops.q_seasonal_residual_outliers(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"])
+    hrs = ev.column("ts").cast("int64").to_numpy() // statops.US_PER_HOUR
+    counts = pd.Series(hrs).value_counts().sort_index()
+    assert len(df) == len(counts)
+    df = df.sort_values("hr", ignore_index=True)
+    assert (df.n.to_numpy() == counts.to_numpy()).all()
+    hod = counts.index.to_numpy() % 24
+    means = pd.DataFrame({"h": hod, "n": counts.to_numpy()}).groupby("h").n.mean()
+    resid = counts.to_numpy() - means.reindex(hod).to_numpy()
+    assert np.allclose(df.resid_e8.to_numpy() / 1e8, resid, atol=1e-7)
+    # per-slot residuals sum to ~0 (mean removal), and the flag equals
+    # the float 2-sigma rule computed directly
+    for h in range(24):
+        assert abs(resid[hod == h].sum()) < 1e-6
+    sigma = np.sqrt((resid ** 2).mean())
+    want_flag = (np.abs(resid) > 2 * sigma).astype(int)
+    # e8 rounding can flip only exact-boundary cases; fixture has none
+    assert (df.is_outlier.to_numpy() == want_flag).all()
+    assert 0 < df.is_outlier.sum() < len(df) / 4

@@ -1290,8 +1290,118 @@ FROM dets
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: seasonal_residual_outliers — hour-of-day seasonal decomposition of
+# the hourly event-volume series, with a 2σ residual outlier flag.
+
+
+def q_seasonal_residual_outliers(sf_dir: str) -> Dataset:
+    """Seasonal-naive anomaly detection on the hourly volume series:
+    the seasonal component is the mean count of each hour-of-day slot,
+    the residual is the hour's count minus its slot mean, and a row is
+    an outlier when residual² exceeds 4× the mean squared residual —
+    evaluated as the PURE INTEGER comparison resid_e8²·H > 4·Σresid_e8²
+    (|r| > 2σ squared through; no float appears anywhere, extending the
+    ols_normal_equations discipline to thresholding). Residuals
+    publish at e8 via the sign-safe floored half-up identity
+    floor((2·(n·dₕ−Sₕ)·1e8 + dₕ)/(2·dₕ)).
+
+    Distributed stage: per-batch (epoch-hour → count) partials → ONE
+    calendar-bounded merge (≤ stream-hours rows); the driver finish is
+    over that bounded spine. Defined over OBSERVED hours (an absent
+    hour contributes no row — the hourly_acf convention)."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "hr": pa.array(us // US_PER_HOUR, type=pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by(["hr"]).aggregate([("n", "sum")])
+        return g.rename_columns(["hr", "n"])
+
+    spine = _pull_merged(
+        merge_group_sums(
+            events.map_batches(partials, batch_format="pyarrow"),
+            ["hr"], ["n"],
+        ),
+        ["hr", "n"],
+    ).sort_by("hr")
+    hr = spine.column("hr").to_numpy(zero_copy_only=False)
+    n = spine.column("n").to_numpy(zero_copy_only=False)
+    hod = hr % 24
+    sh = np.zeros(24, dtype=np.int64)
+    dh = np.zeros(24, dtype=np.int64)
+    np.add.at(sh, hod, n)
+    np.add.at(dh, hod, 1)
+    resid_e8 = np.array(
+        [
+            (2 * (int(nv) * int(dh[h]) - int(sh[h])) * 10**8 + int(dh[h]))
+            // (2 * int(dh[h]))
+            for nv, h in zip(n, hod)
+        ],
+        dtype=np.int64,
+    )
+    ss = int((resid_e8.astype(object) ** 2).sum())  # exact bigint sum
+    hcnt = len(hr)
+    outlier = np.array(
+        [int(int(r) * int(r) * hcnt > 4 * ss) for r in resid_e8],
+        dtype=np.int64,
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hr": pa.array(hr, type=pa.int64()),
+                "hod": pa.array(hod, type=pa.int64()),
+                "n": pa.array(n, type=pa.int64()),
+                "sh": pa.array(sh[hod], type=pa.int64()),
+                "dh": pa.array(dh[hod], type=pa.int64()),
+                "resid_e8": pa.array(resid_e8, type=pa.int64()),
+                "is_outlier": pa.array(outlier, type=pa.int64()),
+            }
+        )
+    )
+
+
+# sign-safe exact floor((2·r·1e8 + dh)/(2·dh)) in HUGEINT (CLAUDE.md
+# branch-free floored-division idiom; numerator may be negative)
+_RESID_NUM = "(2 * (n * dh - sh) * 100000000 + dh)"
+_RESID_E8 = (f"CAST(({_RESID_NUM} - ((({_RESID_NUM}) % (2 * dh) + (2 * dh))"
+             f" % (2 * dh))) // (2 * dh) AS BIGINT)")
+
+SQL_SEASONAL_RESIDUAL_OUTLIERS = f"""
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT hr % 24 AS hd, SUM(n) AS sh, COUNT(*) AS dh
+  FROM h GROUP BY 1
+),
+r AS (
+  SELECT h.hr, h.hr % 24 AS hod, h.n, s.sh, s.dh,
+         {_RESID_E8} AS resid_e8
+  FROM h JOIN s ON h.hr % 24 = s.hd
+),
+t AS (
+  SELECT SUM(resid_e8 * resid_e8) AS ss, COUNT(*) AS hcnt FROM r
+)
+SELECT r.hr, CAST(r.hod AS BIGINT) AS hod, CAST(r.n AS BIGINT) AS n,
+       CAST(r.sh AS BIGINT) AS sh, CAST(r.dh AS BIGINT) AS dh,
+       r.resid_e8,
+       -- HUGEINT hop: BIGINT·BIGINT·BIGINT raises on overflow in DuckDB
+       CAST(CASE WHEN CAST(r.resid_e8 AS HUGEINT) * r.resid_e8 * t.hcnt
+                      > 4 * t.ss
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM r, t
+"""
+
+
 STATOPS_QUERIES = {
     "ols_normal_equations": q_ols_normal_equations,
+    "seasonal_residual_outliers": q_seasonal_residual_outliers,
     "gini_best_split": q_gini_best_split,
     "poisson_bootstrap_means": q_poisson_bootstrap_means,
     "welch_ttest_segments": q_welch_ttest_segments,
@@ -1306,6 +1416,7 @@ STATOPS_QUERIES = {
 
 STATOPS_ORACLES = {
     "ols_normal_equations": SQL_OLS_NORMAL_EQUATIONS,
+    "seasonal_residual_outliers": SQL_SEASONAL_RESIDUAL_OUTLIERS,
     "gini_best_split": SQL_GINI_BEST_SPLIT,
     "poisson_bootstrap_means": SQL_POISSON_BOOTSTRAP_MEANS,
     "welch_ttest_segments": SQL_WELCH_TTEST_SEGMENTS,
