@@ -321,3 +321,25 @@ def test_cc_local_and_distributed_plans_agree(ray_session):
     assert dict(zip(local["node"], local["label"])) == {
         0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9, 10: 9, 11: 11
     }
+
+
+def test_phrase_match_counts_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import (
+        PHRASES, q_phrase_match_counts)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_phrase_match_counts(sf).to_pandas().set_index("phrase")
+    texts = pq.read_table(
+        f"{sf}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    assert len(out) == len(PHRASES)
+    for p in PHRASES:
+        occ = sum(t.count(p) for t in texts)  # str.count = non-overlapping
+        nd = sum(1 for t in texts if p in t)
+        assert out.loc[p].n_occurrences == occ
+        assert out.loc[p].n_docs == nd
+        assert out.loc[p].n_docs <= out.loc[p].n_occurrences
+    # the dictionary must actually exercise the operator on the fixture
+    assert out.n_occurrences.sum() > 0

@@ -555,7 +555,77 @@ JOIN ucnt cb ON cb.tok = split_part(top.token, ' ', 2)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: phrase_match_counts — fixed-dictionary phrase analytics: count
+# documents containing, and total occurrences of, each multi-word
+# phrase (the keyword/brand-monitoring primitive).
+
+# fixed phrase dictionary — the broadcast side of this operator is a
+# curated keyword list, SMALL BY DEFINITION (hundreds to low thousands
+# of phrases); for a dictionary too large to scan per batch, swap in
+# tokenized n-gram joins against a phrase table (the decontaminate
+# gram-join plan) — named fallback, not needed at dictionary scale.
+PHRASES = (
+    "data line",
+    "merge data",
+    "sort agg",
+    "batch batch batch",
+    "the fast key",
+    "join order",
+)
+
+
+def q_phrase_match_counts(sf_dir: str) -> Dataset:
+    """Per-phrase document frequency and total occurrence count via
+    ONE vectorized Arrow substring-count kernel per phrase per batch
+    (non-overlapping left-to-right occurrences — matched exactly by
+    the SQL twin's length/replace idiom). Partials are K rows per
+    block; the merge key space is the dictionary. Zero data movement
+    beyond K-row partials; the corpus text never shuffles."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        names, docs_n, occ_n = [], [], []
+        for p in PHRASES:
+            c = pc.count_substring(text, pattern=p)
+            c = pc.fill_null(c, 0).to_numpy(zero_copy_only=False)
+            names.append(p)
+            docs_n.append(int((c > 0).sum()))
+            occ_n.append(int(c.sum()))
+        return pa.table(
+            {
+                "phrase": pa.array(names, type=pa.string()),
+                "n_docs": pa.array(docs_n, type=pa.int64()),
+                "n_occurrences": pa.array(occ_n, type=pa.int64()),
+            }
+        )
+
+    return merge_group_sums(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        ["phrase"], ["n_docs", "n_occurrences"],
+    )
+
+
+def _phrase_sql() -> str:
+    values = ", ".join(f"('{p}')" for p in PHRASES)
+    return f"""
+WITH p(phrase) AS (VALUES {values})
+SELECT p.phrase,
+       CAST(SUM(CASE WHEN length(text) - length(replace(text, p.phrase, ''))
+                     > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM((length(text) - length(replace(text, p.phrase, '')))
+                // length(p.phrase)) AS BIGINT) AS n_occurrences
+FROM documents, p
+GROUP BY 1
+"""
+
+
+SQL_PHRASE_MATCH_COUNTS = _phrase_sql()
+
+
 CORPUSOPS_QUERIES = {
+    "phrase_match_counts": q_phrase_match_counts,
     "vocab_topk": q_vocab_topk,
     "bigram_pmi": q_bigram_pmi,
     "quality_filter": q_quality_filter,
@@ -566,6 +636,7 @@ CORPUSOPS_QUERIES = {
 }
 
 CORPUSOPS_ORACLES = {
+    "phrase_match_counts": SQL_PHRASE_MATCH_COUNTS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bigram_pmi": SQL_BIGRAM_PMI,
     "quality_filter": SQL_QUALITY_FILTER,
