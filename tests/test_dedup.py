@@ -283,3 +283,67 @@ def test_ngram_jaccard_vectorized_equals_set_path():
     assert np.array_equal(
         fast.column("jaccard").to_numpy(), slow.column("jaccard").to_numpy()
     )
+
+
+def test_word_trigram_arrays_matches_python_sets():
+    from wikipedia_wikidata_ray.ops.textstats import word_trigram_arrays
+
+    texts = [
+        "a b c d e",
+        "a b c",
+        "x y",          # < 3 tokens -> empty
+        "a b c d e",    # duplicate text
+        "b c a b c",    # repeated gram within doc
+        "",
+    ]
+    col = pa.array(texts)
+    out = word_trigram_arrays(col)
+    assert len(out) == len(texts)
+
+    def py_grams(t):
+        w = t.split(" ")
+        return [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+
+    # injectivity: equal codes <-> equal gram strings, across ALL docs
+    code_to_gram = {}
+    for t, codes in zip(texts, out):
+        gs = py_grams(t)
+        assert len(gs) == len(codes)
+        for g, c in zip(gs, codes):
+            assert code_to_gram.setdefault(int(c), g) == g
+    # set semantics downstream: unique counts match python sets
+    for t, codes in zip(texts, out):
+        assert len(np.unique(codes)) == len(set(py_grams(t)))
+
+
+def test_prefix_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        PFX_TAU_DEN, PFX_TAU_NUM, q_prefix_jaccard_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_prefix_jaccard_pairs(sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sets = {}
+    for did, t in zip(docs.doc_id, docs.text):
+        w = t.split(" ")
+        sets[did] = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * PFX_TAU_DEN >= PFX_TAU_NUM * union:
+                want[(a, b)] = (inter, union)
+    got = {(r.doc_a, r.doc_b): (r.inter, r.union_n)
+           for r in out.itertuples()}
+    # EXACTNESS both directions: no false negatives (the prefix-filter
+    # theorem) and no false positives (verification)
+    assert got == want
+    assert len(want) > 0  # fixture must exercise the operator
+    for (a, b), (i_, u_) in got.items():
+        assert a < b and 0 < i_ <= u_
+        assert i_ * PFX_TAU_DEN >= PFX_TAU_NUM * u_

@@ -510,17 +510,28 @@ class PairShingleJaccard:
     Memory per batch ≈ pairs × 2 × grams/doc × 8 B for the sort buffers —
     callers bound it with ``batch_size`` (minhash_lsh_pairs passes 4096)."""
 
-    def __init__(self, shingle: int = 3, gram_fn=None):
+    def __init__(self, shingle: int = 3, gram_fn=None, emit_counts: bool = False):
         self.hasher = MinHasher(shingle=shingle)
         # per-doc gram-array function; default = word-shingle hashes.
         # q_near_dup_pairs_minhash_seeded passes packed_char_gram_arrays
         # for the SQL-oracle-able char-gram variant.
         self.gram_fn = gram_fn or self.hasher.batch_shingle_arrays
+        # emit_counts additionally appends exact integer (inter, union_n)
+        # columns so downstream thresholds can be pure-integer
+        # comparisons (q_prefix_jaccard_pairs)
+        self.emit_counts = emit_counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_pairs = len(batch)
         if n_pairs == 0:
-            return batch.append_column("jaccard", pa.array([], type=pa.float64()))
+            batch = batch.append_column(
+                "jaccard", pa.array([], type=pa.float64())
+            )
+            if self.emit_counts:
+                batch = batch.append_column(
+                    "inter", pa.array([], type=pa.int64())
+                ).append_column("union_n", pa.array([], type=pa.int64()))
+            return batch
         both = pa.concat_arrays(
             [
                 batch.column("text_a").combine_chunks(),
@@ -558,7 +569,12 @@ class PairShingleJaccard:
         inter = np.bincount(pid[1:][dup], minlength=n_pairs)
         union = la + lb - inter
         jac = inter / np.maximum(union, 1)
-        return batch.append_column("jaccard", pa.array(jac.astype(np.float64)))
+        batch = batch.append_column("jaccard", pa.array(jac.astype(np.float64)))
+        if self.emit_counts:
+            batch = batch.append_column(
+                "inter", pa.array(inter.astype(np.int64))
+            ).append_column("union_n", pa.array(union.astype(np.int64)))
+        return batch
 
 
 def minhash_lsh_pairs(ds: Dataset, threshold: float = 0.8,

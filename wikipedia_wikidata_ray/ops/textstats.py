@@ -240,6 +240,42 @@ def packed_char_gram_arrays(col) -> list:
     return out
 
 
+def word_trigram_arrays(col) -> list:
+    """Per-doc word-3-gram codes from single-space-separated text —
+    BATCH-LOCAL dictionary codes packed base-V (V = distinct tokens in
+    the batch), injective w.r.t. the gram STRINGS
+    ``toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]`` of the DuckDB
+    twin, so set intersections over these codes equal intersections
+    over raw word trigrams exactly (no hashing, no collision caveat).
+    Docs with < 3 tokens contribute zero grams (SQL range semantics).
+    V is asserted < 2e6 so V³ stays inside uint64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return []
+    toks = pc.split_pattern(col, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    flat = toks.flatten()  # sliced-chunk rule: flatten, never .values
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy().astype(np.uint64)
+    v_sz = len(enc.dictionary)
+    assert v_sz < 2_000_000, "batch token dictionary too large for base-V packing"
+    v64 = np.uint64(v_sz)
+    lens = np.diff(offs)
+    out: list = [np.empty(0, np.uint64)] * n
+    if len(codes) >= 3:
+        tri = codes[:-2] * v64 * v64 + codes[1:-1] * v64 + codes[2:]
+        for i in np.flatnonzero(lens >= 3):
+            out[i] = tri[offs[i]:offs[i + 1] - 2]
+    return out
+
+
 def fit_langid_profiles(texts: list[str], langs: list[str], top: int = 300) -> dict[str, dict[str, float]]:
     """Per-language character-trigram frequency profiles (classic n-gram
     langid heuristic — Cavnar & Trenkle style). Driver-side fit over a

@@ -676,7 +676,227 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: prefix_jaccard_pairs — EXACT set-similarity self-join (word-3-gram
+# Jaccard ≥ τ) via prefix filtering (Chaudhuri/Ganti/Kaushik SSJoin,
+# Bayardo et al. all-pairs) — the exact complement to the probabilistic
+# MinHash-LSH path: no false negatives by construction.
+
+PFX_TAU_NUM, PFX_TAU_DEN = 7, 10  # τ = 0.7
+# df vocabulary broadcast gate — the gram vocabulary is NOT small by
+# definition (it scales with the corpus); past this limit the rank
+# attach must become a hash join of the df table onto the gram postings
+# plus a distributed (df, gram) rank via the zorder NTILE spine
+# (queries.q_zorder_shards machinery) — named fallback, asserted here.
+PFX_VOCAB_BROADCAST_LIMIT = 20_000_000
+
+
+def _word_gram_pairs(t: pa.Table) -> pa.Table:
+    """Distinct (doc_id, gram) word-3-gram rows for a batch — one
+    split_pattern + one binary_join_element_wise kernel, no per-row
+    Python. Gram strings equal the SQL twin's
+    ``toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]`` exactly."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    text = t.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    flat = toks.flatten()
+    total = len(flat)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "gram": pa.array([], type=pa.string()),
+        }
+    )
+    if total < 3:
+        return empty
+    tri = pc.binary_join_element_wise(
+        flat.slice(0, total - 2),
+        flat.slice(1, total - 2),
+        flat.slice(2, total - 2),
+        " ",
+    )
+    lens = np.diff(offs)
+    di = np.repeat(np.arange(len(ids), dtype=np.int64), lens)[: total - 2]
+    # gram at flat position j is within-doc iff j+2 < doc end
+    valid = (np.arange(total - 2, dtype=np.int64) + 3) <= offs[1:][di]
+    if not valid.any():
+        return empty
+    sel = pa.array(valid)
+    g = pa.table(
+        {
+            "doc_id": pa.array(ids[di][valid], type=pa.int64()),
+            "gram": tri.filter(sel),
+        }
+    ).group_by(["doc_id", "gram"]).aggregate([])
+    return g
+
+
+def q_prefix_jaccard_pairs(sf_dir: str) -> Dataset:
+    """All document pairs with word-3-gram-set Jaccard ≥ 0.7, found
+    EXACTLY by prefix filtering: order the gram universe rarest-first
+    (global df ascending, gram ascending), keep only each doc's first
+    |d| − ⌈τ·|d|⌉ + 1 grams as its prefix, and generate candidates from
+    docs sharing a PREFIX gram — the standard SSJoin guarantee: any
+    pair at Jaccard ≥ τ must collide on at least one prefix gram, so
+    the candidate set is a superset and exact verification closes it.
+
+    Distributed plan (two passes over text, no corpus materialization):
+    1. df pass: distinct (doc, gram) in-batch → ONE grouped-sum merge
+       keyed by gram (movement = gram-vocabulary-sized);
+    2. rank broadcast: the (df, gram)-sorted vocabulary rides ONE
+       ray.put as an Arrow column; postings attach ranks via
+       ``pc.index_in`` (a C++ hash probe — the round-4 page-fault
+       rule) — gated at {PFX_VOCAB_BROADCAST_LIMIT} grams with the
+       join+NTILE-rank fallback named above;
+    3. prefix postings (rank, doc) ride the LSH bucket machinery's
+       one-sort run-pair path (`ops/dedup._lsh_bucket_pairs`) — no
+       map_groups, no all-pairs;
+    4. exact verify: texts join in BY PAIR ID (attach_pair_texts —
+       corpus never broadcast), intersections via batch-local
+       injective word-trigram codes; the τ test is the PURE INTEGER
+       comparison inter·10 ≥ 7·union (no float threshold anywhere);
+       jac_e10 publishes via the exact floored half-up identity.
+
+    Buckets are NOT capped (the SQL twin enumerates every bucket pair;
+    rarest-first prefixes keep real buckets small — the capped
+    engineering guard for adversarial hot grams is the documented
+    max_bucket_size seam of _lsh_bucket_pairs, as in
+    near_dup_pairs_minhash vs its seeded twin)."""
+    from ..ops.dedup import (PairShingleJaccard, _lsh_bucket_pairs,
+                             attach_pair_texts)
+    from ..ops.textstats import word_trigram_arrays
+    from ..stages.salted import merge_group_sums, partial_count
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        g = _word_gram_pairs(t)
+        out = pa.table(
+            {
+                "gram": g.column("gram"),
+                "df": pa.array(np.ones(g.num_rows, dtype=np.int64)),
+            }
+        ).group_by(["gram"]).aggregate([("df", "sum")])
+        return out.rename_columns(["gram", "df"])
+
+    df_tbl = merge_group_sums(
+        docs.map_batches(df_partials, batch_format="pyarrow"),
+        ["gram"], ["df"],
+    )
+    from .queries import _pull_blocks
+
+    vocab = _pull_blocks(df_tbl, ["gram", "df"]).sort_by(
+        [("df", "ascending"), ("gram", "ascending")]
+    )
+    assert vocab.num_rows <= PFX_VOCAB_BROADCAST_LIMIT, (
+        "gram vocabulary exceeds the broadcast gate — switch to the "
+        "join + distributed NTILE rank plan (docstring)")
+    vocab_ref = ray.put(pc.cast(vocab.column("gram"), pa.string()))
+
+    def postings(t: pa.Table) -> pa.Table:
+        g = _word_gram_pairs(t)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_hash": pa.array([], type=pa.int64()),
+                }
+            )
+        vocab_col = ray.get(vocab_ref)
+        rank = pc.index_in(
+            pc.cast(g.column("gram"), pa.string()), value_set=vocab_col
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rank, d))
+        ds_, rs = d[order], rank[order]
+        new = np.r_[True, ds_[1:] != ds_[:-1]]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(ds_)))
+        # prefix length k = s − ⌈τ·s⌉ + 1, integer ceil
+        k = sizes - (PFX_TAU_NUM * sizes + PFX_TAU_DEN - 1) // PFX_TAU_DEN + 1
+        within = np.arange(len(ds_)) - np.repeat(starts, sizes)
+        keep = within < np.repeat(k, sizes)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[keep], type=pa.int64()),
+                "band_id": pa.array(
+                    np.zeros(int(keep.sum()), dtype=np.int32)
+                ),
+                "band_hash": pa.array(rs[keep], type=pa.int64()),
+            }
+        )
+
+    post = docs.map_batches(postings, batch_format="pyarrow")
+    pairs = _lsh_bucket_pairs(post, max_bucket_size=1 << 30)
+    cands = partial_count(pairs, ["doc_a", "doc_b"], out="_n").select_columns(
+        ["doc_a", "doc_b"]
+    )
+    with_texts = attach_pair_texts(cands, docs)
+    verified = with_texts.map_batches(
+        PairShingleJaccard(gram_fn=word_trigram_arrays, emit_counts=True),
+        batch_format="pyarrow", batch_size=4096,
+    )
+
+    def keep_pairs(t: pa.Table) -> pa.Table:
+        inter = t.column("inter").to_numpy(zero_copy_only=False)
+        union = t.column("union_n").to_numpy(zero_copy_only=False)
+        keep = (union > 0) & (inter * PFX_TAU_DEN >= PFX_TAU_NUM * union)
+        t = t.filter(pa.array(keep))
+        inter = t.column("inter").to_numpy(zero_copy_only=False)
+        union = t.column("union_n").to_numpy(zero_copy_only=False)
+        jac_e10 = (2 * inter * 10**10 + union) // (2 * union)
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "inter": t.column("inter"),
+                "union_n": t.column("union_n"),
+                "jac_e10": pa.array(jac_e10, type=pa.int64()),
+            }
+        )
+
+    return verified.map_batches(keep_pairs, batch_format="pyarrow")
+
+
+SQL_PREFIX_JACCARD_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         toks[CAST(i.i AS INT)] || ' ' || toks[CAST(i.i AS INT) + 1]
+           || ' ' || toks[CAST(i.i AS INT) + 2] AS gram
+  FROM t, range(1, {ORACLE_CHARS_CAP + 1}) i(i)
+  WHERE i.i <= len(toks) - 2
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - i.i AS BIGINT) AS union_n,
+       CAST((2 * i.i * 10000000000 + (sa.n + sb.n - i.i))
+            // (2 * (sa.n + sb.n - i.i)) AS BIGINT) AS jac_e10
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE i.i * {PFX_TAU_DEN} >= {PFX_TAU_NUM} * (sa.n + sb.n - i.i)
+"""
+
+
 TRAININGDATA_QUERIES = {
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "doc_stats": q_doc_stats,
     "exact_dup_groups": q_exact_dup_groups,
     "exact_dup_pairs_lsh": q_exact_dup_pairs_lsh,
@@ -694,6 +914,7 @@ TRAININGDATA_QUERIES = {
 }
 
 TRAININGDATA_ORACLES = {
+    "prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS,
     "doc_stats": SQL_DOC_STATS,
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "exact_dup_pairs_lsh": SQL_EXACT_DUP_PAIRS,
