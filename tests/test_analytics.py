@@ -1682,3 +1682,38 @@ def test_fd_violations_bruteforce(ray_session):
         assert row.rows_keep >= row.n_groups
         # an FD holds iff no violations iff pairs == groups
         assert (row.violating_groups == 0) == (row.n_pairs == row.n_groups)
+
+
+def test_apriori_triples_bruteforce(ray_session):
+    from itertools import combinations
+
+    from wikipedia_wikidata_ray.pipelines.analytics import q_apriori_triples
+
+    out = q_apriori_triples(SF).to_pandas()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    part = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    baskets = m.groupby("l_orderkey").p_brand.apply(set)
+    minsup = max(2, len(baskets) // 200)
+    want = {}
+    for b in baskets:
+        for tri in combinations(sorted(b), 3):
+            want[tri] = want.get(tri, 0) + 1
+    want = {k: v for k, v in want.items() if v >= minsup}
+    got = {
+        (r.brand_a, r.brand_b, r.brand_c): r.support for r in out.itertuples()
+    }
+    assert got == want and len(want) > 0
+    # downward closure: every sub-pair of a frequent triple is frequent
+    pair_sup = {}
+    for b in baskets:
+        for pr in combinations(sorted(b), 2):
+            pair_sup[pr] = pair_sup.get(pr, 0) + 1
+    for (a, b, c), s in got.items():
+        assert a < b < c
+        for pr in ((a, b), (a, c), (b, c)):
+            assert pair_sup[pr] >= s >= minsup

@@ -5033,7 +5033,246 @@ FROM (
 SQL_FD_VIOLATIONS = _fd_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: apriori_triples — frequent 3-itemset mining (Apriori candidate
+# pruning) over per-order brand baskets.
+
+
+def q_apriori_triples(sf_dir: str) -> Dataset:
+    """Frequent brand triples (support ≥ max(2, n_orders/200)) by the
+    Apriori algorithm: count 1- and 2-itemsets first, generate
+    candidate triples ONLY where all three sub-pairs are frequent
+    (downward closure), then count candidates in a second pass.
+
+    Distributed plan: distinct (order, brand) rows via ONE grouped
+    merge (the brand_cooccurrence basket spine, materialized once and
+    consumed by both counting passes); pair counts ride the same
+    sorted-run fan-out; candidate triples broadcast as 32-bit BRAND
+    BITMASKS (the brand universe is a fixed-small catalog dimension —
+    25 TPC-H brands — so each basket is one int32 and a candidate test
+    is one AND+compare; for unbounded item universes swap in the
+    posting self-join pair path with a hashed candidate broadcast —
+    named fallback). Per-block triple counting is a ≤|C3|-iteration
+    loop of whole-block vectorized mask tests, merged by a
+    candidate-bounded shuffle. The SQL twin enumerates ALL triples
+    with a 3-way self-join and filters by support — parity proves the
+    pruning lossless (downward closure), not just the counting."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..stages.salted import partial_count
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    ref = ray.put(
+        (
+            pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+            pc.cast(part["p_brand"], pa.string()).combine_chunks(),
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(ref)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=keys)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "p_brand": brands.take(pos)}
+        )
+
+    ob = merge_group_sums(
+        partial_count(
+            li.map_batches(attach, batch_format="pyarrow"),
+            ["l_orderkey", "p_brand"], out="n",
+        ),
+        ["l_orderkey", "p_brand"], ["n"],
+    ).materialize()
+
+    n_orders = merge_group_sums(
+        partial_count(ob, ["l_orderkey"], out="x"), ["l_orderkey"], ["x"]
+    ).count()
+    minsup = max(2, n_orders // 200)
+
+    item_tbl = _pull_merged(
+        merge_group_sums(
+            partial_count(ob, ["p_brand"], out="nb"), ["p_brand"], ["nb"]
+        ),
+        ["p_brand", "nb"],
+    )
+    brands_all = sorted(item_tbl.column("p_brand").to_pylist())
+    bit = {b: i for i, b in enumerate(brands_all)}
+    assert len(brands_all) <= 32, "bitmask basket requires a small catalog"
+    f1 = {
+        b
+        for b, nv in zip(
+            item_tbl.column("p_brand").to_pylist(),
+            item_tbl.column("nb").to_numpy(zero_copy_only=False),
+        )
+        if int(nv) >= minsup
+    }
+
+    empty_pairs = pa.table(
+        {
+            "brand_a": pa.array([], type=pa.string()),
+            "brand_b": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty_pairs
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        br = t.column("p_brand").to_numpy(zero_copy_only=False)
+        order = np.lexsort((br, ok))
+        ok, br = ok[order], br[order]
+        starts = run_starts([ok])
+        n = len(ok)
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        local = np.arange(n) - run_start
+        total = int(local.sum())
+        if total == 0:
+            return empty_pairs
+        b_idx = np.repeat(np.arange(n), local)
+        offsets = np.concatenate(([0], np.cumsum(local)))[:-1]
+        a_idx = (
+            np.arange(total)
+            - np.repeat(offsets, local)
+            + np.repeat(run_start, local)
+        )
+        g = pa.table(
+            {
+                "brand_a": pa.array(br[a_idx]),
+                "brand_b": pa.array(br[b_idx]),
+                "n": pa.array(np.ones(total, dtype=np.int64)),
+            }
+        ).group_by(["brand_a", "brand_b"]).aggregate([("n", "sum")])
+        return g.rename_columns(["brand_a", "brand_b", "n"])
+
+    pair_tbl = _pull_merged(
+        merge_group_sums(
+            sorted_group_apply(ob, ["l_orderkey"], pair_block),
+            ["brand_a", "brand_b"], ["n"],
+        ),
+        ["brand_a", "brand_b", "n"],
+    )
+    f2 = {
+        (a, b)
+        for a, b, nv in zip(
+            pair_tbl.column("brand_a").to_pylist(),
+            pair_tbl.column("brand_b").to_pylist(),
+            pair_tbl.column("n").to_numpy(zero_copy_only=False),
+        )
+        if int(nv) >= minsup
+    }
+    # Apriori candidate generation: every 2-subset frequent
+    f1s = sorted(b for b in f1)
+    cands = [
+        (a, b, c)
+        for i, a in enumerate(f1s)
+        for j, b in enumerate(f1s[i + 1:], i + 1)
+        if (a, b) in f2
+        for c in f1s[j + 1:]
+        if (a, c) in f2 and (b, c) in f2
+    ]
+    out_schema = pa.schema(
+        [
+            ("brand_a", pa.string()),
+            ("brand_b", pa.string()),
+            ("brand_c", pa.string()),
+            ("support", pa.int64()),
+        ]
+    )
+    if not cands:
+        return rd.from_arrow(out_schema.empty_table())
+    masks = np.array(
+        [(1 << bit[a]) | (1 << bit[b]) | (1 << bit[c]) for a, b, c in cands],
+        dtype=np.int64,
+    )
+    bits_ref = ray.put(
+        (np.array([bit[b] for b in brands_all], dtype=np.int64), masks)
+    )
+    pos_arr = pa.array(brands_all, type=pa.string())
+
+    def triple_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "ci": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        _, cand_masks = ray.get(bits_ref)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        bpos = pc.index_in(
+            pc.cast(t["p_brand"], pa.string()), value_set=pos_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, bpos = ok[order], bpos[order]
+        starts = run_starts([ok])
+        run_id = np.cumsum(starts) - 1
+        n_runs = int(run_id[-1]) + 1
+        basket = np.zeros(n_runs, dtype=np.int64)
+        np.bitwise_or.at(basket, run_id, np.int64(1) << bpos)
+        counts = np.empty(len(cand_masks), dtype=np.int64)
+        for i, m in enumerate(cand_masks):  # ≤|C3| whole-block mask tests
+            counts[i] = int(((basket & m) == m).sum())
+        keep = counts > 0
+        return pa.table(
+            {
+                "ci": pa.array(
+                    np.flatnonzero(keep).astype(np.int64), type=pa.int64()
+                ),
+                "n": pa.array(counts[keep], type=pa.int64()),
+            }
+        )
+
+    merged = _pull_merged(
+        merge_group_sums(
+            sorted_group_apply(ob, ["l_orderkey"], triple_block),
+            ["ci"], ["n"],
+        ),
+        ["ci", "n"],
+    )
+    ci = merged.column("ci").to_numpy(zero_copy_only=False)
+    cn = merged.column("n").to_numpy(zero_copy_only=False)
+    rows = sorted(
+        (cands[int(i)] + (int(v),)) for i, v in zip(ci, cn) if int(v) >= minsup
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "brand_a": pa.array([r[0] for r in rows], type=pa.string()),
+                "brand_b": pa.array([r[1] for r in rows], type=pa.string()),
+                "brand_c": pa.array([r[2] for r in rows], type=pa.string()),
+                "support": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_APRIORI_TRIPLES = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+ms AS (
+  SELECT GREATEST(2, COUNT(DISTINCT o) // 200) AS v FROM ob
+)
+SELECT a.b AS brand_a, c.b AS brand_b, d.b AS brand_c,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM ob a
+JOIN ob c ON a.o = c.o AND a.b < c.b
+JOIN ob d ON a.o = d.o AND c.b < d.b
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= (SELECT v FROM ms)
+"""
+
+
 ANALYTICS_QUERIES = {
+    "apriori_triples": q_apriori_triples,
     "cohort_retention": q_cohort_retention,
     "fd_violations": q_fd_violations,
     "running_revenue": q_running_revenue,
@@ -5083,6 +5322,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "apriori_triples": SQL_APRIORI_TRIPLES,
     "cohort_retention": SQL_COHORT_RETENTION,
     "fd_violations": SQL_FD_VIOLATIONS,
     "running_revenue": SQL_RUNNING_REVENUE,
