@@ -300,3 +300,55 @@ def test_strtree_query_boxes_matches_bruteforce():
     one = STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
     qi, bi = one.query_boxes(np.empty((0, 4)))
     assert len(qi) == 0 and len(bi) == 0
+
+
+def test_snap_to_segment_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        SNAP_CELL_E4, _snap_roads, q_snap_to_segment)
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    sf = "/root/testdata/sf0.001"
+    out = q_snap_to_segment(sf).to_pandas().set_index("doc_id")
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    rid, ax, ay, bx, by, x0, x1, y0, y1, l2 = _snap_roads(n_docs)
+    road_set = set(rid.tolist())
+    ids = np.arange(n_docs, dtype=np.int64)
+    lat, lon, hg = derive_geo(ids)
+    matched = 0
+    for d in ids[hg]:
+        px = int(np.round(lon[d] * 1e4))
+        py = int(np.round(lat[d] * 1e4))
+        cx = (px + 1_800_000) // SNAP_CELL_E4
+        cy = (py + 800_000) // SNAP_CELL_E4
+        best = None
+        for j in range(len(rid)):
+            if not (x0[j] - 1 <= cx <= x1[j] + 1 and y0[j] - 1 <= cy <= y1[j] + 1):
+                continue
+            abx, aby = int(bx[j] - ax[j]), int(by[j] - ay[j])
+            apx, apy = px - int(ax[j]), py - int(ay[j])
+            dot = abx * apx + aby * apy
+            if dot <= 0:
+                tt = 0.0
+            elif dot >= int(l2[j]):
+                tt = 1.0
+            else:
+                tt = dot / int(l2[j])
+            dx = px - (int(ax[j]) + tt * abx)
+            dy = py - (int(ay[j]) + tt * aby)
+            d2e2 = int(np.round((dx * dx + dy * dy) * 100))
+            key = (d2e2, int(rid[j]))
+            if best is None or key < best:
+                best = key
+        if best is None:
+            assert d not in out.index
+            continue
+        matched += 1
+        assert out.loc[d].road_id == best[1]
+        assert out.loc[d].d2_e2 == best[0]
+    assert matched == len(out) > 0
+    # a road's own first endpoint snaps to itself at distance zero
+    own = [d for d in out.index if d in road_set]
+    assert own and all(out.loc[d].d2_e2 == 0 for d in own)
+    assert (out.d2_e2 >= 0).all()

@@ -5752,7 +5752,198 @@ FROM ranked WHERE rank <= {TILE_WSAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: snap_to_segment — map-matching: snap each geotagged page to the
+# nearest road segment whose cell window covers it (the Nominatim-style
+# "attach POI to street" primitive the reference's importance consumers
+# need downstream of kNN place matching; reference analog: the
+# geocoding candidate attach of steps/output.sh consumers).
+
+SNAP_CELL_E4 = 200_000  # 2° cells on e4-integer coordinates
+SNAP_BBOX_CELL_CAP = 4
+
+
+def _snap_roads(n_docs: int):
+    """Closed-form synthetic road network: segment r → (geo(r),
+    geo(r + 5s)) with even s = 2·((r·13+7) mod 20 + 1), r ≡ 0 (mod 7),
+    r mega-geotagged — the +5·even-s construction preserves both the
+    mod-10 megacity gate and the mod-5 city index, so every road is a
+    short same-city segment (the _augmented_docs convention: fixture
+    can't supply a roads table, the closed form is mirrored in SQL).
+    In production roads are a SIDE INPUT (a real segments table, small
+    relative to the corpus — the admin-boundary broadcast convention);
+    this derivation is fixture plumbing, not the operator's shape."""
+    from ..sources.pages_gen import derive_geo
+
+    r = np.arange(0, n_docs, 7, dtype=np.int64)
+    r = r[r % 10 < 3]
+    s = 2 * ((r * 13 + 7) % 20 + 1)
+    p = r + 5 * s
+    keep = p < n_docs
+    r, p = r[keep], p[keep]
+    la, lo, _ = derive_geo(r)
+    lb, lob, _ = derive_geo(p)
+    ax = np.round(lo * 1e4).astype(np.int64)
+    ay = np.round(la * 1e4).astype(np.int64)
+    bx = np.round(lob * 1e4).astype(np.int64)
+    by = np.round(lb * 1e4).astype(np.int64)
+    l2 = (bx - ax) ** 2 + (by - ay) ** 2
+    x0 = (np.minimum(ax, bx) + 1_800_000) // SNAP_CELL_E4
+    x1 = (np.maximum(ax, bx) + 1_800_000) // SNAP_CELL_E4
+    y0 = (np.minimum(ay, by) + 800_000) // SNAP_CELL_E4
+    y1 = (np.maximum(ay, by) + 800_000) // SNAP_CELL_E4
+    keep = (l2 > 0) & ((x1 - x0 + 1) * (y1 - y0 + 1) <= SNAP_BBOX_CELL_CAP)
+    return (r[keep], ax[keep], ay[keep], bx[keep], by[keep],
+            x0[keep], x1[keep], y0[keep], y1[keep], l2[keep])
+
+
+def q_snap_to_segment(sf_dir: str) -> Dataset:
+    """Nearest-segment assignment (point→segment distance, clamped
+    projection): a page is a candidate for every road whose covered
+    cell bbox, dilated by one 2° cell, contains the page's cell; among
+    candidates the winner minimizes (d2_e2, road_id).
+
+    Distributed shape: roads ride ONE ray.put broadcast (side-input
+    convention — segments tables are small relative to a page corpus;
+    for continental road networks shard by cell and hash-join points
+    to road shards — named fallback); each batch snaps its points
+    with a (points × roads) vectorized window test + one lexsort
+    argmin, so there is NO shuffle at all — every point is resolved in
+    the batch that read it. Float policy: coordinates are EXACT e4
+    ints (the geo contract is 4-decimal), the clamp branches compare
+    integers, and the only float ops are one division + the projection
+    mul/add/sub chain — basic IEEE ops, bitwise-equal in DuckDB, so
+    ROUND(d2·100) matches without a rounding-mode caveat."""
+    import pyarrow.parquet as pq
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rid, ax, ay, bx, by, x0, x1, y0, y1, l2 = _snap_roads(n_docs)
+    assert len(rid) > 0, "road construction produced no segments"
+    roads_ref = ray.put((rid, ax, ay, bx, by, x0, x1, y0, y1, l2))
+    pts = _geotagged(sf_dir)
+
+    def snap(t: pa.Table) -> pa.Table:
+        import ray
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "road_id": pa.array([], type=pa.int64()),
+                "d2_e2": pa.array([], type=pa.int64()),
+            }
+        )
+        t = t.filter(t.column("has_geo"))
+        if t.num_rows == 0:
+            return empty
+        rid, ax, ay, bx, by, x0, x1, y0, y1, l2 = ray.get(roads_ref)
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        px = np.round(
+            t.column("lon").to_numpy(zero_copy_only=False) * 1e4
+        ).astype(np.int64)
+        py = np.round(
+            t.column("lat").to_numpy(zero_copy_only=False) * 1e4
+        ).astype(np.int64)
+        cx = (px + 1_800_000) // SNAP_CELL_E4
+        cy = (py + 800_000) // SNAP_CELL_E4
+        hit = (
+            (cx[:, None] >= x0 - 1) & (cx[:, None] <= x1 + 1)
+            & (cy[:, None] >= y0 - 1) & (cy[:, None] <= y1 + 1)
+        )
+        pi, rj = np.nonzero(hit)
+        if len(pi) == 0:
+            return empty
+        abx, aby = bx[rj] - ax[rj], by[rj] - ay[rj]
+        apx, apy = px[pi] - ax[rj], py[pi] - ay[rj]
+        dot = abx * apx + aby * apy
+        ll = l2[rj]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_raw = dot / ll
+        tt = np.where(dot <= 0, 0.0, np.where(dot >= ll, 1.0, t_raw))
+        projx = ax[rj] + tt * abx
+        projy = ay[rj] + tt * aby
+        dx = px[pi] - projx
+        dy = py[pi] - projy
+        d2 = dx * dx + dy * dy
+        d2_e2 = np.round(d2 * 100).astype(np.int64)
+        order = np.lexsort((rid[rj], d2_e2, pi))
+        first = np.r_[True, pi[order][1:] != pi[order][:-1]]
+        w = order[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[pi[w]], type=pa.int64()),
+                "road_id": pa.array(rid[rj[w]], type=pa.int64()),
+                "d2_e2": pa.array(d2_e2[w], type=pa.int64()),
+            }
+        )
+
+    return pts.map_batches(snap, batch_format="pyarrow")
+
+
+SQL_SNAP_TO_SEGMENT = f"""
+WITH {SQL_GEO_CTE},
+pt AS (
+  SELECT doc_id,
+         CAST(ROUND(lon * 10000) AS BIGINT) AS px,
+         CAST(ROUND(lat * 10000) AS BIGINT) AS py
+  FROM geo
+),
+rd0 AS (
+  SELECT a.doc_id AS rid,
+         CAST(ROUND(a.lon * 10000) AS BIGINT) AS ax,
+         CAST(ROUND(a.lat * 10000) AS BIGINT) AS ay,
+         CAST(ROUND(b.lon * 10000) AS BIGINT) AS bx,
+         CAST(ROUND(b.lat * 10000) AS BIGINT) AS by
+  FROM geo a JOIN geo b
+    ON b.doc_id = a.doc_id + 5 * (2 * ((a.doc_id * 13 + 7) % 20 + 1))
+  WHERE a.doc_id % 7 = 0 AND a.doc_id % 10 < 3
+),
+rd AS (
+  SELECT *,
+         (LEAST(ax, bx) + 1800000) // {SNAP_CELL_E4} AS x0,
+         (GREATEST(ax, bx) + 1800000) // {SNAP_CELL_E4} AS x1,
+         (LEAST(ay, by) + 800000) // {SNAP_CELL_E4} AS y0,
+         (GREATEST(ay, by) + 800000) // {SNAP_CELL_E4} AS y1,
+         (bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS l2
+  FROM rd0
+  WHERE (bx - ax) * (bx - ax) + (by - ay) * (by - ay) > 0
+    AND ((GREATEST(ax, bx) + 1800000) // {SNAP_CELL_E4}
+         - (LEAST(ax, bx) + 1800000) // {SNAP_CELL_E4} + 1)
+      * ((GREATEST(ay, by) + 800000) // {SNAP_CELL_E4}
+         - (LEAST(ay, by) + 800000) // {SNAP_CELL_E4} + 1)
+        <= {SNAP_BBOX_CELL_CAP}
+),
+cand AS (
+  SELECT p.doc_id, r.rid,
+         (r.bx - r.ax) * (p.px - r.ax) + (r.by - r.ay) * (p.py - r.ay)
+           AS dot,
+         r.l2, r.ax, r.ay, r.bx, r.by, p.px, p.py
+  FROM pt p JOIN rd r
+    ON (p.px + 1800000) // {SNAP_CELL_E4} BETWEEN r.x0 - 1 AND r.x1 + 1
+   AND (p.py + 800000) // {SNAP_CELL_E4} BETWEEN r.y0 - 1 AND r.y1 + 1
+),
+d AS (
+  SELECT doc_id, rid,
+         CAST(ROUND((
+           (px - (ax + tt * (bx - ax))) * (px - (ax + tt * (bx - ax)))
+         + (py - (ay + tt * (by - ay))) * (py - (ay + tt * (by - ay)))
+         ) * 100) AS BIGINT) AS d2_e2
+  FROM (
+    SELECT *,
+           CASE WHEN dot <= 0 THEN 0.0
+                WHEN dot >= l2 THEN 1.0
+                ELSE CAST(dot AS DOUBLE) / CAST(l2 AS DOUBLE) END AS tt
+    FROM cand
+  )
+)
+SELECT doc_id, rid AS road_id, d2_e2
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2_e2, rid) = 1
+"""
+
+
 QUERIES = {
+    "snap_to_segment": q_snap_to_segment,
     "extract_text": q_extract_text,
     "tile_time_bins": q_tile_time_bins,
     "tile_first_seen": q_tile_first_seen,
@@ -5834,6 +6025,7 @@ QUERIES.update(ANALYTICS_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
+    "snap_to_segment": SQL_SNAP_TO_SEGMENT,
     "extract_text": SQL_EXTRACT_TEXT,
     "tile_time_bins": SQL_TILE_TIME_BINS,
     "tile_first_seen": SQL_TILE_FIRST_SEEN,
