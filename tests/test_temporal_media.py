@@ -284,3 +284,71 @@ def test_user_path_length_matches_pandas(ray_session):
     assert len(out) == len(exp) > 0
     for uid, nl, pe in zip(out["user_id"], out["n_legs"], out["path_e10"]):
         assert exp[int(uid)] == (int(nl), int(pe))
+
+
+def test_event_debounce_bruteforce(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        DEBOUNCE_US, q_event_debounce)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_event_debounce(sf).to_pandas()
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    ev["ts_us"] = ev.ts.astype("int64")
+    keep_ids = set()
+    for (_, _), g in ev.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts_us", "event_id"])
+        prev = None
+        for r in g.itertuples():
+            if prev is None or r.ts_us - prev >= DEBOUNCE_US:
+                keep_ids.add(r.event_id)
+            prev = r.ts_us  # gap measured from PREVIOUS EVENT, not last kept
+    assert set(out.event_id) == keep_ids
+    assert 0 < len(out) < len(ev)
+    # every group's earliest event is always kept
+    first = ev.sort_values(["ts_us", "event_id"]).groupby(
+        ["user_id", "event_type"]).event_id.first()
+    assert set(first).issubset(set(out.event_id))
+
+
+def test_edge_triangle_support_bruteforce(ray_session):
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        KTRUSS_K, q_edge_triangle_support)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_edge_triangle_support(sf).to_pandas()
+    n = pq.read_metadata(sf + "/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = set()
+    for t in ((ids * 3 + 1) % n, (ids * 5 + 2) % n, ids % 2):
+        for a, b in zip(ids, t):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    support = {}
+    for a, b in edges:
+        s = len(adj[a] & adj[b])
+        if s:
+            support[(a, b)] = s
+    got = {(r.a, r.b): r.support for r in out.itertuples()}
+    assert got == support and len(support) > 0
+    for r in out.itertuples():
+        assert r.a < r.b
+        assert r.survives_k4 == int(r.support >= KTRUSS_K - 2)
+    # triangle-count consistency: sum of supports = 3 * n_triangles
+    tri = sum(
+        1
+        for a in adj
+        for b, c in combinations(sorted(x for x in adj[a] if x > a), 2)
+        if c in adj[b]
+    )
+    assert sum(support.values()) == 3 * tri

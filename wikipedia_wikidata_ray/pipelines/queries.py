@@ -5942,7 +5942,106 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2_e2, rid) = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: edge_triangle_support — per-EDGE triangle support over the link
+# graph (the k-truss building block: a k-truss keeps edges with support
+# ≥ k−2; this is the support computation plus the first peel round's
+# survivor flag at k=4).
+
+KTRUSS_K = 4
+
+
+def q_edge_triangle_support(sf_dir: str) -> Dataset:
+    """Triangle support per undirected edge: every closed wedge from
+    the degree-oriented triangle machinery (`_closed_triangle_wedges` —
+    each triangle enumerated exactly once) scatters THREE id-ordered
+    edge keys; ONE count merge yields support. `survives_k4` flags the
+    first k-truss peel round (support ≥ k−2); full trussing iterates
+    this exact stage on the surviving edge set (the CC-rounds
+    iterate-only-the-touched-subset convention). Movement: 3 packed
+    int64 rows per triangle through a combiner-merged shuffle —
+    edges outside any triangle carry support 0 by definition and are
+    not materialized (documented; the SQL twin mirrors)."""
+    from ..stages.salted import merge_group_sums
+
+    closed, _edges, _n = _closed_triangle_wedges(sf_dir)
+
+    def scatter_edges(t: pa.Table) -> pa.Table:
+        wkey = t.column("wkey").to_numpy(zero_copy_only=False)
+        apex = t.column("apex").to_numpy(zero_copy_only=False)
+        x = wkey >> 31
+        y = wkey & ((1 << 31) - 1)
+        ea = np.concatenate(
+            [np.minimum(x, y), np.minimum(apex, x), np.minimum(apex, y)]
+        )
+        eb = np.concatenate(
+            [np.maximum(x, y), np.maximum(apex, x), np.maximum(apex, y)]
+        )
+        p = pa.table(
+            {
+                "ekey": pa.array(ea * (1 << 31) + eb),
+                "support": pa.array(np.ones(len(ea), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["ekey"]).aggregate([("support", "sum")])
+        return g.rename_columns(["ekey", "support"])
+
+    merged = merge_group_sums(
+        closed.map_batches(scatter_edges, batch_format="pyarrow"),
+        ["ekey"], ["support"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ek = t.column("ekey").to_numpy(zero_copy_only=False)
+        sup = t.column("support").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(ek >> 31, type=pa.int64()),
+                "b": pa.array(ek & ((1 << 31) - 1), type=pa.int64()),
+                "support": pa.array(sup, type=pa.int64()),
+                "survives_k4": pa.array(
+                    (sup >= KTRUSS_K - 2).astype(np.int64)
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EDGE_TRIANGLE_SUPPORT = f"""
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+te AS (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT y, z FROM tri
+  UNION ALL SELECT x, z FROM tri
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(COUNT(*) AS BIGINT) AS support,
+       CAST(CASE WHEN COUNT(*) >= {KTRUSS_K - 2} THEN 1 ELSE 0 END AS BIGINT)
+         AS survives_k4
+FROM te GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "edge_triangle_support": q_edge_triangle_support,
     "snap_to_segment": q_snap_to_segment,
     "extract_text": q_extract_text,
     "tile_time_bins": q_tile_time_bins,
@@ -6025,6 +6124,7 @@ QUERIES.update(ANALYTICS_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
+    "edge_triangle_support": SQL_EDGE_TRIANGLE_SUPPORT,
     "snap_to_segment": SQL_SNAP_TO_SEGMENT,
     "extract_text": SQL_EXTRACT_TEXT,
     "tile_time_bins": SQL_TILE_TIME_BINS,

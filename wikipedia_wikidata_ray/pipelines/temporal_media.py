@@ -2889,3 +2889,107 @@ TEMPORAL_MEDIA_QUERIES["event_value_correlation"] = q_event_value_correlation
 TEMPORAL_MEDIA_ORACLES["event_value_correlation"] = (
     SQL_EVENT_VALUE_CORRELATION
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: event_debounce — throttle filter: drop events that arrive within
+# DEBOUNCE_US of the PREVIOUS event of the same (user, type) — the
+# at-source dedup a clickstream ingest runs before sessionization
+# (double-click suppression). Gap-from-previous-event semantics (one
+# LAG), not gap-from-last-kept (a sequential recurrence) — the
+# difference is documented because only the former is both one
+# vectorized diff and one SQL window.
+
+DEBOUNCE_US = 6 * 3_600_000_000  # 6 hours — sized to the fixture's rate
+
+
+def q_event_debounce(sf_dir: str) -> Dataset:
+    """Kept events after per-(user, type) debouncing.
+
+    Distributed shape: ONE range sort on (user_id, event_type) via
+    ``sorted_group_apply``; each block lexsorts its complete groups by
+    (ts, event_id) — the round-5 deterministic-tiebreak rule, mirrored
+    by the SQL window's ORDER BY ts, event_id — and keeps rows whose
+    in-group predecessor is ≥ DEBOUNCE_US older (first row always
+    kept). Zero joins; movement = the event rows once."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.runs import sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "user_id": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "ts_us": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def debounce_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ety = t.column("event_type").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        # null-safe int proxy for the string type key (house rank rule)
+        tk = pc.rank(
+            pa.array(ety), sort_keys="ascending", tiebreaker="dense",
+            null_placement="at_start",
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, tk, uid))
+        u, k, e, s = uid[order], tk[order], eid[order], ts[order]
+        new = np.r_[True, (u[1:] != u[:-1]) | (k[1:] != k[:-1])]
+        gap_ok = np.r_[True, (s[1:] - s[:-1]) >= DEBOUNCE_US]
+        keep = new | gap_ok
+        sel = order[keep]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[sel], type=pa.int64()),
+                "user_id": pa.array(uid[sel], type=pa.int64()),
+                "event_type": pa.array(ety[sel]),
+                "ts_us": pa.array(ts[sel], type=pa.int64()),
+            }
+        )
+
+    return sorted_group_apply(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        debounce_block,
+    )
+
+
+SQL_EVENT_DEBOUNCE = f"""
+WITH w AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY ts, event_id
+         ) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts_us
+FROM w
+WHERE prev_us IS NULL OR ts_us - prev_us >= {DEBOUNCE_US}
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["event_debounce"] = q_event_debounce
+TEMPORAL_MEDIA_ORACLES["event_debounce"] = SQL_EVENT_DEBOUNCE
