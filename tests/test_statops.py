@@ -299,3 +299,23 @@ def test_seasonal_residuals_match_brute_force(ray_session):
     # e8 rounding can flip only exact-boundary cases; fixture has none
     assert (df.is_outlier.to_numpy() == want_flag).all()
     assert 0 < df.is_outlier.sum() < len(df) / 4
+
+
+def test_event_type_fano_matches_brute_force(ray_session):
+    rows = {r["event_type"]: r for r in statops.q_event_type_fano(SF).take_all()}
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    hrs = (ev.ts.astype("int64") // statops.US_PER_HOUR).to_numpy()
+    span = int(hrs.max() - hrs.min() + 1)
+    for et, g in ev.assign(h=hrs).groupby("event_type"):
+        counts = np.bincount(g.h.to_numpy() - hrs.min(), minlength=span)
+        assert len(counts) == span
+        r = rows[et]
+        assert r["n_hours"] == span
+        assert r["n_events"] == int(counts.sum())
+        assert r["sum_sq"] == int((counts.astype(np.int64) ** 2).sum())
+        fano = counts.var() / counts.mean()  # population var over dense spine
+        assert abs(r["fano_e8"] / 1e8 - fano) < 1e-6
+        assert r["fano_e8"] > 0
+    assert set(rows) == set(ev.event_type.unique())

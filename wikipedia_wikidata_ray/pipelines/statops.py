@@ -1399,9 +1399,99 @@ FROM r, t
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: event_type_fano — burstiness (Fano factor / index of dispersion)
+# of each event type's hourly arrival series.
+
+
+def q_event_type_fano(sf_dir: str) -> Dataset:
+    """Fano factor var/mean of hourly counts per event type over the
+    DENSE calendar span (zero hours count): with H = span hours,
+    N = Σn and SS = Σn², the population-variance/mean ratio reduces to
+    the ALL-INTEGER rational (H·SS − N²)/(H·N) — published at e8 via
+    the exact floored half-up identity; no float op exists anywhere in
+    this operator (the ols_normal_equations discipline). Fano ≈ 1 is
+    Poisson; > 1 is bursty.
+
+    Distributed stage: (type, hour) count partials → ONE merge bounded
+    by |types|·span-hours; zero hours contribute nothing to the sums
+    and enter only through H (max−min+1 of the pulled spine)."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hr": pa.array(us // US_PER_HOUR, type=pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by(["event_type", "hr"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hr", "n"])
+
+    cells = _pull_merged(
+        merge_group_sums(
+            events.map_batches(partials, batch_format="pyarrow"),
+            ["event_type", "hr"], ["n"],
+        ),
+        ["event_type", "hr", "n"],
+    )
+    hr = cells.column("hr").to_numpy(zero_copy_only=False)
+    h_span = int(hr.max()) - int(hr.min()) + 1
+    et = cells.column("event_type").to_pylist()
+    n = cells.column("n").to_numpy(zero_copy_only=False)
+    agg: dict[str, list[int]] = {}
+    for e, v in zip(et, n):
+        a = agg.setdefault(e, [0, 0])
+        a[0] += int(v)
+        a[1] += int(v) * int(v)
+    types = sorted(agg)
+    fano = [
+        (2 * (h_span * agg[e][1] - agg[e][0] ** 2) * 10**8
+         + h_span * agg[e][0]) // (2 * h_span * agg[e][0])
+        for e in types
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "n_hours": pa.array([h_span] * len(types), type=pa.int64()),
+                "n_events": pa.array(
+                    [agg[e][0] for e in types], type=pa.int64()
+                ),
+                "sum_sq": pa.array([agg[e][1] for e in types], type=pa.int64()),
+                "fano_e8": pa.array(fano, type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_EVENT_TYPE_FANO = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT MAX(hr) - MIN(hr) + 1 AS hh FROM h),
+s AS (
+  SELECT event_type, SUM(n) AS nn, SUM(n * n) AS ss
+  FROM h GROUP BY 1
+)
+SELECT event_type,
+       CAST(b.hh AS BIGINT) AS n_hours,
+       CAST(s.nn AS BIGINT) AS n_events,
+       CAST(s.ss AS BIGINT) AS sum_sq,
+       CAST((2 * (b.hh * s.ss - s.nn * s.nn) * 100000000 + b.hh * s.nn)
+            // (2 * b.hh * s.nn) AS BIGINT) AS fano_e8
+FROM s, b
+"""
+
+
 STATOPS_QUERIES = {
     "ols_normal_equations": q_ols_normal_equations,
     "seasonal_residual_outliers": q_seasonal_residual_outliers,
+    "event_type_fano": q_event_type_fano,
     "gini_best_split": q_gini_best_split,
     "poisson_bootstrap_means": q_poisson_bootstrap_means,
     "welch_ttest_segments": q_welch_ttest_segments,
@@ -1417,6 +1507,7 @@ STATOPS_QUERIES = {
 STATOPS_ORACLES = {
     "ols_normal_equations": SQL_OLS_NORMAL_EQUATIONS,
     "seasonal_residual_outliers": SQL_SEASONAL_RESIDUAL_OUTLIERS,
+    "event_type_fano": SQL_EVENT_TYPE_FANO,
     "gini_best_split": SQL_GINI_BEST_SPLIT,
     "poisson_bootstrap_means": SQL_POISSON_BOOTSTRAP_MEANS,
     "welch_ttest_segments": SQL_WELCH_TTEST_SEGMENTS,
