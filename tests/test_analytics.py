@@ -1717,3 +1717,54 @@ def test_apriori_triples_bruteforce(ray_session):
         assert a < b < c
         for pr in ((a, b), (a, c), (b, c)):
             assert pair_sup[pr] >= s >= minsup
+
+
+def test_ams_f2_sketch_quality(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        AMS_R, _AMS_A, q_ams_f2_users)
+
+    out = q_ams_f2_users(SF).to_pandas().sort_values("r", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    uid = ev.column("user_id").to_numpy()
+    counts = pd.Series(uid).value_counts()
+    f2 = int((counts.astype(np.int64) ** 2).sum())
+    assert (out.f2_exact == f2).all()
+    assert len(out) == AMS_R
+    for r, a in enumerate(_AMS_A):
+        s = 1 - 2 * ((((uid + 1) * a) // 8192) % 2)
+        assert out.z[r] == int(s.sum())
+        assert out.z_sq[r] == out.z[r] ** 2
+    # unbiased estimator sanity: the mean of 16 squares lands within a
+    # factor of 3 of the truth on this fixture (Var(Z²) ≤ 2·F2²)
+    assert f2 / 3 <= out.z_sq.mean() <= 3 * f2
+
+
+def test_markov_next_accuracy_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        MARKOV_TRAIN_US, q_markov_next_accuracy)
+
+    out = q_markov_next_accuracy(SF).to_pandas().set_index("from_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["ts_us"] = ev.ts.astype("int64")
+    split = ev.ts_us.min() + MARKOV_TRAIN_US
+    train, test = {}, {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        types = g.event_type.tolist()
+        tss = g.ts_us.tolist()
+        for i in range(len(types) - 1):
+            d = train if tss[i + 1] < split else test
+            d.setdefault(types[i], {}).setdefault(types[i + 1], 0)
+            d[types[i]][types[i + 1]] += 1
+    assert set(out.index) == set(train)
+    for f in train:
+        pred = min(train[f], key=lambda k: (-train[f][k], k))
+        r = out.loc[f]
+        assert r.pred_next == pred
+        assert r.n_train == sum(train[f].values())
+        nt = sum(test.get(f, {}).values())
+        assert r.n_test == nt
+        assert r.n_correct == test.get(f, {}).get(pred, 0)
+        assert r.n_correct <= r.n_test
+        # the argmax predictor must beat or match uniform guessing
+        assert r.acc_e8 / 1e8 >= 1.0 / (5 * 2) or nt == 0

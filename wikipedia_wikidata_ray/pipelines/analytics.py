@@ -5271,7 +5271,125 @@ HAVING COUNT(*) >= (SELECT v FROM ms)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: ams_f2_users — AMS (Alon–Matias–Szegedy) second-frequency-moment
+# sketch of the per-user event counts, against the exact F2.
+
+AMS_R = 16
+# fixed odd multipliers (closed-form seeded sign hash, the seeded-
+# MinHash convention): sign(u) = 1 − 2·(((u+1)·A) // 8192 mod 2)
+_AMS_A = tuple(2654435761 + 2 * k * 40503 for k in range(AMS_R))
+
+
+def q_ams_f2_users(sf_dir: str) -> Dataset:
+    """Sixteen AMS sign-counters Z_r = Σ_events s_r(user) whose squares
+    are unbiased estimates of F2 = Σ_u c_u² — the classic one-pass
+    streaming moment sketch: each event updates R ints, merge is
+    addition, NOTHING user-keyed ever shuffles for the estimate. The
+    exact F2 rides the per-user count merge (user-bounded movement) so
+    the output row carries both the estimator and its ground truth —
+    the estimator-quality-as-oracled-output convention
+    (lang_confusion_matrix). Sign hashes are pure integer closed forms
+    mirrored in SQL; no float anywhere (z², F2 exact int64)."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    a_vec = np.asarray(_AMS_A, dtype=np.int64)
+
+    def sketch_partials(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        zs = []
+        for a in a_vec:
+            s = 1 - 2 * ((((uid + 1) * a) // 8192) % 2)
+            zs.append(int(s.sum()))
+        return pa.table(
+            {
+                "r": pa.array(
+                    np.arange(1, AMS_R + 1, dtype=np.int64)
+                ),
+                "z": pa.array(np.asarray(zs, dtype=np.int64)),
+            }
+        )
+
+    z_tbl = _pull_merged(
+        merge_group_sums(
+            events.map_batches(sketch_partials, batch_format="pyarrow"),
+            ["r"], ["z"],
+        ),
+        ["r", "z"],
+    ).sort_by("r")
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "user_id": t["user_id"],
+                "c": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by(["user_id"]).aggregate([("c", "sum")])
+        return g.rename_columns(["user_id", "c"])
+
+    ucnt = merge_group_sums(
+        events.map_batches(count_partials, batch_format="pyarrow"),
+        ["user_id"], ["c"],
+    )
+
+    def sq_partial(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "f2": pa.array([int((c * c).sum())], type=pa.int64()),
+            }
+        )
+
+    f2 = int(
+        _pull_merged(
+            merge_group_sums(
+                ucnt.map_batches(sq_partial, batch_format="pyarrow"),
+                ["k"], ["f2"],
+            ),
+            ["k", "f2"],
+        ).column("f2")[0].as_py()
+    )
+    z = z_tbl.column("z").to_numpy(zero_copy_only=False)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "r": pa.array(
+                    z_tbl.column("r").to_numpy(zero_copy_only=False),
+                    type=pa.int64(),
+                ),
+                "z": pa.array(z, type=pa.int64()),
+                "z_sq": pa.array(z * z, type=pa.int64()),
+                "f2_exact": pa.array([f2] * len(z), type=pa.int64()),
+            }
+        )
+    )
+
+
+def _ams_sql() -> str:
+    consts = ", ".join(f"({r + 1}, {a})" for r, a in enumerate(_AMS_A))
+    return f"""
+WITH u AS (
+  SELECT user_id AS uid, COUNT(*) AS c FROM events GROUP BY 1
+),
+f2 AS (SELECT SUM(c * c) AS v FROM u),
+k(r, a) AS (VALUES {consts}),
+z AS (
+  SELECT k.r,
+         SUM(u.c * (1 - 2 * ((((u.uid + 1) * k.a) // 8192) % 2))) AS z
+  FROM u, k GROUP BY 1
+)
+SELECT CAST(z.r AS BIGINT) AS r, CAST(z.z AS BIGINT) AS z,
+       CAST(z.z * z.z AS BIGINT) AS z_sq,
+       CAST(f2.v AS BIGINT) AS f2_exact
+FROM z, f2
+"""
+
+
+SQL_AMS_F2_USERS = _ams_sql()
+
+
 ANALYTICS_QUERIES = {
+    "ams_f2_users": q_ams_f2_users,
     "apriori_triples": q_apriori_triples,
     "cohort_retention": q_cohort_retention,
     "fd_violations": q_fd_violations,
@@ -5322,6 +5440,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "ams_f2_users": SQL_AMS_F2_USERS,
     "apriori_triples": SQL_APRIORI_TRIPLES,
     "cohort_retention": SQL_COHORT_RETENTION,
     "fd_violations": SQL_FD_VIOLATIONS,

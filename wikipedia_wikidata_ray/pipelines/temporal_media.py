@@ -2993,3 +2993,185 @@ WHERE prev_us IS NULL OR ts_us - prev_us >= {DEBOUNCE_US}
 
 TEMPORAL_MEDIA_QUERIES["event_debounce"] = q_event_debounce
 TEMPORAL_MEDIA_ORACLES["event_debounce"] = SQL_EVENT_DEBOUNCE
+
+
+# ---------------------------------------------------------------------------
+# Q: markov_next_accuracy — next-event prediction eval: fit the
+# first-order Markov argmax predictor on the first three stream weeks,
+# score it on the rest. The full train-fit + test-score loop costs ONE
+# shuffle: each (from, to) transition partial carries its split flag,
+# so the |types|²×2 merged table IS both the model and the test tally.
+
+MARKOV_TRAIN_US = 3 * 7 * 24 * 3_600_000_000  # 3-week train window
+
+
+def q_markov_next_accuracy(sf_dir: str) -> Dataset:
+    """Per from-type: the train-argmax next event (ties → smallest
+    type), train/test pair counts, and test accuracy at e8 (exact
+    integer half-up; 0 when a from-type has no test pairs). Transitions
+    use the (ts, event_id) tiebreak on BOTH sides (round-5 rule); the
+    split timestamp is footer-min + 3 weeks (zero-pass, the
+    churn_features spine). Movement: one range sort of the events +
+    one |types|²·2-bounded merge; the driver finish is model-sized."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+    from datetime import datetime
+
+    from ..ops.runs import sorted_group_apply
+    from ..pipelines.analytics import _pull_merged
+    from ..stages.salted import merge_group_sums
+
+    meta = pq_.read_metadata(f"{sf_dir}/events.parquet")
+    t0 = None
+    for rg in range(meta.num_row_groups):
+        mn = meta.row_group(rg).column(1).statistics.min
+        if hasattr(mn, "year"):
+            td = mn.replace(tzinfo=None) - datetime(1970, 1, 1)
+            v = (td.days * 86_400_000_000
+                 + td.seconds * 1_000_000 + td.microseconds)
+        else:
+            v = int(mn)
+        t0 = v if t0 is None else min(t0, v)
+    split_us = t0 + MARKOV_TRAIN_US
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "f": pa.array([], type=pa.string()),
+            "t": pa.array([], type=pa.string()),
+            "tr": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        same = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            same[:-1] = u[:-1] == u[1:]
+        src = np.flatnonzero(same)
+        if len(src) == 0:
+            return empty
+        tr = (ts[src + 1] < split_us).astype(np.int64)
+        p = pa.table(
+            {
+                "f": pa.array(et[src], type=pa.string()),
+                "t": pa.array(et[src + 1], type=pa.string()),
+                "tr": pa.array(tr),
+                "n": pa.array(np.ones(len(src), dtype=np.int64)),
+            }
+        )
+        g = p.group_by(["f", "t", "tr"]).aggregate([("n", "sum")])
+        return g.rename_columns(["f", "t", "tr", "n"])
+
+    merged = _pull_merged(
+        merge_group_sums(
+            sorted_group_apply(
+                events.map_batches(slim, batch_format="pyarrow"),
+                ["user_id"], pair_block,
+            ),
+            ["f", "t", "tr"], ["n"],
+        ),
+        ["f", "t", "tr", "n"],
+    )
+    fs = merged.column("f").to_pylist()
+    tts = merged.column("t").to_pylist()
+    trs = merged.column("tr").to_numpy(zero_copy_only=False)
+    ns = merged.column("n").to_numpy(zero_copy_only=False)
+    train: dict[str, dict[str, int]] = {}
+    test: dict[str, dict[str, int]] = {}
+    for f, tt, tr, n in zip(fs, tts, trs, ns):
+        (train if tr else test).setdefault(f, {})[tt] = int(n)
+    rows = []
+    for f in sorted(train):
+        # argmax by (count desc, type asc) — the tie rule on both sides
+        pred = min(train[f], key=lambda k: (-train[f][k], k))
+        n_train = sum(train[f].values())
+        n_test = sum(test.get(f, {}).values())
+        n_correct = test.get(f, {}).get(pred, 0)
+        acc = ((2 * n_correct * 10**8 + n_test) // (2 * n_test)
+               if n_test else 0)
+        rows.append((f, pred, n_train, n_test, n_correct, acc))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "from_type": pa.array([r[0] for r in rows], type=pa.string()),
+                "pred_next": pa.array([r[1] for r in rows], type=pa.string()),
+                "n_train": pa.array([r[2] for r in rows], type=pa.int64()),
+                "n_test": pa.array([r[3] for r in rows], type=pa.int64()),
+                "n_correct": pa.array([r[4] for r in rows], type=pa.int64()),
+                "acc_e8": pa.array([r[5] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_MARKOV_NEXT_ACCURACY = f"""
+WITH t0 AS (
+  SELECT epoch_us(MIN(ts)) + {MARKOV_TRAIN_US} AS split FROM events
+),
+seq AS (
+  SELECT event_type AS f,
+         LEAD(event_type) OVER w AS t,
+         LEAD(epoch_us(ts)) OVER w AS nts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT f, t, CASE WHEN nts < t0.split THEN 1 ELSE 0 END AS tr,
+         COUNT(*) AS n
+  FROM seq, t0 WHERE t IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT f, t AS p FROM (
+    SELECT f, t,
+           ROW_NUMBER() OVER (PARTITION BY f ORDER BY n DESC, t ASC) AS rn
+    FROM c WHERE tr = 1
+  ) WHERE rn = 1
+),
+trn AS (SELECT f, SUM(n) AS n_train FROM c WHERE tr = 1 GROUP BY 1),
+tst AS (
+  SELECT c.f, SUM(c.n) AS n_test,
+         SUM(CASE WHEN c.t = pred.p THEN c.n ELSE 0 END) AS n_correct
+  FROM c JOIN pred ON pred.f = c.f
+  WHERE c.tr = 0 GROUP BY 1
+)
+SELECT pred.f AS from_type, pred.p AS pred_next,
+       CAST(trn.n_train AS BIGINT) AS n_train,
+       CAST(COALESCE(tst.n_test, 0) AS BIGINT) AS n_test,
+       CAST(COALESCE(tst.n_correct, 0) AS BIGINT) AS n_correct,
+       CAST(CASE WHEN COALESCE(tst.n_test, 0) = 0 THEN 0
+            ELSE (2 * tst.n_correct * 100000000 + tst.n_test)
+                 // (2 * tst.n_test) END AS BIGINT) AS acc_e8
+FROM pred
+JOIN trn ON trn.f = pred.f
+LEFT JOIN tst ON tst.f = pred.f
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["markov_next_accuracy"] = q_markov_next_accuracy
+TEMPORAL_MEDIA_ORACLES["markov_next_accuracy"] = SQL_MARKOV_NEXT_ACCURACY
