@@ -1698,7 +1698,7 @@ def test_apriori_triples_bruteforce(ray_session):
     ).to_pandas()
     m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
     baskets = m.groupby("l_orderkey").p_brand.apply(set)
-    minsup = max(2, len(baskets) // 200)
+    minsup = max(2, len(baskets) // 300)
     want = {}
     for b in baskets:
         for tri in combinations(sorted(b), 3):

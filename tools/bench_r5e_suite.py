@@ -1,0 +1,98 @@
+"""Round-5 fifth-session operator suite bench: best-of-two wall times
+at sf0.1 for the session's new operators (stat tests, basket mining,
+exact set-similarity join, map matching, graph support, stream eval),
+one JSON line with the embedded host probe (BASELINE.md evidence
+convention — pairs quoted only from saved JSON). Run standalone:
+
+    python tools/bench_r5e_suite.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_r5b_suite import host_probe  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    probe = host_probe()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+    from wikipedia_wikidata_ray.pipelines import analytics as an
+    from wikipedia_wikidata_ray.pipelines import corpusops as co
+    from wikipedia_wikidata_ray.pipelines import queries as qq
+    from wikipedia_wikidata_ray.pipelines import statops as st
+    from wikipedia_wikidata_ray.pipelines import temporal_media as tm
+    from wikipedia_wikidata_ray.pipelines import trainingdata as td
+
+    sections = {
+        "gini_best_split": lambda: st.q_gini_best_split(sf_dir)
+        .materialize().count(),
+        "poisson_bootstrap_means": lambda: st.q_poisson_bootstrap_means(sf_dir)
+        .materialize().count(),
+        "ols_normal_equations": lambda: st.q_ols_normal_equations(sf_dir)
+        .materialize().count(),
+        "seasonal_residual_outliers": lambda:
+        st.q_seasonal_residual_outliers(sf_dir).materialize().count(),
+        "event_type_fano": lambda: st.q_event_type_fano(sf_dir)
+        .materialize().count(),
+        "cohort_retention": lambda: an.q_cohort_retention(sf_dir)
+        .materialize().count(),
+        "fd_violations": lambda: an.q_fd_violations(sf_dir)
+        .materialize().count(),
+        "apriori_triples": lambda: an.q_apriori_triples(sf_dir)
+        .materialize().count(),
+        "ams_f2_users": lambda: an.q_ams_f2_users(sf_dir)
+        .materialize().count(),
+        "phrase_match_counts": lambda: co.q_phrase_match_counts(sf_dir)
+        .materialize().count(),
+        "prefix_jaccard_pairs": lambda: td.q_prefix_jaccard_pairs(sf_dir)
+        .materialize().count(),
+        "snap_to_segment": lambda: qq.q_snap_to_segment(sf_dir)
+        .materialize().count(),
+        "edge_triangle_support": lambda: qq.q_edge_triangle_support(sf_dir)
+        .materialize().count(),
+        "event_debounce": lambda: tm.q_event_debounce(sf_dir)
+        .materialize().count(),
+        "markov_next_accuracy": lambda: tm.q_markov_next_accuracy(sf_dir)
+        .materialize().count(),
+    }
+    runs: dict[str, list[float]] = {k: [] for k in sections}
+    rows: dict[str, int] = {}
+    for _ in range(2):
+        for name, fn in sections.items():
+            gc.collect()
+            t0 = time.perf_counter()
+            rows[name] = fn()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    out = {
+        "metric": "round-5e operator suite best-of-two wall sec",
+        "sections": {k: min(v) for k, v in runs.items()},
+        "runs": runs,
+        "rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "host_probe": probe,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -5039,7 +5039,7 @@ SQL_FD_VIOLATIONS = _fd_sql()
 
 
 def q_apriori_triples(sf_dir: str) -> Dataset:
-    """Frequent brand triples (support ≥ max(2, n_orders/200)) by the
+    """Frequent brand triples (support ≥ max(2, n_orders/300)) by the
     Apriori algorithm: count 1- and 2-itemsets first, generate
     candidate triples ONLY where all three sub-pairs are frequent
     (downward closure), then count candidates in a second pass.
@@ -5093,7 +5093,7 @@ def q_apriori_triples(sf_dir: str) -> Dataset:
     n_orders = merge_group_sums(
         partial_count(ob, ["l_orderkey"], out="x"), ["l_orderkey"], ["x"]
     ).count()
-    minsup = max(2, n_orders // 200)
+    minsup = max(2, n_orders // 300)
 
     item_tbl = _pull_merged(
         merge_group_sums(
@@ -5259,7 +5259,7 @@ WITH ob AS (
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 ),
 ms AS (
-  SELECT GREATEST(2, COUNT(DISTINCT o) // 200) AS v FROM ob
+  SELECT GREATEST(2, COUNT(DISTINCT o) // 300) AS v FROM ob
 )
 SELECT a.b AS brand_a, c.b AS brand_b, d.b AS brand_c,
        CAST(COUNT(*) AS BIGINT) AS support
