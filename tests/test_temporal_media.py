@@ -352,3 +352,32 @@ def test_edge_triangle_support_bruteforce(ray_session):
         if c in adj[b]
     )
     assert sum(support.values()) == 3 * tri
+
+
+def test_geofence_transitions_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_geofence_transitions)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_geofence_transitions(sf).to_pandas()
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    ev["ts_us"] = ev.ts.astype("int64")
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        prev = None
+        for r in g.itertuples():
+            inside = (r.event_id * 104729) % 3600001 - 1800000 >= 0
+            if prev is not None and inside != prev:
+                want.append((uid, r.event_id, r.ts_us, int(inside)))
+            prev = inside
+    got = sorted(map(tuple, out[["user_id", "event_id", "ts_us",
+                                 "entered"]].itertuples(index=False)))
+    assert got == sorted(want) and len(want) > 0
+    # alternation invariant: per user, enters and exits interleave
+    for uid, g in out.sort_values(["user_id", "ts_us", "event_id"]).groupby(
+            "user_id"):
+        e = g.entered.to_numpy()
+        assert (e[1:] != e[:-1]).all()

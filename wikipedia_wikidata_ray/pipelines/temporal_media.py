@@ -3175,3 +3175,97 @@ LEFT JOIN tst ON tst.f = pred.f
 
 TEMPORAL_MEDIA_QUERIES["markov_next_accuracy"] = q_markov_next_accuracy
 TEMPORAL_MEDIA_ORACLES["markov_next_accuracy"] = SQL_MARKOV_NEXT_ACCURACY
+
+
+# ---------------------------------------------------------------------------
+# Q: geofence_transitions — per-user ENTER/EXIT detection against a
+# fixed geofence (the eastern hemisphere, lon ≥ 0): the state-transition
+# primitive of any location-alerting pipeline (fleet geofencing). Event
+# positions derive from event_id by the tile_dwell closed form.
+
+
+def q_geofence_transitions(sf_dir: str) -> Dataset:
+    """Rows where a user's fence state CHANGES between consecutive
+    events ((ts, event_id) order — the deterministic-tiebreak rule):
+    the event that lands on the new side is emitted with entered = 1
+    (outside → inside) or 0. ONE range sort on user_id; the state test
+    is an exact integer comparison on e4 longitudes (the closed-form
+    position contract is 4-decimal); zero joins, zero floats."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.runs import sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "event_id": pa.array([], type=pa.int64()),
+            "ts_us": pa.array([], type=pa.int64()),
+            "entered": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def trans_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        lon_e4 = (eid * 104729) % 3600001 - 1800000  # exact int e4
+        inside = lon_e4 >= 0
+        same_user = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            same_user[1:] = u[1:] == u[:-1]
+        changed = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            changed[1:] = inside[1:] != inside[:-1]
+        sel = same_user & changed
+        return pa.table(
+            {
+                "user_id": pa.array(u[sel], type=pa.int64()),
+                "event_id": pa.array(eid[sel], type=pa.int64()),
+                "ts_us": pa.array(ts[sel], type=pa.int64()),
+                "entered": pa.array(inside[sel].astype(np.int64)),
+            }
+        )
+
+    return sorted_group_apply(
+        events.map_batches(slim, batch_format="pyarrow"),
+        ["user_id"], trans_block,
+    )
+
+
+SQL_GEOFENCE_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN (event_id * 104729) % 3600001 - 1800000 >= 0
+              THEN 1 ELSE 0 END AS inside,
+         LAG(CASE WHEN (event_id * 104729) % 3600001 - 1800000 >= 0
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_inside
+  FROM events
+)
+SELECT user_id, event_id, ts_us, CAST(inside AS BIGINT) AS entered
+FROM s
+WHERE prev_inside IS NOT NULL AND inside <> prev_inside
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["geofence_transitions"] = q_geofence_transitions
+TEMPORAL_MEDIA_ORACLES["geofence_transitions"] = SQL_GEOFENCE_TRANSITIONS
