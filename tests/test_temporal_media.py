@@ -381,3 +381,29 @@ def test_geofence_transitions_bruteforce(ray_session):
             "user_id"):
         e = g.entered.to_numpy()
         assert (e[1:] != e[:-1]).all()
+
+
+def test_user_burst_rate_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        BURST_WINDOW_US, q_user_burst_rate)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_user_burst_rate(sf).to_pandas().set_index("user_id")
+    ev = pq.read_table(sf + "/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["us"] = ev.ts.astype("int64")
+    for uid, g in ev.groupby("user_id"):
+        t = np.sort(g.us.to_numpy())
+        cnt = np.searchsorted(t, t + BURST_WINDOW_US, side="right") \
+            - np.arange(len(t))
+        i = int(np.argmax(cnt))
+        r = out.loc[uid]
+        assert r.max_rate_1h == cnt[i]
+        assert r.burst_start_us == t[i]
+        # the sliding max can never be less than any fixed hourly bucket
+        buckets = np.bincount((t - t.min()) // BURST_WINDOW_US)
+        assert r.max_rate_1h >= buckets.max()
+        assert 1 <= r.max_rate_1h <= len(t)
+    assert set(out.index) == set(ev.user_id.unique())

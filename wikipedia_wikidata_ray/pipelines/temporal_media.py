@@ -3269,3 +3269,105 @@ WHERE prev_inside IS NOT NULL AND inside <> prev_inside
 
 TEMPORAL_MEDIA_QUERIES["geofence_transitions"] = q_geofence_transitions
 TEMPORAL_MEDIA_ORACLES["geofence_transitions"] = SQL_GEOFENCE_TRANSITIONS
+
+
+# ---------------------------------------------------------------------------
+# Q: user_burst_rate — per-user maximum event count in any sliding
+# 1-hour window (rate-limit / abuse-detection primitive: the spike a
+# fixed-bucket hourly count smears across two buckets).
+
+BURST_WINDOW_US = 3_600_000_000
+
+
+def q_user_burst_rate(sf_dir: str) -> Dataset:
+    """Per user: max #events in [t, t+1h] over all window starts t at
+    event times, plus the earliest achieving start. Windows are CLOSED
+    on both ends (RANGE frame semantics, mirrored in the SQL window
+    frame). ONE range sort on user_id; per block, a single vectorized
+    searchsorted over the block's timestamp column (clamped to each
+    run's end) resolves every user's sliding count — no per-user loop,
+    no joins. Ties on the max take the earliest start (integer argmax
+    on first occurrence, deterministic on both sides)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.runs import sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "max_rate_1h": pa.array([], type=pa.int64()),
+            "burst_start_us": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def burst_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.append(starts[1:], n)
+        # closed window [ts, ts+W]: per-run searchsorted (ts is sorted
+        # only WITHIN a run — the _run_pairs small-numpy-per-run shape;
+        # a global searchsorted over the block would read across users)
+        best = np.empty(len(starts), dtype=np.int64)
+        bstart = np.empty(len(starts), dtype=np.int64)
+        for k, (s, e) in enumerate(zip(starts, ends)):
+            seg = ts[s:e]
+            cnt = np.searchsorted(
+                seg, seg + BURST_WINDOW_US, side="right"
+            ) - np.arange(e - s)
+            i = int(np.argmax(cnt))  # first max = earliest start
+            best[k] = cnt[i]
+            bstart[k] = seg[i]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], type=pa.int64()),
+                "max_rate_1h": pa.array(best, type=pa.int64()),
+                "burst_start_us": pa.array(bstart, type=pa.int64()),
+            }
+        )
+
+    return sorted_group_apply(
+        events.map_batches(slim, batch_format="pyarrow"),
+        ["user_id"], burst_block,
+    )
+
+
+SQL_USER_BURST_RATE = f"""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN CURRENT ROW AND {BURST_WINDOW_US} FOLLOWING
+         ) AS cnt
+  FROM events
+)
+SELECT user_id,
+       CAST(cnt AS BIGINT) AS max_rate_1h,
+       CAST(ts_us AS BIGINT) AS burst_start_us
+FROM w
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id ORDER BY cnt DESC, ts_us ASC) = 1
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["user_burst_rate"] = q_user_burst_rate
+TEMPORAL_MEDIA_ORACLES["user_burst_rate"] = SQL_USER_BURST_RATE
