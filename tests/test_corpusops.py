@@ -343,3 +343,46 @@ def test_phrase_match_counts_bruteforce(ray_session):
         assert out.loc[p].n_docs <= out.loc[p].n_occurrences
     # the dictionary must actually exercise the operator on the fixture
     assert out.n_occurrences.sum() > 0
+
+
+def test_cdc_chunk_dedup_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import (
+        CDC_MOD, q_cdc_chunk_dedup)
+
+    sf = "/root/testdata/sf0.001"
+    row = q_cdc_chunk_dedup(sf).take_all()[0]
+    texts = pq.read_table(
+        f"{sf}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    sig_counts = {}
+    total = 0
+    for t in texts:
+        grams = [
+            ord(t[i]) * 1048576 + ord(t[i + 1]) * 1024 + ord(t[i + 2])
+            for i in range(len(t) - 2)
+        ]
+        if not grams:
+            continue
+        chunks = [[]]
+        for g in grams:
+            chunks[-1].append(g)
+            if g % CDC_MOD == 0:
+                chunks.append([])
+        if not chunks[-1]:
+            chunks.pop()
+        for c in chunks:
+            total += 1
+            key = (len(c), sum(c))
+            sig_counts[key] = sig_counts.get(key, 0) + 1
+    assert row["total_chunks"] == total
+    assert row["distinct_chunks"] == len(sig_counts)
+    assert row["dup_chunks"] == total - len(sig_counts)
+    assert row["dup_positions"] == sum(
+        (n - 1) * ln for (ln, _), n in sig_counts.items()
+    )
+    # content-defined cutting must actually cut (multi-chunk docs) and
+    # the shared-phrase corpus must produce cross-doc duplicate chunks
+    assert row["total_chunks"] > len(texts)
+    assert row["dup_chunks"] > 0

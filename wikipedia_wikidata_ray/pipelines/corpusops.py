@@ -624,7 +624,138 @@ GROUP BY 1
 SQL_PHRASE_MATCH_COUNTS = _phrase_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: cdc_chunk_dedup — content-defined chunking (rolling-window cut
+# points) + cross-document chunk dedup estimation: the storage-dedup
+# primitive (restic/borg/LBFS-style) that finds shared spans exact
+# hashing misses when documents share paragraphs but differ overall.
+
+CDC_MOD = 61  # prime: the cut test mixes all 3 gram chars (a power of
+# two would reduce to the last char alone — ascii·2²⁰ and ·2¹⁰ vanish
+# mod 64 — and the fixture's lowercase alphabet never cuts)
+
+
+def q_cdc_chunk_dedup(sf_dir: str) -> Dataset:
+    """One-row global dedup estimate: documents are split at content-
+    defined cut points (packed char-3-gram code ≡ 0 mod {CDC_MOD}, the
+    gear-hash idiom — boundaries move WITH the content, so an insertion
+    reshuffles only its own chunk), each chunk signs as (gram-length,
+    Σ gram codes), and signatures dedupe globally. Publishes
+    total/distinct/duplicate chunk counts and the duplicated gram-span
+    estimate Σ(n−1)·len. Signature collisions conflate chunks (a
+    counting estimate, not byte-proof — documented; the SQL twin
+    computes the identical signature so parity is exact).
+
+    Distributed: per-batch vectorized chunking (one reduceat over the
+    concatenated gram stream) → chunk-signature-bounded merge → one
+    constant-key stats fold. Text never shuffles; movement is
+    signature rows."""
+    from ..ops.dedup import packed_char_gram_arrays
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def chunk_partials(t: pa.Table) -> pa.Table:
+        glist = packed_char_gram_arrays(t.column("text"))
+        glist = [g for g in glist if len(g)]
+        if not glist:
+            return pa.table(
+                {
+                    "ln": pa.array([], type=pa.int64()),
+                    "sg": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        flat = np.concatenate(glist).astype(np.int64)
+        lens = np.fromiter((len(g) for g in glist), dtype=np.int64,
+                           count=len(glist))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cut = flat % CDC_MOD == 0
+        new_chunk = np.zeros(len(flat), dtype=bool)
+        new_chunk[1:] = cut[:-1]  # boundary AFTER a cut gram
+        new_chunk[starts] = True  # each doc restarts its chunks
+        cstart = np.flatnonzero(new_chunk)
+        ln = np.diff(np.append(cstart, len(flat)))
+        sg = np.add.reduceat(flat, cstart)
+        g = pa.table(
+            {
+                "ln": pa.array(ln, type=pa.int64()),
+                "sg": pa.array(sg, type=pa.int64()),
+                "n": pa.array(np.ones(len(ln), dtype=np.int64)),
+            }
+        ).group_by(["ln", "sg"]).aggregate([("n", "sum")])
+        return g.rename_columns(["ln", "sg", "n"])
+
+    merged = merge_group_sums(
+        docs.map_batches(chunk_partials, batch_format="pyarrow"),
+        ["ln", "sg"], ["n"],
+    )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        ln = t.column("ln").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "total_chunks": pa.array([int(n.sum())], type=pa.int64()),
+                "distinct_chunks": pa.array([len(t)], type=pa.int64()),
+                "dup_positions": pa.array(
+                    [int(((n - 1) * ln).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    out = merge_group_sums(
+        merged.map_batches(stats_partial, batch_format="pyarrow"),
+        ["k"], ["total_chunks", "distinct_chunks", "dup_positions"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t.column("total_chunks")
+        dis = t.column("distinct_chunks")
+        return pa.table(
+            {
+                "total_chunks": tot,
+                "distinct_chunks": dis,
+                "dup_chunks": pc.subtract(tot, dis),
+                "dup_positions": t.column("dup_positions"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH g AS (
+  SELECT doc_id, i.i AS pos,
+         ascii(substr(text, CAST(i.i AS INT), 1)) * 1048576
+       + ascii(substr(text, CAST(i.i AS INT) + 1, 1)) * 1024
+       + ascii(substr(text, CAST(i.i AS INT) + 2, 1)) AS gcode
+  FROM documents, range(1, {ORACLE_CHARS_CAP + 1}) i(i)
+  WHERE i.i <= length(text) - 2
+),
+c AS (
+  SELECT doc_id, pos, gcode,
+         COALESCE(SUM(CASE WHEN gcode % {CDC_MOD} = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cid
+  FROM g
+),
+ch AS (
+  SELECT doc_id, cid, COUNT(*) AS ln, SUM(gcode) AS sg
+  FROM c GROUP BY 1, 2
+),
+d AS (SELECT ln, sg, COUNT(*) AS n FROM ch GROUP BY 1, 2)
+SELECT CAST(SUM(n) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_chunks,
+       CAST(SUM((n - 1) * ln) AS BIGINT) AS dup_positions
+FROM d
+"""
+
+
 CORPUSOPS_QUERIES = {
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "phrase_match_counts": q_phrase_match_counts,
     "vocab_topk": q_vocab_topk,
     "bigram_pmi": q_bigram_pmi,
@@ -636,6 +767,7 @@ CORPUSOPS_QUERIES = {
 }
 
 CORPUSOPS_ORACLES = {
+    "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
     "phrase_match_counts": SQL_PHRASE_MATCH_COUNTS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bigram_pmi": SQL_BIGRAM_PMI,
