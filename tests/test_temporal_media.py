@@ -407,3 +407,36 @@ def test_user_burst_rate_bruteforce(ray_session):
         assert r.max_rate_1h >= buckets.max()
         assert 1 <= r.max_rate_1h <= len(t)
     assert set(out.index) == set(ev.user_id.unique())
+
+
+def test_linear_attribution_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        ATTR_WINDOW_US, q_linear_attribution)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_linear_attribution(sf).to_pandas().set_index("user_id")
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    ev["us"] = ev.ts.astype("int64")
+    users_with_p = set()
+    for uid, g in ev.groupby("user_id"):
+        p = g[g.event_type == "purchase"].us.to_numpy()
+        c = np.sort(g[g.event_type == "click"].us.to_numpy())
+        if len(p) == 0:
+            assert uid not in out.index
+            continue
+        users_with_p.add(uid)
+        credit = n_attr = 0
+        for t in p:
+            k = int(((c >= t - ATTR_WINDOW_US) & (c < t)).sum())
+            if k:
+                n_attr += 1
+                credit += k * ((2 * 10**8 + k) // (2 * k))
+        r = out.loc[uid]
+        assert r.n_purchases == len(p)
+        assert r.n_attributed == n_attr
+        assert r.credit_e8 == credit
+        # each attributed purchase contributes ~1 unit (rounding ≤ k/2e-8)
+        assert abs(r.credit_e8 - n_attr * 10**8) <= n_attr * 50
+    assert set(out.index) == users_with_p and users_with_p

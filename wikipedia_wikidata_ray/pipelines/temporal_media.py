@@ -3371,3 +3371,132 @@ QUALIFY ROW_NUMBER() OVER (
 
 TEMPORAL_MEDIA_QUERIES["user_burst_rate"] = q_user_burst_rate
 TEMPORAL_MEDIA_ORACLES["user_burst_rate"] = SQL_USER_BURST_RATE
+
+
+# ---------------------------------------------------------------------------
+# Q: linear_attribution — multi-touch marketing attribution: every
+# purchase distributes one unit of credit equally over the user's
+# clicks in the 24h lookback window.
+
+ATTR_WINDOW_US = 24 * 3_600_000_000
+
+
+def q_linear_attribution(sf_dir: str) -> Dataset:
+    """Per user: purchase count, purchases with ≥1 lookback click, and
+    the total click credit at e8 — each purchase-click pair carries
+    round_half_up(1e8/k) where k is that purchase's click count (the
+    round-each-TERM-then-sum-integers policy: float credit sums would
+    be order-dependent across purchases). Window is [t−24h, t) —
+    clicks strictly before the purchase.
+
+    Distributed shape: ONE range sort on user_id; per block each
+    user's purchases resolve their click windows with two vectorized
+    searchsorted calls against the user's click timestamps (no pair
+    fan-out materializes — the SQL twin's purchase×click join exists
+    only as counts here). Zero joins."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.runs import sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["purchase", "click"])
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "is_p": pc.cast(
+                    pc.equal(t["event_type"], pa.scalar("purchase")),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_purchases": pa.array([], type=pa.int64()),
+            "n_attributed": pa.array([], type=pa.int64()),
+            "credit_e8": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def attr_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        isp = t.column("is_p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, isp = u[order], ts[order], isp[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.append(starts[1:], len(u))
+        out_u, out_np, out_na, out_cr = [], [], [], []
+        for s, e in zip(starts, ends):  # small numpy per run
+            seg_ts = ts[s:e]
+            seg_p = isp[s:e] == 1
+            p_ts = seg_ts[seg_p]
+            if len(p_ts) == 0:
+                continue
+            cl_ts = seg_ts[~seg_p]
+            lo = np.searchsorted(cl_ts, p_ts - ATTR_WINDOW_US, side="left")
+            hi = np.searchsorted(cl_ts, p_ts, side="left")
+            k = (hi - lo).astype(np.int64)
+            pos = k > 0
+            kk = k[pos]
+            credit = int((kk * ((2 * 10**8 + kk) // (2 * kk))).sum())
+            out_u.append(int(u[s]))
+            out_np.append(len(p_ts))
+            out_na.append(int(pos.sum()))
+            out_cr.append(credit)
+        if not out_u:
+            return empty
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, type=pa.int64()),
+                "n_purchases": pa.array(out_np, type=pa.int64()),
+                "n_attributed": pa.array(out_na, type=pa.int64()),
+                "credit_e8": pa.array(out_cr, type=pa.int64()),
+            }
+        )
+
+    return sorted_group_apply(
+        events.map_batches(slim, batch_format="pyarrow"),
+        ["user_id"], attr_block,
+    )
+
+
+SQL_LINEAR_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+k AS (
+  SELECT p.user_id, p.event_id, COUNT(c.ts_us) AS k
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts_us >= p.ts_us - {ATTR_WINDOW_US} AND c.ts_us < p.ts_us
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed,
+       CAST(SUM(CASE WHEN k > 0
+                THEN k * ((2 * 100000000 + k) // (2 * k)) ELSE 0 END)
+            AS BIGINT) AS credit_e8
+FROM k GROUP BY 1
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["linear_attribution"] = q_linear_attribution
+TEMPORAL_MEDIA_ORACLES["linear_attribution"] = SQL_LINEAR_ATTRIBUTION
