@@ -1768,3 +1768,25 @@ def test_markov_next_accuracy_bruteforce(ray_session):
         assert r.n_correct <= r.n_test
         # the argmax predictor must beat or match uniform guessing
         assert r.acc_e8 / 1e8 >= 1.0 / (5 * 2) or nt == 0
+
+
+def test_linear_counting_quality(ray_session):
+    import math
+
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        LC_M, q_linear_counting_users)
+
+    row = q_linear_counting_users(SF).take_all()[0]
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    uid = ev.column("user_id").to_numpy()
+    distinct = len(np.unique(uid))
+    bits = np.unique((((uid + 1) * 2654435761) // 65536) % LC_M)
+    assert row["m"] == LC_M
+    assert row["occupied"] == len(bits)
+    assert row["exact_distinct"] == distinct
+    est = LC_M * math.log(LC_M / (LC_M - len(bits)))
+    assert abs(row["est_e8"] / 1e8 - est) < 1e-6
+    # occupancy can only undercount distincts (collisions), and the
+    # ln correction must recover to within 15% at this load factor
+    assert row["occupied"] <= distinct
+    assert abs(row["est_e8"] / 1e8 - distinct) < 0.15 * distinct

@@ -5388,7 +5388,92 @@ FROM z, f2
 SQL_AMS_F2_USERS = _ams_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: linear_counting_users — Whang linear-counting distinct estimator
+# (the bitmap complement of HLL), with exact ground truth on the row.
+
+LC_M = 4096
+
+
+def q_linear_counting_users(sf_dir: str) -> Dataset:
+    """Distinct-user estimate from a {LC_M}-bit occupancy bitmap:
+    n̂ = m·ln(m/u₀) with u₀ = empty bits (Whang et al.). Bits assign by
+    the closed-form middle-bits hash ((uid+1)·2654435761)//65536 mod m
+    — mirrored in SQL. LN is in the bitwise parity family and the
+    estimate is ONE fixed float sequence over two exact integers.
+
+    Distributed: per-batch DISTINCT bit rows (≤ m per block) → one
+    m-bounded merge; the occupancy is its row count. Exact distinct
+    rides a user-keyed count merge beside it — estimator quality ships
+    as an oracled output (the ams_f2_users convention)."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def bit_partials(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        bits = np.unique((((uid + 1) * 2654435761) // 65536) % LC_M)
+        return pa.table(
+            {
+                "bit": pa.array(bits, type=pa.int64()),
+                "n": pa.array(np.ones(len(bits), dtype=np.int64)),
+            }
+        )
+
+    occupied = merge_group_sums(
+        events.map_batches(bit_partials, batch_format="pyarrow"),
+        ["bit"], ["n"],
+    ).count()
+
+    def user_partials(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": pa.array(u, type=pa.int64()),
+                "n": pa.array(np.ones(len(u), dtype=np.int64)),
+            }
+        )
+
+    exact = merge_group_sums(
+        events.map_batches(user_partials, batch_format="pyarrow"),
+        ["user_id"], ["n"],
+    ).count()
+    u0 = LC_M - occupied
+    est_e8 = (
+        int(np.round(float(LC_M) * np.log(float(LC_M) / float(u0)) * 1e8))
+        if u0 > 0 else -1
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "m": pa.array([LC_M], type=pa.int64()),
+                "occupied": pa.array([occupied], type=pa.int64()),
+                "exact_distinct": pa.array([exact], type=pa.int64()),
+                "est_e8": pa.array([est_e8], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_LINEAR_COUNTING_USERS = f"""
+WITH b AS (
+  SELECT DISTINCT (((user_id + 1) * 2654435761) // 65536) % {LC_M} AS bit
+  FROM events
+),
+o AS (SELECT COUNT(*) AS occ FROM b),
+x AS (SELECT COUNT(DISTINCT user_id) AS ex FROM events)
+SELECT CAST({LC_M} AS BIGINT) AS m,
+       CAST(o.occ AS BIGINT) AS occupied,
+       CAST(x.ex AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN {LC_M} - o.occ = 0 THEN -1
+            ELSE ROUND(CAST({LC_M} AS DOUBLE)
+                 * LN(CAST({LC_M} AS DOUBLE)
+                      / CAST({LC_M} - o.occ AS DOUBLE)) * 1e8)
+            END AS BIGINT) AS est_e8
+FROM o, x
+"""
+
+
 ANALYTICS_QUERIES = {
+    "linear_counting_users": q_linear_counting_users,
     "ams_f2_users": q_ams_f2_users,
     "apriori_triples": q_apriori_triples,
     "cohort_retention": q_cohort_retention,
@@ -5440,6 +5525,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "linear_counting_users": SQL_LINEAR_COUNTING_USERS,
     "ams_f2_users": SQL_AMS_F2_USERS,
     "apriori_triples": SQL_APRIORI_TRIPLES,
     "cohort_retention": SQL_COHORT_RETENTION,
