@@ -71,6 +71,16 @@ def main() -> int:
         .materialize().count(),
         "markov_next_accuracy": lambda: tm.q_markov_next_accuracy(sf_dir)
         .materialize().count(),
+        "geofence_transitions": lambda: tm.q_geofence_transitions(sf_dir)
+        .materialize().count(),
+        "user_burst_rate": lambda: tm.q_user_burst_rate(sf_dir)
+        .materialize().count(),
+        "linear_attribution": lambda: tm.q_linear_attribution(sf_dir)
+        .materialize().count(),
+        "cdc_chunk_dedup": lambda: co.q_cdc_chunk_dedup(sf_dir)
+        .materialize().count(),
+        "linear_counting_users": lambda: an.q_linear_counting_users(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
