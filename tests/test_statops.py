@@ -319,3 +319,51 @@ def test_event_type_fano_matches_brute_force(ray_session):
         assert abs(r["fano_e8"] / 1e8 - fano) < 1e-6
         assert r["fano_e8"] > 0
     assert set(rows) == set(ev.event_type.unique())
+
+
+def test_dp_noisy_counts_mechanism(ray_session):
+    rows = {r["c_mktsegment"]: r for r in statops.q_dp_noisy_counts(SF).take_all()}
+    df_ = _cust()
+    true_counts = df_.c_mktsegment.value_counts()
+    assert set(rows) == set(statops.DP_SEGMENTS)
+    for k, seg in enumerate(statops.DP_SEGMENTS, start=1):
+        r = rows[seg]
+        assert r["true_n"] == int(true_counts.get(seg, 0))
+        u = float((k * 2654435761) % 1000003) / 1000003.0
+        d = u - 0.5
+        mag = -statops.DP_B * math.log(1.0 - 2.0 * abs(d))
+        noise = -mag if d < 0 else mag
+        assert r["noisy_e8"] == int(np.round((r["true_n"] + noise) * 1e8))
+        # Laplace(b) noise magnitude is b·ln(1/(2·tail)) — with b=20 the
+        # seeded draws must stay within a sane envelope and be nonzero
+        assert 0 < abs(noise) < 10 * statops.DP_B
+    # the mechanism must not systematically inflate: mixed signs
+    signs = {np.sign(rows[s]["noisy_e8"] / 1e8 - rows[s]["true_n"])
+             for s in rows}
+    assert signs == {-1.0, 1.0}
+
+
+def test_metro_midpoints_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.queries import q_metro_midpoints
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    out = {r["metro"]: r for r in q_metro_midpoints(SF).take_all()}
+    n_docs = 500
+    ids = np.arange(n_docs, dtype=np.int64)
+    lat, lon, hg = derive_geo(ids)
+    mega = (ids % 10 < 3) & hg
+    for m in np.unique(ids[mega] % 5):
+        sel = mega & (ids % 5 == m)
+        phi, lam = np.radians(lat[sel]), np.radians(lon[sel])
+        x = np.round(np.cos(phi) * np.cos(lam) * 1e10).astype(np.int64)
+        y = np.round(np.cos(phi) * np.sin(lam) * 1e10).astype(np.int64)
+        z = np.round(np.sin(phi) * 1e10).astype(np.int64)
+        r = out[m]
+        assert r["n_points"] == int(sel.sum())
+        assert r["sx_e10"] == int(x.sum())
+        assert r["sy_e10"] == int(y.sum())
+        assert r["sz_e10"] == int(z.sum())
+        # midpoint must land inside the city's point cloud bbox (the
+        # cluster is ±0.1°, far from any wraparound)
+        assert lat[sel].min() - 1e-6 <= r["mid_lat_e8"] / 1e8 <= lat[sel].max() + 1e-6
+        assert lon[sel].min() - 1e-6 <= r["mid_lon_e8"] / 1e8 <= lon[sel].max() + 1e-6

@@ -6040,7 +6040,133 @@ FROM te GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: metro_midpoints — geographic midpoint (3D unit-vector mean) per
+# megacity cluster: the spherical centroid planar averaging gets wrong
+# near the antimeridian (cluster_centroids' documented planar caveat,
+# closed here).
+
+
+def q_metro_midpoints(sf_dir: str) -> Dataset:
+    """Per metro: the geographic midpoint atan2-recovered from the
+    SUM of per-point 3D unit vectors (cos φ cos λ, cos φ sin λ, sin φ).
+    Each vector component rounds to e10 int64 BEFORE summation (the
+    round-each-TERM integer policy — float sums are order-dependent,
+    integer sums are exact at any parallelism); sin/cos/sqrt are in
+    the bitwise parity family, and the final atan2 calls are SCALAR
+    libm (math.atan2 ↔ DuckDB ATAN2; a 1-ulp discrepancy would need to
+    land within 2e-16/1e-8 of an e8 rounding boundary to flip —
+    negligible). The scale of the integer sums cancels inside atan2,
+    so no division ever happens.
+
+    Distributed: (metro → n, Σx, Σy, Σz) combiner partials → ONE
+    5-row merge; driver finish is anchor-bounded."""
+    ds = _geotagged(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("has_geo"))
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        mega = did % 10 < 3
+        did = did[mega]
+        if len(did) == 0:
+            return pa.table(
+                {
+                    "metro": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "sx": pa.array([], type=pa.int64()),
+                    "sy": pa.array([], type=pa.int64()),
+                    "sz": pa.array([], type=pa.int64()),
+                }
+            )
+        lat = t.column("lat").to_numpy(zero_copy_only=False)[mega]
+        lon = t.column("lon").to_numpy(zero_copy_only=False)[mega]
+        phi = np.radians(lat)
+        lam = np.radians(lon)
+        x = np.round(np.cos(phi) * np.cos(lam) * 1e10).astype(np.int64)
+        y = np.round(np.cos(phi) * np.sin(lam) * 1e10).astype(np.int64)
+        z = np.round(np.sin(phi) * 1e10).astype(np.int64)
+        g = pa.table(
+            {
+                "metro": pa.array(did % 5, type=pa.int64()),
+                "n": pa.array(np.ones(len(did), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sz": pa.array(z),
+            }
+        ).group_by(["metro"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sz", "sum")]
+        )
+        return g.rename_columns(["metro", "n", "sx", "sy", "sz"])
+
+    merged = _pull_blocks(
+        merge_group_sums(
+            ds.map_batches(partials, batch_format="pyarrow"),
+            ["metro"], ["n", "sx", "sy", "sz"],
+        ),
+        ["metro", "n", "sx", "sy", "sz"],
+    ).sort_by("metro")
+    import math
+
+    m = merged.column("metro").to_numpy(zero_copy_only=False)
+    n = merged.column("n").to_numpy(zero_copy_only=False)
+    sx = merged.column("sx").to_numpy(zero_copy_only=False)
+    sy = merged.column("sy").to_numpy(zero_copy_only=False)
+    sz = merged.column("sz").to_numpy(zero_copy_only=False)
+    lat_e8, lon_e8 = [], []
+    for xv, yv, zv in zip(sx, sy, sz):
+        fx, fy, fz = float(xv), float(yv), float(zv)
+        hyp = math.sqrt(fx * fx + fy * fy)
+        lat_e8.append(
+            int(np.round(math.degrees(math.atan2(fz, hyp)) * 1e8))
+        )
+        lon_e8.append(
+            int(np.round(math.degrees(math.atan2(fy, fx)) * 1e8))
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "metro": pa.array(m, type=pa.int64()),
+                "n_points": pa.array(n, type=pa.int64()),
+                "sx_e10": pa.array(sx, type=pa.int64()),
+                "sy_e10": pa.array(sy, type=pa.int64()),
+                "sz_e10": pa.array(sz, type=pa.int64()),
+                "mid_lat_e8": pa.array(lat_e8, type=pa.int64()),
+                "mid_lon_e8": pa.array(lon_e8, type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_METRO_MIDPOINTS = f"""
+WITH {SQL_GEO_CTE},
+v AS (
+  SELECT doc_id % 5 AS metro,
+         CAST(ROUND(COS(RADIANS(lat)) * COS(RADIANS(lon)) * 1e10)
+              AS BIGINT) AS x,
+         CAST(ROUND(COS(RADIANS(lat)) * SIN(RADIANS(lon)) * 1e10)
+              AS BIGINT) AS y,
+         CAST(ROUND(SIN(RADIANS(lat)) * 1e10) AS BIGINT) AS z
+  FROM geo WHERE doc_id % 10 < 3
+),
+s AS (
+  SELECT metro, CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz
+  FROM v GROUP BY 1
+)
+SELECT metro, n_points, sx AS sx_e10, sy AS sy_e10, sz AS sz_e10,
+       CAST(ROUND(DEGREES(ATAN2(CAST(sz AS DOUBLE),
+            SQRT(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1e8)
+            AS BIGINT) AS mid_lat_e8,
+       CAST(ROUND(DEGREES(ATAN2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE)))
+            * 1e8) AS BIGINT) AS mid_lon_e8
+FROM s
+"""
+
+
 QUERIES = {
+    "metro_midpoints": q_metro_midpoints,
     "edge_triangle_support": q_edge_triangle_support,
     "snap_to_segment": q_snap_to_segment,
     "extract_text": q_extract_text,
@@ -6124,6 +6250,7 @@ QUERIES.update(ANALYTICS_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
+    "metro_midpoints": SQL_METRO_MIDPOINTS,
     "edge_triangle_support": SQL_EDGE_TRIANGLE_SUPPORT,
     "snap_to_segment": SQL_SNAP_TO_SEGMENT,
     "extract_text": SQL_EXTRACT_TEXT,

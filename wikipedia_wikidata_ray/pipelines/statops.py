@@ -1488,10 +1488,107 @@ FROM s, b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: dp_noisy_counts — the Laplace mechanism for differentially-private
+# count release, with SEEDED deterministic noise (testable: real
+# deployments draw fresh randomness; the mechanism shape — sensitivity-
+# scaled two-sided exponential via inverse-CDF — is exactly this).
+
+DP_B = 20.0  # Laplace scale b = Δf/ε (sensitivity 1, ε = 0.05)
+DP_SEGMENTS = (
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+)
+
+
+def q_dp_noisy_counts(sf_dir: str) -> Dataset:
+    """Per-segment customer counts released through a seeded Laplace
+    mechanism: u = (k·2654435761 mod 1000003)/1000003 for the
+    segment's fixed index k, noise = −b·sign(u−½)·ln(1−2|u−½|)
+    (inverse CDF). LN is in the bitwise parity family and the whole
+    noise expression is ONE fixed float sequence over an exact
+    integer, mirrored in SQL; the true count ships beside the noisy
+    release (the estimator-quality convention).
+
+    Distributed: one 5-row count merge; everything else is driver
+    arithmetic."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by(["c_mktsegment"]).aggregate([("n", "sum")])
+        return g.rename_columns(["c_mktsegment", "n"])
+
+    merged = _pull_merged(
+        merge_group_sums(
+            cust.map_batches(partials, batch_format="pyarrow"),
+            ["c_mktsegment"], ["n"],
+        ),
+        ["c_mktsegment", "n"],
+    )
+    counts = dict(
+        zip(
+            merged.column("c_mktsegment").to_pylist(),
+            merged.column("n").to_numpy(zero_copy_only=False),
+        )
+    )
+    segs, true_n, noisy = [], [], []
+    for k, seg in enumerate(DP_SEGMENTS, start=1):
+        n = int(counts.get(seg, 0))
+        u = float((k * 2654435761) % 1000003) / 1000003.0
+        d = u - 0.5
+        mag = -DP_B * math.log(1.0 - 2.0 * abs(d))
+        noise = -mag if d < 0 else mag
+        segs.append(seg)
+        true_n.append(n)
+        noisy.append(int(np.round((n + noise) * 1e8)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "true_n": pa.array(true_n, type=pa.int64()),
+                "noisy_e8": pa.array(noisy, type=pa.int64()),
+            }
+        )
+    )
+
+
+def _dp_sql() -> str:
+    seeds = ", ".join(
+        f"('{s}', {k})" for k, s in enumerate(DP_SEGMENTS, start=1)
+    )
+    return f"""
+WITH c AS (
+  SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1
+),
+k(seg, kk) AS (VALUES {seeds}),
+u AS (
+  SELECT k.seg, COALESCE(c.n, 0) AS n,
+         CAST((k.kk * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 AS u
+  FROM k LEFT JOIN c ON c.c_mktsegment = k.seg
+)
+SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS true_n,
+       CAST(ROUND((n
+            + (CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
+              * (-{DP_B!r} * LN(1.0 - 2.0 * ABS(u - 0.5)))
+            ) * 1e8) AS BIGINT) AS noisy_e8
+FROM u
+"""
+
+
+SQL_DP_NOISY_COUNTS = _dp_sql()
+
+
 STATOPS_QUERIES = {
     "ols_normal_equations": q_ols_normal_equations,
     "seasonal_residual_outliers": q_seasonal_residual_outliers,
     "event_type_fano": q_event_type_fano,
+    "dp_noisy_counts": q_dp_noisy_counts,
     "gini_best_split": q_gini_best_split,
     "poisson_bootstrap_means": q_poisson_bootstrap_means,
     "welch_ttest_segments": q_welch_ttest_segments,
@@ -1508,6 +1605,7 @@ STATOPS_ORACLES = {
     "ols_normal_equations": SQL_OLS_NORMAL_EQUATIONS,
     "seasonal_residual_outliers": SQL_SEASONAL_RESIDUAL_OUTLIERS,
     "event_type_fano": SQL_EVENT_TYPE_FANO,
+    "dp_noisy_counts": SQL_DP_NOISY_COUNTS,
     "gini_best_split": SQL_GINI_BEST_SPLIT,
     "poisson_bootstrap_means": SQL_POISSON_BOOTSTRAP_MEANS,
     "welch_ttest_segments": SQL_WELCH_TTEST_SEGMENTS,
