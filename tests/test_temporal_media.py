@@ -440,3 +440,29 @@ def test_linear_attribution_bruteforce(ray_session):
         # each attributed purchase contributes ~1 unit (rounding ≤ k/2e-8)
         assert abs(r.credit_e8 - n_attr * 10**8) <= n_attr * 50
     assert set(out.index) == users_with_p and users_with_p
+
+
+def test_avg_neighbor_degree_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import q_avg_neighbor_degree
+
+    sf = "/root/testdata/sf0.001"
+    out = q_avg_neighbor_degree(sf).to_pandas().set_index("doc_id")
+    n = pq.read_metadata(sf + "/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    adj = {}
+    for t in ((ids * 3 + 1) % n, (ids * 5 + 2) % n, ids % 2):
+        for a, b in zip(ids, t):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    assert set(out.index) == set(adj)
+    for v, nbrs in adj.items():
+        r = out.loc[v]
+        s = sum(len(adj[w]) for w in nbrs)
+        assert r.deg == len(nbrs)
+        assert r.nbr_deg_sum == s
+        assert r.and_e8 == (2 * s * 10**8 + len(nbrs)) // (2 * len(nbrs))
+        # a neighbor's degree is at least 1 (it has v), so the mean is ≥ 1
+        assert r.and_e8 >= 10**8

@@ -6165,7 +6165,98 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: avg_neighbor_degree — per-node mean neighbor degree (the classic
+# first-order graph feature behind assortativity; a 1-step
+# message-passing aggregation).
+
+
+def q_avg_neighbor_degree(sf_dir: str) -> Dataset:
+    """Per node: degree, Σ neighbor degrees, and their ratio at e8
+    (exact integer half-up). One degree merge, one dense-array degree
+    broadcast (node ids are 0..N−1 by construction; gated at
+    TRI_DEG_BROADCAST_LIMIT — past it, attach degrees with the two
+    node-keyed hash joins exactly as `_closed_triangle_wedges`' >limit
+    plan), one endpoint-scatter merge. Message-passing rounds at scale
+    iterate this stage with the previous round's feature column in
+    place of the degree."""
+    import ray
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    deg_ds = _edge_degrees(edges)
+    assert n_docs <= TRI_DEG_BROADCAST_LIMIT, (
+        "node space exceeds the dense-degree broadcast gate — use the "
+        "join attach plan (_closed_triangle_wedges >limit path)")
+    deg_arr = np.zeros(n_docs, dtype=np.int64)
+    tbl = _pull_blocks(deg_ds, ["node", "deg"])
+    deg_arr[tbl.column("node").to_numpy()] = tbl.column("deg").to_numpy()
+    ref = ray.put(deg_arr)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([lo, hi])
+        nbr = np.concatenate([d[hi], d[lo]])
+        g = pa.table(
+            {
+                "doc_id": pa.array(node),
+                "deg": pa.array(np.ones(len(node), dtype=np.int64)),
+                "nbr_deg_sum": pa.array(nbr),
+            }
+        ).group_by(["doc_id"]).aggregate(
+            [("deg", "sum"), ("nbr_deg_sum", "sum")]
+        )
+        return g.rename_columns(["doc_id", "deg", "nbr_deg_sum"])
+
+    merged = merge_group_sums(
+        edges.map_batches(scatter, batch_format="pyarrow"),
+        ["doc_id"], ["deg", "nbr_deg_sum"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        deg = t.column("deg").to_numpy(zero_copy_only=False)
+        s = t.column("nbr_deg_sum").to_numpy(zero_copy_only=False)
+        and_e8 = (2 * s * 10**8 + deg) // (2 * deg)
+        return t.append_column("and_e8", pa.array(and_e8, type=pa.int64()))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_AVG_NEIGHBOR_DEGREE = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS lo, GREATEST(src, tgt) AS hi
+  FROM l WHERE src <> tgt
+),
+d AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0
+  ) GROUP BY 1
+),
+nb AS (
+  SELECT e0.lo AS node, d.deg FROM e0 JOIN d ON d.node = e0.hi
+  UNION ALL
+  SELECT e0.hi, d2.deg FROM e0 JOIN d d2 ON d2.node = e0.lo
+)
+SELECT node AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS deg,
+       CAST(SUM(deg) AS BIGINT) AS nbr_deg_sum,
+       CAST((2 * SUM(deg) * 100000000 + COUNT(*)) // (2 * COUNT(*))
+            AS BIGINT) AS and_e8
+FROM nb GROUP BY 1
+"""
+
+
 QUERIES = {
+    "avg_neighbor_degree": q_avg_neighbor_degree,
     "metro_midpoints": q_metro_midpoints,
     "edge_triangle_support": q_edge_triangle_support,
     "snap_to_segment": q_snap_to_segment,
@@ -6250,6 +6341,7 @@ QUERIES.update(ANALYTICS_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
+    "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
     "metro_midpoints": SQL_METRO_MIDPOINTS,
     "edge_triangle_support": SQL_EDGE_TRIANGLE_SUPPORT,
     "snap_to_segment": SQL_SNAP_TO_SEGMENT,
