@@ -347,3 +347,38 @@ def test_prefix_jaccard_pairs_exact_vs_bruteforce(ray_session):
     for (a, b), (i_, u_) in got.items():
         assert a < b and 0 < i_ <= u_
         assert i_ * PFX_TAU_DEN >= PFX_TAU_NUM * u_
+
+
+def test_mutual_knn_pairs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_mutual_knn_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r["lo"], r["hi"]): r["sim_e6"]
+           for r in q_mutual_knn_pairs(sf).take_all()}
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    # top-1 with neighbor-id tiebreak: argmax on (sim, -id) via lexsort
+    top1 = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))
+        top1[ids[i]] = ids[order[0]]
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in top1.items()
+        if top1.get(b) == a
+    }
+    assert set(out) == want and len(want) > 0
+    for (lo, hi), s in out.items():
+        assert lo < hi
+        direct = float(m[ids.tolist().index(lo)] @ m[ids.tolist().index(hi)])
+        assert abs(s / 1e6 - direct) < 2e-6
+    # mutual pairs are a strict subset of all top-1 edges
+    assert len(out) < len(top1)

@@ -895,7 +895,83 @@ WHERE i.i * {PFX_TAU_DEN} >= {PFX_TAU_NUM} * (sa.n + sb.n - i.i)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: mutual_knn_pairs — reciprocal nearest neighbors: pairs (a, b)
+# where b is a's cosine top-1 AND a is b's (the hubness-robust match
+# criterion of RNN clustering and bitext mining).
+
+
+def q_mutual_knn_pairs(sf_dir: str) -> Dataset:
+    """Mutual top-1 pairs from the oracle-green brute-cosine machinery
+    (k=1, self excluded; sim ties broken by neighbor id exactly as the
+    ann_topk twin). Mutuality needs NO join: each direction emits its
+    canonical (lo, hi) key once, ONE grouped merge counts directions
+    (min-folds the equal 6-dp sims), and mutual pairs are the n = 2
+    rows — the fold-a-subset-into-its-superset idiom (round-4 rule)
+    instead of a self-join. Movement: N candidate rows once."""
+    from ..stages.salted import merge_group_aggs
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    top1 = ann_topk(emb, load_candidates(sf_dir), k=1, variant="brute")
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("vec_id").to_numpy(zero_copy_only=False)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sim = t.column("sim").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(a, b), type=pa.int64()),
+                "hi": pa.array(np.maximum(a, b), type=pa.int64()),
+                "n": pa.array(np.ones(len(a), dtype=np.int64)),
+                "sim_e6": pa.array(
+                    np.round(sim * 1e6).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    merged = merge_group_aggs(
+        top1.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"],
+        [("n", "sum"), ("sim_e6", "min")],
+    )
+
+    def keep_mutual(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("n"), pa.scalar(2)))
+        return t.select(["lo", "hi", "sim_e6"])
+
+    return merged.map_batches(keep_mutual, batch_format="pyarrow")
+
+
+SQL_MUTUAL_KNN_PAIRS = """
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS s,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id
+         ) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+t1 AS (
+  SELECT vec_id, neighbor_id, CAST(ROUND(ROUND(s, 6) * 1000000) AS BIGINT)
+           AS sim_e6
+  FROM scored WHERE rnk = 1
+)
+SELECT a.vec_id AS lo, a.neighbor_id AS hi,
+       CAST(LEAST(a.sim_e6, b.sim_e6) AS BIGINT) AS sim_e6
+FROM t1 a JOIN t1 b
+  ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+WHERE a.vec_id < a.neighbor_id
+"""
+
+
 TRAININGDATA_QUERIES = {
+    "mutual_knn_pairs": q_mutual_knn_pairs,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "doc_stats": q_doc_stats,
     "exact_dup_groups": q_exact_dup_groups,
@@ -914,6 +990,7 @@ TRAININGDATA_QUERIES = {
 }
 
 TRAININGDATA_ORACLES = {
+    "mutual_knn_pairs": SQL_MUTUAL_KNN_PAIRS,
     "prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS,
     "doc_stats": SQL_DOC_STATS,
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
