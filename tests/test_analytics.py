@@ -1790,3 +1790,27 @@ def test_linear_counting_quality(ray_session):
     # ln correction must recover to within 15% at this load factor
     assert row["occupied"] <= distinct
     assert abs(row["est_e8"] / 1e8 - distinct) < 0.15 * distinct
+
+
+def test_join_skew_audit_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        SKEW_KEYS, q_join_skew_audit)
+
+    out = q_join_skew_audit(SF).to_pandas().set_index("key_name")
+    assert len(out) == len(SKEW_KEYS)
+    for name, table, col in SKEW_KEYS:
+        vals = pq.read_table(f"{SF}/{table}.parquet",
+                             columns=[col]).column(col).to_numpy()
+        counts = pd.Series(vals).value_counts()
+        r = out.loc[name]
+        assert r.n_rows == len(vals)
+        assert r.n_distinct == len(counts)
+        assert r.max_freq == int(counts.max())
+        ss = int((counts.astype(np.int64) ** 2).sum())
+        assert r.sum_sq == ss
+        # sum_sq IS the self-equijoin cardinality
+        merged = pd.DataFrame({"k": vals}).merge(
+            pd.DataFrame({"k": vals}), on="k")
+        assert len(merged) == ss
+        # Cauchy-Schwarz sanity: n²/d ≤ Σc² ≤ n·max
+        assert r.n_rows ** 2 / r.n_distinct <= ss <= r.n_rows * r.max_freq

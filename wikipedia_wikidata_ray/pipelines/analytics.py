@@ -5472,7 +5472,118 @@ FROM o, x
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: join_skew_audit — per-join-key skew report: the planner
+# introspection a shuffle engine runs BEFORE picking a join strategy
+# (salt hot keys? broadcast? — CLAUDE.md's skew rules, quantified).
+
+SKEW_KEYS = (
+    ("lineitem_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem_partkey", "lineitem", "l_partkey"),
+    ("orders_custkey", "orders", "o_custkey"),
+    ("events_user", "events", "user_id"),
+)
+
+
+def q_join_skew_audit(sf_dir: str) -> Dataset:
+    """Per candidate join key: row count, distinct keys, the hottest
+    key's frequency, and Σc² — the self-join amplification numerator
+    (expected hash-join partition skew is max_freq/avg; Σc² IS the
+    exact row count of a self-equijoin). All integers, zero floats.
+
+    Distributed, per key: per-batch (key → c) partials → ONE
+    key-space-bounded merge → a constant-key (sum, max) merge of the
+    four block statistics. Branch block counts capped (multi-branch
+    union rule)."""
+    import ray
+
+    from ..stages.salted import merge_group_aggs
+
+    n_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    outs = []
+    for name, table, col in SKEW_KEYS:
+        src = rd.read_parquet(
+            f"{sf_dir}/{table}.parquet", columns=[col],
+            override_num_blocks=n_blocks,
+        )
+
+        def key_partials(t: pa.Table, col=col) -> pa.Table:
+            g = pa.table(
+                {
+                    "k": pc.cast(t[col], pa.int64()),
+                    "c": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            ).group_by(["k"]).aggregate([("c", "sum")])
+            return g.rename_columns(["k", "c"])
+
+        counts = merge_group_sums(
+            src.map_batches(key_partials, batch_format="pyarrow"),
+            ["k"], ["c"],
+        )
+
+        def stats_partial(t: pa.Table, name=name) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            if len(c) == 0:
+                return pa.table(
+                    {
+                        "key_name": pa.array([], type=pa.string()),
+                        "n_rows": pa.array([], type=pa.int64()),
+                        "n_distinct": pa.array([], type=pa.int64()),
+                        "max_freq": pa.array([], type=pa.int64()),
+                        "sum_sq": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "key_name": pa.array([name], type=pa.string()),
+                    "n_rows": pa.array([int(c.sum())], type=pa.int64()),
+                    "n_distinct": pa.array([len(c)], type=pa.int64()),
+                    "max_freq": pa.array([int(c.max())], type=pa.int64()),
+                    "sum_sq": pa.array([int((c * c).sum())], type=pa.int64()),
+                }
+            )
+
+        outs.append(
+            merge_group_aggs(
+                counts.map_batches(stats_partial, batch_format="pyarrow"),
+                ["key_name"],
+                [("n_rows", "sum"), ("n_distinct", "sum"),
+                 ("max_freq", "max"), ("sum_sq", "sum")],
+            )
+        )
+    unioned = outs[0].union(*outs[1:])
+    cols = ["key_name", "n_rows", "n_distinct", "max_freq", "sum_sq"]
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.schema.names == []:
+            return pa.table(
+                {c: pa.array(
+                    [], type=pa.string() if c == "key_name" else pa.int64()
+                ) for c in cols}
+            )
+        return t.select(cols)
+
+    return unioned.map_batches(project, batch_format="pyarrow")
+
+
+def _skew_sql() -> str:
+    parts = []
+    for name, table, col in SKEW_KEYS:
+        parts.append(f"""
+SELECT '{name}' AS key_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS max_freq,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq
+FROM (SELECT {col} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_JOIN_SKEW_AUDIT = _skew_sql()
+
+
 ANALYTICS_QUERIES = {
+    "join_skew_audit": q_join_skew_audit,
     "linear_counting_users": q_linear_counting_users,
     "ams_f2_users": q_ams_f2_users,
     "apriori_triples": q_apriori_triples,
@@ -5525,6 +5636,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "join_skew_audit": SQL_JOIN_SKEW_AUDIT,
     "linear_counting_users": SQL_LINEAR_COUNTING_USERS,
     "ams_f2_users": SQL_AMS_F2_USERS,
     "apriori_triples": SQL_APRIORI_TRIPLES,
