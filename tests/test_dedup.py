@@ -382,3 +382,19 @@ def test_mutual_knn_pairs_bruteforce(ray_session):
         assert abs(s / 1e6 - direct) < 2e-6
     # mutual pairs are a strict subset of all top-1 edges
     assert len(out) < len(top1)
+
+
+def test_prefix_jaccard_join_plan_equals_broadcast(ray_session):
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_prefix_jaccard_pairs)
+
+    sf = "/root/testdata/sf0.001"
+
+    def key(df):
+        return sorted(map(tuple, df[["doc_a", "doc_b", "inter",
+                                     "union_n", "jac_e10"]]
+                          .itertuples(index=False)))
+
+    broadcast = key(q_prefix_jaccard_pairs(sf).to_pandas())
+    joined = key(q_prefix_jaccard_pairs(sf, df_broadcast_limit=0).to_pandas())
+    assert broadcast == joined and len(broadcast) > 0

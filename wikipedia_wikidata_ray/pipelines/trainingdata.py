@@ -684,10 +684,9 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 PFX_TAU_NUM, PFX_TAU_DEN = 7, 10  # τ = 0.7
 # df vocabulary broadcast gate — the gram vocabulary is NOT small by
-# definition (it scales with the corpus); past this limit the rank
-# attach must become a hash join of the df table onto the gram postings
-# plus a distributed (df, gram) rank via the zorder NTILE spine
-# (queries.q_zorder_shards machinery) — named fallback, asserted here.
+# definition (it scales with the corpus); past this limit the df attach
+# switches to attach_token_stat's token-keyed hash join (BOTH plans
+# implemented; plan-equality pytest forces the join at limit 0)
 PFX_VOCAB_BROADCAST_LIMIT = 20_000_000
 
 
@@ -737,7 +736,9 @@ def _word_gram_pairs(t: pa.Table) -> pa.Table:
     return g
 
 
-def q_prefix_jaccard_pairs(sf_dir: str) -> Dataset:
+def q_prefix_jaccard_pairs(
+    sf_dir: str, df_broadcast_limit: int | None = None
+) -> Dataset:
     """All document pairs with word-3-gram-set Jaccard ≥ 0.7, found
     EXACTLY by prefix filtering: order the gram universe rarest-first
     (global df ascending, gram ascending), keep only each doc's first
@@ -746,18 +747,24 @@ def q_prefix_jaccard_pairs(sf_dir: str) -> Dataset:
     pair at Jaccard ≥ τ must collide on at least one prefix gram, so
     the candidate set is a superset and exact verification closes it.
 
-    Distributed plan (two passes over text, no corpus materialization):
-    1. df pass: distinct (doc, gram) in-batch → ONE grouped-sum merge
-       keyed by gram (movement = gram-vocabulary-sized);
-    2. rank broadcast: the (df, gram)-sorted vocabulary rides ONE
-       ray.put as an Arrow column; postings attach ranks via
-       ``pc.index_in`` (a C++ hash probe — the round-4 page-fault
-       rule) — gated at {PFX_VOCAB_BROADCAST_LIMIT} grams with the
-       join+NTILE-rank fallback named above;
-    3. prefix postings (rank, doc) ride the LSH bucket machinery's
-       one-sort run-pair path (`ops/dedup._lsh_bucket_pairs`) — no
-       map_groups, no all-pairs;
-    4. exact verify: texts join in BY PAIR ID (attach_pair_texts —
+    Distributed plan (two passes over text, no corpus materialization,
+    no driver pull of the vocabulary ANYWHERE):
+    1. postings pass: distinct (doc, gram) rows in-batch;
+    2. df attach rides the gated ``webtext.attach_token_stat``
+       machinery — ≤ {PFX_VOCAB_BROADCAST_LIMIT} grams broadcast an
+       Arrow vocab + one ``pc.index_in`` probe per batch; above, a
+       token-keyed distributed hash join (both plans IMPLEMENTED;
+       plan-equality pytest forces the join path at limit 0);
+    3. per-doc prefix selection needs only the per-row df — each doc
+       sorts ITS OWN grams by (df, gram) inside one
+       ``sorted_group_apply`` on doc_id (no global rank exists, so no
+       global rank is ever computed);
+    4. prefix postings bucket by a per-batch-dictionary blake2b-64 of
+       the gram (round-3 ≥64-bit rule) through the LSH run-pair path
+       (`ops/dedup._lsh_bucket_pairs`) — a hash collision only MERGES
+       buckets, enlarging the candidate superset, never dropping a
+       true pair;
+    5. exact verify: texts join in BY PAIR ID (attach_pair_texts —
        corpus never broadcast), intersections via batch-local
        injective word-trigram codes; the τ test is the PURE INTEGER
        comparison inter·10 ≥ 7·union (no float threshold anywhere);
@@ -768,74 +775,112 @@ def q_prefix_jaccard_pairs(sf_dir: str) -> Dataset:
     engineering guard for adversarial hot grams is the documented
     max_bucket_size seam of _lsh_bucket_pairs, as in
     near_dup_pairs_minhash vs its seeded twin)."""
+    import hashlib
+
     from ..ops.dedup import (PairShingleJaccard, _lsh_bucket_pairs,
                              attach_pair_texts)
+    from ..ops.runs import sorted_group_apply
     from ..ops.textstats import word_trigram_arrays
-    from ..stages.salted import merge_group_sums, partial_count
+    from ..stages.salted import partial_count
+    from .webtext import attach_token_stat
+
+    if df_broadcast_limit is None:
+        df_broadcast_limit = PFX_VOCAB_BROADCAST_LIMIT
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    def df_partials(t: pa.Table) -> pa.Table:
+    def gram_rows(t: pa.Table) -> pa.Table:
         g = _word_gram_pairs(t)
-        out = pa.table(
+        return pa.table(
             {
-                "gram": g.column("gram"),
-                "df": pa.array(np.ones(g.num_rows, dtype=np.int64)),
+                "doc_id": g.column("doc_id"),
+                "token": pc.cast(g.column("gram"), pa.string()),
             }
-        ).group_by(["gram"]).aggregate([("df", "sum")])
-        return out.rename_columns(["gram", "df"])
+        )
 
-    df_tbl = merge_group_sums(
-        docs.map_batches(df_partials, batch_format="pyarrow"),
-        ["gram"], ["df"],
+    postings_tf = docs.map_batches(
+        gram_rows, batch_format="pyarrow"
+    ).materialize()
+    df_ds = partial_count(postings_tf, ["token"], out="df").materialize()
+    with_df = attach_token_stat(
+        postings_tf, df_ds, "df", broadcast_limit=df_broadcast_limit
     )
-    from .queries import _pull_blocks
 
-    vocab = _pull_blocks(df_tbl, ["gram", "df"]).sort_by(
-        [("df", "ascending"), ("gram", "ascending")]
+    empty_post = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "band_id": pa.array([], type=pa.int32()),
+            "band_hash": pa.array([], type=pa.int64()),
+        }
     )
-    assert vocab.num_rows <= PFX_VOCAB_BROADCAST_LIMIT, (
-        "gram vocabulary exceeds the broadcast gate — switch to the "
-        "join + distributed NTILE rank plan (docstring)")
-    vocab_ref = ray.put(pc.cast(vocab.column("gram"), pa.string()))
 
-    def postings(t: pa.Table) -> pa.Table:
-        g = _word_gram_pairs(t)
-        if g.num_rows == 0:
+    def prefix_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return pa.table(
                 {
                     "doc_id": pa.array([], type=pa.int64()),
-                    "band_id": pa.array([], type=pa.int32()),
-                    "band_hash": pa.array([], type=pa.int64()),
+                    "token": pa.array([], type=pa.string()),
                 }
             )
-        vocab_col = ray.get(vocab_ref)
-        rank = pc.index_in(
-            pc.cast(g.column("gram"), pa.string()), value_set=vocab_col
-        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        d = g.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((rank, d))
-        ds_, rs = d[order], rank[order]
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        df_v = t.column("df").to_numpy(zero_copy_only=False)
+        # block-local order/equality proxy for the gram string (house
+        # pc.rank rule) — preserves the global (df, gram) lex order
+        tok_r = pc.rank(
+            t.column("token"), sort_keys="ascending", tiebreaker="dense",
+            null_placement="at_start",
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok_r, df_v, d))
+        ds_ = d[order]
         new = np.r_[True, ds_[1:] != ds_[:-1]]
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, len(ds_)))
         # prefix length k = s − ⌈τ·s⌉ + 1, integer ceil
         k = sizes - (PFX_TAU_NUM * sizes + PFX_TAU_DEN - 1) // PFX_TAU_DEN + 1
         within = np.arange(len(ds_)) - np.repeat(starts, sizes)
-        keep = within < np.repeat(k, sizes)
+        keep = order[within < np.repeat(k, sizes)]
         return pa.table(
             {
-                "doc_id": pa.array(ds_[keep], type=pa.int64()),
-                "band_id": pa.array(
-                    np.zeros(int(keep.sum()), dtype=np.int32)
-                ),
-                "band_hash": pa.array(rs[keep], type=pa.int64()),
+                "doc_id": pa.array(d[keep], type=pa.int64()),
+                "token": t.column("token").take(pa.array(keep)),
             }
         )
 
-    post = docs.map_batches(postings, batch_format="pyarrow")
+    prefix = sorted_group_apply(with_df, ["doc_id"], prefix_block)
+
+    def to_band_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_post
+        tok = t.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        enc = pc.dictionary_encode(tok)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        # hash the DICTIONARY once per batch (round-3 blake2b-64 rule)
+        dict_hash = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        s.as_py().encode(), digest_size=8
+                    ).digest(), "big",
+                ) >> 1  # keep inside int64
+                for s in enc.dictionary
+            ),
+            dtype=np.int64, count=len(enc.dictionary),
+        )
+        codes = enc.indices.to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "band_id": pa.array(np.zeros(len(t), dtype=np.int32)),
+                "band_hash": pa.array(dict_hash[codes], type=pa.int64()),
+            }
+        )
+
+    post = prefix.map_batches(to_band_rows, batch_format="pyarrow")
     pairs = _lsh_bucket_pairs(post, max_bucket_size=1 << 30)
     cands = partial_count(pairs, ["doc_a", "doc_b"], out="_n").select_columns(
         ["doc_a", "doc_b"]
