@@ -466,3 +466,32 @@ def test_avg_neighbor_degree_bruteforce(ray_session):
         assert r.and_e8 == (2 * s * 10**8 + len(nbrs)) // (2 * len(nbrs))
         # a neighbor's degree is at least 1 (it has v), so the mean is ≥ 1
         assert r.and_e8 >= 10**8
+
+
+def test_media_dhash_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.ops.multimodal import FakeCodec, media_table_for
+    from wikipedia_wikidata_ray.pipelines.temporal_media import q_media_dhash
+
+    sf = "/root/testdata/sf0.001"
+    out = q_media_dhash(sf).to_pandas().set_index("doc_id")
+    codec = FakeCodec()
+    sample = media_table_for(sf).take(20)
+    for row in sample:
+        img, w, h = codec.decode(row["payload"])
+        blocks = img.astype(np.int64).reshape(8, h // 8, 8, w // 8).sum(
+            axis=(1, 3))
+        want = 0
+        for r in range(8):
+            for c in range(7):
+                if blocks[r, c + 1] > blocks[r, c]:
+                    want |= 1 << (r * 7 + c)
+        rec = out.loc[row["doc_id"]]
+        assert rec.dhash == want and rec.width == w and rec.height == h
+        assert 0 <= rec.dhash < (1 << 56)
+    # brightness invariance: adding a constant to every pixel leaves
+    # the gradient bits unchanged (the aHash-vs-dHash point)
+    img, w, h = codec.decode(sample[0]["payload"])
+    b0 = img.astype(np.int64).reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    b1 = (img.astype(np.int64) + 40).reshape(8, h // 8, 8, w // 8).sum(
+        axis=(1, 3))
+    assert ((b0[:, 1:] > b0[:, :-1]) == (b1[:, 1:] > b1[:, :-1])).all()

@@ -223,6 +223,55 @@ def media_ahash(sf_dir: str, concurrency=(1, 8), batch_size: int = 256) -> Datas
     )
 
 
+class DHasher:
+    """Actor-pool stage: decode → 56-bit difference-hash (dHash)
+    fingerprint — aHash's gradient twin: bit(r,c) = block(r,c+1) >
+    block(r,c) over the 8×8 integer block sums, so the hash tracks
+    horizontal GRADIENTS and survives global brightness shifts that
+    flip aHash bits. 8 rows × 7 comparisons = 56 bits, one int64, no
+    sign-bit hazard. Comparisons are EXACT INTEGER (equal-sized blocks
+    by the fixture's 8-divisibility contract). Same codec seam as
+    AHasher."""
+
+    def __init__(self, codec=None):
+        self.codec = codec or FakeCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, hashes = [], [], [], []
+        for j, payload in enumerate(batch["payload"].to_pylist()):
+            img, w, h = self.codec.decode(payload)
+            bh, bw = h // 8, w // 8
+            blocks = (
+                img.astype(np.int64)
+                .reshape(8, bh, 8, bw)
+                .sum(axis=(1, 3))
+            )
+            bits = (blocks[:, 1:] > blocks[:, :-1]).astype(np.int64)
+            sh = np.arange(56, dtype=np.int64).reshape(8, 7)
+            hashes.append(int((bits << sh).sum()))
+            ids.append(batch["doc_id"][j].as_py())
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "dhash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def media_dhash(sf_dir: str, concurrency=(1, 8), batch_size: int = 256) -> Dataset:
+    return media_table_for(sf_dir).map_batches(
+        DHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 AUDIO_MAGIC = b"FAKEAUD!"
 _AHDR = len(AUDIO_MAGIC) + 4
 

@@ -3500,3 +3500,52 @@ FROM k GROUP BY 1
 
 TEMPORAL_MEDIA_QUERIES["linear_attribution"] = q_linear_attribution
 TEMPORAL_MEDIA_ORACLES["linear_attribution"] = SQL_LINEAR_ATTRIBUTION
+
+
+# ---------------------------------------------------------------------------
+# Q: media_dhash — gradient perceptual hash (aHash's difference-hash
+# twin; see ops/multimodal.DHasher).
+
+
+def q_media_dhash(sf_dir: str) -> Dataset:
+    from ..ops.multimodal import media_dhash
+
+    return media_dhash(sf_dir)
+
+
+SQL_MEDIA_DHASH = """
+WITH dims AS (
+  SELECT doc_id,
+         32 + (doc_id % 5) * 16 AS width,
+         24 + (doc_id % 3) * 16 AS height
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.width, d.height, i.i,
+         (d.doc_id * 31 + i.i * 7) % 256 AS v
+  FROM dims d, range(0, 5376) i(i)
+  WHERE i.i < d.width * d.height
+),
+blocks AS (
+  SELECT doc_id, width, height,
+         (i // width) // (height // 8) AS br,
+         (i % width) // (width // 8) AS bc,
+         CAST(SUM(v) AS BIGINT) AS bs
+  FROM px GROUP BY 1, 2, 3, 4, 5
+),
+bits AS (
+  SELECT doc_id, width, height, br, bc,
+         CASE WHEN LEAD(bs) OVER (
+                PARTITION BY doc_id, br ORDER BY bc) > bs
+              THEN 1 ELSE 0 END AS bit
+  FROM blocks
+)
+SELECT doc_id, width, height,
+       CAST(SUM(CASE WHEN bc < 7 THEN bit << (br * 7 + bc) ELSE 0 END)
+            AS BIGINT) AS dhash
+FROM bits GROUP BY 1, 2, 3
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["media_dhash"] = q_media_dhash
+TEMPORAL_MEDIA_ORACLES["media_dhash"] = SQL_MEDIA_DHASH
