@@ -495,3 +495,25 @@ def test_media_dhash_bruteforce(ray_session):
     b1 = (img.astype(np.int64) + 40).reshape(8, h // 8, 8, w // 8).sum(
         axis=(1, 3))
     assert ((b0[:, 1:] > b0[:, :-1]) == (b1[:, 1:] > b1[:, :-1])).all()
+
+
+def test_audio_energy_hash_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.ops.multimodal import (
+        AudioEnergyHasher, FakeAudioCodec, audio_table_for)
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_audio_energy_hash)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_audio_energy_hash(sf).to_pandas().set_index("doc_id")
+    codec = FakeAudioCodec()
+    for row in audio_table_for(sf).take(15):
+        s = codec.decode(row["payload"]).astype(np.int64)
+        W = AudioEnergyHasher.WINDOW
+        n_w = len(s) // W
+        e = (s[: n_w * W] ** 2).reshape(n_w, W).sum(axis=1)
+        want = sum(1 << w for w in range(n_w - 1) if e[w + 1] > e[w])
+        r = out.loc[row["doc_id"]]
+        assert r.n_windows == n_w
+        assert r.energy_hash == want
+        assert r.windowed_energy == int(e.sum())
+        assert 0 <= r.energy_hash < (1 << (n_w - 1))

@@ -359,3 +359,50 @@ def audio_features(sf_dir: str, concurrency=(1, 8), batch_size: int = 256) -> Da
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class AudioEnergyHasher:
+    """Actor-pool stage: decode → windowed-energy difference hash (the
+    audio analog of DHasher; Shazam-style landmark hashing reduced to
+    its energy-contour core): per 1000-sample window the exact int64
+    energy Σs², bit w = energy(w+1) > energy(w) — ≤ 13 bits at the
+    FAKEAUD length contract, one int64, all comparisons exact integer.
+    Codec per actor (J17 seam)."""
+
+    WINDOW = 1000
+
+    def __init__(self, codec=None):
+        self.codec = codec or FakeAudioCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nw, eh, te = [], [], [], []
+        for j, payload in enumerate(batch["payload"].to_pylist()):
+            s = self.codec.decode(payload).astype(np.int64)
+            n_w = len(s) // self.WINDOW
+            w = (s[: n_w * self.WINDOW] ** 2).reshape(n_w, self.WINDOW).sum(
+                axis=1
+            )
+            bits = (w[1:] > w[:-1]).astype(np.int64)
+            ids.append(batch["doc_id"][j].as_py())
+            nw.append(n_w)
+            eh.append(int((bits << np.arange(n_w - 1, dtype=np.int64)).sum()))
+            te.append(int(w.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_windows": pa.array(nw, type=pa.int64()),
+                "energy_hash": pa.array(eh, type=pa.int64()),
+                "windowed_energy": pa.array(te, type=pa.int64()),
+            }
+        )
+
+
+def audio_energy_hash(sf_dir: str, concurrency=(1, 8),
+                      batch_size: int = 256) -> Dataset:
+    return audio_table_for(sf_dir).map_batches(
+        AudioEnergyHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -3549,3 +3549,49 @@ FROM bits GROUP BY 1, 2, 3
 
 TEMPORAL_MEDIA_QUERIES["media_dhash"] = q_media_dhash
 TEMPORAL_MEDIA_ORACLES["media_dhash"] = SQL_MEDIA_DHASH
+
+
+# ---------------------------------------------------------------------------
+# Q: audio_energy_hash — windowed-energy contour hash (the audio dedup
+# fingerprint; see ops/multimodal.AudioEnergyHasher).
+
+
+def q_audio_energy_hash(sf_dir: str) -> Dataset:
+    from ..ops.multimodal import audio_energy_hash
+
+    return audio_energy_hash(sf_dir)
+
+
+SQL_AUDIO_ENERGY_HASH = """
+WITH dims AS (
+  SELECT doc_id, 8000 + (doc_id % 7) * 1000 AS n FROM documents
+),
+sm AS (
+  SELECT d.doc_id, i.i // 1000 AS w,
+         ((d.doc_id * 17 + i.i * 11) % 4096) - 2048 AS s
+  FROM dims d, range(0, 14000) i(i)
+  WHERE i.i < (d.n // 1000) * 1000
+),
+we AS (
+  SELECT doc_id, w, CAST(SUM(s * s) AS BIGINT) AS e
+  FROM sm GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc_id, w,
+         CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY w) > e
+              THEN 1 ELSE 0 END AS bit,
+         LEAD(e) OVER (PARTITION BY doc_id ORDER BY w) AS nxt,
+         e
+  FROM we
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN nxt IS NOT NULL THEN bit << w ELSE 0 END)
+            AS BIGINT) AS energy_hash,
+       CAST(SUM(e) AS BIGINT) AS windowed_energy
+FROM bits GROUP BY 1
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["audio_energy_hash"] = q_audio_energy_hash
+TEMPORAL_MEDIA_ORACLES["audio_energy_hash"] = SQL_AUDIO_ENERGY_HASH
