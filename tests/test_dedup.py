@@ -398,3 +398,42 @@ def test_prefix_jaccard_join_plan_equals_broadcast(ray_session):
     broadcast = key(q_prefix_jaccard_pairs(sf).to_pandas())
     joined = key(q_prefix_jaccard_pairs(sf, df_broadcast_limit=0).to_pandas())
     assert broadcast == joined and len(broadcast) > 0
+
+
+def test_near_dup_clusters_exact_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_near_dup_clusters_exact, q_prefix_jaccard_pairs)
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in q_prefix_jaccard_pairs(sf).take_all()]
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in q_near_dup_clusters_exact(sf).take_all()}
+    # union-find ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in pairs:
+        for v in (a, b):
+            want[v] = min(want.get(v, v), find(v))
+    # normalize: label = min node of component
+    comp = {}
+    for v in want:
+        comp.setdefault(find(v), []).append(v)
+    expect = {v: min(vs) for r, vs in comp.items() for v in vs}
+    assert out == expect and len(out) > 0
+    # every cluster has >= 2 members (only pair-touched nodes emitted)
+    from collections import Counter
+    sizes = Counter(out.values())
+    assert min(sizes.values()) >= 2

@@ -1015,7 +1015,72 @@ WHERE a.vec_id < a.neighbor_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: near_dup_clusters_exact — transitive closure of the EXACT τ=0.7
+# set-similarity pairs: the end-to-end "which documents are redundant
+# together" surface (dup_clusters' exact-complement twin — that one
+# clusters a heuristic adjacent-pair graph; this one clusters the
+# provably-complete prefix-filter join).
+
+
+def q_near_dup_clusters_exact(sf_dir: str) -> Dataset:
+    """(doc_id, cluster_id) for every document in ≥1 exact near-dup
+    pair; cluster_id = min doc id of the component (hash-to-min +
+    pointer jumping, `ops/cc.connected_components` — O(log d) rounds
+    of int64-pair shuffles over the PAIR-TOUCHED node set only)."""
+    from ..ops.cc import connected_components
+
+    pairs = q_prefix_jaccard_pairs(sf_dir).select_columns(
+        ["doc_a", "doc_b"]
+    ).materialize()
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(np.concatenate([a, b])))}
+        )
+
+    from ..stages.salted import partial_count
+
+    nodes = partial_count(
+        pairs.map_batches(nodes_of, batch_format="pyarrow"), ["node"],
+        out="_n",
+    ).select_columns(["node"])
+    labels = connected_components(
+        nodes, pairs, node_col="node", src_col="doc_a", dst_col="doc_b"
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "cluster_id"])
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def _near_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs0 AS ({SQL_PREFIX_JACCARD_PAIRS.strip()}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs0
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs0
+),
+ns AS (SELECT DISTINCT a AS node FROM und),
+reach(node, label) AS (
+  SELECT node, node FROM ns
+  UNION
+  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+SQL_NEAR_DUP_CLUSTERS_EXACT = _near_dup_clusters_sql()
+
+
 TRAININGDATA_QUERIES = {
+    "near_dup_clusters_exact": q_near_dup_clusters_exact,
     "mutual_knn_pairs": q_mutual_knn_pairs,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "doc_stats": q_doc_stats,
@@ -1035,6 +1100,7 @@ TRAININGDATA_QUERIES = {
 }
 
 TRAININGDATA_ORACLES = {
+    "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "mutual_knn_pairs": SQL_MUTUAL_KNN_PAIRS,
     "prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS,
     "doc_stats": SQL_DOC_STATS,
