@@ -1814,3 +1814,35 @@ def test_join_skew_audit_bruteforce(ray_session):
         assert len(merged) == ss
         # Cauchy-Schwarz sanity: n²/d ≤ Σc² ≤ n·max
         assert r.n_rows ** 2 / r.n_distinct <= ss <= r.n_rows * r.max_freq
+
+
+def test_range_partition_audit_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        RPA_K, RPA_SAMPLE_MOD, RPA_SAMPLE_THR, q_range_partition_audit)
+
+    out = q_range_partition_audit(SF).to_pandas().set_index("boundary")
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pandas()
+    cents = np.sort(np.round(orders.o_totalprice.to_numpy() * 100)
+                    .astype(np.int64))
+    samp_mask = (orders.o_orderkey.to_numpy() * 2654435761) \
+        % RPA_SAMPLE_MOD < RPA_SAMPLE_THR
+    samp = np.sort(np.round(
+        orders.o_totalprice.to_numpy()[samp_mask] * 100).astype(np.int64))
+    n, ns = len(cents), len(samp)
+    assert ns > 0
+    for i in range(1, RPA_K):
+        r = out.loc[i]
+        exact_v = cents[(i * n + RPA_K - 1) // RPA_K - 1]
+        assert r.exact_v == exact_v
+        samp_v = samp[(i * ns + RPA_K - 1) // RPA_K - 1]
+        assert r.sampled_v == samp_v
+        rank = int((cents <= samp_v).sum())
+        assert r.sampled_rank == rank
+        assert r.rank_err_scaled == abs(RPA_K * rank - i * n)
+        # quantile-from-sample error is O(1/sqrt(ns)) — scale-aware bound
+        assert r.rank_err_scaled <= RPA_K * n * 4.0 / np.sqrt(ns)
+    # boundaries must be nondecreasing in i on both columns
+    assert (np.diff(out.exact_v.to_numpy()) >= 0).all()
+    assert (np.diff(out.sampled_v.to_numpy()) >= 0).all()

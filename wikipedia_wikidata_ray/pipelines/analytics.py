@@ -5582,7 +5582,124 @@ FROM (SELECT {col} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)""")
 SQL_JOIN_SKEW_AUDIT = _skew_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: range_partition_audit — how good are SAMPLE-based range-partition
+# boundaries versus exact quantiles? (Range sort engines — Ray Data's
+# included — pick boundaries from a sample; this op measures the rank
+# error that choice costs, on the engine's own data.)
+
+RPA_K = 8  # partition count
+RPA_SAMPLE_MOD = 1_000_003
+RPA_SAMPLE_THR = 10_000  # ≈1% deterministic hash sample
+
+
+def q_range_partition_audit(sf_dir: str) -> Dataset:
+    """For each interior boundary i of an {RPA_K}-way range partition
+    of o_totalprice cents: the exact quantile boundary (1-based
+    element at ⌈i·n/K⌉ — the PERCENTILE_DISC rule), the boundary the
+    deterministic 1% hash sample would pick, the sampled boundary's
+    TRUE rank, and the scaled rank error |K·rank − i·n| (exact
+    integers; /(K·n) gives the fractional skew a partition would
+    inherit).
+
+    Distributed: ONE money-domain-bounded merge of (cent → n,
+    n_sampled) count partials (the trimmed-mean movement profile);
+    every boundary falls out of two cumulative scans of the pulled
+    value histogram. No row-level sort anywhere."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = _cents(t.column("o_totalprice")).to_numpy(
+            zero_copy_only=False
+        )
+        samp = (
+            (key * 2654435761) % RPA_SAMPLE_MOD < RPA_SAMPLE_THR
+        ).astype(np.int64)
+        g = pa.table(
+            {
+                "v": pa.array(cents, type=pa.int64()),
+                "n": pa.array(np.ones(len(key), dtype=np.int64)),
+                "ns": pa.array(samp),
+            }
+        ).group_by(["v"]).aggregate([("n", "sum"), ("ns", "sum")])
+        return g.rename_columns(["v", "n", "ns"])
+
+    hist = _pull_merged(
+        merge_group_sums(
+            orders.map_batches(partials, batch_format="pyarrow"),
+            ["v"], ["n", "ns"],
+        ),
+        ["v", "n", "ns"],
+    ).sort_by("v")
+    v = hist.column("v").to_numpy(zero_copy_only=False)
+    cn = np.cumsum(hist.column("n").to_numpy(zero_copy_only=False))
+    cs = np.cumsum(hist.column("ns").to_numpy(zero_copy_only=False))
+    n, ns = int(cn[-1]), int(cs[-1])
+    rows = {"boundary": [], "exact_v": [], "sampled_v": [],
+            "sampled_rank": [], "rank_err_scaled": []}
+    for i in range(1, RPA_K):
+        # PERCENTILE_DISC: 1-based element at ceil(i*n/K) — the
+        # non-negative ceil form (DuckDB // truncates on negatives)
+        r_exact = (i * n + RPA_K - 1) // RPA_K
+        exact_v = int(v[np.searchsorted(cn, r_exact, side="left")])
+        r_samp = (i * ns + RPA_K - 1) // RPA_K
+        samp_v = int(v[np.searchsorted(cs, r_samp, side="left")])
+        rank = int(cn[np.searchsorted(v, samp_v, side="left")])
+        rows["boundary"].append(i)
+        rows["exact_v"].append(exact_v)
+        rows["sampled_v"].append(samp_v)
+        rows["sampled_rank"].append(rank)
+        rows["rank_err_scaled"].append(abs(RPA_K * rank - i * n))
+    return rd.from_arrow(
+        pa.table({k: pa.array(x, type=pa.int64()) for k, x in rows.items()})
+    )
+
+
+SQL_RANGE_PARTITION_AUDIT = f"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         COUNT(*) AS n,
+         SUM(CASE WHEN (o_orderkey * 2654435761) % {RPA_SAMPLE_MOD}
+                       < {RPA_SAMPLE_THR} THEN 1 ELSE 0 END) AS ns
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT v, n, ns,
+         SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cn,
+         SUM(ns) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cs
+  FROM c
+),
+tot AS (SELECT SUM(n) AS n, SUM(ns) AS ns FROM c),
+b(i) AS (SELECT UNNEST(generate_series(1, {RPA_K - 1}))),
+ex AS (
+  SELECT b.i, MIN(w.v) AS exact_v
+  FROM b, tot JOIN w ON w.cn >= (b.i * tot.n + {RPA_K} - 1) // {RPA_K}
+  GROUP BY 1
+),
+sp AS (
+  SELECT b.i, MIN(w.v) AS sampled_v
+  FROM b, tot JOIN w ON w.cs >= (b.i * tot.ns + {RPA_K} - 1) // {RPA_K}
+  GROUP BY 1
+),
+rk AS (
+  SELECT sp.i, sp.sampled_v, w.cn AS sampled_rank
+  FROM sp JOIN w ON w.v = sp.sampled_v
+)
+SELECT CAST(ex.i AS BIGINT) AS boundary,
+       CAST(ex.exact_v AS BIGINT) AS exact_v,
+       CAST(rk.sampled_v AS BIGINT) AS sampled_v,
+       CAST(rk.sampled_rank AS BIGINT) AS sampled_rank,
+       CAST(ABS({RPA_K} * rk.sampled_rank - ex.i * tot.n) AS BIGINT)
+         AS rank_err_scaled
+FROM ex JOIN rk ON rk.i = ex.i, tot
+"""
+
+
 ANALYTICS_QUERIES = {
+    "range_partition_audit": q_range_partition_audit,
     "join_skew_audit": q_join_skew_audit,
     "linear_counting_users": q_linear_counting_users,
     "ams_f2_users": q_ams_f2_users,
@@ -5636,6 +5753,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "range_partition_audit": SQL_RANGE_PARTITION_AUDIT,
     "join_skew_audit": SQL_JOIN_SKEW_AUDIT,
     "linear_counting_users": SQL_LINEAR_COUNTING_USERS,
     "ams_f2_users": SQL_AMS_F2_USERS,
