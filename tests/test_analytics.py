@@ -1846,3 +1846,38 @@ def test_range_partition_audit_bruteforce(ray_session):
     # boundaries must be nondecreasing in i on both columns
     assert (np.diff(out.exact_v.to_numpy()) >= 0).all()
     assert (np.diff(out.sampled_v.to_numpy()) >= 0).all()
+
+
+def test_consistent_hash_balance_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        CH_M, CH_REPLICAS, CH_WORKERS, q_consistent_hash_balance)
+
+    out = q_consistent_hash_balance(SF).to_pandas().set_index("worker")
+    uid = pq.read_table(f"{SF}/events.parquet",
+                        columns=["user_id"]).column("user_id").to_numpy()
+    i = np.arange(CH_WORKERS * CH_REPLICAS, dtype=np.int64)
+    vh = ((i + 1) * 2654435761) % CH_M
+    vw = i // CH_REPLICAS
+    order = np.lexsort((vw, vh))
+    ring_h, ring_w = vh[order], vw[order]
+
+    def assign(u):
+        hk = ((u + 1) * 2654435761) % CH_M
+        p = int(np.searchsorted(ring_h, hk, side="left"))
+        return int(ring_w[0 if p == len(ring_h) else p])
+
+    users = {}
+    events = {}
+    for u in uid:
+        w = assign(int(u))
+        events[w] = events.get(w, 0) + 1
+        users.setdefault(w, set()).add(int(u))
+    assert set(out.index) == set(events)
+    for w in events:
+        r = out.loc[w]
+        assert r.n_events == events[w]
+        assert r.n_users == len(users[w])
+        assert r.n_vnodes == CH_REPLICAS
+    # conservation: every event and user lands on exactly one worker
+    assert out.n_events.sum() == len(uid)
+    assert out.n_users.sum() == len(np.unique(uid))

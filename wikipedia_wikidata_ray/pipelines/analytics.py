@@ -5698,7 +5698,120 @@ FROM ex JOIN rk ON rk.i = ex.i, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: consistent_hash_balance — load-balance audit of a consistent-hash
+# ring (the stateful-shard placement scheme actor routers use): W
+# workers × R virtual nodes, keys walk clockwise to the next vnode.
+
+CH_WORKERS = 8
+CH_REPLICAS = 8
+CH_M = 4_294_967_296  # 2^32 ring positions
+
+
+def q_consistent_hash_balance(sf_dir: str) -> Dataset:
+    """Per worker: vnode count, assigned events, assigned distinct
+    users — quantifying the imbalance R virtual nodes leave (stddev ~
+    1/√R of mean). Ring positions and key hashes are the house
+    multiplicative closed form mod 2³²; assignment = first vnode ≥
+    key hash (wrap to the ring minimum), ties by (position, worker).
+
+    Distributed: the 64-entry ring broadcasts (a constant); per batch
+    ONE searchsorted assigns every event; (worker, user) distinct
+    partials → one merge → per-worker fold. The audit's movement is
+    user-space-bounded."""
+    vw = np.repeat(np.arange(CH_WORKERS, dtype=np.int64), CH_REPLICAS)
+    vr = np.tile(np.arange(CH_REPLICAS, dtype=np.int64), CH_WORKERS)
+    vh = ((vw * CH_REPLICAS + vr + 1) * 2654435761) % CH_M
+    order = np.lexsort((vw, vh))
+    ring_h, ring_w = vh[order], vw[order]
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        hk = ((uid + 1) * 2654435761) % CH_M
+        pos = np.searchsorted(ring_h, hk, side="left")
+        pos = np.where(pos == len(ring_h), 0, pos)  # wrap
+        g = pa.table(
+            {
+                "worker": pa.array(ring_w[pos], type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "n": pa.array(np.ones(len(uid), dtype=np.int64)),
+            }
+        ).group_by(["worker", "user_id"]).aggregate([("n", "sum")])
+        return g.rename_columns(["worker", "user_id", "n"])
+
+    merged = merge_group_sums(
+        events.map_batches(partials, batch_format="pyarrow"),
+        ["worker", "user_id"], ["n"],
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "worker": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        g = pa.table(
+            {
+                "worker": t["worker"],
+                "n_users": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_events": t["n"],
+            }
+        ).group_by(["worker"]).aggregate(
+            [("n_users", "sum"), ("n_events", "sum")]
+        )
+        return g.rename_columns(["worker", "n_users", "n_events"])
+
+    per_worker = merge_group_sums(
+        merged.map_batches(fold, batch_format="pyarrow"),
+        ["worker"], ["n_users", "n_events"],
+    )
+    vcount = np.bincount(ring_w, minlength=CH_WORKERS).astype(np.int64)
+
+    def attach_vnodes(t: pa.Table) -> pa.Table:
+        w = t.column("worker").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "n_vnodes", pa.array(vcount[w], type=pa.int64())
+        )
+
+    return per_worker.map_batches(attach_vnodes, batch_format="pyarrow")
+
+
+SQL_CONSISTENT_HASH_BALANCE = f"""
+WITH vn AS (
+  SELECT (i.i // {CH_REPLICAS}) AS w,
+         ((i.i + 1) * 2654435761) % {CH_M} AS h
+  FROM range(0, {CH_WORKERS * CH_REPLICAS}) i(i)
+),
+uh AS (
+  SELECT user_id, COUNT(*) AS n,
+         ((user_id + 1) * 2654435761) % {CH_M} AS hk
+  FROM events GROUP BY 1, 3
+),
+asg AS (
+  SELECT u.user_id, u.n,
+         COALESCE(
+           (SELECT v.w FROM vn v WHERE v.h >= u.hk
+            ORDER BY v.h, v.w LIMIT 1),
+           (SELECT v.w FROM vn v ORDER BY v.h, v.w LIMIT 1)
+         ) AS worker
+  FROM uh u
+)
+SELECT CAST(worker AS BIGINT) AS worker,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST((SELECT COUNT(*) FROM vn WHERE vn.w = asg.worker) AS BIGINT)
+         AS n_vnodes
+FROM asg GROUP BY worker
+"""
+
+
 ANALYTICS_QUERIES = {
+    "consistent_hash_balance": q_consistent_hash_balance,
     "range_partition_audit": q_range_partition_audit,
     "join_skew_audit": q_join_skew_audit,
     "linear_counting_users": q_linear_counting_users,
@@ -5753,6 +5866,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "consistent_hash_balance": SQL_CONSISTENT_HASH_BALANCE,
     "range_partition_audit": SQL_RANGE_PARTITION_AUDIT,
     "join_skew_audit": SQL_JOIN_SKEW_AUDIT,
     "linear_counting_users": SQL_LINEAR_COUNTING_USERS,
