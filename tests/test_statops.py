@@ -367,3 +367,19 @@ def test_metro_midpoints_bruteforce(ray_session):
         # cluster is ±0.1°, far from any wraparound)
         assert lat[sel].min() - 1e-6 <= r["mid_lat_e8"] / 1e8 <= lat[sel].max() + 1e-6
         assert lon[sel].min() - 1e-6 <= r["mid_lon_e8"] / 1e8 <= lon[sel].max() + 1e-6
+
+
+def test_forecast_baseline_eval_bruteforce(ray_session):
+    row = statops.q_forecast_baseline_eval(SF).take_all()[0]
+    _, c = _spine()
+    y = c.astype(np.int64)
+    n_eval = len(y) - 24
+    e1 = int(np.abs(y[24:] - y[23:-1]).sum())
+    e24 = int(np.abs(y[24:] - y[:-24]).sum())
+    assert row["n_evals"] == n_eval
+    assert row["abs_err_naive"] == e1
+    assert row["abs_err_seasonal"] == e24
+    assert row["mae_naive_e8"] == (2 * e1 * 10**8 + n_eval) // (2 * n_eval)
+    assert row["seasonal_wins"] == int(e24 < e1)
+    # a persistence forecast of a positive series has MAE below 2x mean
+    assert row["mae_naive_e8"] / 1e8 < 2 * y.mean()

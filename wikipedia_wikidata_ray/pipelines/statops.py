@@ -1584,11 +1584,78 @@ FROM u
 SQL_DP_NOISY_COUNTS = _dp_sql()
 
 
+# ---------------------------------------------------------------------------
+# Q: forecast_baseline_eval — one-step-ahead backtest of the two
+# canonical baselines on the hourly volume series: naive (ŷₜ = yₜ₋₁)
+# vs seasonal-naive (ŷₜ = yₜ₋₂₄). Any real forecasting deployment must
+# beat these; this op computes their exact MAE numerators.
+
+
+def q_forecast_baseline_eval(sf_dir: str) -> Dataset:
+    """Over the dense zero-filled hourly spine, for t ≥ 24: Σ|yₜ−yₜ₋₁|
+    and Σ|yₜ−yₜ₋₂₄| as exact integers, the eval count, and the e8
+    MAEs via the exact floored half-up identity. seasonal_wins = 1
+    when the seasonal-naive absolute-error sum is strictly smaller
+    (pure integer comparison). Movement: the hourly count merge only
+    (the ACF/CUSUM profile)."""
+    spine, full = _hourly_spine(sf_dir)
+    y = full.astype(np.int64)
+    n_eval = len(y) - 24
+    e_naive = int(np.abs(y[24:] - y[23:-1]).sum())
+    e_seas = int(np.abs(y[24:] - y[:-24]).sum())
+    mae = [
+        (2 * e * 10**8 + n_eval) // (2 * n_eval) for e in (e_naive, e_seas)
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_evals": pa.array([n_eval], type=pa.int64()),
+                "abs_err_naive": pa.array([e_naive], type=pa.int64()),
+                "abs_err_seasonal": pa.array([e_seas], type=pa.int64()),
+                "mae_naive_e8": pa.array([mae[0]], type=pa.int64()),
+                "mae_seasonal_e8": pa.array([mae[1]], type=pa.int64()),
+                "seasonal_wins": pa.array(
+                    [int(e_seas < e_naive)], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+SQL_FORECAST_BASELINE_EVAL = f"""
+WITH {SQL_SPINE_CTE.strip()},
+l AS (
+  SELECT hour, n,
+         LAG(n, 1) OVER (ORDER BY hour) AS p1,
+         LAG(n, 24) OVER (ORDER BY hour) AS p24,
+         ROW_NUMBER() OVER (ORDER BY hour) AS rn
+  FROM x
+),
+e AS (
+  SELECT COUNT(*) AS n_evals,
+         SUM(ABS(n - p1)) AS e1,
+         SUM(ABS(n - p24)) AS e24
+  FROM l WHERE rn > 24
+)
+SELECT CAST(n_evals AS BIGINT) AS n_evals,
+       CAST(e1 AS BIGINT) AS abs_err_naive,
+       CAST(e24 AS BIGINT) AS abs_err_seasonal,
+       CAST((2 * e1 * 100000000 + n_evals) // (2 * n_evals) AS BIGINT)
+         AS mae_naive_e8,
+       CAST((2 * e24 * 100000000 + n_evals) // (2 * n_evals) AS BIGINT)
+         AS mae_seasonal_e8,
+       CAST(CASE WHEN e24 < e1 THEN 1 ELSE 0 END AS BIGINT)
+         AS seasonal_wins
+FROM e
+"""
+
+
 STATOPS_QUERIES = {
     "ols_normal_equations": q_ols_normal_equations,
     "seasonal_residual_outliers": q_seasonal_residual_outliers,
     "event_type_fano": q_event_type_fano,
     "dp_noisy_counts": q_dp_noisy_counts,
+    "forecast_baseline_eval": q_forecast_baseline_eval,
     "gini_best_split": q_gini_best_split,
     "poisson_bootstrap_means": q_poisson_bootstrap_means,
     "welch_ttest_segments": q_welch_ttest_segments,
@@ -1606,6 +1673,7 @@ STATOPS_ORACLES = {
     "seasonal_residual_outliers": SQL_SEASONAL_RESIDUAL_OUTLIERS,
     "event_type_fano": SQL_EVENT_TYPE_FANO,
     "dp_noisy_counts": SQL_DP_NOISY_COUNTS,
+    "forecast_baseline_eval": SQL_FORECAST_BASELINE_EVAL,
     "gini_best_split": SQL_GINI_BEST_SPLIT,
     "poisson_bootstrap_means": SQL_POISSON_BOOTSTRAP_MEANS,
     "welch_ttest_segments": SQL_WELCH_TTEST_SEGMENTS,
