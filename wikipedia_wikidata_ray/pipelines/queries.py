@@ -6255,7 +6255,143 @@ FROM nb GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: square_counts — 4-cycle census over the link graph (the motif one
+# step past triangles; squares dominate bipartite-ish link structures
+# that triangles miss entirely).
+
+
+def q_square_counts(sf_dir: str) -> Dataset:
+    """Global square (4-cycle) count via the wedge-pair identity:
+    with w(a,b) = #common neighbors of the unordered pair (a,b),
+    #squares = Σ C(w,2) / 2 (each 4-cycle is counted once per
+    diagonal). Wedges enumerate per APEX on the sorted-run idiom (each
+    node's full neighbor list co-locates by sorting the BOTH-DIRECTION
+    edge list on src — hub apexes fan out deg² wedge keys, the
+    documented cost of exact motif counting; the sampling/orientation
+    cut for hub-heavy graphs is the degree-oriented wedge bound of
+    `_closed_triangle_wedges`, named fallback). ONE pair-keyed count
+    merge; the Σ C(w,2) fold is pair-bounded."""
+    from ..ops.runs import run_starts, sorted_group_apply
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    assert n_docs < (1 << 31)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([lo, hi])),
+                "dst": pa.array(np.concatenate([hi, lo])),
+            }
+        )
+
+    und = edges.map_batches(both_dirs, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "pkey": pa.array([], type=pa.int64()),
+            "w": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def wedge_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        n = len(src)
+        starts = run_starts([src])
+        run_start_idx = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        local = np.arange(n) - run_start_idx
+        total = int(local.sum())
+        if total == 0:
+            return empty
+        b_idx = np.repeat(np.arange(n), local)
+        offsets = np.concatenate(([0], np.cumsum(local)))[:-1]
+        a_idx = (
+            np.arange(total)
+            - np.repeat(offsets, local)
+            + np.repeat(run_start_idx, local)
+        )
+        a = dst[a_idx]  # a < b by the in-run dst sort
+        b = dst[b_idx]
+        g = pa.table(
+            {
+                "pkey": pa.array(a * (1 << 31) + b),
+                "w": pa.array(np.ones(total, dtype=np.int64)),
+            }
+        ).group_by(["pkey"]).aggregate([("w", "sum")])
+        return g.rename_columns(["pkey", "w"])
+
+    wedge_counts = merge_group_sums(
+        sorted_group_apply(und, ["src"], wedge_block), ["pkey"], ["w"]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n_pairs": pa.array([len(w)], type=pa.int64()),
+                "n_wedges": pa.array([int(w.sum())], type=pa.int64()),
+                "cc2": pa.array(
+                    [int((w * (w - 1) // 2).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    totals = merge_group_sums(
+        wedge_counts.map_batches(fold, batch_format="pyarrow"),
+        ["k"], ["n_pairs", "n_wedges", "cc2"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cc2 = t.column("cc2")
+        return pa.table(
+            {
+                "n_pairs": t.column("n_pairs"),
+                "n_wedges": t.column("n_wedges"),
+                "n_squares": pc.divide(cc2, pa.scalar(2)),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SQUARE_COUNTS = """
+WITH n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+und AS (
+  SELECT a AS v, b AS w FROM e0 UNION ALL SELECT b, a FROM e0
+),
+wg AS (
+  SELECT w1.w AS a, w2.w AS b, COUNT(*) AS cnt
+  FROM und w1 JOIN und w2 ON w1.v = w2.v AND w1.w < w2.w
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(cnt) AS BIGINT) AS n_wedges,
+       CAST(SUM(cnt * (cnt - 1) // 2) // 2 AS BIGINT) AS n_squares
+FROM wg
+"""
+
+
 QUERIES = {
+    "square_counts": q_square_counts,
     "avg_neighbor_degree": q_avg_neighbor_degree,
     "metro_midpoints": q_metro_midpoints,
     "edge_triangle_support": q_edge_triangle_support,
@@ -6341,6 +6477,7 @@ QUERIES.update(ANALYTICS_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
+    "square_counts": SQL_SQUARE_COUNTS,
     "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
     "metro_midpoints": SQL_METRO_MIDPOINTS,
     "edge_triangle_support": SQL_EDGE_TRIANGLE_SUPPORT,
