@@ -81,6 +81,30 @@ def main() -> int:
         .materialize().count(),
         "linear_counting_users": lambda: an.q_linear_counting_users(sf_dir)
         .materialize().count(),
+        "dp_noisy_counts": lambda: st.q_dp_noisy_counts(sf_dir)
+        .materialize().count(),
+        "forecast_baseline_eval": lambda: st.q_forecast_baseline_eval(sf_dir)
+        .materialize().count(),
+        "join_skew_audit": lambda: an.q_join_skew_audit(sf_dir)
+        .materialize().count(),
+        "range_partition_audit": lambda: an.q_range_partition_audit(sf_dir)
+        .materialize().count(),
+        "consistent_hash_balance": lambda:
+        an.q_consistent_hash_balance(sf_dir).materialize().count(),
+        "metro_midpoints": lambda: qq.q_metro_midpoints(sf_dir)
+        .materialize().count(),
+        "avg_neighbor_degree": lambda: qq.q_avg_neighbor_degree(sf_dir)
+        .materialize().count(),
+        "square_counts": lambda: qq.q_square_counts(sf_dir)
+        .materialize().count(),
+        "media_dhash": lambda: tm.q_media_dhash(sf_dir)
+        .materialize().count(),
+        "audio_energy_hash": lambda: tm.q_audio_energy_hash(sf_dir)
+        .materialize().count(),
+        "mutual_knn_pairs": lambda: td.q_mutual_knn_pairs(sf_dir)
+        .materialize().count(),
+        "near_dup_clusters_exact": lambda:
+        td.q_near_dup_clusters_exact(sf_dir).materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
