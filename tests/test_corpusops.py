@@ -386,3 +386,43 @@ def test_cdc_chunk_dedup_bruteforce(ray_session):
     # the shared-phrase corpus must produce cross-doc duplicate chunks
     assert row["total_chunks"] > len(texts)
     assert row["dup_chunks"] > 0
+
+
+def test_distinctive_terms_logodds_bruteforce(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import (
+        LOGODDS_ALPHA, LOGODDS_K, q_distinctive_terms_logodds)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_distinctive_terms_logodds(sf).to_pandas()
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["text", "source"]).to_pandas()
+    ya, yb = {}, {}
+    for t, s in zip(docs.text, docs.source):
+        d = ya if int(s[3:]) < 10 else yb
+        for w in t.split(" "):
+            d[w] = d.get(w, 0) + 1
+    vocab = set(ya) | set(yb)
+    na, nb, v = sum(ya.values()), sum(yb.values()), len(vocab)
+    a = LOGODDS_ALPHA
+    av = a * v
+
+    def z(w):
+        A, B = ya.get(w, 0), yb.get(w, 0)
+        da = math.log((A + a) / (na + av - A - a))
+        db = math.log((B + a) / (nb + av - B - a))
+        return (da - db) / math.sqrt(1.0 / (A + a) + 1.0 / (B + a))
+
+    scored = sorted(vocab, key=lambda w: (-z(w), w))[:LOGODDS_K]
+    assert list(out.sort_values("rank").token) == scored
+    for r in out.itertuples():
+        assert r.y_a == ya.get(r.token, 0)
+        assert r.y_b == yb.get(r.token, 0)
+        assert abs(r.z_e10 / 1e10 - z(r.token)) < 1e-8
+        # A-distinctive terms must actually be relatively MORE frequent
+        # in A (per-token rate, the semantic check)
+        assert (r.y_a + a) * (nb + av) > (r.y_b + a) * (na + av) * 0.5
+    assert len(out) == LOGODDS_K

@@ -754,7 +754,180 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: distinctive_terms_logodds — Monroe/Colaresi/Quinn "Fightin' Words"
+# log-odds with a Dirichlet prior: the statistically-grounded answer to
+# "which words distinguish corpus half A from half B" (raw frequency
+# ratios over-weight rare words; the z-scored log-odds does not).
+
+LOGODDS_ALPHA = 1.0
+LOGODDS_K = 20
+
+
+def q_distinctive_terms_logodds(sf_dir: str) -> Dataset:
+    """Top-{LOGODDS_K} terms by z-scored Dirichlet log-odds for group
+    A (sources src0–src9) vs B (src10–src19): δ_t = ln((y_At+α)/(n_A+
+    αV−y_At−α)) − ln((y_Bt+α)/(n_B+αV−y_Bt−α)), z = δ/√(1/(y_At+α)+
+    1/(y_Bt+α)) — LN/SQRT are in the bitwise parity family and every
+    input is an exact integer count, so z_e10 matches the SQL twin
+    term-for-term. Ranking is (z_e10 desc, token) — integer ranking,
+    the round-5 rule.
+
+    Distributed: (token, grp) occurrence partials → ONE vocab-bounded
+    merge; totals fold to 2+1 scalars; the top-k rides grouped_topk's
+    block-local k-prune (the vocabulary never co-locates)."""
+    from ..ops.topk import grouped_topk
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pylist()
+        grp = np.array([0 if int(x[3:]) < 10 else 1 for x in src],
+                       dtype=np.int64)
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten()
+        di = np.repeat(np.arange(len(src), dtype=np.int64), np.diff(offs))
+        g_tok = grp[di]
+        g = pa.table(
+            {
+                "token": flat,
+                "y_a": pa.array((g_tok == 0).astype(np.int64)),
+                "y_b": pa.array((g_tok == 1).astype(np.int64)),
+            }
+        ).group_by(["token"]).aggregate([("y_a", "sum"), ("y_b", "sum")])
+        return g.rename_columns(["token", "y_a", "y_b"])
+
+    counts = merge_group_sums(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        ["token"], ["y_a", "y_b"],
+    ).materialize()
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        ya = t.column("y_a").to_numpy(zero_copy_only=False)
+        yb = t.column("y_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "na": pa.array([int(ya.sum())], type=pa.int64()),
+                "nb": pa.array([int(yb.sum())], type=pa.int64()),
+                "v": pa.array([len(ya)], type=pa.int64()),
+            }
+        )
+
+    totals = _pull_merged_local(
+        merge_group_sums(
+            counts.map_batches(tot_partial, batch_format="pyarrow"),
+            ["k"], ["na", "nb", "v"],
+        ),
+        ["k", "na", "nb", "v"],
+    )
+    n_a = int(totals.column("na")[0].as_py())
+    n_b = int(totals.column("nb")[0].as_py())
+    v_size = int(totals.column("v")[0].as_py())
+    a = LOGODDS_ALPHA
+    av = a * v_size
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "y_a": pa.array([], type=pa.int64()),
+                    "y_b": pa.array([], type=pa.int64()),
+                    "z_e10": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        ya = t.column("y_a").to_numpy(zero_copy_only=False)
+        yb = t.column("y_b").to_numpy(zero_copy_only=False)
+        da = np.log((ya + a) / (n_a + av - ya - a))
+        db = np.log((yb + a) / (n_b + av - yb - a))
+        z = (da - db) / np.sqrt(1.0 / (ya + a) + 1.0 / (yb + a))
+        return pa.table(
+            {
+                "token": pc.cast(t["token"], pa.string()),
+                "y_a": pa.array(ya, type=pa.int64()),
+                "y_b": pa.array(yb, type=pa.int64()),
+                "z_e10": pa.array(
+                    np.round(z * 1e10).astype(np.int64), type=pa.int64()
+                ),
+                "c": pa.array(np.zeros(len(ya), dtype=np.int64)),
+            }
+        )
+
+    scored = counts.map_batches(score, batch_format="pyarrow")
+    top = grouped_topk(
+        scored, ["c"], [("z_e10", False), ("token", True)], LOGODDS_K,
+        rank_col="rank",
+    )
+
+    def drop_c(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["c"])
+
+    return top.map_batches(drop_c, batch_format="pyarrow")
+
+
+def _pull_merged_local(ds: Dataset, cols: list[str]) -> pa.Table:
+    from .analytics import _pull_merged
+
+    return _pull_merged(ds, cols)
+
+
+SQL_DISTINCTIVE_TERMS_LOGODDS = f"""
+WITH toks AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+              THEN 0 ELSE 1 END AS grp,
+         UNNEST(string_split(text, ' ')) AS token
+  FROM documents
+),
+c AS (SELECT token, grp, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+tot AS (
+  SELECT SUM(CASE WHEN grp = 0 THEN n ELSE 0 END) AS na,
+         SUM(CASE WHEN grp = 1 THEN n ELSE 0 END) AS nb,
+         COUNT(DISTINCT token) AS v
+  FROM c
+),
+p AS (
+  SELECT token,
+         SUM(CASE WHEN grp = 0 THEN n ELSE 0 END) AS y_a,
+         SUM(CASE WHEN grp = 1 THEN n ELSE 0 END) AS y_b
+  FROM c GROUP BY 1
+),
+z AS (
+  SELECT p.token, p.y_a, p.y_b,
+         CAST(ROUND((
+           (LN((p.y_a + {LOGODDS_ALPHA!r})
+               / (tot.na + {LOGODDS_ALPHA!r} * tot.v - p.y_a
+                  - {LOGODDS_ALPHA!r}))
+          - LN((p.y_b + {LOGODDS_ALPHA!r})
+               / (tot.nb + {LOGODDS_ALPHA!r} * tot.v - p.y_b
+                  - {LOGODDS_ALPHA!r})))
+          / SQRT(1.0 / (p.y_a + {LOGODDS_ALPHA!r})
+               + 1.0 / (p.y_b + {LOGODDS_ALPHA!r}))
+         ) * 1e10) AS BIGINT) AS z_e10
+  FROM p, tot
+)
+SELECT token, CAST(y_a AS BIGINT) AS y_a, CAST(y_b AS BIGINT) AS y_b,
+       z_e10,
+       CAST(ROW_NUMBER() OVER (ORDER BY z_e10 DESC, token) AS BIGINT)
+         AS rank
+FROM z
+ORDER BY z_e10 DESC, token
+LIMIT {LOGODDS_K}
+"""
+
+
 CORPUSOPS_QUERIES = {
+    "distinctive_terms_logodds": q_distinctive_terms_logodds,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "phrase_match_counts": q_phrase_match_counts,
     "vocab_topk": q_vocab_topk,
@@ -768,6 +941,7 @@ CORPUSOPS_QUERIES = {
 
 CORPUSOPS_ORACLES = {
     "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
+    "distinctive_terms_logodds": SQL_DISTINCTIVE_TERMS_LOGODDS,
     "phrase_match_counts": SQL_PHRASE_MATCH_COUNTS,
     "vocab_topk": SQL_VOCAB_TOPK,
     "bigram_pmi": SQL_BIGRAM_PMI,
