@@ -548,3 +548,27 @@ def test_square_counts_bruteforce(ray_session):
     # direct quadrilateral enumeration on a vertex subset cross-checks
     # the identity (full enumeration is quartic; the identity is the op)
     assert row["n_squares"] > 0
+
+
+def test_log_compaction_bruteforce(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_log_compaction)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_log_compaction(sf).to_pandas().set_index(
+        ["user_id", "event_type"])
+    ev = pq.read_table(sf + "/events.parquet").to_pandas()
+    ev["ts_us"] = ev.ts.astype("int64")
+    want = ev.sort_values(["ts_us", "event_id"]).groupby(
+        ["user_id", "event_type"]).last()
+    assert len(out) == len(want)
+    for key, w in want.iterrows():
+        r = out.loc[key]
+        assert r.last_ts_us == w.ts_us
+        assert r.last_event_id == w.event_id
+        assert r.last_value_e2 == int(np.round(w.value * 100))
+    # compaction is a projection of the stream: one row per live key
+    assert len(out) == ev.groupby(["user_id", "event_type"]).ngroups

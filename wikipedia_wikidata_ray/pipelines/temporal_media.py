@@ -3595,3 +3595,100 @@ FROM bits GROUP BY 1
 
 TEMPORAL_MEDIA_QUERIES["audio_energy_hash"] = q_audio_energy_hash
 TEMPORAL_MEDIA_ORACLES["audio_energy_hash"] = SQL_AUDIO_ENERGY_HASH
+
+
+# ---------------------------------------------------------------------------
+# Q: log_compaction — CDC/Kafka-style log compaction: treat the event
+# stream as upserts keyed (user, type) and keep each key's LATEST
+# record (the materialize-a-changelog primitive).
+
+
+def q_log_compaction(sf_dir: str) -> Dataset:
+    """Per (user_id, event_type): the last event's (ts, event_id,
+    value cents) under the (ts, event_id) order — one range sort via
+    ``sorted_group_apply``, last row of each complete run, coalesced
+    edge block; zero joins. The SQL twin is the standard QUALIFY
+    rn = 1 DESC window."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.runs import sorted_group_apply
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"],
+                "value_e2": pc.cast(
+                    pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "last_ts_us": pa.array([], type=pa.int64()),
+            "last_event_id": pa.array([], type=pa.int64()),
+            "last_value_e2": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def last_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ety = t.column("event_type")
+        tk = pc.rank(
+            ety, sort_keys="ascending", tiebreaker="dense",
+            null_placement="at_start",
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, tk, u))
+        us, ks = u[order], tk[order]
+        # last row of each (user, type) run
+        is_last = np.r_[(us[1:] != us[:-1]) | (ks[1:] != ks[:-1]), True]
+        sel = order[is_last]
+        return pa.table(
+            {
+                "user_id": pa.array(u[sel], type=pa.int64()),
+                "event_type": ety.take(pa.array(sel)),
+                "last_ts_us": pa.array(ts[sel], type=pa.int64()),
+                "last_event_id": pa.array(eid[sel], type=pa.int64()),
+                "last_value_e2": pa.array(
+                    t.column("value_e2").to_numpy(zero_copy_only=False)[sel],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return sorted_group_apply(
+        events.map_batches(slim, batch_format="pyarrow"),
+        ["user_id", "event_type"], last_block,
+    )
+
+
+SQL_LOG_COMPACTION = """
+SELECT user_id, event_type,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS last_value_e2
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["log_compaction"] = q_log_compaction
+TEMPORAL_MEDIA_ORACLES["log_compaction"] = SQL_LOG_COMPACTION
