@@ -572,3 +572,47 @@ def test_log_compaction_bruteforce(ray_session):
         assert r.last_value_e2 == int(np.round(w.value * 100))
     # compaction is a projection of the stream: one row per live key
     assert len(out) == ev.groupby(["user_id", "event_type"]).ngroups
+
+
+def test_diameter_double_sweep_bruteforce(ray_session):
+    from collections import deque
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        q_diameter_double_sweep)
+
+    sf = "/root/testdata/sf0.001"
+    row = q_diameter_double_sweep(sf).take_all()[0]
+    n = pq.read_metadata(sf + "/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    adj = {}
+    for t in ((ids * 3 + 1) % n, (ids * 5 + 2) % n, ids % 2):
+        for a, b in zip(ids, t):
+            if a != b:
+                adj.setdefault(int(a), set()).add(int(b))
+                adj.setdefault(int(b), set()).add(int(a))
+
+    def bfs(s):
+        d = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in d:
+                    d[w] = d[v] + 1
+                    q.append(w)
+        return d
+
+    start = min(adj, key=lambda v: (-len(adj[v]), v))
+    assert row["start_node"] == start
+    d1 = bfs(start)
+    ecc1 = max(d1.values())
+    far = min(v for v, dd in d1.items() if dd == ecc1)
+    assert row["ecc_start"] == ecc1
+    assert row["far_node"] == far
+    d2 = bfs(far)
+    assert row["diameter_lb"] == max(d2.values())
+    assert row["n_reached"] == len(d2)
+    # the double sweep can only IMPROVE (or match) the first bound
+    assert row["diameter_lb"] >= row["ecc_start"]

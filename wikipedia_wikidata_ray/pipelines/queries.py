@@ -6390,7 +6390,136 @@ FROM wg
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: diameter_double_sweep — the classic diameter LOWER BOUND: BFS from
+# the max-degree node, then BFS again from the farthest node found;
+# the second eccentricity is within a small factor of the true
+# diameter on most real graphs (exact on trees).
+
+DIAM_CAP = 12  # both sides truncate BFS at this depth, identically
+
+
+def q_diameter_double_sweep(sf_dir: str) -> Dataset:
+    """One row: the degree-argmax start (ties → smallest id), the
+    farthest node it reaches (ties → smallest id), both eccentricities
+    and the reach count of the second sweep. Each sweep is the
+    bfs_hops loop (broadcast dist array + per-round frontier scans —
+    2·ecc rounds total, each touching only frontier-adjacent edges);
+    depth caps at {DIAM_CAP} on BOTH sides, so a hypothetical
+    >-{DIAM_CAP}-diameter graph truncates identically instead of
+    diverging."""
+    import ray
+
+    edges, n_docs = _link_graph_edges(sf_dir)
+    deg_ds = _edge_degrees(edges)
+    dtbl = _pull_blocks(deg_ds, ["node", "deg"])
+    deg = np.zeros(n_docs, dtype=np.int64)
+    deg[dtbl.column("node").to_numpy()] = dtbl.column("deg").to_numpy()
+    start = int(np.argmax(deg))  # argmax returns the FIRST max ✓
+
+    def bfs(src: int) -> np.ndarray:
+        dist = np.full(n_docs, -1, dtype=np.int64)
+        dist[src] = 0
+        for r in range(DIAM_CAP):
+            ref = ray.put(dist)
+
+            def scan(t: pa.Table, _ref=ref, _r=r) -> pa.Table:
+                d = ray.get(_ref)
+                lo = t.column("lo").to_numpy(zero_copy_only=False)
+                hi = t.column("hi").to_numpy(zero_copy_only=False)
+                out = []
+                for a, b in ((lo, hi), (hi, lo)):
+                    m = (d[a] == _r) & (d[b] < 0)
+                    out.append(b[m])
+                cand = np.unique(np.concatenate(out))
+                return pa.table({"node": pa.array(cand, type=pa.int64())})
+
+            new_nodes = _pull_blocks(
+                merge_group_sums(
+                    edges.map_batches(scan, batch_format="pyarrow")
+                    .map_batches(
+                        lambda t: t.append_column(
+                            "o",
+                            pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    ["node"], ["o"],
+                ),
+                ["node", "o"],
+            )
+            if new_nodes.num_rows == 0:
+                break
+            dist[new_nodes.column("node").to_numpy()] = r + 1
+        return dist
+
+    d1 = bfs(start)
+    ecc1 = int(d1.max())
+    far = int(np.flatnonzero(d1 == ecc1).min())
+    d2 = bfs(far)
+    ecc2 = int(d2.max())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "start_node": pa.array([start], type=pa.int64()),
+                "ecc_start": pa.array([ecc1], type=pa.int64()),
+                "far_node": pa.array([far], type=pa.int64()),
+                "diameter_lb": pa.array([ecc2], type=pa.int64()),
+                "n_reached": pa.array(
+                    [int((d2 >= 0).sum())], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+SQL_DIAMETER_DOUBLE_SWEEP = f"""
+WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+l AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT c FROM n) AS tgt FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 2) % (SELECT c FROM n) FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id % 2 FROM documents
+),
+e0 AS (
+  SELECT DISTINCT LEAST(src, tgt) AS a, GREATEST(src, tgt) AS b
+  FROM l WHERE src <> tgt
+),
+und AS (SELECT a AS v, b AS w FROM e0 UNION ALL SELECT b, a FROM e0),
+dg AS (SELECT v, COUNT(*) AS deg FROM und GROUP BY 1),
+s0 AS (
+  SELECT v AS start FROM dg ORDER BY deg DESC, v ASC LIMIT 1
+),
+r1(node, d) AS (
+  SELECT start, 0 FROM s0
+  UNION
+  SELECT u.w, r.d + 1 FROM r1 r JOIN und u ON u.v = r.node
+  WHERE r.d < {DIAM_CAP}
+),
+d1 AS (SELECT node, MIN(d) AS d FROM r1 GROUP BY 1),
+far AS (
+  SELECT node AS f FROM d1
+  ORDER BY d DESC, node ASC LIMIT 1
+),
+r2(node, d) AS (
+  SELECT f, 0 FROM far
+  UNION
+  SELECT u.w, r.d + 1 FROM r2 r JOIN und u ON u.v = r.node
+  WHERE r.d < {DIAM_CAP}
+),
+d2 AS (SELECT node, MIN(d) AS d FROM r2 GROUP BY 1)
+SELECT (SELECT CAST(start AS BIGINT) FROM s0) AS start_node,
+       (SELECT CAST(MAX(d) AS BIGINT) FROM d1) AS ecc_start,
+       (SELECT CAST(f AS BIGINT) FROM far) AS far_node,
+       CAST(MAX(d2.d) AS BIGINT) AS diameter_lb,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM d2
+"""
+
+
 QUERIES = {
+    "diameter_double_sweep": q_diameter_double_sweep,
     "square_counts": q_square_counts,
     "avg_neighbor_degree": q_avg_neighbor_degree,
     "metro_midpoints": q_metro_midpoints,
@@ -6477,6 +6606,7 @@ QUERIES.update(ANALYTICS_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
+    "diameter_double_sweep": SQL_DIAMETER_DOUBLE_SWEEP,
     "square_counts": SQL_SQUARE_COUNTS,
     "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
     "metro_midpoints": SQL_METRO_MIDPOINTS,
