@@ -105,6 +105,12 @@ def main() -> int:
         .materialize().count(),
         "near_dup_clusters_exact": lambda:
         td.q_near_dup_clusters_exact(sf_dir).materialize().count(),
+        "distinctive_terms_logodds": lambda:
+        co.q_distinctive_terms_logodds(sf_dir).materialize().count(),
+        "log_compaction": lambda: tm.q_log_compaction(sf_dir)
+        .materialize().count(),
+        "diameter_double_sweep": lambda:
+        qq.q_diameter_double_sweep(sf_dir).materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
