@@ -383,3 +383,31 @@ def test_forecast_baseline_eval_bruteforce(ray_session):
     assert row["seasonal_wins"] == int(e24 < e1)
     # a persistence forecast of a positive series has MAE below 2x mean
     assert row["mae_naive_e8"] / 1e8 < 2 * y.mean()
+
+
+def test_type_crosscorr_matches_numpy(ray_session):
+    rows = {r["lag"]: r for r in statops.q_type_crosscorr(SF).take_all()}
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "event_type"]
+    ).to_pandas()
+    ev["h"] = ev.ts.astype("int64") // statops.US_PER_HOUR
+    sub = ev[ev.event_type.isin([statops.CCF_A, statops.CCF_B])]
+    lo, hi = sub.h.min(), sub.h.max()
+    span = hi - lo + 1
+    a = np.bincount(sub[sub.event_type == statops.CCF_A].h - lo,
+                    minlength=span).astype(np.float64)
+    b = np.bincount(sub[sub.event_type == statops.CCF_B].h - lo,
+                    minlength=span).astype(np.float64)
+    da, db = a - a.mean(), b - b.mean()
+    den = np.sqrt((da ** 2).sum() * (db ** 2).sum())
+    for k in statops.CCF_LAGS:
+        if k >= 0:
+            r_direct = (da[: span - k] * db[k:]).sum() / den
+        else:
+            r_direct = (da[-k:] * db[: span + k]).sum() / den
+        assert abs(rows[k]["r_e10"] / 1e10 - r_direct) < 1e-9
+        assert abs(rows[k]["r_e10"]) <= 10**10
+        assert rows[k]["n_hours"] == span
+    # symmetry sanity: r(0) equals the plain Pearson of the two series
+    pearson = np.corrcoef(a, b)[0, 1]
+    assert abs(rows[0]["r_e10"] / 1e10 - pearson) < 1e-9

@@ -1650,7 +1650,139 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: type_crosscorr — lead–lag cross-correlation between the 'click'
+# and 'purchase' hourly series (does click volume LEAD purchase
+# volume?): the CCF at lags −3..3, hourly_acf's two-series twin.
+
+CCF_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+CCF_A, CCF_B = "click", "purchase"
+
+
+def q_type_crosscorr(sf_dir: str) -> Dataset:
+    """r(k) = Σ(aₜ−ā)(bₜ₊ₖ−b̄) / √(Σ(aₜ−ā)²·Σ(bₜ−b̄)²) over the dense
+    zero-filled hourly spine, in the ACF's all-integer cross-multiplied
+    form (deviations scaled by n; n⁴ cancels in the ratio — numerator
+    and denominators publish as exact int64/bigint, one sqrt + one
+    division at the end, e10). A positive-lag peak means {CCF_A!r}
+    leads {CCF_B!r}.
+
+    Movement: ONE (type, hour) count merge bounded by 2·span-hours."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array([CCF_A, CCF_B])
+        )
+        t = t.filter(keep)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "hr": pa.array(us // US_PER_HOUR, type=pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by(["event_type", "hr"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hr", "n"])
+
+    cells = _pull_merged(
+        merge_group_sums(
+            events.map_batches(partials, batch_format="pyarrow"),
+            ["event_type", "hr"], ["n"],
+        ),
+        ["event_type", "hr", "n"],
+    )
+    et = cells.column("event_type").to_pylist()
+    hr = cells.column("hr").to_numpy(zero_copy_only=False)
+    nn = cells.column("n").to_numpy(zero_copy_only=False)
+    lo, hi = int(hr.min()), int(hr.max())
+    span = hi - lo + 1
+    a = np.zeros(span, dtype=np.int64)
+    b = np.zeros(span, dtype=np.int64)
+    for e, h, v in zip(et, hr, nn):
+        (a if e == CCF_A else b)[int(h) - lo] += int(v)
+    sa, sb = int(a.sum()), int(b.sum())
+    da = a * span - sa  # exact scaled deviations
+    db = b * span - sb
+    dena = int((da * da).sum())
+    denb = int((db * db).sum())
+    den = float(dena) * float(denb)
+    rows = {"lag": [], "num_scaled": [], "r_e10": []}
+    for k in CCF_LAGS:
+        if k >= 0:
+            num = int((da[: span - k] * db[k:]).sum()) if k < span else 0
+        else:
+            num = int((da[-k:] * db[: span + k]).sum()) if -k < span else 0
+        rows["lag"].append(k)
+        rows["num_scaled"].append(num)
+        rows["r_e10"].append(
+            int(np.round(float(num) / math.sqrt(den) * 1e10))
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array(rows["lag"], type=pa.int64()),
+                "n_hours": pa.array([span] * len(CCF_LAGS), type=pa.int64()),
+                "num_scaled": pa.array(rows["num_scaled"], type=pa.int64()),
+                "dena": pa.array([dena] * len(CCF_LAGS), type=pa.int64()),
+                "denb": pa.array([denb] * len(CCF_LAGS), type=pa.int64()),
+                "r_e10": pa.array(rows["r_e10"], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_TYPE_CROSSCORR = f"""
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+  FROM events WHERE event_type IN ('{CCF_A}', '{CCF_B}')
+  GROUP BY 1, 2
+),
+b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi, MAX(hr) - MIN(hr) + 1 AS span
+      FROM h),
+spine AS (
+  SELECT UNNEST(generate_series((SELECT lo FROM b), (SELECT hi FROM b)))
+    AS hr
+),
+x AS (
+  SELECT s.hr,
+         CAST(COALESCE(ha.n, 0) AS BIGINT) AS a,
+         CAST(COALESCE(hb.n, 0) AS BIGINT) AS bb
+  FROM spine s
+  LEFT JOIN h ha ON ha.hr = s.hr AND ha.event_type = '{CCF_A}'
+  LEFT JOIN h hb ON hb.hr = s.hr AND hb.event_type = '{CCF_B}'
+),
+tot AS (SELECT SUM(a) AS sa, SUM(bb) AS sb, COUNT(*) AS n FROM x),
+d AS (
+  SELECT hr, CAST(a * tot.n - tot.sa AS BIGINT) AS da,
+         CAST(bb * tot.n - tot.sb AS BIGINT) AS db
+  FROM x, tot
+),
+dens AS (SELECT SUM(da * da) AS dena, SUM(db * db) AS denb FROM d),
+lags(k) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+num AS (
+  SELECT lags.k, COALESCE(SUM(p.da * q.db), 0) AS num
+  FROM lags
+  LEFT JOIN d p ON TRUE
+  LEFT JOIN d q ON q.hr = p.hr + lags.k
+  GROUP BY 1
+)
+SELECT CAST(num.k AS BIGINT) AS lag,
+       CAST(tot.n AS BIGINT) AS n_hours,
+       CAST(num.num AS BIGINT) AS num_scaled,
+       CAST(dens.dena AS BIGINT) AS dena,
+       CAST(dens.denb AS BIGINT) AS denb,
+       CAST(ROUND(CAST(num.num AS DOUBLE)
+            / SQRT(CAST(dens.dena AS DOUBLE) * CAST(dens.denb AS DOUBLE))
+            * 1e10) AS BIGINT) AS r_e10
+FROM num, dens, tot
+"""
+
+
 STATOPS_QUERIES = {
+    "type_crosscorr": q_type_crosscorr,
     "ols_normal_equations": q_ols_normal_equations,
     "seasonal_residual_outliers": q_seasonal_residual_outliers,
     "event_type_fano": q_event_type_fano,
@@ -1669,6 +1801,7 @@ STATOPS_QUERIES = {
 }
 
 STATOPS_ORACLES = {
+    "type_crosscorr": SQL_TYPE_CROSSCORR,
     "ols_normal_equations": SQL_OLS_NORMAL_EQUATIONS,
     "seasonal_residual_outliers": SQL_SEASONAL_RESIDUAL_OUTLIERS,
     "event_type_fano": SQL_EVENT_TYPE_FANO,
