@@ -616,3 +616,30 @@ def test_diameter_double_sweep_bruteforce(ray_session):
     assert row["n_reached"] == len(d2)
     # the double sweep can only IMPROVE (or match) the first bound
     assert row["diameter_lb"] >= row["ecc_start"]
+
+
+def test_user_type_entropy_bruteforce(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_user_type_entropy)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_user_type_entropy(sf).to_pandas().set_index("user_id")
+    ev = pq.read_table(sf + "/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    for uid, g in ev.groupby("user_id"):
+        counts = g.event_type.value_counts()
+        n = len(g)
+        r = out.loc[uid]
+        assert r.n_events == n and r.n_types == len(counts)
+        s = sum(int(np.round(c * math.log(c) * 1e10)) for c in counts)
+        assert r.s_clnc_e10 == s
+        assert r.h_num_e10 == int(np.round(n * math.log(n) * 1e10)) - s
+        # recovered entropy matches the direct formula and its bounds
+        h = r.h_num_e10 / (n * 1e10)
+        direct = -sum((c / n) * math.log(c / n) for c in counts)
+        assert abs(h - direct) < 1e-8
+        assert -1e-9 <= h <= math.log(len(counts)) + 1e-9

@@ -3692,3 +3692,102 @@ QUALIFY ROW_NUMBER() OVER (
 
 TEMPORAL_MEDIA_QUERIES["log_compaction"] = q_log_compaction
 TEMPORAL_MEDIA_ORACLES["log_compaction"] = SQL_LOG_COMPACTION
+
+
+# ---------------------------------------------------------------------------
+# Q: user_type_entropy — per-user behavioral diversity: Shannon entropy
+# of the user's event-type distribution, in the order-free integer form
+# H·n·1e10 ≈ round(n·ln n·1e10) − Σ round(c·ln c·1e10) (each term
+# rounds to e10 int64 BEFORE summation — float term order across types
+# would be plan-dependent; integer sums are not; LN is bitwise).
+
+
+def q_user_type_entropy(sf_dir: str) -> Dataset:
+    """Per user: event count, distinct types, Σ round(c·ln c·1e10) and
+    the scaled entropy numerator (divide by n·1e10 downstream for H in
+    nats; H = 0 iff the user does exactly one thing). ONE (user, type)
+    count merge → sorted runs fold per-user terms in-block."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.runs import sorted_group_apply
+    from ..stages.salted import merge_group_sums, partial_count
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = merge_group_sums(
+        partial_count(events, ["user_id", "event_type"], out="c"),
+        ["user_id", "event_type"], ["c"],
+    )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+            "n_types": pa.array([], type=pa.int64()),
+            "s_clnc_e10": pa.array([], type=pa.int64()),
+            "h_num_e10": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, cs = u[order], c[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        run_id = np.cumsum(np.r_[False, us[1:] != us[:-1]])
+        n_runs = len(starts)
+        n_ev = np.zeros(n_runs, dtype=np.int64)
+        np.add.at(n_ev, run_id, cs)
+        n_ty = np.bincount(run_id, minlength=n_runs).astype(np.int64)
+        terms = np.round(cs * np.log(cs) * 1e10).astype(np.int64)
+        s_clnc = np.zeros(n_runs, dtype=np.int64)
+        np.add.at(s_clnc, run_id, terms)
+        nlnn = np.array(
+            [int(np.round(float(n) * math.log(float(n)) * 1e10))
+             for n in n_ev],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts], type=pa.int64()),
+                "n_events": pa.array(n_ev, type=pa.int64()),
+                "n_types": pa.array(n_ty, type=pa.int64()),
+                "s_clnc_e10": pa.array(s_clnc, type=pa.int64()),
+                "h_num_e10": pa.array(nlnn - s_clnc, type=pa.int64()),
+            }
+        )
+
+    return sorted_group_apply(counts, ["user_id"], fold)
+
+
+SQL_USER_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id,
+         SUM(c) AS n_events,
+         COUNT(*) AS n_types,
+         SUM(CAST(ROUND(c * LN(c) * 1e10) AS BIGINT)) AS s_clnc
+  FROM c GROUP BY 1
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(s_clnc AS BIGINT) AS s_clnc_e10,
+       CAST(CAST(ROUND(n_events * LN(n_events) * 1e10) AS BIGINT)
+            - s_clnc AS BIGINT) AS h_num_e10
+FROM p
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["user_type_entropy"] = q_user_type_entropy
+TEMPORAL_MEDIA_ORACLES["user_type_entropy"] = SQL_USER_TYPE_ENTROPY
