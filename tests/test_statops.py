@@ -411,3 +411,31 @@ def test_type_crosscorr_matches_numpy(ray_session):
     # symmetry sanity: r(0) equals the plain Pearson of the two series
     pearson = np.corrcoef(a, b)[0, 1]
     assert abs(rows[0]["r_e10"] / 1e10 - pearson) < 1e-9
+
+
+def test_bootstrap_mean_diff_bruteforce(ray_session):
+    rows = {r["r"]: r for r in statops.q_bootstrap_mean_diff(SF).take_all()}
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).to_pandas()
+    did = docs.doc_id.to_numpy()
+    grp = np.array([0 if int(s[3:]) < 10 else 1 for s in docs.source])
+    nc = docs.n_chars.to_numpy()
+    thr = np.asarray(statops._POIS_T, dtype=np.int64)
+    obs_diff = nc[grp == 0].mean() - nc[grp == 1].mean()
+    diffs = []
+    for r in range(1, statops.BOOT_R + 1):
+        u = ((did + 1) * (r + 1) * 2654435761) % 1000003
+        w = np.searchsorted(thr, u, side="right")
+        a = grp == 0
+        wa, xa = int(w[a].sum()), int((w[a] * nc[a]).sum())
+        wb, xb = int(w[~a].sum()), int((w[~a] * nc[~a]).sum())
+        rr = rows[r]
+        assert (rr["wa"], rr["xa"], rr["wb"], rr["xb"]) == (wa, xa, wb, xb)
+        num = xa * wb - xb * wa
+        den = wa * wb
+        assert rr["diff_e8"] == (2 * num * 10**8 + den) // (2 * den)
+        diffs.append(rr["diff_e8"] / 1e8)
+    # replicate diffs must bracket the observed diff (resampling noise
+    # is centered on it)
+    assert min(diffs) - 5 < obs_diff < max(diffs) + 5

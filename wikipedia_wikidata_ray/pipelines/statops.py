@@ -1781,8 +1781,114 @@ FROM num, dens, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: bootstrap_mean_diff — Poisson-bootstrap distribution of the
+# difference in mean document length between source groups A
+# (src0–src9) and B (src10–src19): the uncertainty quantification for
+# an observed corpus-slice difference, one pass, zero resampling
+# movement (poisson_bootstrap_means' two-sample extension).
+
+
+def q_bootstrap_mean_diff(sf_dir: str) -> Dataset:
+    """Per replicate r ∈ 1..{BOOT_R}: exact integer (Σw, Σw·n_chars)
+    per group from the deterministic Poisson(1) inverse-CDF weights
+    (the integer-threshold hash of poisson_bootstrap_means, keyed by
+    doc_id), and the mean difference at e8 via the SIGN-SAFE exact
+    floored half-up of the cross-multiplied rational
+    (xa·wb − xb·wa)/(wa·wb) — no float division anywhere."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    thr = np.asarray(_POIS_T, dtype=np.int64)
+
+    def partials(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pylist()
+        grp = np.array([0 if int(x[3:]) < 10 else 1 for x in src],
+                       dtype=np.int64)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        rows = {"r": [], "wa": [], "xa": [], "wb": [], "xb": []}
+        for r in range(1, BOOT_R + 1):
+            u = ((did + 1) * (r + 1) * 2654435761) % 1000003
+            w = np.searchsorted(thr, u, side="right")
+            a = grp == 0
+            rows["r"].append(r)
+            rows["wa"].append(int(w[a].sum()))
+            rows["xa"].append(int((w[a] * nc[a]).sum()))
+            rows["wb"].append(int(w[~a].sum()))
+            rows["xb"].append(int((w[~a] * nc[~a]).sum()))
+        return pa.table(
+            {k: pa.array(v, type=pa.int64()) for k, v in rows.items()}
+        )
+
+    merged = _pull_merged(
+        merge_group_sums(
+            docs.map_batches(partials, batch_format="pyarrow"),
+            ["r"], ["wa", "xa", "wb", "xb"],
+        ),
+        ["r", "wa", "xa", "wb", "xb"],
+    ).sort_by("r")
+    out = {k: merged.column(k).to_numpy(zero_copy_only=False)
+           for k in ("r", "wa", "xa", "wb", "xb")}
+    diff = []
+    for wa, xa, wb, xb in zip(out["wa"], out["xa"], out["wb"], out["xb"]):
+        num = int(xa) * int(wb) - int(xb) * int(wa)
+        den = int(wa) * int(wb)
+        diff.append((2 * num * 10**8 + den) // (2 * den))  # floor = half-up
+    return rd.from_arrow(
+        pa.table(
+            {
+                "r": pa.array(out["r"], type=pa.int64()),
+                "wa": pa.array(out["wa"], type=pa.int64()),
+                "xa": pa.array(out["xa"], type=pa.int64()),
+                "wb": pa.array(out["wb"], type=pa.int64()),
+                "xb": pa.array(out["xb"], type=pa.int64()),
+                "diff_e8": pa.array(diff, type=pa.int64()),
+            }
+        )
+    )
+
+
+def _boot_diff_sql() -> str:
+    checks = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+    )
+    num = "(SUM(CASE WHEN grp = 0 THEN w * nc ELSE 0 END)" \
+          " * SUM(CASE WHEN grp = 1 THEN w ELSE 0 END)" \
+          " - SUM(CASE WHEN grp = 1 THEN w * nc ELSE 0 END)" \
+          " * SUM(CASE WHEN grp = 0 THEN w ELSE 0 END))"
+    den = "(SUM(CASE WHEN grp = 0 THEN w ELSE 0 END)" \
+          " * SUM(CASE WHEN grp = 1 THEN w ELSE 0 END))"
+    fnum = f"(2 * {num} * 100000000 + {den})"
+    return f"""
+WITH reps(r) AS (SELECT UNNEST(generate_series(1, {BOOT_R}))),
+u AS (
+  SELECT reps.r,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0 ELSE 1 END
+           AS grp,
+         n_chars AS nc,
+         ((doc_id + 1) * (reps.r + 1) * 2654435761) % 1000003 AS u
+  FROM documents, reps
+),
+w AS (SELECT r, grp, nc, {checks} AS w FROM u)
+SELECT CAST(r AS BIGINT) AS r,
+       CAST(SUM(CASE WHEN grp = 0 THEN w ELSE 0 END) AS BIGINT) AS wa,
+       CAST(SUM(CASE WHEN grp = 0 THEN w * nc ELSE 0 END) AS BIGINT) AS xa,
+       CAST(SUM(CASE WHEN grp = 1 THEN w ELSE 0 END) AS BIGINT) AS wb,
+       CAST(SUM(CASE WHEN grp = 1 THEN w * nc ELSE 0 END) AS BIGINT) AS xb,
+       -- sign-safe exact floored half-up (numerator may be negative)
+       CAST(({fnum} - ((({fnum}) % (2 * {den}) + (2 * {den}))
+             % (2 * {den}))) // (2 * {den}) AS BIGINT) AS diff_e8
+FROM w GROUP BY r
+"""
+
+
+SQL_BOOTSTRAP_MEAN_DIFF = _boot_diff_sql()
+
+
 STATOPS_QUERIES = {
     "type_crosscorr": q_type_crosscorr,
+    "bootstrap_mean_diff": q_bootstrap_mean_diff,
     "ols_normal_equations": q_ols_normal_equations,
     "seasonal_residual_outliers": q_seasonal_residual_outliers,
     "event_type_fano": q_event_type_fano,
@@ -1802,6 +1908,7 @@ STATOPS_QUERIES = {
 
 STATOPS_ORACLES = {
     "type_crosscorr": SQL_TYPE_CROSSCORR,
+    "bootstrap_mean_diff": SQL_BOOTSTRAP_MEAN_DIFF,
     "ols_normal_equations": SQL_OLS_NORMAL_EQUATIONS,
     "seasonal_residual_outliers": SQL_SEASONAL_RESIDUAL_OUTLIERS,
     "event_type_fano": SQL_EVENT_TYPE_FANO,
