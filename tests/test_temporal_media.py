@@ -643,3 +643,31 @@ def test_user_type_entropy_bruteforce(ray_session):
         direct = -sum((c / n) * math.log(c / n) for c in counts)
         assert abs(h - direct) < 1e-8
         assert -1e-9 <= h <= math.log(len(counts)) + 1e-9
+
+
+def test_solar_hour_histogram_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_solar_hour_histogram)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_solar_hour_histogram(sf).to_pandas().set_index("hour")
+    ev = pq.read_table(sf + "/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas()
+    us = ev.ts.astype("int64").to_numpy()
+    eid = ev.event_id.to_numpy()
+    utc_h = (us // 3_600_000_000) % 24
+    lon_e4 = (eid * 104729) % 3600001 - 1800000
+    solar = (utc_h + (lon_e4 + 1_875_000) // 150_000 - 12 + 24) % 24
+    for h in range(24):
+        r = out.loc[h]
+        assert r.n_solar == int((solar == h).sum())
+        assert r.n_utc == int((utc_h == h).sum())
+    # both histograms conserve the event count
+    assert out.n_solar.sum() == out.n_utc.sum() == len(ev)
+    # the offset is correct at the formula level: longitude 0 keeps its
+    # hour, and the date line sits at ±12
+    assert (0 + 1_875_000) // 150_000 - 12 == 0
+    assert (1_800_000 + 1_875_000) // 150_000 - 12 == 12
+    assert (-1_800_000 + 1_875_000) // 150_000 - 12 == -12

@@ -3791,3 +3791,85 @@ FROM p
 
 TEMPORAL_MEDIA_QUERIES["user_type_entropy"] = q_user_type_entropy
 TEMPORAL_MEDIA_ORACLES["user_type_entropy"] = SQL_USER_TYPE_ENTROPY
+
+
+# ---------------------------------------------------------------------------
+# Q: solar_hour_histogram — the geo × temporal cross: bucket events by
+# LOCAL SOLAR hour (UTC hour + longitude/15°) instead of UTC. A global
+# product's "when are users active" question is meaningless in UTC;
+# solar time recovers the diurnal cycle. Positions from the event_id
+# closed form (tile_dwell contract).
+
+
+def q_solar_hour_histogram(sf_dir: str) -> Dataset:
+    """24 rows: events per solar hour next to events per UTC hour-of-
+    day. The timezone offset is the pure-integer
+    ((lon_e4 + 1875000) // 150000 − 12) — floor of (lon+7.5°)/15° via
+    a non-negative rebase so numpy // == DuckDB // (the truncation
+    rule) — added to the UTC hour mod 24. One 24-row count merge."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        utc_h = (us // 3_600_000_000) % 24
+        lon_e4 = (eid * 104729) % 3600001 - 1800000
+        # floor((lon+7.5°)/15°): rebase by +187.5° (non-negative //),
+        # then remove the 12-bucket rebase bias — lon 0 keeps its hour
+        off = (lon_e4 + 1_875_000) // 150_000 - 12
+        solar = (utc_h + off + 24) % 24
+        g = pa.table(
+            {
+                "hour": pa.array(solar, type=pa.int64()),
+                "n_solar": pa.array(np.ones(len(eid), dtype=np.int64)),
+                "n_utc": pa.array(np.zeros(len(eid), dtype=np.int64)),
+            }
+        )
+        g2 = pa.table(
+            {
+                "hour": pa.array(utc_h, type=pa.int64()),
+                "n_solar": pa.array(np.zeros(len(eid), dtype=np.int64)),
+                "n_utc": pa.array(np.ones(len(eid), dtype=np.int64)),
+            }
+        )
+        both = pa.concat_tables([g, g2]).combine_chunks()
+        out = both.group_by(["hour"]).aggregate(
+            [("n_solar", "sum"), ("n_utc", "sum")]
+        )
+        return out.rename_columns(["hour", "n_solar", "n_utc"])
+
+    return merge_group_sums(
+        events.map_batches(partials, batch_format="pyarrow"),
+        ["hour"], ["n_solar", "n_utc"],
+    )
+
+
+SQL_SOLAR_HOUR_HISTOGRAM = """
+WITH e AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS utc_h,
+         ((((event_id * 104729) % 3600001 - 1800000) + 1875000)
+          // 150000) - 12 AS off
+  FROM events
+),
+s AS (
+  SELECT (utc_h + off + 24) % 24 AS hour, COUNT(*) AS n_solar
+  FROM e GROUP BY 1
+),
+u AS (SELECT utc_h AS hour, COUNT(*) AS n_utc FROM e GROUP BY 1)
+SELECT COALESCE(s.hour, u.hour) AS hour,
+       CAST(COALESCE(s.n_solar, 0) AS BIGINT) AS n_solar,
+       CAST(COALESCE(u.n_utc, 0) AS BIGINT) AS n_utc
+FROM s FULL OUTER JOIN u ON u.hour = s.hour
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["solar_hour_histogram"] = q_solar_hour_histogram
+TEMPORAL_MEDIA_ORACLES["solar_hour_histogram"] = SQL_SOLAR_HOUR_HISTOGRAM
