@@ -671,3 +671,38 @@ def test_solar_hour_histogram_bruteforce(ray_session):
     assert (0 + 1_875_000) // 150_000 - 12 == 0
     assert (1_800_000 + 1_875_000) // 150_000 - 12 == 12
     assert (-1_800_000 + 1_875_000) // 150_000 - 12 == -12
+
+
+def test_tile_trending_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        TREND_K, q_tile_trending)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_trending(sf).to_pandas().sort_values("rank")
+    ev = pq.read_table(sf + "/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas()
+    us = ev.ts.astype("int64").to_numpy()
+    eid = ev.event_id.to_numpy()
+    mid = (int(us.min()) + int(us.max())) // 2
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    import pandas as pd
+    df = pd.DataFrame({"x": tx, "y": ty, "late": (us > mid).astype(int)})
+    c = df.groupby(["x", "y"]).agg(
+        n1=("late", lambda s: int((1 - s).sum())), n2=("late", "sum"))
+    s1, s2 = int(c.n1.sum()), int(c.n2.sum())
+    c["score"] = c.n2 * s1 - c.n1 * s2
+    want = c.reset_index().sort_values(
+        ["score", "x", "y"], ascending=[False, True, True]).head(TREND_K)
+    got = list(map(tuple, out[["tile_x", "tile_y", "n1", "n2",
+                               "score"]].itertuples(index=False)))
+    expect = list(map(tuple, want[["x", "y", "n1", "n2",
+                                   "score"]].itertuples(index=False)))
+    assert got == expect
+    # a trending tile gained share: score > 0 means n2/s2 > n1/s1
+    top = out.iloc[0]
+    assert top.score > 0 and top.n2 * s1 > top.n1 * s2

@@ -3873,3 +3873,165 @@ FROM s FULL OUTER JOIN u ON u.hour = s.hour
 
 TEMPORAL_MEDIA_QUERIES["solar_hour_histogram"] = q_solar_hour_histogram
 TEMPORAL_MEDIA_ORACLES["solar_hour_histogram"] = SQL_SOLAR_HOUR_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_trending — trending locations: top tiles by SHARE growth
+# between the first and second half of the stream (n₂/S₂ − n₁/S₁,
+# ranked by the pure-integer cross-product n₂·S₁ − n₁·S₂ — the
+# round-5 integer-ranking rule applied to rate ratios).
+
+TREND_K = 20
+
+
+def q_tile_trending(sf_dir: str) -> Dataset:
+    """Top-{TREND_K} z12 tiles by share-growth score with (score desc,
+    tile_x, tile_y) ranking. The stream split is the integer midpoint
+    (min+max)//2 of the event timestamps (footer-free here: the
+    min/max ride the same count merge as the tile partials via a
+    sentinel — both sides non-negative, so // matches).
+
+    Movement: (tile → n₁, n₂) partials through ONE occupied-tile-
+    bounded merge; globals fold to two scalars; top-k rides
+    grouped_topk's block-local prune."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+    from datetime import datetime
+
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.topk import grouped_topk
+    from ..pipelines.analytics import _pull_merged
+    from ..stages.salted import merge_group_sums
+
+    meta = pq_.read_metadata(f"{sf_dir}/events.parquet")
+    mn = mx = None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(1).statistics
+        lo, hi = st.min, st.max
+        if hasattr(lo, "year"):
+            ep = datetime(1970, 1, 1)
+            lo = ((lo.replace(tzinfo=None) - ep).days * 86_400_000_000
+                  + (lo.replace(tzinfo=None) - ep).seconds * 1_000_000
+                  + (lo.replace(tzinfo=None) - ep).microseconds)
+            hi = ((hi.replace(tzinfo=None) - ep).days * 86_400_000_000
+                  + (hi.replace(tzinfo=None) - ep).seconds * 1_000_000
+                  + (hi.replace(tzinfo=None) - ep).microseconds)
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    t_mid = (int(mn) + int(mx)) // 2
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        late = us > t_mid
+        g = pa.table(
+            {
+                "tile_x": pa.array(tx.astype(np.int64)),
+                "tile_y": pa.array(ty.astype(np.int64)),
+                "n1": pa.array((~late).astype(np.int64)),
+                "n2": pa.array(late.astype(np.int64)),
+            }
+        ).group_by(["tile_x", "tile_y"]).aggregate(
+            [("n1", "sum"), ("n2", "sum")]
+        )
+        return g.rename_columns(["tile_x", "tile_y", "n1", "n2"])
+
+    merged = merge_group_sums(
+        events.map_batches(partials, batch_format="pyarrow"),
+        ["tile_x", "tile_y"], ["n1", "n2"],
+    ).materialize()
+
+    totals = _pull_merged(
+        merge_group_sums(
+            merged.map_batches(
+                lambda t: pa.table(
+                    {
+                        "k": pa.array([0], type=pa.int64()),
+                        "s1": pa.array(
+                            [int(t.column("n1").to_numpy(
+                                zero_copy_only=False).sum())],
+                            type=pa.int64()),
+                        "s2": pa.array(
+                            [int(t.column("n2").to_numpy(
+                                zero_copy_only=False).sum())],
+                            type=pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["k"], ["s1", "s2"],
+        ),
+        ["k", "s1", "s2"],
+    )
+    s1 = int(totals.column("s1")[0].as_py())
+    s2 = int(totals.column("s2")[0].as_py())
+
+    def score(t: pa.Table) -> pa.Table:
+        n1 = t.column("n1").to_numpy(zero_copy_only=False)
+        n2 = t.column("n2").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "n1": t["n1"],
+                "n2": t["n2"],
+                "score": pa.array(n2 * s1 - n1 * s2, type=pa.int64()),
+                "c": pa.array(np.zeros(len(n1), dtype=np.int64)),
+            }
+        )
+
+    top = grouped_topk(
+        merged.map_batches(score, batch_format="pyarrow"),
+        ["c"],
+        [("score", False), ("tile_x", True), ("tile_y", True)],
+        TREND_K, rank_col="rank",
+    )
+    return top.map_batches(
+        lambda t: t.drop_columns(["c"]), batch_format="pyarrow"
+    )
+
+
+SQL_TILE_TRENDING = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us,
+         ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM ev),
+tiled AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS BIGINT) AS tile_y,
+         CASE WHEN us > mid.m THEN 1 ELSE 0 END AS late
+  FROM ev, mid
+),
+c AS (
+  SELECT tile_x, tile_y,
+         SUM(1 - late) AS n1, SUM(late) AS n2
+  FROM tiled GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n1) AS s1, SUM(n2) AS s2 FROM c)
+SELECT tile_x, tile_y,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(n2 * tot.s1 - n1 * tot.s2 AS BIGINT) AS score,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY n2 * tot.s1 - n1 * tot.s2 DESC, tile_x, tile_y)
+         AS BIGINT) AS rank
+FROM c, tot
+ORDER BY score DESC, tile_x, tile_y
+LIMIT {TREND_K}
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["tile_trending"] = q_tile_trending
+TEMPORAL_MEDIA_ORACLES["tile_trending"] = SQL_TILE_TRENDING
