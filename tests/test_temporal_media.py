@@ -706,3 +706,27 @@ def test_tile_trending_bruteforce(ray_session):
     # a trending tile gained share: score > 0 means n2/s2 > n1/s1
     top = out.iloc[0]
     assert top.score > 0 and top.n2 * s1 > top.n1 * s2
+
+
+def test_daily_value_percentiles_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        q_daily_value_percentiles)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_daily_value_percentiles(sf).to_pandas().set_index("day")
+    ev = pq.read_table(sf + "/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    ev["day"] = ev.ts.astype("int64") // 86_400_000_000
+    ev["v"] = np.round(ev.value.to_numpy() * 100).astype(np.int64)
+    for day, g in ev.groupby("day"):
+        v = np.sort(g.v.to_numpy())
+        n = len(v)
+        r = out.loc[day]
+        assert r.n == n
+        # PERCENTILE_DISC = 1-based element at ceil(p*n)
+        assert r.p50_e2 == v[(n + 1) // 2 - 1]
+        assert r.p90_e2 == v[(9 * n + 9) // 10 - 1]
+        assert r.p50_e2 <= r.p90_e2 <= v[-1]
+    assert len(out) == ev.day.nunique()

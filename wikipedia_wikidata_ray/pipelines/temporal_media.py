@@ -4035,3 +4035,110 @@ LIMIT {TREND_K}
 
 TEMPORAL_MEDIA_QUERIES["tile_trending"] = q_tile_trending
 TEMPORAL_MEDIA_ORACLES["tile_trending"] = SQL_TILE_TRENDING
+
+
+# ---------------------------------------------------------------------------
+# Q: daily_value_percentiles — exact daily p50/p90 of the event value:
+# the percentile-timeseries panel every metrics stack draws, computed
+# from histogram partials (raw values never co-locate — the exact-
+# percentile discipline of webtext's length_percentiles, extended to a
+# calendar series).
+
+
+def q_daily_value_percentiles(sf_dir: str) -> Dataset:
+    """Per day: n, exact p50 and p90 of value cents (PERCENTILE_DISC:
+    the 1-based element at ⌈p·n⌉ — the property-tested house rule).
+    Movement: ONE (day, cent-value) count merge bounded by days ×
+    value-domain; each day resolves from its cumulative histogram
+    inside one sorted-run pass."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..ops.runs import sorted_group_apply
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(
+            pc.round(pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "day": pa.array(us // 86_400_000_000, type=pa.int64()),
+                "v": pa.array(v, type=pa.int64()),
+                "n": pa.array(np.ones(len(us), dtype=np.int64)),
+            }
+        ).group_by(["day", "v"]).aggregate([("n", "sum")])
+        return g.rename_columns(["day", "v", "n"])
+
+    hist = merge_group_sums(
+        events.map_batches(partials, batch_format="pyarrow"),
+        ["day", "v"], ["n"],
+    )
+
+    empty = pa.table(
+        {
+            "day": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "p50_e2": pa.array([], type=pa.int64()),
+            "p90_e2": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pct_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, d))
+        ds_, vs, ns = d[order], v[order], n[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        ends = np.append(starts[1:], len(ds_))
+        days, tot, p50, p90 = [], [], [], []
+        for s, e in zip(starts, ends):  # small numpy per run
+            cn = np.cumsum(ns[s:e])
+            nn = int(cn[-1])
+            # PERCENTILE_DISC: 1-based element at ceil(p*n)
+            r50 = (nn + 1) // 2  # ceil(0.5n)
+            r90 = (9 * nn + 9) // 10  # ceil(0.9n)
+            days.append(int(ds_[s]))
+            tot.append(nn)
+            p50.append(int(vs[s:e][np.searchsorted(cn, r50, side="left")]))
+            p90.append(int(vs[s:e][np.searchsorted(cn, r90, side="left")]))
+        return pa.table(
+            {
+                "day": pa.array(days, type=pa.int64()),
+                "n": pa.array(tot, type=pa.int64()),
+                "p50_e2": pa.array(p50, type=pa.int64()),
+                "p90_e2": pa.array(p90, type=pa.int64()),
+            }
+        )
+
+    return sorted_group_apply(hist, ["day"], pct_block)
+
+
+SQL_DAILY_VALUE_PERCENTILES = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)
+         AS p50_e2,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY v) AS BIGINT)
+         AS p90_e2
+FROM e GROUP BY day
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["daily_value_percentiles"] = q_daily_value_percentiles
+TEMPORAL_MEDIA_ORACLES["daily_value_percentiles"] = (
+    SQL_DAILY_VALUE_PERCENTILES
+)
