@@ -1881,3 +1881,42 @@ def test_consistent_hash_balance_bruteforce(ray_session):
     # conservation: every event and user lands on exactly one worker
     assert out.n_events.sum() == len(uid)
     assert out.n_users.sum() == len(np.unique(uid))
+
+
+def test_association_rules_bruteforce(ray_session):
+    from itertools import combinations
+
+    from wikipedia_wikidata_ray.pipelines.analytics import (
+        RULE_CONF_DEN, RULE_CONF_NUM, q_association_rules)
+
+    out = q_association_rules(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    baskets = m.groupby("l_orderkey").p_brand.apply(set)
+    minsup = max(2, len(baskets) // 300)
+    pair, tri = {}, {}
+    for b in baskets:
+        sb = sorted(b)
+        for pr in combinations(sb, 2):
+            pair[pr] = pair.get(pr, 0) + 1
+        for tr in combinations(sb, 3):
+            tri[tr] = tri.get(tr, 0) + 1
+    want = set()
+    for (a, b, c), s in tri.items():
+        if s < minsup:
+            continue
+        for x, y, z in ((a, b, c), (a, c, b), (b, c, a)):
+            if s * RULE_CONF_DEN >= RULE_CONF_NUM * pair[(x, y)]:
+                want.add((x, y, z, s, pair[(x, y)]))
+    got = {(r.ant_a, r.ant_b, r.cons, r.sup_abc, r.sup_ab)
+           for r in out.itertuples()}
+    assert got == want and len(want) > 0
+    for r in out.itertuples():
+        # confidence definition holds and the rule clears the bar
+        assert r.conf_e8 == (2 * r.sup_abc * 10**8 + r.sup_ab) \
+            // (2 * r.sup_ab)
+        assert r.conf_e8 >= RULE_CONF_NUM * 10**8 // RULE_CONF_DEN
+        assert r.sup_abc <= r.sup_ab

@@ -111,6 +111,18 @@ def main() -> int:
         .materialize().count(),
         "diameter_double_sweep": lambda:
         qq.q_diameter_double_sweep(sf_dir).materialize().count(),
+        "type_crosscorr": lambda: st.q_type_crosscorr(sf_dir)
+        .materialize().count(),
+        "bootstrap_mean_diff": lambda: st.q_bootstrap_mean_diff(sf_dir)
+        .materialize().count(),
+        "user_type_entropy": lambda: tm.q_user_type_entropy(sf_dir)
+        .materialize().count(),
+        "solar_hour_histogram": lambda: tm.q_solar_hour_histogram(sf_dir)
+        .materialize().count(),
+        "tile_trending": lambda: tm.q_tile_trending(sf_dir)
+        .materialize().count(),
+        "daily_value_percentiles": lambda:
+        tm.q_daily_value_percentiles(sf_dir).materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

@@ -5810,7 +5810,85 @@ FROM asg GROUP BY worker
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: association_rules — {x, y} → z rules from the frequent triples:
+# the actionable layer over apriori_triples (support alone doesn't
+# recommend anything; confidence does).
+
+RULE_CONF_NUM, RULE_CONF_DEN = 20, 100  # min confidence 0.20
+
+
+def q_association_rules(sf_dir: str) -> Dataset:
+    """Every rotation {x,y} → z of every frequent triple whose
+    confidence sup(xyz)/sup(xy) ≥ 0.20 — the threshold test is the
+    PURE INTEGER comparison sup_abc·100 ≥ 20·sup_ab and conf_e8 is the
+    exact floored half-up of the support ratio. Composes the two
+    oracle-green basket surfaces: triples from q_apriori_triples,
+    pair supports from q_brand_cooccurrence — both pulls bounded by
+    the catalog dimension (≤ C(25,3) + 25² rows), so the rule
+    generation is driver arithmetic over model-sized tables."""
+    tri = q_apriori_triples(sf_dir).take_all()
+    pairs = {
+        (r["brand_a"], r["brand_b"]): r["n_ab"]
+        for r in q_brand_cooccurrence(sf_dir).take_all()
+    }
+    rows = []
+    for t in tri:
+        a, b, c, s = t["brand_a"], t["brand_b"], t["brand_c"], t["support"]
+        for x, y, z in ((a, b, c), (a, c, b), (b, c, a)):
+            p = pairs[(x, y)]
+            if s * RULE_CONF_DEN >= RULE_CONF_NUM * p:
+                conf = (2 * s * 10**8 + p) // (2 * p)
+                rows.append((x, y, z, s, p, conf))
+    rows.sort()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "ant_a": pa.array([r[0] for r in rows], type=pa.string()),
+                "ant_b": pa.array([r[1] for r in rows], type=pa.string()),
+                "cons": pa.array([r[2] for r in rows], type=pa.string()),
+                "sup_abc": pa.array([r[3] for r in rows], type=pa.int64()),
+                "sup_ab": pa.array([r[4] for r in rows], type=pa.int64()),
+                "conf_e8": pa.array([r[5] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_ASSOCIATION_RULES = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+ms AS (SELECT GREATEST(2, COUNT(DISTINCT o) // 300) AS v FROM ob),
+pair AS (
+  SELECT a.b AS b1, c.b AS b2, COUNT(*) AS sup
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2
+),
+tri AS (
+  SELECT a.b AS b1, c.b AS b2, d.b AS b3, COUNT(*) AS sup
+  FROM ob a
+  JOIN ob c ON a.o = c.o AND a.b < c.b
+  JOIN ob d ON a.o = d.o AND c.b < d.b
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT v FROM ms)
+),
+rot AS (
+  SELECT b1 AS x, b2 AS y, b3 AS z, sup FROM tri
+  UNION ALL SELECT b1, b3, b2, sup FROM tri
+  UNION ALL SELECT b2, b3, b1, sup FROM tri
+)
+SELECT rot.x AS ant_a, rot.y AS ant_b, rot.z AS cons,
+       CAST(rot.sup AS BIGINT) AS sup_abc,
+       CAST(p.sup AS BIGINT) AS sup_ab,
+       CAST((2 * rot.sup * 100000000 + p.sup) // (2 * p.sup) AS BIGINT)
+         AS conf_e8
+FROM rot JOIN pair p ON p.b1 = rot.x AND p.b2 = rot.y
+WHERE rot.sup * {RULE_CONF_DEN} >= {RULE_CONF_NUM} * p.sup
+"""
+
+
 ANALYTICS_QUERIES = {
+    "association_rules": q_association_rules,
     "consistent_hash_balance": q_consistent_hash_balance,
     "range_partition_audit": q_range_partition_audit,
     "join_skew_audit": q_join_skew_audit,
@@ -5866,6 +5944,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "association_rules": SQL_ASSOCIATION_RULES,
     "consistent_hash_balance": SQL_CONSISTENT_HASH_BALANCE,
     "range_partition_audit": SQL_RANGE_PARTITION_AUDIT,
     "join_skew_audit": SQL_JOIN_SKEW_AUDIT,
