@@ -437,3 +437,44 @@ def test_near_dup_clusters_exact_bruteforce(ray_session):
     from collections import Counter
     sizes = Counter(out.values())
     assert min(sizes.values()) >= 2
+
+
+def test_fid_diag_labels_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.trainingdata import (
+        q_fid_diag_labels)
+
+    sf = "/root/testdata/sf0.001"
+    row = q_fid_diag_labels(sf).take_all()[0]
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["embedding", "label"]).to_pandas()
+    m = np.array(t.embedding.tolist(), dtype=np.float64)
+    lab = t.label.to_numpy()
+    x0, x1 = m[lab == 0], m[lab == 1]
+    assert row["n0"] == len(x0) and row["n1"] == len(x1)
+    assert row["dims"] == m.shape[1]
+    e6_0 = np.trunc(x0 * 1e6).astype(np.int64)
+    e3_0 = np.trunc(x0 * 1e3).astype(np.int64)
+    e6_1 = np.trunc(x1 * 1e6).astype(np.int64)
+    e3_1 = np.trunc(x1 * 1e3).astype(np.int64)
+    mu0 = e6_0.sum(axis=0) / (len(x0) * 1e6)
+    mu1 = e6_1.sum(axis=0) / (len(x1) * 1e6)
+    m20 = (e3_0 ** 2).sum(axis=0) / (len(x0) * 1e6)
+    m21 = (e3_1 ** 2).sum(axis=0) / (len(x1) * 1e6)
+    v0 = np.maximum(m20 - mu0 ** 2, 0.0)
+    v1 = np.maximum(m21 - mu1 ** 2, 0.0)
+    dm, dsd = mu0 - mu1, np.sqrt(v0) - np.sqrt(v1)
+    assert row["mean_sq_e8"] == int(
+        np.round(dm * dm * 1e8).astype(np.int64).sum())
+    assert row["cov_e8"] == int(
+        np.round(dsd * dsd * 1e8).astype(np.int64).sum())
+    assert row["fid_e8"] == row["mean_sq_e8"] + row["cov_e8"]
+    # FID of two samples from similar distributions is small but > 0,
+    # and both components are nonnegative by construction
+    assert 0 <= row["mean_sq_e8"] and 0 <= row["cov_e8"]
+    assert row["fid_e8"] > 0
+    # sanity against the unquantized statistic: same order of magnitude
+    true_fid = float(((x0.mean(0) - x1.mean(0)) ** 2).sum()
+                     + ((x0.std(0) - x1.std(0)) ** 2).sum())
+    assert abs(row["fid_e8"] / 1e8 - true_fid) < 0.1 * max(true_fid, 0.01)

@@ -2951,3 +2951,156 @@ SQL_KMEANS_SILHOUETTE = _sql_kmeans_silhouette()
 
 TRAININGDATA_QUERIES["kmeans_silhouette"] = q_kmeans_silhouette
 TRAININGDATA_ORACLES["kmeans_silhouette"] = SQL_KMEANS_SILHOUETTE
+
+
+# ---------------------------------------------------------------------------
+# Q: fid_diag_labels — diagonal Fréchet distance between the label-0
+# and label-1 embedding distributions: FID's diagonal-covariance form
+# Σ_d (μ₁d−μ₂d)² + (σ₁d−σ₂d)² — the distribution-shift metric between
+# two corpus slices (generated-vs-real, old-vs-new snapshot).
+
+
+def q_fid_diag_labels(sf_dir: str) -> Dataset:
+    """One row: group sizes, dims, and the two FID components at e8 —
+    each per-dim term rounds to e8 int64 BEFORE summation (order-free)
+    and fid_e8 is their integer sum. Moments ingest through the
+    embedding_dim_stats quantization contract (means from e6-truncated
+    values, second moments from e3 — float32 columns never touch a
+    ROUND boundary); the per-dim float chain (two divisions, sqrt,
+    squares) is one fixed IEEE sequence mirrored in SQL, with the
+    quantization-mismatch variance clamped at 0 on both sides.
+
+    Movement: 2·64 moment rows per block through ONE merge; vectors
+    never shuffle."""
+    from ..ops.ann import _as_matrix
+    from ..stages.salted import merge_group_sums
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        lab = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = lab <= 1
+        if not keep.any():
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int64()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "sum_e6": pa.array([], type=pa.int64()),
+                    "sumsq_e6": pa.array([], type=pa.int64()),
+                }
+            )
+        x = _as_matrix(
+            t.filter(pa.array(keep)).column("embedding")
+        ).astype(np.float64)
+        lab = lab[keep]
+        d = x.shape[1]
+        outs = {"label": [], "dim": [], "n": [], "sum_e6": [], "sumsq_e6": []}
+        for g in (0, 1):
+            xg = x[lab == g]
+            if len(xg) == 0:
+                continue
+            e6 = np.trunc(xg * 1e6).astype(np.int64)
+            e3 = np.trunc(xg * 1e3).astype(np.int64)
+            outs["label"].extend([g] * d)
+            outs["dim"].extend(range(1, d + 1))
+            outs["n"].extend([len(xg)] * d)
+            outs["sum_e6"].extend(e6.sum(axis=0).tolist())
+            outs["sumsq_e6"].extend((e3 * e3).sum(axis=0).tolist())
+        return pa.table(
+            {k: pa.array(v, type=pa.int64()) for k, v in outs.items()}
+        )
+
+    from .analytics import _pull_merged
+
+    tbl = _pull_merged(
+        merge_group_sums(
+            emb.map_batches(partials, batch_format="pyarrow"),
+            ["label", "dim"], ["n", "sum_e6", "sumsq_e6"],
+        ),
+        ["label", "dim", "n", "sum_e6", "sumsq_e6"],
+    ).sort_by([("label", "ascending"), ("dim", "ascending")])
+    lab = tbl.column("label").to_numpy(zero_copy_only=False)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    s6 = tbl.column("sum_e6").to_numpy(zero_copy_only=False)
+    q6 = tbl.column("sumsq_e6").to_numpy(zero_copy_only=False)
+    g0, g1 = lab == 0, lab == 1
+    n0, n1 = int(n[g0][0]), int(n[g1][0])
+    dims = int(g0.sum())
+    mu0 = s6[g0] / (n0 * 1e6)
+    mu1 = s6[g1] / (n1 * 1e6)
+    m20 = q6[g0] / (n0 * 1e6)
+    m21 = q6[g1] / (n1 * 1e6)
+    v0 = m20 - mu0 * mu0
+    v1 = m21 - mu1 * mu1
+    v0 = np.where(v0 < 0, 0.0, v0)
+    v1 = np.where(v1 < 0, 0.0, v1)
+    s0, s1 = np.sqrt(v0), np.sqrt(v1)
+    dm = mu0 - mu1
+    ds_ = s0 - s1
+    mean_sq_e8 = int(np.round(dm * dm * 1e8).astype(np.int64).sum())
+    cov_e8 = int(np.round(ds_ * ds_ * 1e8).astype(np.int64).sum())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n0": pa.array([n0], type=pa.int64()),
+                "n1": pa.array([n1], type=pa.int64()),
+                "dims": pa.array([dims], type=pa.int64()),
+                "mean_sq_e8": pa.array([mean_sq_e8], type=pa.int64()),
+                "cov_e8": pa.array([cov_e8], type=pa.int64()),
+                "fid_e8": pa.array(
+                    [mean_sq_e8 + cov_e8], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+SQL_FID_DIAG_LABELS = """
+WITH m AS (
+  SELECT label, CAST(i.i AS BIGINT) AS dim, COUNT(*) AS n,
+         SUM(CAST(TRUNC(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+                        * 1000000.0) AS BIGINT)) AS s6,
+         SUM(CAST(TRUNC(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+                        * 1000.0) AS BIGINT)
+             * CAST(TRUNC(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+                          * 1000.0) AS BIGINT)) AS q6
+  FROM embeddings, range(1, 65) i(i)
+  WHERE i.i <= len(embedding) AND label <= 1
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT a.dim,
+         CAST(a.s6 AS DOUBLE) / (a.n * 1000000.0) AS mu0,
+         CAST(b.s6 AS DOUBLE) / (b.n * 1000000.0) AS mu1,
+         CAST(a.q6 AS DOUBLE) / (a.n * 1000000.0) AS m20,
+         CAST(b.q6 AS DOUBLE) / (b.n * 1000000.0) AS m21,
+         a.n AS n0, b.n AS n1
+  FROM m a JOIN m b ON b.dim = a.dim AND a.label = 0 AND b.label = 1
+),
+t AS (
+  SELECT dim, n0, n1,
+         (mu0 - mu1) * (mu0 - mu1) AS tm,
+         (SQRT(CASE WHEN m20 - mu0 * mu0 < 0 THEN 0.0
+               ELSE m20 - mu0 * mu0 END)
+          - SQRT(CASE WHEN m21 - mu1 * mu1 < 0 THEN 0.0
+                 ELSE m21 - mu1 * mu1 END)) AS dsd
+  FROM s
+)
+SELECT CAST(MIN(n0) AS BIGINT) AS n0,
+       CAST(MIN(n1) AS BIGINT) AS n1,
+       CAST(COUNT(*) AS BIGINT) AS dims,
+       CAST(SUM(CAST(ROUND(tm * 1e8) AS BIGINT)) AS BIGINT) AS mean_sq_e8,
+       CAST(SUM(CAST(ROUND(dsd * dsd * 1e8) AS BIGINT)) AS BIGINT)
+         AS cov_e8,
+       CAST(SUM(CAST(ROUND(tm * 1e8) AS BIGINT))
+            + SUM(CAST(ROUND(dsd * dsd * 1e8) AS BIGINT)) AS BIGINT)
+         AS fid_e8
+FROM t
+"""
+
+
+TRAININGDATA_QUERIES["fid_diag_labels"] = q_fid_diag_labels
+TRAININGDATA_ORACLES["fid_diag_labels"] = SQL_FID_DIAG_LABELS
