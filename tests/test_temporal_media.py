@@ -730,3 +730,38 @@ def test_daily_value_percentiles_bruteforce(ray_session):
         assert r.p90_e2 == v[(9 * n + 9) // 10 - 1]
         assert r.p50_e2 <= r.p90_e2 <= v[-1]
     assert len(out) == ev.day.nunique()
+
+
+def test_tile_rate_shrinkage_bruteforce(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.temporal_media import (
+        SHRINK_K, q_tile_rate_shrinkage)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_tile_rate_shrinkage(sf).to_pandas().set_index(
+        ["tile_x", "tile_y"])
+    eid = pq.read_table(sf + "/events.parquet",
+                        columns=["event_id"]).column("event_id").to_numpy()
+    lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+    lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+    tx, ty = latlng_to_tile(lat, lon, 12)
+    c = pd.DataFrame({"x": tx, "y": ty}).groupby(["x", "y"]).size()
+    S, T = int(c.sum()), len(c)
+    assert len(out) == T
+    mean = S / T
+    for (x, y), n in c.items():
+        r = out.loc[(x, y)]
+        assert r.n == n
+        num = n * T + SHRINK_K * S
+        den = (1 + SHRINK_K) * T
+        assert r.shrunk_e8 == (2 * num * 10**8 + den) // (2 * den)
+        shrunk = r.shrunk_e8 / 1e8
+        # shrinkage contracts toward the mean and never crosses it
+        if n > mean:
+            assert mean - 1e-6 <= shrunk <= n + 1e-6
+        else:
+            assert n - 1e-6 <= shrunk <= mean + 1e-6
+        assert abs(shrunk - mean) <= abs(n - mean) + 1e-6

@@ -4142,3 +4142,113 @@ TEMPORAL_MEDIA_QUERIES["daily_value_percentiles"] = q_daily_value_percentiles
 TEMPORAL_MEDIA_ORACLES["daily_value_percentiles"] = (
     SQL_DAILY_VALUE_PERCENTILES
 )
+
+
+# ---------------------------------------------------------------------------
+# Q: tile_rate_shrinkage — empirical-Bayes (Gamma–Poisson) shrinkage of
+# per-tile page counts toward the global mean: the small-area
+# estimation fix for "this tile looks hot because it has 3 events" —
+# sparse tiles pull hard toward the prior, dense tiles barely move.
+
+SHRINK_K = 10  # prior strength (pseudo-observations)
+
+
+def q_tile_rate_shrinkage(sf_dir: str) -> Dataset:
+    """Per occupied z12 tile (event positions, tile_dwell contract):
+    raw count n and the shrunk rate (n + K·S/T)/(1 + K) — published
+    EXACTLY at e8 via the integer rational (n·T + K·S)·1e8/((1+K)·T)
+    with the floored half-up identity (S = total events, T = occupied
+    tiles; no float op anywhere). Movement: one occupied-tile count
+    merge + a 2-scalar fold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..geo.tiles import latlng_to_tile
+    from ..pipelines.analytics import _pull_merged
+    from ..stages.salted import merge_group_sums
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        lat = ((eid * 7919) % 1600001) / 10000.0 - 80.0
+        lon = ((eid * 104729) % 3600001) / 10000.0 - 180.0
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        g = pa.table(
+            {
+                "tile_x": pa.array(tx.astype(np.int64)),
+                "tile_y": pa.array(ty.astype(np.int64)),
+                "n": pa.array(np.ones(len(eid), dtype=np.int64)),
+            }
+        ).group_by(["tile_x", "tile_y"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tile_x", "tile_y", "n"])
+
+    merged = merge_group_sums(
+        events.map_batches(partials, batch_format="pyarrow"),
+        ["tile_x", "tile_y"], ["n"],
+    ).materialize()
+
+    totals = _pull_merged(
+        merge_group_sums(
+            merged.map_batches(
+                lambda t: pa.table(
+                    {
+                        "k": pa.array([0], type=pa.int64()),
+                        "s": pa.array(
+                            [int(t.column("n").to_numpy(
+                                zero_copy_only=False).sum())],
+                            type=pa.int64()),
+                        "t": pa.array([t.num_rows], type=pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["k"], ["s", "t"],
+        ),
+        ["k", "s", "t"],
+    )
+    s_tot = int(totals.column("s")[0].as_py())
+    t_tot = int(totals.column("t")[0].as_py())
+
+    def shrink(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        num = n * t_tot + SHRINK_K * s_tot
+        den = (1 + SHRINK_K) * t_tot
+        shrunk = (2 * num * 10**8 + den) // (2 * den)
+        return pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "n": t["n"],
+                "shrunk_e8": pa.array(shrunk, type=pa.int64()),
+            }
+        )
+
+    return merged.map_batches(shrink, batch_format="pyarrow")
+
+
+SQL_TILE_RATE_SHRINKAGE = f"""
+WITH ev AS (
+  SELECT ((event_id * 7919) % 1600001) / 10000.0 - 80.0 AS lat,
+         ((event_id * 104729) % 3600001) / 10000.0 - 180.0 AS lon
+  FROM events
+),
+c AS (
+  SELECT CAST(FLOOR((lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0 / COS(RADIANS(lat)))
+                     / PI()) / 2.0 * 4096) AS BIGINT) AS tile_y,
+         COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS s, COUNT(*) AS t FROM c)
+SELECT tile_x, tile_y, CAST(n AS BIGINT) AS n,
+       CAST((2 * (n * tot.t + {SHRINK_K} * tot.s) * 100000000
+             + (1 + {SHRINK_K}) * tot.t)
+            // (2 * (1 + {SHRINK_K}) * tot.t) AS BIGINT) AS shrunk_e8
+FROM c, tot
+"""
+
+
+TEMPORAL_MEDIA_QUERIES["tile_rate_shrinkage"] = q_tile_rate_shrinkage
+TEMPORAL_MEDIA_ORACLES["tile_rate_shrinkage"] = SQL_TILE_RATE_SHRINKAGE
