@@ -765,3 +765,34 @@ def test_tile_rate_shrinkage_bruteforce(ray_session):
         else:
             assert n - 1e-6 <= shrunk <= mean + 1e-6
         assert abs(shrunk - mean) <= abs(n - mean) + 1e-6
+
+
+def test_diversified_top_docs_bruteforce(ray_session):
+    from wikipedia_wikidata_ray.geo.tiles import latlng_to_tile
+    from wikipedia_wikidata_ray.pipelines.queries import (
+        DIVERSE_K, DIVERSE_TILE_CAP, q_diversified_top_docs, q_importance)
+    from wikipedia_wikidata_ray.sources.pages_gen import derive_geo
+
+    sf = "/root/testdata/sf0.001"
+    out = q_diversified_top_docs(sf).to_pandas().sort_values("rank")
+    imp = {r["doc_id"]: r["importance"] for r in q_importance(sf).take_all()}
+    rows = []
+    for d, v in imp.items():
+        if d % 10 >= 7:
+            continue
+        lat, lon, _ = derive_geo(np.array([d]))
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        rows.append((d, int(tx[0]), int(ty[0]), int(np.round(v * 1e10))))
+    import pandas as pd
+    df = pd.DataFrame(rows, columns=["doc_id", "x", "y", "e10"])
+    df = df.sort_values(["e10", "doc_id"], ascending=[False, True])
+    df["tile_rank"] = df.groupby(["x", "y"]).cumcount() + 1
+    capped = df[df.tile_rank <= DIVERSE_TILE_CAP].head(DIVERSE_K)
+    got = list(map(tuple, out[["doc_id", "tile_x", "tile_y",
+                               "imp_e10"]].itertuples(index=False)))
+    expect = list(map(tuple, capped[["doc_id", "x", "y",
+                                     "e10"]].itertuples(index=False)))
+    assert got == expect and len(got) == DIVERSE_K
+    # diversity invariant: no tile appears more than the cap
+    per_tile = out.groupby(["tile_x", "tile_y"]).size()
+    assert per_tile.max() <= DIVERSE_TILE_CAP

@@ -6518,7 +6518,115 @@ FROM d2
 """
 
 
+# ---------------------------------------------------------------------------
+# Q: diversified_top_docs — search-result diversification: the global
+# top-20 pages by importance with AT MOST TWO per map tile (pure
+# relevance ranking drowns the list in one megacity; the per-tile cap
+# is the window-expressible form of diversity re-ranking).
+
+DIVERSE_TILE_CAP = 2
+DIVERSE_K = 20
+
+
+def q_diversified_top_docs(sf_dir: str) -> Dataset:
+    """Geotagged docs ranked by (importance_e10 desc, doc_id), kept
+    only while within their tile's top-{DIVERSE_TILE_CAP}, then the
+    global top-{DIVERSE_K}. Both stages are grouped_topk block-local
+    prunes (per-tile, then constant-key); importance rides the
+    oracle-green q_importance pipeline and ranks as e10 int (the
+    integer-ranking rule — its 10-dp contract makes the cast exact).
+    """
+    from ..geo.tiles import latlng_to_tile
+    from ..ops.topk import grouped_topk
+    from ..sources.pages_gen import derive_geo
+
+    imp = q_importance(sf_dir)
+
+    def tile_score(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = did % 10 < 7
+        did_k = did[keep]
+        lat, lon, _ = derive_geo(did_k)
+        tx, ty = latlng_to_tile(lat, lon, 12)
+        impv = t.column("importance").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(did_k, type=pa.int64()),
+                "tile_x": pa.array(tx.astype(np.int64)),
+                "tile_y": pa.array(ty.astype(np.int64)),
+                "imp_e10": pa.array(
+                    np.round(impv * 1e10).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    scored = imp.map_batches(tile_score, batch_format="pyarrow")
+    per_tile = grouped_topk(
+        scored, ["tile_x", "tile_y"],
+        [("imp_e10", False), ("doc_id", True)], DIVERSE_TILE_CAP,
+    )
+
+    def add_c(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "c", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        )
+
+    top = grouped_topk(
+        per_tile.map_batches(add_c, batch_format="pyarrow"),
+        ["c"], [("imp_e10", False), ("doc_id", True)], DIVERSE_K,
+        rank_col="rank",
+    )
+    return top.map_batches(
+        lambda t: t.drop_columns(["c"]), batch_format="pyarrow"
+    )
+
+
+SQL_DIVERSIFIED_TOP_DOCS = f"""
+WITH {SQL_LINKS_CTE},
+counts AS (
+  SELECT l.tgt AS doc_id,
+         COUNT(*) FILTER (WHERE l.src_lang = d.lang) AS langcount,
+         COUNT(*) FILTER (WHERE l.src_lang <> d.lang) AS othercount
+  FROM links l JOIN documents d ON d.doc_id = l.tgt
+  GROUP BY l.tgt
+),
+scored AS (
+  SELECT doc_id, langcount + othercount AS totalcount FROM counts
+),
+maxt AS (SELECT MAX(totalcount) AS m FROM scored WHERE doc_id % 10 < 7),
+imp AS (
+  SELECT doc_id,
+         ROUND(GREATEST(LN(totalcount) / LN((SELECT m FROM maxt)), 1e-10),
+               10) AS importance
+  FROM scored
+),
+{SQL_GEO_CTE.strip().rstrip()},
+tiled AS (
+  SELECT g.doc_id,
+         CAST(FLOOR((g.lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+         CAST(FLOOR((1.0 - LN(TAN(RADIANS(g.lat))
+                    + 1.0 / COS(RADIANS(g.lat))) / PI()) / 2.0 * 4096)
+              AS BIGINT) AS tile_y,
+         CAST(ROUND(i.importance * 1e10) AS BIGINT) AS imp_e10
+  FROM geo g JOIN imp i ON i.doc_id = g.doc_id
+),
+capped AS (
+  SELECT * FROM tiled
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY tile_x, tile_y ORDER BY imp_e10 DESC, doc_id
+  ) <= {DIVERSE_TILE_CAP}
+)
+SELECT doc_id, tile_x, tile_y, imp_e10,
+       CAST(ROW_NUMBER() OVER (ORDER BY imp_e10 DESC, doc_id) AS BIGINT)
+         AS rank
+FROM capped
+ORDER BY imp_e10 DESC, doc_id
+LIMIT {DIVERSE_K}
+"""
+
+
 QUERIES = {
+    "diversified_top_docs": q_diversified_top_docs,
     "diameter_double_sweep": q_diameter_double_sweep,
     "square_counts": q_square_counts,
     "avg_neighbor_degree": q_avg_neighbor_degree,
@@ -6606,6 +6714,7 @@ QUERIES.update(ANALYTICS_QUERIES)
 QUERIES["wikidump_importance_export"] = q_wikidump_importance_export
 
 ORACLES = {
+    "diversified_top_docs": SQL_DIVERSIFIED_TOP_DOCS,
     "diameter_double_sweep": SQL_DIAMETER_DOUBLE_SWEEP,
     "square_counts": SQL_SQUARE_COUNTS,
     "avg_neighbor_degree": SQL_AVG_NEIGHBOR_DEGREE,
