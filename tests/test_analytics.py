@@ -1887,7 +1887,7 @@ def test_association_rules_bruteforce(ray_session):
     from itertools import combinations
 
     from wikipedia_wikidata_ray.pipelines.analytics import (
-        RULE_CONF_DEN, RULE_CONF_NUM, q_association_rules)
+        RULE_K, q_association_rules)
 
     out = q_association_rules(SF).to_pandas()
     li = pq.read_table(f"{SF}/lineitem.parquet",
@@ -1896,27 +1896,36 @@ def test_association_rules_bruteforce(ray_session):
                          columns=["p_partkey", "p_brand"]).to_pandas()
     m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
     baskets = m.groupby("l_orderkey").p_brand.apply(set)
-    minsup = max(2, len(baskets) // 300)
-    pair, tri = {}, {}
+    n = len(baskets)
+    minsup = max(2, n // 300)
+    item, pair, tri = {}, {}, {}
     for b in baskets:
         sb = sorted(b)
+        for it in sb:
+            item[it] = item.get(it, 0) + 1
         for pr in combinations(sb, 2):
             pair[pr] = pair.get(pr, 0) + 1
         for tr in combinations(sb, 3):
             tri[tr] = tri.get(tr, 0) + 1
-    want = set()
-    for (a, b, c), s in tri.items():
-        if s < minsup:
+    rules = []
+    for (a, b, c), s_ in tri.items():
+        if s_ < minsup:
             continue
         for x, y, z in ((a, b, c), (a, c, b), (b, c, a)):
-            if s * RULE_CONF_DEN >= RULE_CONF_NUM * pair[(x, y)]:
-                want.add((x, y, z, s, pair[(x, y)]))
-    got = {(r.ant_a, r.ant_b, r.cons, r.sup_abc, r.sup_ab)
-           for r in out.itertuples()}
-    assert got == want and len(want) > 0
+            den = pair[(x, y)] * item[z]
+            lift = (2 * s_ * n * 10**8 + den) // (2 * den)
+            rules.append((-lift, x, y, z, s_, pair[(x, y)]))
+    rules.sort()
+    want = rules[:RULE_K]
+    got = list(map(tuple, out[["lift_e8", "ant_a", "ant_b", "cons",
+                               "sup_abc", "sup_ab"]].itertuples(index=False)))
+    expect = [(-r[0], r[1], r[2], r[3], r[4], r[5]) for r in want]
+    assert got == expect and len(got) == RULE_K
+    # the ranking is by lift and the top rule genuinely lifts:
+    # P(z | x,y) > P(z) strictly
+    top = out.iloc[0]
+    assert top.lift_e8 > 10**8
+    assert (out.lift_e8.to_numpy()[:-1] >= out.lift_e8.to_numpy()[1:]).all()
     for r in out.itertuples():
-        # confidence definition holds and the rule clears the bar
         assert r.conf_e8 == (2 * r.sup_abc * 10**8 + r.sup_ab) \
             // (2 * r.sup_ab)
-        assert r.conf_e8 >= RULE_CONF_NUM * 10**8 // RULE_CONF_DEN
-        assert r.sup_abc <= r.sup_ab

@@ -123,6 +123,14 @@ def main() -> int:
         .materialize().count(),
         "daily_value_percentiles": lambda:
         tm.q_daily_value_percentiles(sf_dir).materialize().count(),
+        "association_rules": lambda: an.q_association_rules(sf_dir)
+        .materialize().count(),
+        "fid_diag_labels": lambda: td.q_fid_diag_labels(sf_dir)
+        .materialize().count(),
+        "tile_rate_shrinkage": lambda: tm.q_tile_rate_shrinkage(sf_dir)
+        .materialize().count(),
+        "diversified_top_docs": lambda: qq.q_diversified_top_docs(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}

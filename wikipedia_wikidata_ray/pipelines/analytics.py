@@ -5811,45 +5811,100 @@ FROM asg GROUP BY worker
 
 
 # ---------------------------------------------------------------------------
-# Q: association_rules — {x, y} → z rules from the frequent triples:
-# the actionable layer over apriori_triples (support alone doesn't
-# recommend anything; confidence does).
+# Q: association_rules — top rules {x, y} → z from the frequent
+# triples, ranked by LIFT (confidence thresholds dilute with basket
+# size across scales; lift — conf / P(z) — is scale-stable, and a
+# rank-based output is non-vacuous at every sf by construction).
 
-RULE_CONF_NUM, RULE_CONF_DEN = 20, 100  # min confidence 0.20
+RULE_K = 50
 
 
 def q_association_rules(sf_dir: str) -> Dataset:
-    """Every rotation {x,y} → z of every frequent triple whose
-    confidence sup(xyz)/sup(xy) ≥ 0.20 — the threshold test is the
-    PURE INTEGER comparison sup_abc·100 ≥ 20·sup_ab and conf_e8 is the
-    exact floored half-up of the support ratio. Composes the two
-    oracle-green basket surfaces: triples from q_apriori_triples,
-    pair supports from q_brand_cooccurrence — both pulls bounded by
-    the catalog dimension (≤ C(25,3) + 25² rows), so the rule
-    generation is driver arithmetic over model-sized tables."""
+    """The top-{RULE_K} rotations {x,y} → z of the frequent triples by
+    (lift_e8 desc, x, y, z): lift_e8 is the EXACT floored half-up of
+    the integer rational sup_xyz·n_orders·1e8 / (sup_xy·sup_z) — no
+    float division anywhere, and integer ranking (the round-5 rule).
+    Composes three oracle-green basket surfaces — triples from
+    q_apriori_triples, pair supports from q_brand_cooccurrence, item
+    supports + n_orders re-derived from the same basket spine — all
+    pulls bounded by the catalog dimension, so rule generation is
+    driver arithmetic over model-sized tables."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..stages.salted import partial_count
+
     tri = q_apriori_triples(sf_dir).take_all()
     pairs = {
         (r["brand_a"], r["brand_b"]): r["n_ab"]
         for r in q_brand_cooccurrence(sf_dir).take_all()
     }
+
+    # item supports + n_orders from the basket spine (catalog-bounded)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    ref = ray.put(
+        (
+            pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+            pc.cast(part["p_brand"], pa.string()).combine_chunks(),
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, brands = ray.get(ref)
+        pos = pc.index_in(pc.cast(t["l_partkey"], pa.int64()), value_set=keys)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "p_brand": brands.take(pos)}
+        )
+
+    ob = merge_group_sums(
+        partial_count(
+            li.map_batches(attach, batch_format="pyarrow"),
+            ["l_orderkey", "p_brand"], out="n",
+        ),
+        ["l_orderkey", "p_brand"], ["n"],
+    ).materialize()
+    n_orders = merge_group_sums(
+        partial_count(ob, ["l_orderkey"], out="x"), ["l_orderkey"], ["x"]
+    ).count()
+    item_tbl = _pull_merged(
+        merge_group_sums(
+            partial_count(ob, ["p_brand"], out="nb"), ["p_brand"], ["nb"]
+        ),
+        ["p_brand", "nb"],
+    )
+    item = dict(
+        zip(
+            item_tbl.column("p_brand").to_pylist(),
+            (int(x) for x in
+             item_tbl.column("nb").to_numpy(zero_copy_only=False)),
+        )
+    )
     rows = []
     for t in tri:
         a, b, c, s = t["brand_a"], t["brand_b"], t["brand_c"], t["support"]
         for x, y, z in ((a, b, c), (a, c, b), (b, c, a)):
             p = pairs[(x, y)]
-            if s * RULE_CONF_DEN >= RULE_CONF_NUM * p:
-                conf = (2 * s * 10**8 + p) // (2 * p)
-                rows.append((x, y, z, s, p, conf))
+            den = p * item[z]
+            lift = (2 * s * n_orders * 10**8 + den) // (2 * den)
+            conf = (2 * s * 10**8 + p) // (2 * p)
+            rows.append((-lift, x, y, z, s, p, conf))
     rows.sort()
+    rows = rows[:RULE_K]
     return rd.from_arrow(
         pa.table(
             {
-                "ant_a": pa.array([r[0] for r in rows], type=pa.string()),
-                "ant_b": pa.array([r[1] for r in rows], type=pa.string()),
-                "cons": pa.array([r[2] for r in rows], type=pa.string()),
-                "sup_abc": pa.array([r[3] for r in rows], type=pa.int64()),
-                "sup_ab": pa.array([r[4] for r in rows], type=pa.int64()),
-                "conf_e8": pa.array([r[5] for r in rows], type=pa.int64()),
+                "ant_a": pa.array([r[1] for r in rows], type=pa.string()),
+                "ant_b": pa.array([r[2] for r in rows], type=pa.string()),
+                "cons": pa.array([r[3] for r in rows], type=pa.string()),
+                "sup_abc": pa.array([r[4] for r in rows], type=pa.int64()),
+                "sup_ab": pa.array([r[5] for r in rows], type=pa.int64()),
+                "conf_e8": pa.array([r[6] for r in rows], type=pa.int64()),
+                "lift_e8": pa.array([-r[0] for r in rows], type=pa.int64()),
             }
         )
     )
@@ -5860,7 +5915,9 @@ WITH ob AS (
   SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 ),
-ms AS (SELECT GREATEST(2, COUNT(DISTINCT o) // 300) AS v FROM ob),
+n AS (SELECT COUNT(DISTINCT o) AS c FROM ob),
+ms AS (SELECT GREATEST(2, (SELECT c FROM n) // 300) AS v),
+item AS (SELECT b, COUNT(*) AS sup FROM ob GROUP BY 1),
 pair AS (
   SELECT a.b AS b1, c.b AS b2, COUNT(*) AS sup
   FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b GROUP BY 1, 2
@@ -5876,14 +5933,24 @@ rot AS (
   SELECT b1 AS x, b2 AS y, b3 AS z, sup FROM tri
   UNION ALL SELECT b1, b3, b2, sup FROM tri
   UNION ALL SELECT b2, b3, b1, sup FROM tri
+),
+scored AS (
+  SELECT rot.x, rot.y, rot.z, rot.sup AS sup_abc, p.sup AS sup_ab,
+         (2 * rot.sup * 100000000 + p.sup) // (2 * p.sup) AS conf_e8,
+         (2 * rot.sup * (SELECT c FROM n) * 100000000 + p.sup * i.sup)
+           // (2 * p.sup * i.sup) AS lift_e8
+  FROM rot
+  JOIN pair p ON p.b1 = rot.x AND p.b2 = rot.y
+  JOIN item i ON i.b = rot.z
 )
-SELECT rot.x AS ant_a, rot.y AS ant_b, rot.z AS cons,
-       CAST(rot.sup AS BIGINT) AS sup_abc,
-       CAST(p.sup AS BIGINT) AS sup_ab,
-       CAST((2 * rot.sup * 100000000 + p.sup) // (2 * p.sup) AS BIGINT)
-         AS conf_e8
-FROM rot JOIN pair p ON p.b1 = rot.x AND p.b2 = rot.y
-WHERE rot.sup * {RULE_CONF_DEN} >= {RULE_CONF_NUM} * p.sup
+SELECT x AS ant_a, y AS ant_b, z AS cons,
+       CAST(sup_abc AS BIGINT) AS sup_abc,
+       CAST(sup_ab AS BIGINT) AS sup_ab,
+       CAST(conf_e8 AS BIGINT) AS conf_e8,
+       CAST(lift_e8 AS BIGINT) AS lift_e8
+FROM scored
+ORDER BY lift_e8 DESC, x, y, z
+LIMIT {RULE_K}
 """
 
 
