@@ -426,3 +426,25 @@ def test_distinctive_terms_logodds_bruteforce(ray_session):
         # in A (per-token rate, the semantic check)
         assert (r.y_a + a) * (nb + av) > (r.y_b + a) * (na + av) * 0.5
     assert len(out) == LOGODDS_K
+
+
+def test_source_dup_rates_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from wikipedia_wikidata_ray.pipelines.corpusops import q_source_dup_rates
+
+    sf = "/root/testdata/sf0.001"
+    out = q_source_dup_rates(sf).to_pandas().set_index("source")
+    docs = pq.read_table(sf + "/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    for src, g in docs.groupby("source"):
+        r = out.loc[src]
+        assert r.n_docs == len(g)
+        assert r.n_distinct == g.text.nunique()
+        assert r.n_dups == len(g) - g.text.nunique()
+        assert r.dup_rate_e8 == (2 * r.n_dups * 10**8 + r.n_docs) \
+            // (2 * r.n_docs)
+        assert 0 <= r.dup_rate_e8 < 10**8
+    # conservation across sources
+    assert out.n_docs.sum() == len(docs)
+    assert set(out.index) == set(docs.source.unique())

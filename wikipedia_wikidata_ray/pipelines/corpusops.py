@@ -1319,3 +1319,101 @@ FROM r
 
 CORPUSOPS_QUERIES["zipf_slope_stats"] = q_zipf_slope_stats
 CORPUSOPS_ORACLES["zipf_slope_stats"] = SQL_ZIPF_SLOPE_STATS
+
+
+# ---------------------------------------------------------------------------
+# Q: source_dup_rates — dedup observability per source: which feeds
+# send us copies? (The curation-ops dashboard number that decides
+# where to spend crawl budget.)
+
+
+def q_source_dup_rates(sf_dir: str) -> Dataset:
+    """Per source: document count, distinct texts (by the buffer-view
+    sha256 content hash), duplicate rows and the dup rate at e8 (exact
+    floored half-up). Movement: (source, hash) distinct partials → ONE
+    merge bounded by distinct texts; per-source fold via sorted runs.
+    Text never shuffles — only 16-byte hashes move."""
+    from ..ops.dedup import sha256_hex_col
+    from ..ops.runs import sorted_group_apply
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        h = pa.array(sha256_hex_col(t.column("text")), type=pa.string())
+        g = pa.table(
+            {
+                "source": t["source"],
+                "h": h,
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ).group_by(["source", "h"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "h", "n"])
+
+    merged = merge_group_sums(
+        docs.map_batches(partials, batch_format="pyarrow"),
+        ["source", "h"], ["n"],
+    )
+
+    empty = pa.table(
+        {
+            "source": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "n_distinct": pa.array([], type=pa.int64()),
+            "n_dups": pa.array([], type=pa.int64()),
+            "dup_rate_e8": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        src = t.column("source")
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sk = pc.rank(
+            src, sort_keys="ascending", tiebreaker="dense",
+            null_placement="at_start",
+        ).to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sks, ns = sk[order], n[order]
+        starts = np.flatnonzero(np.r_[True, sks[1:] != sks[:-1]])
+        run_id = np.cumsum(np.r_[False, sks[1:] != sks[:-1]])
+        n_runs = len(starts)
+        tot = np.zeros(n_runs, dtype=np.int64)
+        np.add.at(tot, run_id, ns)
+        dis = np.bincount(run_id, minlength=n_runs).astype(np.int64)
+        dups = tot - dis
+        rate = (2 * dups * 10**8 + tot) // (2 * tot)
+        return pa.table(
+            {
+                "source": src.take(pa.array(order[starts])),
+                "n_docs": pa.array(tot, type=pa.int64()),
+                "n_distinct": pa.array(dis, type=pa.int64()),
+                "n_dups": pa.array(dups, type=pa.int64()),
+                "dup_rate_e8": pa.array(rate, type=pa.int64()),
+            }
+        )
+
+    return sorted_group_apply(merged, ["source"], fold)
+
+
+SQL_SOURCE_DUP_RATES = """
+WITH c AS (
+  SELECT source, text, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+p AS (
+  SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_distinct
+  FROM c GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_docs - n_distinct AS BIGINT) AS n_dups,
+       CAST((2 * (n_docs - n_distinct) * 100000000 + n_docs)
+            // (2 * n_docs) AS BIGINT) AS dup_rate_e8
+FROM p
+"""
+
+
+CORPUSOPS_QUERIES["source_dup_rates"] = q_source_dup_rates
+CORPUSOPS_ORACLES["source_dup_rates"] = SQL_SOURCE_DUP_RATES
