@@ -131,6 +131,8 @@ def main() -> int:
         .materialize().count(),
         "diversified_top_docs": lambda: qq.q_diversified_top_docs(sf_dir)
         .materialize().count(),
+        "source_dup_rates": lambda: co.q_source_dup_rates(sf_dir)
+        .materialize().count(),
     }
     runs: dict[str, list[float]] = {k: [] for k in sections}
     rows: dict[str, int] = {}
